@@ -1,0 +1,199 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Ledger-shaped operator suite over the `events` table (SURVEY.md §2:
+  * A5/A6, B2/B5, C5, D3, G2, H3/H4/H5/H6/H7/H8, J4-batch).
+  *
+  * `events(event_id, ts, user_id, event_type, value, props)` plays the role
+  * of the reference's transaction stream: `user_id` ≙ wallet, `ts` ≙
+  * block time, `value` ≙ amount, `props` ≙ raw JSON metadata.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A6/B1/F1: by-wallet time-ordered scan — the reference's entire read
+    // API (`GET /v1/transactions/:wallet`, repo.rs:73-107). The filter
+    // pushes to parquet; at scale the table is bucketed by wallet so this
+    // prunes to one bucket.
+    "a6_by_key_ordered" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("user_id") === 7)
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy(col("ts"), col("event_id"))
+    }),
+
+    // A5/J2: idempotent insert — replaying a batch (here: the table unioned
+    // with itself) yields exactly one copy per key (repo.rs:26,56).
+    "a5_idempotent_dedup" -> ((s, d) => {
+      val e = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      e.unionAll(e)
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    }),
+
+    // G2: anti-insert — only rows whose key is absent from the existing
+    // table survive (the ON CONFLICT DO NOTHING shape).
+    "g2_anti_insert" -> ((s, d) => {
+      val all = Tables.events(s, d)
+      val existing = all.filter(col("event_id") % 3 === 0).select("event_id")
+      all.join(existing, Seq("event_id"), "left_anti")
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // B2/B5/H6: dispatch predicate + magnitude (dust) filter
+    // (parser.rs:29,69; cli/main.rs:152-161).
+    "b2_b5_dust_dispatch" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .filter(abs(col("value") - 50.0) > 25.0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // D3: per-wallet/asset position rollup — the tax-report aggregate the
+    // reference's indexes exist for (init.sql:34-35).
+    "d3_position_rollup" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("position"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // H3/H2: JSON path read from the raw metadata column (parser.rs:12;
+    // get_json_object keeps the scan codegen'd, no full from_json needed
+    // for a single path).
+    "h3_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // H4: enum↔string codec with fallback (repo.rs:128-135: unknown entry
+    // type decodes to 'transfer').
+    "h4_enum_codec" -> ((s, d) => {
+      val mapping = typedlit(Map(
+        "purchase" -> "trade", "signup" -> "income", "error" -> "fee"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          coalesce(element_at(mapping, col("event_type")), lit("transfer"))
+            .as("entry_type"))
+        .orderBy("event_id")
+    }),
+
+    // H5/H7/H8: unit conversion (lamports→SOL shape, parser.rs:92),
+    // coalesce defaults (parser.rs:63-66), deterministic surrogate id
+    // (engine policy replacing Uuid::new_v4, parser.rs:31).
+    "h5_h8_scalar_suite" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          sha2(concat_ws(":", col("event_id"), col("user_id"), col("event_type")), 256)
+            .as("det_id"),
+          floor(col("value") * 1000000).cast("long").as("micros"),
+          (floor(col("value") * 1000000).cast("double") / 1e9).as("units"),
+          coalesce(col("value"), lit(0.0)).as("value_or_zero"))
+        .orderBy("event_id")
+    }),
+
+    // C5: price as-of join — for each purchase, the most recent prior
+    // click's value per user. Implemented union+window (one shuffle, no
+    // range-join explosion) — see AsOfJoin scaladoc for the scale argument.
+    "c5_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val quotes = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("quote"))
+      AsOfJoin(trades, quotes, "user_id", "ts", "ts", Seq("quote"))
+        .select("event_id", "user_id", "value", "quote")
+        .orderBy("event_id")
+    }),
+
+    // J4 (batch view): tumbling 5-minute windows — same window spec the
+    // streaming path uses; batch-checked against the oracle here, replay-
+    // checked in StreamingSpec.
+    "j4_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "5 minutes").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_val"))
+        .orderBy("w_start", "event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a6_by_key_ordered" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events WHERE user_id = 7 ORDER BY ts, event_id""".stripMargin,
+
+    "a5_idempotent_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |ORDER BY event_id""".stripMargin,
+
+    "g2_anti_insert" ->
+      """SELECT event_id, event_type FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events x
+        |                  WHERE x.event_id % 3 = 0 AND x.event_id = e.event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "b2_b5_dust_dispatch" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND ABS(value - 50.0) > 25.0
+        |ORDER BY event_id""".stripMargin,
+
+    "d3_position_rollup" ->
+      """SELECT user_id, event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS position,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
+    "h3_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "h4_enum_codec" ->
+      """SELECT event_id, event_type,
+        |  CASE event_type WHEN 'purchase' THEN 'trade' WHEN 'signup' THEN 'income'
+        |                  WHEN 'error' THEN 'fee' ELSE 'transfer' END AS entry_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "h5_h8_scalar_suite" ->
+      """SELECT event_id,
+        |  SHA256(CONCAT_WS(':', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type)) AS det_id,
+        |  CAST(FLOOR(value * 1000000) AS BIGINT) AS micros,
+        |  CAST(FLOOR(value * 1000000) AS DOUBLE) / 1e9 AS units,
+        |  COALESCE(value, 0.0) AS value_or_zero
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "c5_asof_join" ->
+      """WITH trades AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |quotes AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS quote
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT t.event_id, t.user_id, t.value, q.quote
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY t.event_id""".stripMargin,
+
+    "j4_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.model.Transaction
+import graft.normalize.SolanaNormalizer
+
+/** I1 normalizer queries (the reference's core computation) + the silver
+  * ledger read surface over its output (SURVEY.md §2.I1, A6, B3/B4, C1/C2,
+  * D1, H2/H11/H12).
+  */
+object LedgerQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Golden fixtures — the reference's unit-test transaction
+    * (`/root/reference/adapters/tests/solana_parser_test.rs:11-37`) plus the
+    * paths it leaves untested: SPL deltas, new-token-account default,
+    * missing meta, the dust boundary at exactly 1e-6, and wallet-absent.
+    */
+  val W = "WalletAddress111111111111111111111111111111"
+  private def keys(ks: String*): String =
+    ks.map(k => s"""{"pubkey": "$k", "signer": false, "writable": true}""").mkString("[", ", ", "]")
+  private def tok(idx: Int, mint: String, owner: String, ui: Option[Double]): String = {
+    val uiStr = ui.map(_.toString).getOrElse("null")
+    s"""{"accountIndex": $idx, "mint": "$mint", "owner": "$owner", "uiTokenAmount": {"uiAmount": $uiStr, "decimals": 6, "amount": "0"}}"""
+  }
+
+  /** (id, raw_metadata) bronze fixture rows; wallet is always [[W]]. */
+  val fixtures: Seq[(String, String)] = Seq(
+    // tx1 — the reference golden test: native −0.5 SOL.
+    "tx1" -> s"""{"slot": 123456, "blockTime": 1672531200, "transaction": {"signatures": ["sig123"], "message": {"accountKeys": ${keys(W, "Receiver11111111111111111111111111111111")}, "recentBlockhash": "11111111111111111111111111111111"}}, "meta": {"fee": 5000, "preBalances": [10000000000, 0], "postBalances": [9500000000, 500000000], "preTokenBalances": [], "postTokenBalances": []}}""",
+    // tx2 — SPL: owned delta +2.5 (MintA), new-token-account +3.0 (MintB),
+    // foreign-owned balance dropped; native delta 0 ⇒ no SOL row.
+    "tx2" -> s"""{"slot": 123457, "blockTime": 1672531300, "transaction": {"signatures": ["sig124"], "message": {"accountKeys": ${keys(W, "Other1111111111111111111111111111111111111")}, "recentBlockhash": "11111111111111111111111111111111"}}, "meta": {"fee": 5000, "preBalances": [10000000000, 0], "postBalances": [10000000000, 0], "preTokenBalances": [${tok(1, "MintA", W, Some(5.0))}], "postTokenBalances": [${tok(1, "MintA", W, Some(7.5))}, ${tok(2, "MintB", W, Some(3.0))}, ${tok(3, "MintC", "Other1111111111111111111111111111111111111", Some(9.0))}]}}""",
+    // tx3 — no meta ⇒ zero entries (parser.rs:15-18).
+    "tx3" -> s"""{"slot": 123458, "blockTime": 1672531400, "transaction": {"signatures": ["sig125"], "message": {"accountKeys": ${keys(W)}, "recentBlockhash": "11111111111111111111111111111111"}}}""",
+    // tx4 — dust: native Δ = exactly 1e-6 SOL (1000 lamports) and SPL Δ =
+    // 5e-7, both ≤ threshold ⇒ dropped (strict >, parser.rs:29,69).
+    "tx4" -> s"""{"slot": 123459, "blockTime": 1672531500, "transaction": {"signatures": ["sig126"], "message": {"accountKeys": ${keys(W)}, "recentBlockhash": "11111111111111111111111111111111"}}, "meta": {"fee": 0, "preBalances": [1000000000], "postBalances": [1000001000], "preTokenBalances": [${tok(1, "MintA", W, Some(1.0))}], "postTokenBalances": [${tok(1, "MintA", W, Some(1.0000005))}]}}""",
+    // tx5 — wallet not in accountKeys ⇒ no native row (parser.rs:26), but
+    // owned SPL post balance with null uiAmount pre ⇒ Δ = 4.0 − 0.
+    "tx5" -> s"""{"slot": 123460, "blockTime": 1672531600, "transaction": {"signatures": ["sig127"], "message": {"accountKeys": ${keys("Stranger111111111111111111111111111111111")}, "recentBlockhash": "11111111111111111111111111111111"}}, "meta": {"fee": 0, "preBalances": [5], "postBalances": [5], "preTokenBalances": [${tok(4, "MintD", W, None)}], "postTokenBalances": [${tok(4, "MintD", W, Some(4.0))}]}}"""
+  )
+
+  /** Fixture bronze DataFrame (the golden corpus above). */
+  def fixtureBronze(s: SparkSession): DataFrame = {
+    import s.implicits._
+    fixtures.map { case (id, raw) =>
+      Transaction(id, s"user_$id", W, 1672531200L, s"hash_$id", "solana", raw)
+    }.toDF()
+  }
+
+  /** Bronze rows derived deterministically from the `events` table so the
+    * normalizer has a corpus-scale input for benchmarks: each event becomes
+    * a native transfer of `value` SOL from a per-user wallet.
+    */
+  def eventsAsBronze(s: SparkSession, d: String): DataFrame = {
+    val wallet = concat(lit("W"), col("user_id"))
+    val lamports = floor(col("value") * 1e9).cast("long")
+    Tables.events(s, d).select(
+      concat(lit("tx"), col("event_id")).as("id"),
+      concat(lit("u"), col("user_id")).as("user_id"),
+      wallet.as("wallet_address"),
+      unix_timestamp(col("ts")).as("timestamp"),
+      concat(lit("h"), col("event_id")).as("tx_hash"),
+      lit("solana").as("chain"),
+      concat(
+        lit("""{"slot": """), col("event_id"),
+        lit(""", "blockTime": """), unix_timestamp(col("ts")),
+        lit(""", "transaction": {"signatures": ["s"], "message": {"accountKeys": [{"pubkey": """"),
+        wallet,
+        lit("""", "signer": true, "writable": true}], "recentBlockhash": "x"}}, "meta": {"fee": 0, "preBalances": [10000000000], "postBalances": ["""),
+        (lit(10000000000L) - lamports),
+        lit("""], "preTokenBalances": [], "postTokenBalances": []}}""")
+      ).as("raw_metadata"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // I1 golden: fixture bronze → silver. Oracle below re-implements the
+    // parse in pure DuckDB JSON SQL — an independent second implementation.
+    "i1_normalize_golden" -> ((s, _) => {
+      SolanaNormalizer.normalize(fixtureBronze(s))
+        .select("transaction_id", "wallet_address", "asset_symbol", "amount", "entry_type")
+        .orderBy("transaction_id", "asset_symbol")
+    }),
+
+    // I1 at corpus scale: events-derived bronze → silver → per-wallet
+    // position rollup (D3 over real normalizer output). Rows-only check
+    // (the JSON envelope build is Spark-side).
+    "i1_normalize_events" -> ((s, d) => {
+      SolanaNormalizer.normalize(eventsAsBronze(s, d))
+        .groupBy("wallet_address", "asset_symbol")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(col("amount")).as("position"))
+        .orderBy("wallet_address", "asset_symbol")
+    })
+  )
+
+  private def fixtureValues: String =
+    fixtures.map { case (id, raw) =>
+      s"('$id', 'user_$id', '$W', '$raw')"
+    }.mkString(",\n  ")
+
+  /** DuckDB re-implementation of parser.rs:7-93 over the same fixtures. */
+  val oracle: Map[String, String] = Map(
+    "i1_normalize_golden" ->
+      s"""WITH bronze(transaction_id, user_id, wallet_address, raw) AS (VALUES
+         |  $fixtureValues),
+         |p AS (
+         |  SELECT transaction_id, wallet_address,
+         |    CAST(json_extract(raw, '$$.meta.preBalances') AS BIGINT[]) AS pre_b,
+         |    CAST(json_extract(raw, '$$.meta.postBalances') AS BIGINT[]) AS post_b,
+         |    CAST(json_extract(raw, '$$.meta.preTokenBalances') AS JSON[]) AS pre_tb,
+         |    CAST(json_extract(raw, '$$.meta.postTokenBalances') AS JSON[]) AS post_tb,
+         |    list_position(
+         |      list_transform(CAST(json_extract(raw, '$$.transaction.message.accountKeys') AS JSON[]),
+         |                     k -> json_extract_string(k, '$$.pubkey')),
+         |      wallet_address) AS idx
+         |  FROM bronze WHERE json_extract(raw, '$$.meta') IS NOT NULL),
+         |native AS (
+         |  SELECT transaction_id, wallet_address, 'SOL' AS asset_symbol,
+         |    CAST(COALESCE(post_b[idx], 0) - COALESCE(pre_b[idx], 0) AS DOUBLE) / 1e9 AS amount
+         |  FROM p WHERE COALESCE(idx, 0) > 0),
+         |spl AS (
+         |  SELECT p.transaction_id, p.wallet_address,
+         |    json_extract_string(u.post, '$$.mint') AS asset_symbol,
+         |    COALESCE(CAST(json_extract(u.post, '$$.uiTokenAmount.uiAmount') AS DOUBLE), 0)
+         |      - COALESCE((
+         |          SELECT CAST(json_extract(p2.pre, '$$.uiTokenAmount.uiAmount') AS DOUBLE)
+         |          FROM UNNEST(p.pre_tb) AS p2(pre)
+         |          WHERE CAST(json_extract(p2.pre, '$$.accountIndex') AS INTEGER)
+         |              = CAST(json_extract(u.post, '$$.accountIndex') AS INTEGER)
+         |          LIMIT 1), 0) AS amount
+         |  FROM p, UNNEST(p.post_tb) AS u(post)
+         |  WHERE p.pre_tb IS NOT NULL AND p.post_tb IS NOT NULL
+         |    AND json_extract_string(u.post, '$$.owner') = p.wallet_address)
+         |SELECT transaction_id, wallet_address, asset_symbol, amount,
+         |  'transfer' AS entry_type
+         |FROM (SELECT * FROM native UNION ALL SELECT * FROM spl)
+         |WHERE ABS(amount) > 0.000001
+         |ORDER BY transaction_id, asset_symbol""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Dedup
+
+/** K3/K5: similarity search + multimodal columns over `embeddings`
+  * (SURVEY.md §2.K3/K5, I2).
+  *
+  * Scale design: the query vector is a one-row broadcast — the crossJoin is
+  * a broadcast-nested-loop against ONE row, i.e. a map-side scan with no
+  * shuffle of the embedding table; top-k is TakeOrderedAndProject (per-
+  * partition heaps + driver merge of k rows). The all-pairs variant only
+  * ever runs inside LSH buckets (Dedup.embeddingNearDup).
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // K3 baseline: brute-force cosine top-k against a broadcast query
+    // vector, computed by codegen'd higher-order functions (no UDF).
+    "k3_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("q_vec"))
+      emb
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosine(asDouble(col("embedding")), col("q_vec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // K3 scale path: LSH-bucketed ANN — random-hyperplane signature match
+    // first (map-side), exact cosine only on the candidate subset. Same
+    // hyperplane family as Dedup.embeddingNearDup; rows-only check (seeded
+    // hyperplanes aren't reproducible in SQL), recall asserted in ScalaTest
+    // against the brute-force baseline.
+    "k3_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = 64
+      val rnd = new scala.util.Random(42L)
+      val planes = Seq.fill(8)(Seq.fill(dim)(rnd.nextGaussian()))
+      def sig(v: org.apache.spark.sql.Column) =
+        planes.zipWithIndex.map { case (p, i) =>
+          when(dot(v, array(p.map(lit): _*)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val tagged = emb.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"), sig(asDouble(col("embedding"))).as("bucket"))
+      val q = tagged.filter(col("vec_id") === 0)
+        .select(col("v").as("q_vec"), col("bucket").as("q_bucket"))
+      tagged
+        .crossJoin(broadcast(q))
+        // probe the query's bucket plus hamming-1 neighbors
+        .filter(col("bucket") === col("q_bucket") ||
+          expr("bit_count(bucket ^ q_bucket)") === 1)
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("v"), col("q_vec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // K2 embedding near-dup: hyperplane-LSH buckets → in-bucket exact
+    // cosine ≥ 0.9 (rows-only; planted-pair recall in ScalaTest).
+    "k2_embedding_neardup" -> ((s, d) => {
+      Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id",
+          dim = 64, nPlanes = 12, threshold = 0.9)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // K5: multimodal record assembly — text + opaque binary payload +
+    // embedding in one struct-typed row. The binary payload is a
+    // deterministic stand-in for image/audio bytes (decode libs aren't in
+    // this container — see MultimodalPipeline for the stubbed decode path);
+    // the Spark-side plumbing (binary column, struct schema, vector ops,
+    // metadata) is real and oracle-checked.
+    "k5_multimodal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      docs.join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          struct(
+            lit("text").as("modality"),
+            col("lang").as("lang"),
+            unhex(sha2(col("text"), 256)).as("payload"),
+            col("embedding").as("embedding")).as("record"))
+        .select(col("doc_id"),
+          col("record.modality").as("modality"),
+          length(col("record.payload")).as("payload_len"),
+          round(l2Norm(asDouble(col("record.embedding"))), 6).as("vec_norm"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k3_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS sim
+        |  FROM embeddings e, q)
+        |SELECT vec_id, label, ROUND(sim, 6) AS sim
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "k5_multimodal" ->
+      """SELECT d.doc_id, 'text' AS modality,
+        |  CAST(octet_length(unhex(sha256(d.text))) AS INTEGER) AS payload_len,
+        |  ROUND(sqrt(list_sum(list_transform(e.embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS vec_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,462 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.CostBasisAggregator
+
+/** Relational operator suite over the TPC-H-ish star schema
+  * (SURVEY.md §2: A8, B1/B6, C6, D2/D4/D5, E1/E2/E3, F1/F2/F3, G1/G3, H13).
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY.md §5.2): every query
+  * ends in a total ORDER BY; float aggregates go through exact
+  * DECIMAL(18,2) accumulation (the corpus is 2-decimal money) and are cast
+  * back to double only at the end, so Spark and DuckDB produce bit-identical
+  * values regardless of partition/merge order.
+  *
+  * Scale notes are inline per query; the recurring ones:
+  *  - dimension joins (nation/region/supplier) are `broadcast()` — no
+  *    shuffle of the fact side;
+  *  - aggregates are partial+final hash aggregates (Spark default) — the
+  *    shuffle carries one row per group;
+  *  - top-k is orderBy+limit, planned as TakeOrderedAndProject — no global
+  *    sort materialization.
+  */
+object StarQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact money accumulation: corpus values have ≤2 fractional digits. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // A8/B6: projected+filtered parquet scan. Filter and 4-column projection
+    // both push to the reader (PushedFilters / ReadSchema).
+    "a8_scan_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    // B1: indexed-equality-shaped predicate (repo.rs:78,117).
+    "b1_filter_eq" -> ((s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // F1/F2: time-ordered scan + limit (repo.rs:79,118; solana.rs:30).
+    "f1_f2_sort_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // F3: top-k — TakeOrderedAndProject, no full sort.
+    "f3_topk" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // D2: row counts (cli/main.rs:104,166).
+    "d2_count" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // D4: TPC-H Q1-shaped grouped aggregate suite.
+    "d4_agg_suite" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "d4_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "d4_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "d4_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // D4: approx_count_distinct (HLL++) — approximate by design, so no
+    // DuckDB oracle (its approx sketch differs); rows-only check.
+    "d4_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    // D5/I3: typed custom Aggregator (exact decimal buffer, partial+final).
+    "d5_cost_basis" -> ((s, d) => {
+      val cb = udaf(CostBasisAggregator)
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(cb(col("l_quantity"), col("l_extendedprice")).as("cost_basis"))
+        .orderBy("l_partkey")
+    }),
+
+    // C6 inner: fact-fact join (orders↔lineitem) + broadcast dims
+    // (customer side is modest; nation is broadcast — no fact shuffle for
+    // the dimension attach).
+    "c6_join_inner" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
+    }),
+
+    "c6_join_left" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "c6_join_full" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      val cus = Tables.customer(s, d).groupBy(col("c_nationkey").as("k"))
+        .agg(count(lit(1)).as("n_customers"))
+      sup.join(cus, Seq("k"), "full")
+        .select(col("k"), col("n_suppliers"), col("n_customers"))
+        .orderBy("k")
+    }),
+
+    // C6 semi: EXISTS-shaped; no row multiplication, right side only probed.
+    "c6_join_semi" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select("o_custkey")
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // C6 anti: NOT EXISTS — also the G2 idempotent-insert shape.
+    "c6_join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // C6 cross: tiny×tiny only — cross joins never touch fact tables.
+    "c6_join_cross" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    }),
+
+    // C6 theta: equi-key plus range residual — planned as a hash join on
+    // the equi part with the inequality as post-filter (not BNLJ).
+    "c6_join_theta" -> ((s, d) => {
+      Tables.supplier(s, d)
+        .join(Tables.customer(s, d),
+          col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("s_nationkey")
+    }),
+
+    // E1: running balance — the ledger running-position shape (repo.rs:79).
+    "e1_running_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // E2: ranking/analytic window suite.
+    "e2_window_suite" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("c_custkey"), 1).over(w).as("prev_key"),
+          lead(col("c_custkey"), 1).over(w).as("next_key"))
+        .orderBy("c_nationkey", "rn")
+    }),
+
+    // E3: top-k per group via row_number — one shuffle, no self-join.
+    "e3_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // G1: multi-source unionByName (the multi-chain union shape,
+    // core/models.rs:5-10).
+    "g1_union_by_name" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      val sup = Tables.supplier(s, d).select(
+        col("s_suppkey").as("key"), col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("src"))
+      c.unionByName(sup).orderBy("src", "key")
+    }),
+
+    "g3_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    }),
+
+    "g3_except" -> ((s, d) => {
+      Tables.nation(s, d).select(col("n_nationkey").as("k"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    }),
+
+    // H13: string scalar suite.
+    "h13_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          lower(col("p_type")).as("type_l"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          regexp_replace(col("p_type"), " ", "_").as("type_us"))
+        .orderBy("p_partkey")
+    }),
+
+    // H13/H6: math scalar suite (round/floor/ceil/abs/sqrt/ln).
+    "h13_math_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          round(col("p_retailprice"), 1).as("r1"),
+          floor(col("p_retailprice")).as("fl"),
+          ceil(col("p_retailprice")).as("ce"),
+          abs(col("p_size") - 25).as("sz_dist"),
+          round(sqrt(col("p_retailprice")), 6).as("sq"),
+          round(log(col("p_retailprice")), 6).as("lnp"))
+        .orderBy("p_partkey")
+    }),
+
+    // H13/H10: date scalar suite.
+    "h13_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a8_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "b1_filter_eq" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "f1_f2_sort_limit" ->
+      """SELECT o_orderkey, o_orderdate, o_orderstatus FROM orders
+        |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "f3_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "d2_count" -> "SELECT COUNT(*) AS cnt FROM lineitem",
+
+    "d4_agg_suite" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "d4_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "d4_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "d4_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d5_cost_basis" ->
+      """SELECT l_partkey,
+        |  CASE WHEN SUM(CAST(l_quantity AS DECIMAL(18,2))) = 0 THEN 0.0
+        |       ELSE CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |            / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) END AS cost_basis
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "c6_join_inner" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "c6_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "c6_join_full" ->
+      """WITH s AS (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),
+        |     c AS (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY 1)
+        |SELECT COALESCE(s.k, c.k) AS k, s.n_suppliers, c.n_customers
+        |FROM s FULL JOIN c ON s.k = c.k ORDER BY k""".stripMargin,
+
+    "c6_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "c6_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "c6_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "c6_join_theta" ->
+      """SELECT s_nationkey, COUNT(*) AS pairs
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "e1_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "e2_window_suite" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, CAST(RANK() OVER w AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  LAG(c_custkey, 1) OVER w AS prev_key, LEAD(c_custkey, 1) OVER w AS next_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rn""".stripMargin,
+
+    "e3_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "g1_union_by_name" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+        |ORDER BY src, key""".stripMargin,
+
+    "g3_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+
+    "g3_except" ->
+      """SELECT n_nationkey AS k FROM nation
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+
+    "h13_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l,
+        |  SUBSTR(p_name, 1, 8) AS name_pfx, CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        |  CONCAT_WS('|', p_brand, p_type) AS bt,
+        |  REGEXP_REPLACE(p_type, ' ', '_', 'g') AS type_us
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "h13_math_funcs" ->
+      """SELECT p_partkey, ROUND(p_retailprice, 1) AS r1,
+        |  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl, CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(ABS(p_size - 25) AS INTEGER) AS sz_dist,
+        |  ROUND(SQRT(p_retailprice), 6) AS sq, ROUND(LN(p_retailprice), 6) AS lnp
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "h13_date_funcs" ->
+      """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(DAY(o_orderdate) AS INTEGER) AS dy,
+        |  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

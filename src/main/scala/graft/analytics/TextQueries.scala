@@ -1,0 +1,157 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** K1/K4: dedup + text analysis over `documents` (SURVEY.md §2.K).
+  *
+  * Scale notes: everything here is scan → (optional explode) → hash
+  * aggregate. Word counting explodes to one row per token — at 100 TB that
+  * is the dominant shuffle, so the groupBy is preceded by Spark's partial
+  * (map-side) aggregation, which collapses each partition's token counts
+  * before shuffling; the shuffle then carries |vocab| rows per partition,
+  * not |tokens|.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  val queries: Map[String, Q] = Map(
+    // K1: exact dedup via content digest (group keys are 32-byte hashes,
+    // not document bodies).
+    "k1_exact_dedup" -> ((s, d) => {
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // K4: per-language corpus statistics.
+    "k4_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(tokens(col("text"))).cast("long")).as("total_words"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    }),
+
+    // K4/I4: tokenize (the UDTF shape: explode(split)) → global word counts.
+    "k4_word_counts" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(25)
+    }),
+
+    // K4: per-document quality scoring — token count, average word length,
+    // stopword ratio. Pure column arithmetic, fully codegen'd.
+    "k4_quality_score" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nWords = size(toks).cast("long")
+      val stopCnt = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+        .cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          nWords.as("n_words"),
+          // text is single-space-joined words: letters = chars − (words − 1)
+          ((col("n_chars") - nWords + 1).cast("double") / nWords).as("avg_word_len"),
+          stopCnt.as("n_stopwords"),
+          (stopCnt.cast("double") / nWords).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // K4: document fingerprinting — content-defined prefix digest + length
+    // bucket (the cheap pre-filter ahead of MinHash in a dedup cascade).
+    "k4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          sha2(substring(col("text"), 1, 64), 256).as("prefix_fp"),
+          floor(col("n_chars") / 100).cast("int").as("len_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // K4: language ID via stopword-profile heuristic — scores each doc
+    // against per-language marker sets; columnar, no UDF. The corpus text
+    // is synthetic English-ish tokens, so markers are seeded from observed
+    // high-frequency tokens; accuracy is asserted in ScalaTest on planted
+    // docs, not against the synthetic labels. Rows-only correctness check.
+    "k4_lang_id" -> ((s, d) => {
+      val markers = Map(
+        "en" -> Seq("the", "a", "and", "row", "table"),
+        "es" -> Seq("el", "la", "de", "fila", "tabla"),
+        "de" -> Seq("der", "die", "und", "zeile"),
+        "fr" -> Seq("le", "la", "et", "ligne"),
+        "zh" -> Seq("biao", "hang"))
+      val toks = tokens(col("text"))
+      val scores = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+        struct(
+          size(filter(toks, t => t.isin(ws.map(lit(_)): _*))).as("score"),
+          lit(lang).as("lang"))
+      }
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          greatest(scores: _*).getField("lang").as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // K2: MinHash/LSH near-dup — banded candidates, exact-Jaccard verify;
+    // see Dedup.minHashLsh scaladoc for the no-crossJoin scale argument.
+    // xxhash64 signatures aren't reproducible in DuckDB → rows-only check;
+    // planted-near-dup correctness is asserted in DedupSpec.
+    "k2_minhash_lsh" -> ((s, d) => {
+      Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.4)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // K2: SimHash fingerprint near-dup candidates (rows-only: xxhash64).
+    "k2_simhash" -> ((s, d) => {
+      Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k1_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "k4_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "k4_word_counts" ->
+      """SELECT word, COUNT(*) AS cnt
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    "k4_quality_score" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  CAST(n_chars - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_word_len,
+        |  len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS n_stopwords,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "k4_fingerprint" ->
+      """SELECT doc_id, SHA256(SUBSTR(text, 1, 64)) AS prefix_fp,
+        |  CAST(FLOOR(n_chars / 100.0) AS INTEGER) AS len_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float|double>` columns, built entirely from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`) —
+  * no UDFs in the hot path, so similarity scans stay inside whole-stage
+  * codegen and vectorized parquet reads (SURVEY.md §2.K3/I2).
+  */
+object VectorFunctions {
+
+  /** Cast any numeric array to array<double> (element-wise, deterministic). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product; accumulates left-to-right in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+
+  /** Word n-gram shingles of a token array: `n` consecutive tokens joined by
+    * a single space, distinct. Used by MinHash/Jaccard dedup.
+    */
+  def shingles(tokens: Column, n: Int): Column =
+    array_distinct(
+      when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", tokens))))
+
+  /** MinHash signature: `k` independent permutations approximated by seeded
+    * xxhash64; element i is min over shingles of xxhash64(i, shingle).
+    */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** LSH band keys: split a k-length signature into `bands` bands of
+    * k/bands rows each and hash each band. Docs sharing any band key are
+    * near-dup candidates.
+    */
+  def lshBandKeys(signature: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"), hash(lit(j), slice(signature, j * r + 1, r)).as("key"))
+    }: _*)
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

@@ -1,0 +1,115 @@
+package graft.normalize
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{EntryType, Schemas}
+
+/** Bronze → Silver transaction normalizer — the reference's core computation
+  * (`/root/reference/adapters/src/solana_parser.rs:7-93`), re-expressed
+  * columnar so it is (a) whole-stage-codegen'd end to end, (b) shuffle-free
+  * (the pre↔post token-balance correlation is an array-local higher-order
+  * `filter`, not a join — the arrays are tiny and row-scoped), and (c)
+  * SQL-expressible for oracle checking.
+  *
+  * Semantics replicated exactly:
+  *  - missing `meta` ⇒ zero entries                 (parser.rs:15-18)
+  *  - wallet index in accountKeys positions pre/postBalances (parser.rs:26)
+  *  - native ΔSOL = (post−pre)/1e9, f64             (parser.rs:89-93)
+  *  - dust filter |Δ| > 1e-6                        (parser.rs:29,69)
+  *  - SPL: only postTokenBalances owned by the wallet (parser.rs:50-57);
+  *    pre matched by accountIndex, missing ⇒ 0.0 (new token account,
+  *    parser.rs:61-64); uiAmount null ⇒ 0.0         (parser.rs:63,66)
+  *  - both token arrays must be present (OptionSerializer::Some both,
+  *    parser.rs:46-47); absent ⇒ no SPL entries
+  *  - entry_type is always 'transfer'               (parser.rs:37,77)
+  *
+  * Divergence (documented): the reference's `Uuid::new_v4` row ids
+  * (parser.rs:31,71) are nondeterministic; we use a deterministic surrogate
+  * `sha2(tx_hash:asset:accountIndex)` so replays and oracle compares are
+  * stable. Amounts stay Double, byte-faithful to the reference's f64 path.
+  */
+object SolanaNormalizer {
+
+  private val Dust = 1e-6
+  private val LamportsPerSol = 1e9
+
+  /** Deterministic surrogate id (engine policy for H8). */
+  private def detId(parts: Column*): Column =
+    sha2(concat_ws(":", parts: _*), 256)
+
+  /** Columnar normalize. Input must have the bronze schema
+    * ([[Schemas.bronze]]); output has the silver schema minus `fiat_value`
+    * population (always null — parser.rs:38,78, the as-of-join design slot).
+    */
+  def normalize(bronze: DataFrame): DataFrame = {
+    val parsed = bronze
+      .filter(col("chain") === lit(graft.model.Chain.Solana))
+      .withColumn("m", from_json(col("raw_metadata"), Schemas.solanaTx))
+      // Safety check: no meta ⇒ transaction contributes zero entries.
+      .filter(col("m.meta").isNotNull)
+
+    // --- Native SOL delta (parser.rs:20-43,89-93) ---
+    // array_position is 1-based; 0 means "wallet not in accountKeys" and the
+    // reference then emits nothing for the native path (parser.rs:26).
+    val withIdx = parsed.withColumn(
+      "wallet_idx",
+      array_position(
+        transform(col("m.transaction.message.accountKeys"), k => k.getField("pubkey")),
+        col("wallet_address")))
+
+    val native = withIdx
+      .filter(col("wallet_idx") > 0)
+      // try_element_at: index past the array end ⇒ null ⇒ 0, matching the
+      // reference's `.get(idx).unwrap_or(0)` (parser.rs:90-91) — plain
+      // element_at would throw under ANSI mode.
+      .withColumn("pre_lamports",
+        coalesce(try_element_at(col("m.meta.preBalances"), col("wallet_idx").cast("int")), lit(0L)))
+      .withColumn("post_lamports",
+        coalesce(try_element_at(col("m.meta.postBalances"), col("wallet_idx").cast("int")), lit(0L)))
+      .withColumn("amount",
+        (col("post_lamports") - col("pre_lamports")).cast("double") / lit(LamportsPerSol))
+      .filter(abs(col("amount")) > Dust)
+      .select(
+        detId(col("tx_hash"), lit("SOL"), lit("native")).as("id"),
+        col("id").as("transaction_id"),
+        col("user_id"),
+        col("wallet_address"),
+        lit("SOL").as("asset_symbol"),
+        col("amount"),
+        lit(EntryType.Transfer).as("entry_type"),
+        lit(null).cast("double").as("fiat_value"))
+
+    // --- SPL token deltas (parser.rs:45-84) ---
+    // Correlation is row-local: for each owned post balance, find the pre
+    // balance with the same accountIndex *inside the same row's array* via a
+    // higher-order filter. No explode-then-join, no shuffle.
+    val spl = parsed
+      .filter(col("m.meta.preTokenBalances").isNotNull &&
+        col("m.meta.postTokenBalances").isNotNull)
+      .select(col("*"), explode(col("m.meta.postTokenBalances")).as("post"))
+      // OptionSerializer::None/Skip ⇒ owner null ⇒ no match (parser.rs:51-55)
+      .filter(col("post.owner") === col("wallet_address"))
+      .withColumn("pre_match",
+        try_element_at(
+          filter(col("m.meta.preTokenBalances"),
+            p => p.getField("accountIndex") === col("post.accountIndex")),
+          lit(1)))
+      .withColumn("pre_amount",
+        coalesce(col("pre_match.uiTokenAmount.uiAmount"), lit(0.0)))
+      .withColumn("post_amount",
+        coalesce(col("post.uiTokenAmount.uiAmount"), lit(0.0)))
+      .withColumn("amount", col("post_amount") - col("pre_amount"))
+      .filter(abs(col("amount")) > Dust)
+      .select(
+        detId(col("tx_hash"), col("post.mint"), col("post.accountIndex")).as("id"),
+        col("id").as("transaction_id"),
+        col("user_id"),
+        col("wallet_address"),
+        col("post.mint").as("asset_symbol"),
+        col("amount"),
+        lit(EntryType.Transfer).as("entry_type"),
+        lit(null).cast("double").as("fiat_value"))
+
+    native.unionByName(spl)
+  }
+}

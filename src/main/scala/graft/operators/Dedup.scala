@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication suite for LLM training-data pipelines (SURVEY.md §2.K1/K2).
+  *
+  * Scale design notes (the whole point of these operators):
+  *  - Exact dedup is a hash aggregate on a digest, not on the full text —
+  *    group keys stay 32 bytes regardless of document size.
+  *  - Near-dup is MinHash + banded LSH: candidates come from a groupBy on
+  *    (band, bandKey) — cost O(|docs| · bands) shuffle rows — NEVER an
+  *    all-pairs crossJoin (O(n²) is instant death at 100 TB). Oversized
+  *    buckets (degenerate shingles, boilerplate) are capped so one hot
+  *    bucket cannot produce a quadratic pair explosion.
+  *  - SimHash gives a cheaper single-signature alternative: 64-bit
+  *    fingerprints, candidates = equal fingerprint (or banded pieces).
+  *  - Embedding near-dup uses random-hyperplane LSH buckets, then exact
+  *    cosine verification inside buckets only.
+  */
+object Dedup {
+
+  /** K1 exact dedup: keep the lowest-id row per distinct text digest. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .withColumn("_digest", sha2(col(textCol), 256))
+      .groupBy(col("_digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_digest")
+
+  /** K2 near-dup candidates + verification via MinHash/LSH.
+    *
+    * @param docs       input documents
+    * @param textCol    whitespace-tokenizable text column
+    * @param idCol      unique doc id
+    * @param shingleN   words per shingle
+    * @param k          MinHash signature length
+    * @param bands      LSH bands (rows per band = k/bands)
+    * @param threshold  exact-Jaccard verification threshold
+    * @param maxBucket  drop LSH buckets larger than this (skew guard)
+    * @return (id_a, id_b, jaccard) for verified near-dup pairs, id_a < id_b
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("_id"),
+        shingles(split(col(textCol), " "), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+
+    val banded = sh
+      .withColumn("_sig", minHashSignature(col("_sh"), k))
+      .select(col("_id"), explode(lshBandKeys(col("_sig"), k, bands)).as("_b"))
+
+    val buckets = banded
+      .groupBy(col("_b"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+
+    val candidates = buckets
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
+    candidates
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** K2 SimHash 64-bit fingerprint of a token array: per-bit majority vote
+    * over token hashes. Columnar (bit loop unrolled into the plan) — no UDF.
+    */
+  def simHash(tokens: Column): Column = {
+    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** K2 SimHash near-dup candidates: identical fingerprints (hamming 0) or,
+    * with `bandBits`, docs sharing any 16-bit fingerprint quarter.
+    */
+  def simHashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = docs.select(col(idCol).as("_id"),
+      simHash(split(col(textCol), " ")).as("_fp"))
+    val quarters = fp.select(col("_id"), explode(array((0 until 4).map { q =>
+      struct(lit(q).as("q"), shiftright(col("_fp"), q * 16).bitwiseAND(0xFFFFL).as("piece"))
+    }: _*)).as("_qp"))
+    quarters.groupBy(col("_qp"))
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")).between(2, 64))
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup: random-hyperplane LSH bucket join, exact
+    * cosine verify within buckets. Hyperplanes are seeded-deterministic.
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      nPlanes: Int = 16,
+      threshold: Double = 0.9,
+      seed: Long = 42L,
+      maxBucket: Int = 256): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val v = asDouble(col(vecCol))
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    val sig = sigBits.reduce(_ bitwiseOR _)
+
+    val tagged = embeddings
+      .select(col(idCol).as("_id"), v.as("_v"), sig.as("_bucket"))
+    val pairs = tagged.groupBy(col("_bucket"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_v")))).as("_rows"))
+      .filter(size(col("_rows")).between(2, maxBucket))
+      .select(explode(col("_rows")).as("a"), col("_rows"))
+      .select(col("a"), explode(col("_rows")).as("b"))
+      .filter(col("a._id") < col("b._id"))
+    pairs
+      .withColumn("cos", cosine(col("a._v"), col("b._v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("cos"))
+  }
+}

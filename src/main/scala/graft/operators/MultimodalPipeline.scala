@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** K5: multimodal column plumbing — image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * codecs): [[decodeStub]] derives deterministic fake features from the
+  * payload bytes. Everything around it — the schema, the typed record, the
+  * `mapPartitions` batch shape (one iterator pass per partition, no
+  * per-row task overhead, the Scala analogue of `mapInPandas` batches), and
+  * the partitioning — is real, tested plumbing a real decoder drops into.
+  */
+object MultimodalPipeline {
+
+  /** One media record: payload is the opaque encoded bytes. */
+  final case class MediaRecord(
+      media_id: Long,
+      modality: String, // image | audio | video
+      payload: Array[Byte],
+      meta_json: String)
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      byte_len: Int,
+      width: Int, // stub: derived, deterministic
+      height: Int,
+      frames: Int,
+      checksum: String)
+
+  /** STUB decoder ??? replacement: deterministic fake decode. A real
+    * implementation would dispatch on modality to an image/audio codec;
+    * this derives plausible, reproducible dimensions from the payload hash
+    * so downstream plumbing (grouping, joining, filtering on features) is
+    * fully exercisable.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val h = java.security.MessageDigest.getInstance("SHA-256").digest(r.payload)
+    def u16(i: Int): Int = ((h(i) & 0xff) << 8) | (h(i + 1) & 0xff)
+    MediaFeatures(
+      media_id = r.media_id,
+      modality = r.modality,
+      byte_len = r.payload.length,
+      width = 64 + u16(0) % 1024,
+      height = 64 + u16(2) % 1024,
+      frames = if (r.modality == "video") 1 + u16(4) % 300 else 1,
+      checksum = h.take(8).map("%02x".format(_)).mkString)
+  }
+
+  /** Batch feature extraction: one partition = one batch, decoder invoked
+    * inside the iterator so memory stays bounded at one record.
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Build a deterministic media corpus from `documents` (payload = text
+    * bytes; modality round-robins) — the test/bench input.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"),
+        to_json(struct(col("lang"), col("source"), col("n_chars"))).as("meta_json"))
+      .as[MediaRecord]
+  }
+
+  /** End-to-end: corpus → features DataFrame (used by SparkEntry/bench). */
+  def featuresQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(spark, dir))
+      .toDF()
+      .orderBy("media_id")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.operators.IdempotentSink
+
+/** J1–J5: Structured Streaming re-foundation of the reference's declared
+  * streaming intent (`/root/reference/README.md:3` — Yellowstone gRPC
+  * subscription, stubbed at `adapters/src/solana_grpc.rs:17-24`).
+  *
+  * Offsets ≙ slots: a file/parquet source's ordered batches stand in for
+  * the slot stream; every transform below is identical on a real gRPC
+  * source because Structured Streaming separates source from plan.
+  */
+object EventStreams {
+
+  /** J1: subscribe — streaming read over an events directory with the
+    * events schema; server-side filtering ≙ pushed filter on the stream.
+    */
+  def subscribe(spark: SparkSession, dir: String, eventTypes: Seq[String] = Nil): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    if (eventTypes.isEmpty) stream
+    else stream.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))
+  }
+
+  /** J2: exactly-once sink — checkpointed foreachBatch with an idempotent
+    * by-key merge (the `ON CONFLICT (id) DO NOTHING` semantics,
+    * repo.rs:26,56). Batch replays after failure re-merge harmlessly.
+    */
+  def exactlyOnceSink(
+      stream: DataFrame,
+      tablePath: String,
+      checkpoint: String,
+      keyCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IdempotentSink.appendOnce(batch.sparkSession, batch, tablePath, keyCol): Unit
+      }
+      .start()
+
+  /** J3/J4: watermarked tumbling-window counts — late rows beyond the
+    * watermark are dropped (tighter than the reference's unwrap_or(0)
+    * tolerance; documented divergence, SURVEY.md §2.J3).
+    */
+  def tumblingCounts(stream: DataFrame, windowLen: String, watermark: String): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_val"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("cnt"), col("sum_val"))
+
+  /** J4: session windows — gap-based per-user sessions. */
+  def sessionCounts(stream: DataFrame, gap: String, watermark: String): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** J5: stateful running position per wallet — the continuously-maintained
+    * balance the reference's ordered scans exist to serve (repo.rs:79,118).
+    */
+  final case class PositionEvent(user_id: Long, value: Double)
+  final case class Position(user_id: Long, position: Double, n_events: Long)
+
+  def runningPosition(events: Dataset[PositionEvent]): Dataset[Position] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PositionEvent], state: GroupState[Position]) =>
+          val prev = state.getOption.getOrElse(Position(uid, 0.0, 0L))
+          val next = rows.foldLeft(prev) { (p, e) =>
+            Position(uid, p.position + e.value, p.n_events + 1)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

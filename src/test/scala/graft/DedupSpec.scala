@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** K1/K2: exact + near-dup operators on planted duplicates — VERDICT r1
+  * item 7 requires the LSH path to find planted near-dups (and never via an
+  * all-pairs crossJoin; the plan shape is asserted in PlanShapeSpec).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep dark forest where nobody ever goes at night"
+
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                       // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),             // near-dup of 0
+    (3L, "completely different text about spark catalyst optimizer rules " +
+      "and tungsten codegen for columnar execution at scale today"),
+    (4L, "yet another unrelated document mentioning minhash signatures " +
+      "banded locality sensitive hashing and jaccard similarity verify")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per distinct text with copy counts") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds planted exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      shingleN = 3, k = 32, bands = 16, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact pair must be found")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near pair must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "unrelated docs must not pair")
+  }
+
+  test("minhash jaccard for the exact pair is 1.0") {
+    val j = Dedup.minHashLsh(docs, "text", "doc_id", threshold = 0.4)
+      .filter($"id_a" === 0 && $"id_b" === 1)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash candidates: exact copies and reordered bags of words pair; unrelated do not") {
+    // SimHash is order-invariant over the token bag, and the 4×16-bit band
+    // scheme guarantees recall for fingerprints within hamming distance 3 —
+    // so exact copies and token-permuted docs MUST pair. A one-word
+    // substitution on a short unweighted doc can flip >3 bits, so it is
+    // deliberately not asserted here (minhash covers that class above).
+    val sdocs = Seq(
+      (0L, base),
+      (1L, base),
+      (2L, base.split(" ").reverse.mkString(" ")),
+      (3L, "completely different text about spark catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashCandidates(sdocs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("embedding near-dup finds planted high-cosine pair only") {
+    val dim = 16
+    val v = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)
+    val near = v.clone(); near(0) = near(0) + 0.01f
+    val far = Array.tabulate(dim)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, v.toSeq), (1L, near.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, "embedding", "vec_id",
+      dim = dim, nPlanes = 8, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{AsOfJoin, IdempotentSink, MultimodalPipeline}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** IdempotentSink (A5/G2/J2), AsOfJoin (C5), MultimodalPipeline (K5). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("idempotent sink: writing the same batch twice yields identical table state") {
+    val dir = Files.createTempDirectory("idem").toString + "/t"
+    val batch = Seq(("a", 1), ("b", 2), ("a", 1)).toDF("id", "v")
+    val n1 = IdempotentSink.appendOnce(spark, batch, dir, "id")
+    assert(n1 == 2, "in-batch duplicate collapses")
+    val n2 = IdempotentSink.appendOnce(spark, batch, dir, "id")
+    assert(n2 == 0, "replay is a no-op")
+    val state = spark.read.parquet(dir).as[(String, Int)].collect().sorted.toSeq
+    assert(state == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("idempotent sink: partially-overlapping batch appends only new keys") {
+    val dir = Files.createTempDirectory("idem2").toString + "/t"
+    IdempotentSink.appendOnce(spark, Seq(("a", 1)).toDF("id", "v"), dir, "id")
+    val n = IdempotentSink.appendOnce(spark,
+      Seq(("a", 9), ("c", 3)).toDF("id", "v"), dir, "id")
+    assert(n == 1)
+    val state = spark.read.parquet(dir).as[(String, Int)].collect().sorted.toSeq
+    assert(state == Seq(("a", 1), ("c", 3)), "existing key keeps original value")
+  }
+
+  test("as-of join: inclusive match takes most recent quote at or before trade ts") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
+      .toDF("key", "ts", "trade_id")
+    val quotes = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 60L, 99.0))
+      .toDF("key", "ts", "px")
+    val out = AsOfJoin(trades, quotes, "key", "ts", "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out("t1") == 10.0, "equal-ts quote matches inclusively")
+    assert(out("t2") == 20.0, "latest prior quote wins")
+    assert(out("t3") == null, "no prior quote -> null")
+  }
+
+  test("as-of join strict mode excludes the equal-timestamp quote") {
+    val trades = Seq((1L, 100L, "t1")).toDF("key", "ts", "trade_id")
+    val quotes = Seq((1L, 100L, 10.0), (1L, 90L, 5.0)).toDF("key", "ts", "px")
+    val out = AsOfJoin(trades, quotes, "key", "ts", "ts", Seq("px"), strict = true)
+      .select("px").as[Double].head()
+    assert(out == 5.0)
+  }
+
+  test("multimodal pipeline: deterministic stub features over documents corpus") {
+    val out = MultimodalPipeline.featuresQuery(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length > 0)
+    val again = MultimodalPipeline.featuresQuery(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "stub decode must be deterministic")
+    assert(out.filter($"width" < 64 || $"height" < 64).count() == 0)
+    assert(out.filter($"modality" === "video" && $"frames" < 1).count() == 0)
+    assert(out.filter(!$"modality".isin("image", "audio", "video")).count() == 0)
+  }
+}

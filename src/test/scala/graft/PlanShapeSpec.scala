@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-design assertions: these check the PLAN, not the answer — the
+  * properties that decide whether an operator survives a 100× scale-up
+  * (pushdown reaching parquet, broadcast joins where intended, and no
+  * cartesian product anywhere near the LSH dedup path).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan (a8)") {
+    val plan = physicalPlan(
+      analytics.StarQueries.queries("a8_scan_project")(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("l_comment"), "unprojected column read from parquet")
+  }
+
+  test("dimension join broadcasts the small side (c6 inner)") {
+    val plan = physicalPlan(
+      analytics.StarQueries.queries("c6_join_inner")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (f3)") {
+    val plan = physicalPlan(
+      analytics.StarQueries.queries("f3_topk")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not fused:\n$plan")
+  }
+
+  test("minhash LSH dedup plan contains no cartesian/broadcast-nested-loop join") {
+    val plan = physicalPlan(
+      Dedup.minHashLsh(Tables.documents(spark, sfDir), "text", "doc_id"))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in LSH plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in LSH plan:\n$plan")
+  }
+
+  test("cosine top-k broadcasts the one-row query vector (k3)") {
+    val plan = physicalPlan(
+      analytics.SimilarityQueries.queries("k3_cosine_topk")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query vector not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not fused:\n$plan")
+  }
+
+  test("normalizer is shuffle-free: no exchange before the union output") {
+    val bronze = analytics.LedgerQueries.fixtureBronze(spark)
+    val plan = physicalPlan(normalize.SolanaNormalizer.normalize(bronze))
+    assert(!plan.contains("Exchange"), s"normalizer shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"normalizer joins (pre/post correlation must stay array-local):\n$plan")
+  }
+
+  test("e1 running window: single shuffle on the partition key") {
+    val plan = physicalPlan(
+      analytics.StarQueries.queries("e1_running_sum")(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"running-sum should shuffle once, saw $exchanges:\n$plan")
+  }
+}

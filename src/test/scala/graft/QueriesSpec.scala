@@ -1,0 +1,29 @@
+package graft
+
+/** Contract smoke: every declared query runs on sf0.001 and returns rows;
+  * every oracle key references a declared query; entry() is non-empty.
+  */
+class QueriesSpec extends SparkSpec {
+
+  // Queries whose correct result CAN be empty at tiny scale factors.
+  private val mayBeEmpty = Set(
+    "k2_minhash_lsh", "k2_simhash", "k2_embedding_neardup", "g3_except",
+    "c6_join_anti", "c6_join_semi")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs on sf0.001") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle without query: $unknown")
+  }
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

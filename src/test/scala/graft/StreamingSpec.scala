@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Position, PositionEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** J1–J5 (SURVEY.md §2.J): windowed aggregation under incremental arrival,
+  * exactly-once sink under batch replay, stateful running position.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("J3/J4: tumbling window counts accumulate across micro-batches; late row beyond watermark dropped") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val stream = in.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.tumblingCounts(stream, "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((ts(0), "a", 1.0), (ts(60), "a", 2.0), (ts(301), "b", 5.0))
+      q.processAllAvailable()
+      // advance event time far beyond watermark, then send a too-late row
+      in.addData((ts(7200), "a", 1.0))
+      q.processAllAvailable()
+      in.addData((ts(10), "a", 99.0)) // 2h late vs max event time — dropped
+      q.processAllAvailable()
+      val out = spark.table("tumbling")
+        .groupBy("w_start", "event_type")
+        .agg(max("cnt").as("cnt"), max("sum_val").as("sum_val"))
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map { case (w, e, c, s) => ((w.getTime / 1000, e), (c, s)) }.toMap
+      assert(out((0L, "a")) == (2L, 3.0), "late row beyond watermark must not update the window")
+      assert(out((300L, "b")) == (1L, 5.0))
+      assert(out((7200L, "a")) == (1L, 1.0))
+    } finally q.stop()
+  }
+
+  test("J2: exactly-once sink deduplicates replayed events by key") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("eos").toString
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.exactlyOnceSink(
+      in.toDF().toDF("event_id", "payload"),
+      s"$tmp/table", s"$tmp/ckpt", "event_id")
+    try {
+      in.addData((1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      in.addData((2L, "y"), (3L, "z")) // replay of key 2
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$tmp/table")
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(state == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    } finally q.stop()
+  }
+
+  test("J5: stateful running position folds per-user across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[PositionEvent]
+    val q = EventStreams.runningPosition(in.toDS())
+      .writeStream.format("memory").queryName("positions")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(PositionEvent(1, 10.0), PositionEvent(1, -3.0), PositionEvent(2, 5.0))
+      q.processAllAvailable()
+      in.addData(PositionEvent(1, 1.0))
+      q.processAllAvailable()
+      val latest = spark.table("positions").as[Position].collect()
+        .groupBy(_.user_id).map { case (u, ps) => u -> ps.maxBy(_.n_events) }
+      assert(latest(1L) == Position(1, 8.0, 3))
+      assert(latest(2L) == Position(2, 5.0, 1))
+    } finally q.stop()
+  }
+
+  test("J1: streaming subscribe over events dir with pushed filter sees only requested types") {
+    val tmp = Files.createTempDirectory("sub").toString
+    Tables.events(spark, sfDir).limit(200).write.mode("overwrite").parquet(tmp)
+    val stream = EventStreams.subscribe(spark, tmp, Seq("click"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("sub")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val types = spark.table("sub").select("event_type").distinct()
+        .as[String].collect().toSet
+      assert(types.subsetOf(Set("click")))
+      assert(spark.table("sub").count() ==
+        spark.read.parquet(tmp).filter($"event_type" === "click").count())
+    } finally q.stop()
+  }
+}

@@ -119,6 +119,53 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // C3: backfill equi-join + column overwrite — the denormalization
+    // migration shape (migrations/20251219010000_add_wallet_to_ledger.sql:
+    // 6-15): a ledger projection missing its wallet column gets it joined
+    // back from the transactions table and overwritten.
+    "c3_backfill_join" -> ((s, d) => {
+      val all = Tables.events(s, d)
+      val ledger = all.select(col("event_id"), lit(-1L).as("user_id"), col("value"))
+      val tx = all.select(col("event_id"), col("user_id").as("tx_user"))
+      ledger.join(tx, Seq("event_id"))
+        .select(col("event_id"), col("tx_user").as("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // H1: JSON serialize — whole row struct → JSON value (solana.rs:39).
+    "h1_to_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+        .orderBy("event_id")
+    }),
+
+    // H9: string prefix parse / routing — `db:` prefix selects the sink and
+    // the suffix is the payload (cli/main.rs:119-120).
+    "h9_prefix_route" -> ((s, d) => {
+      val addr = when(col("event_id") % 2 === 0,
+        concat(lit("db:u"), col("user_id")))
+        .otherwise(concat(lit("file:"), col("event_type")))
+      Tables.events(s, d)
+        .select(col("event_id"), addr.as("addr"),
+          when(addr.startsWith("db:"), lit("db")).otherwise(lit("file")).as("route"),
+          substring_index(addr, ":", -1).as("payload"))
+        .orderBy("event_id")
+    }),
+
+    // H10: timestamp conversions — unix seconds ↔ timestamp (models.rs:27,
+    // solana.rs:45), plus calendar extraction.
+    "h10_time_convert" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          timestamp_seconds(unix_timestamp(col("ts"))).as("ts_floor_s"),
+          hour(col("ts")).as("hr"),
+          minute(col("ts")).as("mi"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .orderBy("event_id")
+    }),
+
     // J4 (batch view): tumbling 5-minute windows — same window spec the
     // streaming path uses; batch-checked against the oracle here, replay-
     // checked in StreamingSpec.
@@ -189,6 +236,31 @@ object EventQueries {
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY t.event_id""".stripMargin,
+
+    "c3_backfill_join" ->
+      """SELECT event_id, user_id, value FROM events ORDER BY event_id""",
+
+    "h1_to_json" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS js
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "h9_prefix_route" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'db:u' || user_id
+        |       ELSE 'file:' || event_type END AS addr,
+        |  CASE WHEN event_id % 2 = 0 THEN 'db' ELSE 'file' END AS route,
+        |  CASE WHEN event_id % 2 = 0 THEN 'u' || user_id
+        |       ELSE event_type END AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "h10_time_convert" ->
+      """SELECT event_id,
+        |  CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+        |  CAST(to_timestamp(FLOOR(epoch(CAST(ts AS TIMESTAMP)))) AS TIMESTAMP) AS ts_floor_s,
+        |  CAST(HOUR(ts) AS INTEGER) AS hr, CAST(MINUTE(ts) AS INTEGER) AS mi,
+        |  CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "j4_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,

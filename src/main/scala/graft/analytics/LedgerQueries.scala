@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.model.Transaction
+import graft.model.{Schemas, Transaction}
 import graft.normalize.SolanaNormalizer
 
 /** I1 normalizer queries (the reference's core computation) + the silver
@@ -85,6 +85,28 @@ object LedgerQueries {
         .orderBy("transaction_id", "asset_symbol")
     }),
 
+    // A3/A4: JSONL sink + source round-trip (cli/main.rs:106-113,126-134):
+    // bronze rows → JSON lines on disk → read back under the explicit
+    // bronze schema (production paths never infer).
+    "a3_a4_jsonl_roundtrip" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/bronze"
+      fixtureBronze(s).write.mode("overwrite").json(dir)
+      s.read.schema(Schemas.bronze).json(dir)
+        .select("id", "user_id", "wallet_address", "timestamp", "tx_hash", "chain")
+        .orderBy("id")
+    }),
+
+    // C4: FK lineage join — every silver row joins back to its bronze row
+    // on transaction_id (init.sql:25).
+    "c4_lineage_join" -> ((s, _) => {
+      val bronze = fixtureBronze(s)
+      val silver = SolanaNormalizer.normalize(bronze)
+      silver.join(bronze.select(col("id").as("transaction_id"),
+          col("tx_hash"), col("timestamp")), Seq("transaction_id"))
+        .select("transaction_id", "tx_hash", "timestamp", "asset_symbol", "amount")
+        .orderBy("transaction_id", "asset_symbol")
+    }),
+
     // I1 at corpus scale: events-derived bronze → silver → per-wallet
     // position rollup (D3 over real normalizer output). Rows-only check
     // (the JSON envelope build is Spark-side).
@@ -102,11 +124,12 @@ object LedgerQueries {
       s"('$id', 'user_$id', '$W', '$raw')"
     }.mkString(",\n  ")
 
-  /** DuckDB re-implementation of parser.rs:7-93 over the same fixtures. */
-  val oracle: Map[String, String] = Map(
-    "i1_normalize_golden" ->
-      s"""WITH bronze(transaction_id, user_id, wallet_address, raw) AS (VALUES
-         |  $fixtureValues),
+  /** DuckDB re-implementation of parser.rs:7-93 over the same fixtures —
+    * shared CTE producing the silver rows, wrapped per oracle query.
+    */
+  private def silverCte: String =
+    s"""WITH bronze(transaction_id, user_id, wallet_address, raw) AS (VALUES
+       |  $fixtureValues),
          |p AS (
          |  SELECT transaction_id, wallet_address,
          |    CAST(json_extract(raw, '$$.meta.preBalances') AS BIGINT[]) AS pre_b,
@@ -134,11 +157,34 @@ object LedgerQueries {
          |          LIMIT 1), 0) AS amount
          |  FROM p, UNNEST(p.post_tb) AS u(post)
          |  WHERE p.pre_tb IS NOT NULL AND p.post_tb IS NOT NULL
-         |    AND json_extract_string(u.post, '$$.owner') = p.wallet_address)
-         |SELECT transaction_id, wallet_address, asset_symbol, amount,
-         |  'transfer' AS entry_type
-         |FROM (SELECT * FROM native UNION ALL SELECT * FROM spl)
-         |WHERE ABS(amount) > 0.000001
-         |ORDER BY transaction_id, asset_symbol""".stripMargin
+         |    AND json_extract_string(u.post, '$$.owner') = p.wallet_address),
+         |silver AS (
+         |  SELECT transaction_id, wallet_address, asset_symbol, amount,
+         |    'transfer' AS entry_type
+         |  FROM (SELECT * FROM native UNION ALL SELECT * FROM spl)
+         |  WHERE ABS(amount) > 0.000001)""".stripMargin
+
+  private def bronzeValues: String =
+    fixtures.map { case (id, _) =>
+      s"('$id', 'user_$id', '$W', CAST(1672531200 AS BIGINT), 'hash_$id', 'solana')"
+    }.mkString(",\n  ")
+
+  val oracle: Map[String, String] = Map(
+    "i1_normalize_golden" ->
+      s"""$silverCte
+         |SELECT transaction_id, wallet_address, asset_symbol, amount, entry_type
+         |FROM silver ORDER BY transaction_id, asset_symbol""".stripMargin,
+
+    "c4_lineage_join" ->
+      s"""$silverCte
+         |SELECT transaction_id, 'hash_' || transaction_id AS tx_hash,
+         |  CAST(1672531200 AS BIGINT) AS timestamp, asset_symbol, amount
+         |FROM silver ORDER BY transaction_id, asset_symbol""".stripMargin,
+
+    "a3_a4_jsonl_roundtrip" ->
+      s"""SELECT * FROM (VALUES
+         |  $bronzeValues)
+         |AS t(id, user_id, wallet_address, timestamp, tx_hash, chain)
+         |ORDER BY id""".stripMargin
   )
 }

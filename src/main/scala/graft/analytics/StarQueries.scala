@@ -289,6 +289,51 @@ object StarQueries {
         .orderBy("p_partkey")
     }),
 
+    // A7: schema/table registry + SQL entry point — tables registered in
+    // the session catalog and queried through spark.sql (the DDL/migration
+    // surface, cli/main.rs:70-78).
+    "a7_sql_over_views" -> ((s, d) => {
+      Seq("region", "nation").foreach(t =>
+        Tables.load(s, d, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT r_name, COUNT(*) AS n_nations
+          |FROM region JOIN nation ON r_regionkey = n_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    }),
+
+    // D4: GROUPING SETS via the SQL surface.
+    "d4_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    // E2: range frame + first/last value over an ordered frame.
+    "e2_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wRange = Window.partitionBy("c_nationkey").orderBy(col("c_custkey"))
+        .rangeBetween(-100, 0)
+      val wRows = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          sum(dec2(col("c_acctbal"))).over(wRange).cast("double").as("near_sum"),
+          first(col("c_name")).over(wRows).as("first_name"),
+          last(col("c_name")).over(wRows).as("last_name"))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
+    // G3: multiset EXCEPT ALL.
+    "g3_except_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    }),
+
     // H13/H10: date scalar suite.
     "h13_date_funcs" -> ((s, d) => {
       Tables.orders(s, d)
@@ -450,6 +495,33 @@ object StarQueries {
         |  CAST(ABS(p_size - 25) AS INTEGER) AS sz_dist,
         |  ROUND(SQRT(p_retailprice), 6) AS sq, ROUND(LN(p_retailprice), 6) AS lnp
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "a7_sql_over_views" ->
+      """SELECT r_name, COUNT(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "d4_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "e2_range_frame" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY c_nationkey ORDER BY c_custkey
+        |     RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
+        |  FIRST_VALUE(c_name) OVER w AS first_name,
+        |  LAST_VALUE(c_name) OVER w AS last_name
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+
+    "g3_except_all" ->
+      """SELECT c_nationkey AS k FROM customer
+        |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
 
     "h13_date_funcs" ->
       """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,

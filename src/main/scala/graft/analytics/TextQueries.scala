@@ -69,6 +69,27 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // I4: UDTF shape — tokenizer as a generator: one doc row → N
+    // (doc_id, pos, token) rows via posexplode (SURVEY.md §2.I4).
+    "i4_tokenize_udtf" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // K4: token counting with a BPE-ish regex lexer (letter runs / digit
+    // runs / single punctuation) alongside whitespace token counts.
+    "k4_token_count" -> ((s, d) => {
+      val bpeish = regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          size(bpeish).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // K4: document fingerprinting — content-defined prefix digest + length
     // bucket (the cheap pre-filter ahead of MinHash in a dedup cascade).
     "k4_fingerprint" -> ((s, d) => {
@@ -147,6 +168,19 @@ object TextQueries {
         |  CAST(len(list_filter(string_split(text, ' '),
         |      t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "i4_tokenize_udtf" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, token FROM (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "k4_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "k4_fingerprint" ->

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** Source layer — the Spark re-foundation of the reference's pluggable
+  * ingestion abstraction `trait ChainIngestor { fetch_history(wallet, limit)
+  * -> Vec<Transaction> }` (`/root/reference/core/src/models.rs:46-49`).
+  *
+  * A source yields a bronze `DataFrame` (schema [[Schemas.bronze]]) instead
+  * of a `Vec`: history fetches become partitioned scans, and the per-item
+  * error-skip semantics of the reference's RPC loop
+  * (`/root/reference/adapters/src/solana.rs:51-53`) become PERMISSIVE-mode
+  * reads where corrupt records yield null rows that downstream meta-guards
+  * drop (SURVEY.md §2.A1).
+  */
+trait BronzeSource {
+
+  /** Full history scan for one wallet, oldest-first, at most `limit` rows —
+    * the `fetch_history` contract.
+    */
+  def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame
+}
+
+/** A3: JSONL bronze source — one JSON transaction per line
+  * (`/root/reference/cli/src/main.rs:126-134`). Explicit schema, no
+  * inference; corrupt lines drop via the PERMISSIVE null-row path.
+  */
+final class JsonlBronzeSource(path: String) extends BronzeSource {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.schema(Schemas.bronze).json(path).filter(col("id").isNotNull)
+
+  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+    read(spark)
+      .filter(col("wallet_address") === wallet)
+      .orderBy("timestamp")
+      .limit(limit)
+}
+
+/** Parquet bronze source — the engine-native table layout. At scale the
+  * table is written bucketed by wallet so this prunes instead of scanning.
+  */
+final class ParquetBronzeSource(path: String) extends BronzeSource {
+  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("wallet_address") === wallet)
+      .orderBy("timestamp")
+      .limit(limit)
+}
+
+/** A4: JSONL bronze sink (`/root/reference/cli/src/main.rs:106-113`). */
+object JsonlBronzeSink {
+  def write(bronze: DataFrame, path: String): Unit =
+    bronze.write.mode("overwrite").json(path)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.analytics.LedgerQueries
+import graft.sources.{JsonlBronzeSink, JsonlBronzeSource}
+import java.nio.file.Files
+
+/** End-to-end medallion flow: JSONL fixture → ingest → normalize → query,
+  * replay-safe at every step (the reference's full API workflow).
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("ingest → normalize → ledger end to end, idempotent under replay") {
+    val tmp = Files.createTempDirectory("pipe").toString
+    val jsonl = s"$tmp/in"; val bronze = s"$tmp/bronze"; val silver = s"$tmp/silver"
+    JsonlBronzeSink.write(LedgerQueries.fixtureBronze(spark), jsonl)
+    val source = new JsonlBronzeSource(jsonl)
+    val w = LedgerQueries.W
+
+    assert(LedgerPipeline.ingest(spark, source, w, 100, bronze) == 5)
+    assert(LedgerPipeline.normalize(spark, bronze, w, silver) == 4)
+
+    // replay both steps: no new rows, state unchanged
+    assert(LedgerPipeline.ingest(spark, source, w, 100, bronze) == 0)
+    assert(LedgerPipeline.normalize(spark, bronze, w, silver) == 0)
+
+    val txs = LedgerPipeline.transactions(spark, bronze, w).collect()
+    assert(txs.length == 5)
+
+    val entries = LedgerPipeline.ledger(spark, silver, w)
+      .select("transaction_id", "asset_symbol", "amount").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(entries == Seq(
+      ("tx1", "SOL", -0.5), ("tx2", "MintA", 2.5),
+      ("tx2", "MintB", 3.0), ("tx5", "MintD", 4.0)))
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.analytics.LedgerQueries
+import graft.sources.{JsonlBronzeSink, JsonlBronzeSource}
+import java.nio.file.Files
+
+/** A1/A3/A4: source layer — fetch_history contract over JSONL bronze. */
+class SourcesSpec extends SparkSpec {
+
+  test("jsonl sink+source round-trips bronze rows; fetchHistory filters, orders, limits") {
+    val dir = Files.createTempDirectory("src").toString + "/bronze"
+    JsonlBronzeSink.write(LedgerQueries.fixtureBronze(spark), dir)
+    val src = new JsonlBronzeSource(dir)
+    assert(src.read(spark).count() == 5)
+    val hist = src.fetchHistory(spark, LedgerQueries.W, limit = 3).collect()
+    assert(hist.length == 3)
+    assert(hist.forall(_.getAs[String]("wallet_address") == LedgerQueries.W))
+    assert(src.fetchHistory(spark, "UnknownWallet", 10).count() == 0)
+  }
+
+  test("corrupt jsonl lines are skipped, not fatal (error-skip semantics)") {
+    val dir = Files.createTempDirectory("bad").toString
+    val f = new java.io.PrintWriter(s"$dir/part-0.json")
+    f.println("""{"id": "ok1", "user_id": "u", "wallet_address": "w", "timestamp": 1, "tx_hash": "h", "chain": "solana", "raw_metadata": "{}"}""")
+    f.println("""not json at all""")
+    f.println("""{"id": "ok2", "user_id": "u", "wallet_address": "w", "timestamp": 2, "tx_hash": "h2", "chain": "solana", "raw_metadata": "{}"}""")
+    f.close()
+    val rows = new JsonlBronzeSource(dir).read(spark).collect()
+    assert(rows.map(_.getAs[String]("id")).sorted.toSeq == Seq("ok1", "ok2"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.{jaccard, shingles}
 import graft.operators.Dedup
 
 /** K1/K4: dedup + text analysis over `documents` (SURVEY.md §2.K).
@@ -135,6 +136,21 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K2: exact word-trigram Jaccard similarity between adjacent doc pairs —
+    // the verification kernel of the dedup cascade, oracled end to end
+    // (unlike the seeded-hash LSH candidates above).
+    "k2_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
     // K2: SimHash fingerprint near-dup candidates (rows-only: xxhash64).
     "k2_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
@@ -182,6 +198,19 @@ object TextQueries {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "k2_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "k4_fingerprint" ->
       """SELECT doc_id, SHA256(SUBSTR(text, 1, 64)) AS prefix_fp,

@@ -107,6 +107,21 @@ object StarQueries {
         .orderBy("l_returnflag")
     }),
 
+    // D4: statistical aggregate suite — stddev/median/corr. Bounded or
+    // rounded outputs so partial-aggregation merge order cannot leak into
+    // the compare (stddev error ~1e-9 abs at these magnitudes).
+    "d4_stats_suite" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(stddev_samp(col("o_totalprice")), 6).as("sd_price"),
+          median(col("o_totalprice")).as("med_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 6).as("corr_pc"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // D4: approx_count_distinct (HLL++) — approximate by design, so no
     // DuckDB oracle (its approx sketch differs); rows-only check.
     "d4_approx_distinct" -> ((s, d) => {
@@ -388,6 +403,14 @@ object StarQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "d4_stats_suite" ->
+      """SELECT o_orderstatus,
+        |  ROUND(STDDEV_SAMP(o_totalprice), 6) AS sd_price,
+        |  MEDIAN(o_totalprice) AS med_price,
+        |  ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_pc,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "d4_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,

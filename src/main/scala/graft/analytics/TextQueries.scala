@@ -53,6 +53,17 @@ object TextQueries {
         .limit(25)
     }),
 
+    // K4: per-language document-length percentiles (exact interpolated
+    // percentile, matching DuckDB quantile_cont bit-for-bit on integers).
+    "k4_length_percentiles" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("pcts"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // K4: per-document quality scoring — token count, average word length,
     // stopword ratio. Pure column arithmetic, fully codegen'd.
     "k4_quality_score" -> ((s, d) => {
@@ -173,6 +184,11 @@ object TextQueries {
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    "k4_length_percentiles" ->
+      """SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS pcts,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "k4_quality_score" ->
       """SELECT doc_id, lang,

@@ -57,6 +57,20 @@ class PlanShapeSpec extends SparkSpec {
       s"normalizer joins (pre/post correlation must stay array-local):\n$plan")
   }
 
+  test("idempotent sink anti-join broadcasts the incoming batch, never shuffles the table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/t"
+    Tables.events(spark, sfDir).select($"event_id", $"value")
+      .write.parquet(dir)
+    val batch = Seq((1L, 0.5), (-5L, 0.5)).toDF("event_id", "value")
+    val plan = physicalPlan(
+      operators.IdempotentSink.dedupeAgainstExisting(spark, batch, dir, "event_id"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"batch keys not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"existing table shuffled for the key probe:\n$plan")
+  }
+
   test("e1 running window: single shuffle on the partition key") {
     val plan = physicalPlan(
       analytics.StarQueries.queries("e1_running_sum")(spark, sfDir))

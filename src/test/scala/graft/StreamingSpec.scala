@@ -42,6 +42,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J4: session windows split on gap > 5 minutes per user") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val stream = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val agg = EventStreams.sessionCounts(stream, "5 minutes", "10 minutes")
+    // session windows only support Append: sessions emit once finalized
+    // (watermark passed their end)
+    val q = agg.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 1 min apart (one session), then one 20 min later
+      in.addData((ts(0), 1L, "a", 1.0), (ts(60), 1L, "a", 1.0), (ts(1260), 1L, "a", 1.0))
+      q.processAllAvailable()
+      in.addData((ts(7200), 9L, "a", 1.0)) // advance watermark to close sessions
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .groupBy("s_start", "user_id").agg(max("n_events").as("n_events"))
+        .filter($"user_id" === 1)
+        .as[(Timestamp, Long, Long)].collect()
+        .map { case (s, _, n) => (s.getTime / 1000, n) }.toSet
+      assert(sessions == Set((0L, 2L), (1260L, 1L)),
+        s"expected two sessions, got $sessions")
+    } finally q.stop()
+  }
+
   test("J2: exactly-once sink deduplicates replayed events by key") {
     implicit val sc = spark.sqlContext
     val tmp = Files.createTempDirectory("eos").toString

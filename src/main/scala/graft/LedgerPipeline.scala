@@ -25,33 +25,68 @@ import graft.sources.BronzeSource
   */
 object LedgerPipeline {
 
-  /** Ingest a wallet's history into the bronze table. Returns rows appended. */
+  /** Number of wallet hash buckets the tables are partitioned into. At
+    * 100 TB this is the knob that turns a by-wallet query from a full scan
+    * into a 1/nBuckets directory prune (the Spark analogue of the
+    * reference's (wallet, timestamp) B-tree index, init.sql:18-19).
+    */
+  val DefaultBuckets = 16
+
+  /** Deterministic wallet bucket — must be computed with the same Spark
+    * expression on write and read so pruning literals agree.
+    */
+  private def bucketCol(nBuckets: Int) =
+    pmod(xxhash64(col("wallet_address")), lit(nBuckets.toLong)).as("_bucket")
+
+  private def bucketOf(spark: SparkSession, wallet: String, nBuckets: Int): Long = {
+    import spark.implicits._
+    spark.range(1)
+      .select(pmod(xxhash64(lit(wallet)), lit(nBuckets.toLong))).as[Long].head()
+  }
+
+  /** Ingest a wallet's history into the bronze table (hash-bucketed by
+    * wallet). Returns rows appended.
+    */
   def ingest(spark: SparkSession, source: BronzeSource, wallet: String,
-      limit: Int, bronzePath: String): Long =
+      limit: Int, bronzePath: String, nBuckets: Int = DefaultBuckets): Long =
     IdempotentSink.appendOnce(spark,
-      source.fetchHistory(spark, wallet, limit), bronzePath, "id")
+      source.fetchHistory(spark, wallet, limit).withColumn("_bucket", bucketCol(nBuckets)),
+      bronzePath, "id", partitionCols = Seq("_bucket"))
 
   /** Normalize a wallet's bronze rows into the silver ledger table.
     * Chain dispatch matches the reference: only solana parses, other
     * chains contribute nothing (api/main.rs:101-106). Returns rows appended.
     */
   def normalize(spark: SparkSession, bronzePath: String, wallet: String,
-      silverPath: String): Long = {
-    val bronze = spark.read.parquet(bronzePath)
-      .filter(col("wallet_address") === wallet)
-    IdempotentSink.appendOnce(spark, SolanaNormalizer.normalize(bronze),
-      silverPath, "id")
+      silverPath: String, nBuckets: Int = DefaultBuckets): Long = {
+    val bronze = byWallet(spark, bronzePath, wallet, nBuckets)
+      .drop("_bucket")
+    IdempotentSink.appendOnce(spark,
+      SolanaNormalizer.normalize(bronze).withColumn("_bucket", bucketCol(nBuckets)),
+      silverPath, "id", partitionCols = Seq("_bucket"))
   }
 
+  /** Bucket-pruned by-wallet scan: the `_bucket = h(wallet)` predicate is a
+    * partition filter (prunes directories); the wallet equality then pushes
+    * into the parquet reader within the surviving bucket.
+    */
+  private def byWallet(spark: SparkSession, path: String, wallet: String,
+      nBuckets: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("_bucket") === bucketOf(spark, wallet, nBuckets) &&
+        col("wallet_address") === wallet)
+
   /** `GET /v1/transactions/:wallet` (repo.rs:73-107). */
-  def transactions(spark: SparkSession, bronzePath: String, wallet: String): DataFrame =
-    spark.read.parquet(bronzePath)
-      .filter(col("wallet_address") === wallet)
+  def transactions(spark: SparkSession, bronzePath: String, wallet: String,
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    byWallet(spark, bronzePath, wallet, nBuckets)
+      .drop("_bucket")
       .orderBy("timestamp")
 
   /** `GET /v1/ledger/:wallet` (repo.rs:109-149). */
-  def ledger(spark: SparkSession, silverPath: String, wallet: String): DataFrame =
-    spark.read.parquet(silverPath)
-      .filter(col("wallet_address") === wallet)
+  def ledger(spark: SparkSession, silverPath: String, wallet: String,
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    byWallet(spark, silverPath, wallet, nBuckets)
+      .drop("_bucket")
       .orderBy("transaction_id", "asset_symbol")
 }

@@ -26,12 +26,18 @@ object IdempotentSink {
 
   /** Append `batch` to the parquet table at `path`, skipping rows whose
     * `keyCol` already exists. Creates the table on first write.
+    * `partitionCols` selects a hive-partitioned layout (e.g. a wallet hash
+    * bucket) so keyed reads prune to matching directories.
     * Returns the number of rows actually appended.
     */
-  def appendOnce(spark: SparkSession, batch: DataFrame, path: String, keyCol: String): Long = {
+  def appendOnce(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
+      partitionCols: Seq[String] = Nil): Long = {
     val fresh = dedupeAgainstExisting(spark, batch, path, keyCol)
     val n = fresh.count()
-    if (n > 0) fresh.write.mode(SaveMode.Append).parquet(path)
+    if (n > 0) {
+      val w = fresh.write.mode(SaveMode.Append)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    }
     n
   }
 

@@ -32,5 +32,13 @@ class PipelineSpec extends SparkSpec {
     assert(entries == Seq(
       ("tx1", "SOL", -0.5), ("tx2", "MintA", 2.5),
       ("tx2", "MintB", 3.0), ("tx5", "MintD", 4.0)))
+
+    // scale property: the by-wallet read prunes to the wallet's hash-bucket
+    // partition (PartitionFilters on _bucket), instead of scanning the table
+    val plan = LedgerPipeline.transactions(spark, bronze, w)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("_bucket")),
+      s"no _bucket partition filter in scan:\n$plan")
   }
 }

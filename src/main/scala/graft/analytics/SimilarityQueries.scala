@@ -33,6 +33,23 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // K3 via the custom codegen'd Catalyst expression (DotProductExpr):
+    // same semantics and oracle as k3_cosine_topk, but the per-element
+    // lambda interpretation of zip_with/aggregate is replaced by a tight
+    // generated double loop — the I2 upgrade path made real.
+    "k3_cosine_topk_fast" -> ((s, d) => {
+      import graft.functions.VectorExpressions.cosineFast
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      emb
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosineFast(col("embedding"), col("q_vec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // K3 scale path: LSH-bucketed ANN — random-hyperplane signature match
     // first (map-side), exact cosine only on the candidate subset. Same
     // hyperplane family as Dedup.embeddingNearDup; rows-only check (seeded
@@ -95,20 +112,23 @@ object SimilarityQueries {
     })
   )
 
-  val oracle: Map[String, String] = Map(
-    "k3_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-        |sims AS (
-        |  SELECT e.vec_id, e.label,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-        |    AS sim
-        |  FROM embeddings e, q)
-        |SELECT vec_id, label, ROUND(sim, 6) AS sim
-        |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+  private val cosineTopkSql =
+    """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT e.vec_id, e.label,
+      |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |    AS sim
+      |  FROM embeddings e, q)
+      |SELECT vec_id, label, ROUND(sim, 6) AS sim
+      |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
+  val oracle: Map[String, String] = Map(
+    "k3_cosine_topk" -> cosineTopkSql,
+    // same oracle: the codegen'd expression must agree bit-for-bit
+    "k3_cosine_topk_fast" -> cosineTopkSql,
     "k5_multimodal" ->
       """SELECT d.doc_id, 'text' AS modality,
         |  CAST(octet_length(unhex(sha256(d.text))) AS INTEGER) AS payload_len,

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys (SURVEY.md §2 scale notes; the
+  * "salting for skew" fallback the 100 TB design calls for when AQE's
+  * skew-join splitting can't apply — e.g. the skewed side feeds a
+  * co-partitioned downstream op, or the join is shuffle-hash).
+  *
+  * Mechanics: the big (skewed) side gets a deterministic row-spread salt in
+  * [0, salts); the small side is replicated once per salt value. The join
+  * key becomes (key, salt), so a hot key's rows spread over `salts`
+  * reducers instead of one. Cost: |small| × salts replication — use for
+  * moderate small sides only (broadcast the small side instead when it
+  * fits; this exists for when it doesn't).
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    // xxhash64 over the whole row spreads deterministically without needing
+    // a unique id column
+    val bigSalted = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+    val saltValues = array((0 until salts).map(i => lit(i.toLong)): _*)
+    val smallSalted = small.withColumn("_salt", explode(saltValues))
+    bigSalted.join(smallSalted, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

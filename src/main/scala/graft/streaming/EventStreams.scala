@@ -83,4 +83,25 @@ object EventStreams {
           next
       }
   }
+
+  /** J5 (flatMap variant): emit a row only when |position| crosses the
+    * threshold — 0-or-1 outputs per group per batch, the
+    * `flatMapGroupsWithState` shape for alerting/compaction streams.
+    */
+  def positionAlerts(events: Dataset[PositionEvent], threshold: Double): Dataset[Position] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[PositionEvent], state: GroupState[Position]) =>
+          val prev = state.getOption.getOrElse(Position(uid, 0.0, 0L))
+          val next = rows.foldLeft(prev) { (p, e) =>
+            Position(uid, p.position + e.value, p.n_events + 1)
+          }
+          state.update(next)
+          if (math.abs(prev.position) <= threshold && math.abs(next.position) > threshold)
+            Iterator.single(next)
+          else Iterator.empty
+      }
+  }
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the `private[sql]` Column ↔ catalyst Expression
+  * conversions (`classic.ExpressionUtils`), needed to expose custom
+  * codegen'd expressions (graft.functions.DotProductExpr) as Columns.
+  * Lives in the Spark SQL package solely for access; contains no logic.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -51,6 +51,25 @@ class OperatorSpec extends SparkSpec {
     assert(out == 5.0)
   }
 
+  test("salted skew join matches plain join result on a hot-key dataset") {
+    import graft.operators.SkewJoin
+    // 90% of rows share key 1 (the skew), the rest spread over 2..10
+    val big = spark.range(10000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN 1 ELSE id % 9 + 2 END AS k", "id AS v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (11L, "unmatched"))
+      .toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).groupBy("k", "tag")
+      .count().orderBy("k").as[(Long, String, Long)].collect().toSeq
+    val salted = SkewJoin.saltedEquiJoin(big, small, "k", salts = 8)
+      .groupBy("k", "tag").count().orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(salted == plain)
+    // and the hot key's rows genuinely spread across salt values
+    val spread = big.withColumn("_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(8L)))
+      .filter($"k" === 1).select("_salt").distinct().count()
+    assert(spread > 4, s"salt only used $spread buckets")
+  }
+
   test("multimodal pipeline: deterministic stub features over documents corpus") {
     val out = MultimodalPipeline.featuresQuery(spark, sfDir)
     val rows = out.collect()

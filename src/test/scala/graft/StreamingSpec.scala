@@ -103,6 +103,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J5: flatMap position alerts emit only on threshold crossings") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[PositionEvent]
+    val q = EventStreams.positionAlerts(in.toDS(), threshold = 10.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(PositionEvent(1, 6.0), PositionEvent(2, 3.0))
+      q.processAllAvailable() // nobody crossed
+      in.addData(PositionEvent(1, 7.0)) // user 1 crosses to 13
+      q.processAllAvailable()
+      in.addData(PositionEvent(1, 1.0)) // still above: no re-alert
+      q.processAllAvailable()
+      val alerts = spark.table("alerts").as[Position].collect().toSeq
+      assert(alerts == Seq(Position(1, 13.0, 2)))
+    } finally q.stop()
+  }
+
   test("J1: streaming subscribe over events dir with pushed filter sees only requested types") {
     val tmp = Files.createTempDirectory("sub").toString
     Tables.events(spark, sfDir).limit(200).write.mode("overwrite").parquet(tmp)

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.VectorExpressions.{cosineFast, dotFast}
+import graft.functions.VectorFunctions.{asDouble, cosine, dot}
+import org.apache.spark.sql.functions._
+
+/** DotProductExpr — the custom codegen'd Catalyst expression — must agree
+  * bit-for-bit with the higher-order-function formulation and stay inside
+  * whole-stage codegen.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dotFast equals higher-order dot on known values") {
+    val a = array(lit(1.0), lit(2.0), lit(3.0))
+    val b = array(lit(4.0), lit(-5.0), lit(6.0))
+    val (fast, slow) = Seq(1).toDF("x")
+      .select(dotFast(a, b), dot(a, b)).as[(Double, Double)].head()
+    assert(fast == 12.0 && fast == slow)
+  }
+
+  test("dotFast/cosineFast agree bit-for-bit with HOF versions on the embeddings corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+    val diffs = emb.crossJoin(broadcast(q))
+      .select(
+        dotFast($"embedding", $"q_vec").as("fast"),
+        dot(asDouble($"embedding"), asDouble($"q_vec")).as("slow"),
+        cosineFast($"embedding", $"q_vec").as("cfast"),
+        cosine(asDouble($"embedding"), asDouble($"q_vec")).as("cslow"))
+      .filter($"fast" =!= $"slow" || $"cfast" =!= $"cslow")
+      .count()
+    assert(diffs == 0)
+  }
+
+  test("null array on either side yields null, not a crash") {
+    val rows = Seq(1).toDF("x").select(
+      dotFast(lit(null).cast("array<double>"), array(lit(1.0))).as("l"),
+      dotFast(array(lit(1.0)), lit(null).cast("array<double>")).as("r"))
+      .collect()(0)
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
+  test("mismatched lengths use the shorter prefix (reference .get semantics)") {
+    val v = Seq(1).toDF("x")
+      .select(dotFast(array(lit(2.0), lit(3.0)), array(lit(10.0))))
+      .as[Double].head()
+    assert(v == 20.0)
+  }
+
+  test("the expression participates in whole-stage codegen (no fallback)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+    val df = emb.crossJoin(broadcast(q))
+      .select(dotFast($"embedding", $"q_vec").as("d"))
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val plan = df.queryExecution.executedPlan.toString
+    // the projection computing dot_product must sit inside a codegen stage
+    val projLine = plan.linesIterator.find(l =>
+      l.contains("dot_product") && l.contains("Project"))
+    assert(projLine.isDefined, s"dot_product not in plan:\n$plan")
+    assert(projLine.get.matches(""".*\*\(\d+\) Project.*"""), // '*(n)' = codegen stage
+      s"dot_product projection not codegen'd:\n$plan")
+  }
+}

@@ -166,6 +166,18 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // J4 (batch view): sliding 10-minute windows every 5 minutes — each row
+    // lands in 2 overlapping windows (oracle: UNNEST over the 2 candidate
+    // starts).
+    "j4_sliding_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "10 minutes", "5 minutes").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // J4 (batch view): tumbling 5-minute windows — same window spec the
     // streaming path uses; batch-checked against the oracle here, replay-
     // checked in StreamingSpec.
@@ -261,6 +273,16 @@ object EventQueries {
         |  CAST(HOUR(ts) AS INTEGER) AS hr, CAST(MINUTE(ts) AS INTEGER) AS mi,
         |  CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "j4_sliding_window" ->
+      """SELECT w_start, event_type, COUNT(*) AS cnt
+        |FROM (
+        |  SELECT UNNEST([
+        |      time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+        |      time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes'
+        |    ]) AS w_start, event_type
+        |  FROM events)
+        |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
 
     "j4_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -57,6 +57,96 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature as a native expression. The higher-order formulation
+  * ([[VectorFunctions.minHashSignature]]) evaluates k interpreted
+  * `xxhash64(i, shingle)` lambdas per shingle — k full string hashes with
+  * per-element boxing. This computes TWO xxhash64 string hashes per shingle
+  * and derives the k permutations as `h1 + i·h2` (the standard
+  * double-hashing construction for MinHash families), inside one tight
+  * primitive loop: ~k/2× less hashing and no boxing.
+  *
+  * Interpreted eval only (`CodegenFallback`) — the loop itself is the hot
+  * path and is already primitive; codegen would only fuse the surrounding
+  * projection.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k > 0, "signature length must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 777L) | 1L
+      var i = 0
+      var h = h1
+      while (i < k) {
+        if (h < sig(i)) sig(i) = h
+        h += h2
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash-64 as a native expression: one xxhash64 per token (seed 42 —
+  * bit-identical to Spark's `xxhash64(token)`), per-bit majority vote in a
+  * primitive array. Replaces 64 interpreted `aggregate` lambdas per row.
+  */
+case class SimHash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) >= 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -72,4 +162,12 @@ object VectorExpressions {
     import org.apache.spark.sql.functions.sqrt
     dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
   }
+
+  /** Native MinHash signature of a shingle-set column (array<string>). */
+  def minHashFast(shingles: Column, k: Int): Column =
+    GraftSqlBridge.column(MinHashSignatureExpr(GraftSqlBridge.expression(shingles), k))
+
+  /** Native SimHash-64 of a token-set column (array<string>). */
+  def simHashFast(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(tokens)))
 }

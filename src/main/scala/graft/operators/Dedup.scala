@@ -56,7 +56,7 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
 
     val banded = sh
-      .withColumn("_sig", minHashSignature(col("_sh"), k))
+      .withColumn("_sig", graft.functions.VectorExpressions.minHashFast(col("_sh"), k))
       .select(col("_id"), explode(lshBandKeys(col("_sig"), k, bands)).as("_b"))
 
     val buckets = banded
@@ -79,17 +79,12 @@ object Dedup {
   }
 
   /** K2 SimHash 64-bit fingerprint of a token array: per-bit majority vote
-    * over token hashes. Columnar (bit loop unrolled into the plan) — no UDF.
+    * over distinct token hashes. Native single-pass expression
+    * ([[graft.functions.SimHash64Expr]]) — bit-identical to the unrolled
+    * higher-order formulation it replaced, ~64× less lambda dispatch.
     */
-  def simHash(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def simHash(tokens: Column): Column =
+    graft.functions.VectorExpressions.simHashFast(array_distinct(tokens))
 
   /** K2 SimHash near-dup candidates: identical fingerprints (hamming 0) or,
     * with `bandBits`, docs sharing any 16-bit fingerprint quarter.

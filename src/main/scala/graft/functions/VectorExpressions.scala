@@ -147,6 +147,49 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** Word n-gram shingles as a native expression: one pass over the token
+  * array, joining `n` consecutive tokens per position and deduplicating via
+  * a hash set of UTF8Strings (no per-position array slicing, no interpreted
+  * lambdas). Degrades to the whole-doc single shingle below `n` tokens,
+  * matching the higher-order formulation it replaces.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(n > 0, "shingle length must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = arr.numElements()
+    val space = UTF8String.fromString(" ")
+    val toks = new Array[UTF8String](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (cnt >= n) {
+      i = 0
+      while (i + n <= cnt) {
+        out.add(UTF8String.concatWs(space, java.util.Arrays.copyOfRange(toks, i, i + n): _*))
+        i += 1
+      }
+    } else {
+      out.add(UTF8String.concatWs(space, toks: _*))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -170,4 +213,8 @@ object VectorExpressions {
   /** Native SimHash-64 of a token-set column (array<string>). */
   def simHashFast(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64Expr(GraftSqlBridge.expression(tokens)))
+
+  /** Native word n-gram shingles of a token column (array<string>). */
+  def shinglesFast(tokens: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShinglesExpr(GraftSqlBridge.expression(tokens), n))
 }

@@ -27,14 +27,13 @@ object VectorFunctions {
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
 
   /** Word n-gram shingles of a token array: `n` consecutive tokens joined by
-    * a single space, distinct. Used by MinHash/Jaccard dedup.
+    * a single space, distinct. Used by MinHash/Jaccard dedup. Delegates to
+    * the native single-pass expression (the higher-order formulation —
+    * `array_distinct(transform(sequence, i => concat_ws(slice)))` — costs
+    * O(len·n) interpreted slices per row).
     */
   def shingles(tokens: Column, n: Int): Column =
-    array_distinct(
-      when(size(tokens) >= n,
-        transform(sequence(lit(0), size(tokens) - n),
-          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", tokens))))
+    VectorExpressions.shinglesFast(tokens, n)
 
   /** MinHash signature: `k` independent permutations approximated by seeded
     * xxhash64; element i is min over shingles of xxhash64(i, shingle).

@@ -90,7 +90,8 @@ object LedgerQueries {
     // bronze schema (production paths never infer).
     "a3_a4_jsonl_roundtrip" -> ((s, _) => {
       val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/bronze"
-      fixtureBronze(s).write.mode("overwrite").json(dir)
+      // 5 fixture rows: one output file, not one per default parallelism
+      fixtureBronze(s).coalesce(1).write.mode("overwrite").json(dir)
       s.read.schema(Schemas.bronze).json(dir)
         .select("id", "user_id", "wallet_address", "timestamp", "tx_hash", "chain")
         .orderBy("id")

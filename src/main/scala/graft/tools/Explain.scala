@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+
+/** Dev tool: dump formatted physical plans for selected flagship queries —
+  * the `.explain("formatted")` audit trail (PLANS.md).
+  * Usage: runMain graft.tools.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "c6_join_inner", "a8_scan_project", "e1_running_sum", "f3_topk",
+      "k2_minhash_lsh", "k3_cosine_topk_fast", "i1_normalize_golden",
+      "a5_idempotent_dedup")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n## $name\n")
+      println("```")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -121,6 +121,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I1×J: the batch normalizer runs unchanged on a streaming bronze source") {
+    import graft.analytics.LedgerQueries
+    import graft.normalize.SolanaNormalizer
+    val tmp = Files.createTempDirectory("snorm").toString
+    LedgerQueries.fixtureBronze(spark).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val bronzeStream = spark.readStream
+      .schema(graft.model.Schemas.bronze).parquet(tmp)
+    val silverStream = SolanaNormalizer.normalize(bronzeStream)
+    assert(silverStream.isStreaming)
+    val q = silverStream.writeStream.format("memory").queryName("silver_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("silver_stream")
+        .select("transaction_id", "asset_symbol", "amount").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val batch = SolanaNormalizer.normalize(LedgerQueries.fixtureBronze(spark))
+        .select("transaction_id", "asset_symbol", "amount").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == batch, "streaming and batch normalization must agree")
+      assert(got.contains(("tx1", "SOL", -0.5)))
+    } finally q.stop()
+  }
+
   test("J1: streaming subscribe over events dir with pushed filter sees only requested types") {
     val tmp = Files.createTempDirectory("sub").toString
     Tables.events(spark, sfDir).limit(200).write.mode("overwrite").parquet(tmp)

@@ -119,6 +119,16 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // D4: pivot — wide per-user totals by event type (explicit value list,
+    // so no extra distinct-values job; oracle = conditional aggregation).
+    "d4_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double"))
+        .orderBy("user_id")
+    }),
+
     // C3: backfill equi-join + column overwrite — the denormalization
     // migration shape (migrations/20251219010000_add_wallet_to_ledger.sql:
     // 6-15): a ledger projection missing its wallet column gets it joined
@@ -248,6 +258,15 @@ object EventQueries {
         |FROM trades t ASOF LEFT JOIN quotes q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY t.event_id""".stripMargin,
+
+    "d4_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "c3_backfill_join" ->
       """SELECT event_id, user_id, value FROM events ORDER BY event_id""",

@@ -59,6 +59,34 @@ object MultimodalPipeline {
     records.mapPartitions(_.map(decodeStub))
   }
 
+  /** Resize: clamp decoded dimensions into a bounding box preserving aspect
+    * ratio — the transform a real image resizer applies; here it operates
+    * on the stub features (the decode itself being the stubbed step).
+    */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    }
+  }
+
+  /** Frame sampling: every `everyN`-th frame index of a video record —
+    * one output row per sampled frame, the explode shape a real frame
+    * extractor produces (non-video records pass through as frame 0).
+    */
+  final case class FrameRef(media_id: Long, frame_idx: Int, checksum: String)
+
+  def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): Dataset[FrameRef] = {
+    import features.sparkSession.implicits._
+    features.flatMap { f =>
+      if (f.modality == "video")
+        (0 until f.frames by everyN).map(i => FrameRef(f.media_id, i, f.checksum))
+      else Seq(FrameRef(f.media_id, 0, f.checksum))
+    }
+  }
+
   /** Build a deterministic media corpus from `documents` (payload = text
     * bytes; modality round-robins) — the test/bench input.
     */

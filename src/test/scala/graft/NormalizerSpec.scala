@@ -52,6 +52,16 @@ class NormalizerSpec extends SparkSpec {
     assert(ids.distinct.size == ids.size, "surrogate ids must be unique")
   }
 
+  test("corrupt raw_metadata JSON yields zero entries, not a failure") {
+    import spark.implicits._
+    import graft.model.Transaction
+    val bad = Seq(
+      Transaction("bad1", "u", LedgerQueries.W, 0L, "h1", "solana", "not json {{{"),
+      Transaction("bad2", "u", LedgerQueries.W, 0L, "h2", "solana", """{"truncated": """)
+    ).toDF()
+    assert(SolanaNormalizer.normalize(bad).count() == 0)
+  }
+
   test("silver schema matches the declared model") {
     val out = SolanaNormalizer.normalize(LedgerQueries.fixtureBronze(spark))
     assert(out.columns.toSeq == Seq("id", "transaction_id", "user_id",

@@ -70,6 +70,31 @@ class OperatorSpec extends SparkSpec {
     assert(spread > 4, s"salt only used $spread buckets")
   }
 
+  test("multimodal resize clamps into bounding box preserving aspect; frame sampling explodes videos") {
+    import graft.operators.MultimodalPipeline._
+    val feats = extractFeatures(mediaFromDocuments(spark, sfDir))
+    val resized = resize(feats, 256, 256).collect()
+    assert(resized.forall(f => f.width <= 256 && f.height <= 256))
+    val orig = feats.collect().map(f => f.media_id -> f).toMap
+    resized.foreach { f =>
+      val o = orig(f.media_id)
+      if (o.width <= 256 && o.height <= 256)
+        assert(f.width == o.width && f.height == o.height, "no upscaling")
+      else {
+        val ratioBefore = o.width.toDouble / o.height
+        val ratioAfter = f.width.toDouble / f.height
+        assert(math.abs(ratioBefore - ratioAfter) / ratioBefore < 0.05,
+          s"aspect drifted: $o -> $f")
+      }
+    }
+    val frames = sampleFrames(feats, everyN = 30)
+    val byId = frames.collect().groupBy(_.media_id)
+    orig.values.foreach { o =>
+      val expect = if (o.modality == "video") (o.frames + 29) / 30 else 1
+      assert(byId(o.media_id).length == expect, s"wrong frame count for $o")
+    }
+  }
+
   test("multimodal pipeline: deterministic stub features over documents corpus") {
     val out = MultimodalPipeline.featuresQuery(spark, sfDir)
     val rows = out.collect()

@@ -17,12 +17,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # floats compare EXACTLY (no rounding): queries are built for bit
+    # determinism (decimal accumulation / explicit rounds), and the driver's
+    # hash compare is assumed exact too
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     if isinstance(v, bytes):
         return v.hex()
     return v

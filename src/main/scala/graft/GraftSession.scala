@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory: the configuration every graft deployment
+  * wants, in one place —
+  *
+  *  - shuffle partitions sized to the executor thread count (NOT the
+  *    200 default, which is wrong for local mode and must be re-derived
+  *    from cluster size when deployed);
+  *  - AQE on (runtime coalescing + skew-join splitting);
+  *  - UTC session timezone (oracle parity + sane timestamp semantics);
+  *  - [[graft.plans.GraftExtensions]] injected, so the native expressions
+  *    (`dot_product`, `minhash_signature`, `simhash64`, `word_shingles`)
+  *    resolve from SQL text as well as the Column API.
+  */
+object GraftSession {
+
+  def builder(appName: String, cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+
+  /** Build (or get) the session; if an existing session was returned (whose
+    * construction-time extensions we cannot retrofit), register the SQL
+    * functions into it directly.
+    */
+  def getOrCreate(appName: String, cores: Int): SparkSession = {
+    val spark = builder(appName, cores).getOrCreate()
+    graft.plans.GraftExtensions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -37,7 +37,10 @@ object StarQueries {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (orderkey, linenumber) is NOT unique in the synthetic corpus:
+        // order on every output column so the limit boundary is total
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
         .limit(100)
     }),
 
@@ -366,7 +369,8 @@ object StarQueries {
     "a8_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2001-06-01'
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |LIMIT 100""".stripMargin,
 
     "b1_filter_eq" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

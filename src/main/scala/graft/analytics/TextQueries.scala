@@ -162,6 +162,14 @@ object TextQueries {
         .orderBy("id_a")
     }),
 
+    // K2/K4: rolling-hash content-defined chunk candidates (rows-only:
+    // chunk boundaries derive from a Karp-Rabin roll not expressible in
+    // SQL; the CDC robustness property is asserted in DedupSpec).
+    "k2_rolling_chunks" -> ((s, d) => {
+      Dedup.rollingChunkCandidates(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
     // K2: SimHash fingerprint near-dup candidates (rows-only: xxhash64).
     "k2_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")

@@ -190,6 +190,66 @@ case class WordShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Rolling-hash (Karp-Rabin) content-defined chunk fingerprints of a text
+  * column: a fixed-width byte window rolls over the document; positions
+  * where the window hash masks to zero become chunk boundaries; the output
+  * is the array of xxhash64 hashes of the chunks. Because boundaries are
+  * content-defined (not offset-defined), an insertion near the start shifts
+  * every byte yet leaves all downstream chunk hashes intact — the property
+  * that makes this the containment/near-dup fingerprint for K4/K2 (fixed
+  * blocks would lose every block after the edit).
+  *
+  * @param window  rolling window width in bytes
+  * @param mask    boundary mask: boundary where (h & mask) == 0 — expected
+  *                chunk length ≈ mask+1 bytes
+  */
+case class RollingChunkHashesExpr(child: Expression, window: Int, mask: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(window > 0 && mask > 0, "window and mask must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "rolling_chunk_hashes"
+
+  private val B = 257L // odd multiplier; B^window precomputed for removal
+  private val Bw: Long = {
+    var p = 1L; var i = 0
+    while (i < window) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < n) {
+      h = h * B + (bytes(i) & 0xffL)
+      if (i >= window) h -= Bw * (bytes(i - window) & 0xffL)
+      if (i >= window - 1 && (h & mask) == 0L && i + 1 - start >= window) {
+        out += XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i + 1 - start, 42L)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n || out.isEmpty) {
+      out += XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, n - start, 42L)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -217,4 +277,8 @@ object VectorExpressions {
   /** Native word n-gram shingles of a token column (array<string>). */
   def shinglesFast(tokens: Column, n: Int): Column =
     GraftSqlBridge.column(WordShinglesExpr(GraftSqlBridge.expression(tokens), n))
+
+  /** Rolling-hash content-defined chunk fingerprints of a string column. */
+  def rollingChunks(text: Column, window: Int = 32, mask: Long = 0x3F): Column =
+    GraftSqlBridge.column(RollingChunkHashesExpr(GraftSqlBridge.expression(text), window, mask))
 }

@@ -104,6 +104,32 @@ object Dedup {
       .distinct()
   }
 
+  /** K2/K4 rolling-hash containment candidates: docs sharing any
+    * content-defined chunk (see
+    * [[graft.functions.RollingChunkHashesExpr]]) are candidate
+    * near-dups/containments. Same bucketed shape as the other LSH paths —
+    * groupBy on chunk hash, never all-pairs.
+    */
+  def rollingChunkCandidates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 32,
+      mask: Long = 0x3F,
+      maxBucket: Int = 64): DataFrame = {
+    val chunks = docs.select(col(idCol).as("_id"),
+      explode(graft.functions.VectorExpressions.rollingChunks(col(textCol), window, mask))
+        .as("_chunk"))
+    chunks.groupBy(col("_chunk"))
+      .agg(sort_array(collect_set(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH bucket join, exact
     * cosine verify within buckets. Hyperplanes are seeded-deterministic.
     */

@@ -64,6 +64,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("rolling-hash chunks survive a prefix insertion (content-defined, not offset-defined)") {
+    import graft.functions.VectorExpressions.rollingChunks
+    val doc = (1 to 150).map(i => s"word$i").mkString(" ") // ~1200 bytes
+    val edited = "inserted prefix text here " + doc
+    val df = Seq((doc, edited)).toDF("a", "b")
+      .select(rollingChunks($"a").as("ca"), rollingChunks($"b").as("cb"))
+      .select(size(array_intersect($"ca", $"cb")).as("shared"),
+        size($"ca").as("na"), size($"cb").as("nb"))
+    val (shared, na, nb) = df.as[(Int, Int, Int)].head()
+    assert(na >= 5, s"doc should produce several chunks, got $na")
+    assert(shared >= na - 2,
+      s"prefix edit should only disturb the first chunk(s): shared $shared of $na/$nb")
+  }
+
+  test("rolling-chunk candidates pair the edited doc with its original") {
+    val doc = (1 to 150).map(i => s"word$i").mkString(" ")
+    val cdocs = Seq(
+      (0L, doc),
+      (1L, "a long inserted preamble that shifts every byte " + doc),
+      (2L, (1 to 150).map(i => s"unrelated$i totally$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.rollingChunkCandidates(cdocs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("embedding near-dup finds planted high-cosine pair only") {
     val dim = 16
     val v = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)

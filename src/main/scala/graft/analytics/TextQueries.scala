@@ -136,6 +136,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K1/K2 cascade: full near-dup removal — LSH pairs → transitive
+    // clusters → keep lowest id per cluster. Rows-only check (candidates
+    // come from seeded MinHash, not SQL-expressible); the corpus contains
+    // planted near-dups and DedupSpec asserts the cascade removes them.
+    "k2_dedup_cascade" -> ((s, d) => {
+      Dedup.dedupNearDups(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // K2: MinHash/LSH near-dup — banded candidates, exact-Jaccard verify;
     // see Dedup.minHashLsh scaladoc for the no-crossJoin scale argument.
     // xxhash64 signatures aren't reproducible in DuckDB → rows-only check;

@@ -130,6 +130,55 @@ object Dedup {
       .agg(count(lit(1)).as("shared_chunks"))
   }
 
+  /** Union near-dup pairs into clusters: iterative min-label propagation
+    * (each node takes the smallest id reachable through its neighbours)
+    * until fixpoint, capped at `maxIter` rounds — converges in
+    * O(cluster diameter) iterations, and near-dup clusters are shallow in
+    * practice. The driver-side loop is control flow only (the per-round
+    * count is the convergence test); all data movement is joins.
+    * `localCheckpoint` truncates the growing lineage each round so plans
+    * stay constant-size at scale.
+    *
+    * @return (id, cluster) where cluster = min id in the component
+    */
+  def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var changed = true
+    var i = 0
+    while (changed && i < maxIter) {
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels
+        .join(neighbourMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count() > 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: MinHash/LSH pairs → transitive clusters →
+    * keep the lowest-id document of each cluster.
+    */
+  def dedupNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLsh(docs, textCol, idCol, threshold = threshold)
+    val labels = clusters(docs.select(col(idCol)), idCol, pairs)
+    docs.join(labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH bucket join, exact
     * cosine verify within buckets. Hyperplanes are seeded-deterministic.
     */

@@ -90,6 +90,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("clusters: min-label propagation closes transitive chains") {
+    val ids = (0L to 5L).toDF("doc_id")
+    // chain 0-1, 1-2 (0 and 2 never paired directly); separate pair 4-5
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(ids, "doc_id", pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("dedupNearDups keeps one canonical doc per near-dup cluster") {
+    val kept = Dedup.dedupNearDups(docs, "text", "doc_id", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    // 0,1 exact dups and 2 a near-dup of both -> one survivor (0); 3,4 kept
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
+  test("cascade removes the corpus's planted near-dups but keeps the bulk") {
+    val total = Tables.documents(spark, sfDir).count()
+    val kept = Dedup.dedupNearDups(
+      Tables.documents(spark, sfDir), "text", "doc_id", threshold = 0.4).count()
+    assert(kept < total, "corpus contains planted near-dups; cascade must remove some")
+    assert(kept > total * 4 / 5, s"cascade too aggressive: kept $kept of $total")
+  }
+
   test("embedding near-dup finds planted high-cosine pair only") {
     val dim = 16
     val v = Array.tabulate(dim)(i => math.sin(i + 1).toFloat)

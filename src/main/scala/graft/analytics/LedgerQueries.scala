@@ -55,10 +55,16 @@ object LedgerQueries {
     * normalizer has a corpus-scale input for benchmarks: each event becomes
     * a native transfer of `value` SOL from a per-user wallet.
     */
-  def eventsAsBronze(s: SparkSession, d: String): DataFrame = {
+  def eventsAsBronze(s: SparkSession, d: String): DataFrame =
+    bronzeFromEvents(Tables.events(s, d))
+
+  /** Same envelope over an arbitrary events-shaped DataFrame (used by
+    * ScaleCheck so the scaling evidence measures the identical pipeline).
+    */
+  def bronzeFromEvents(ev: DataFrame): DataFrame = {
     val wallet = concat(lit("W"), col("user_id"))
     val lamports = floor(col("value") * 1e9).cast("long")
-    Tables.events(s, d).select(
+    ev.select(
       concat(lit("tx"), col("event_id")).as("id"),
       concat(lit("u"), col("user_id")).as("user_id"),
       wallet.as("wallet_address"),

@@ -39,6 +39,12 @@ object AsOfJoin {
       valueCols: Seq[String],
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — " +
+        "rename or drop them on one side first")
+    val reserved = Seq("_ts", "_tag") ++ valueCols.map(c => s"_v_$c")
+    require(!reserved.exists(leftCols.contains) && !reserved.exists(right.columns.contains),
+      s"columns named ${reserved.mkString("/")} are reserved by AsOfJoin")
     // Tag order decides tie behavior at equal timestamps: with inclusive
     // semantics the quote at ts==left.ts must sort BEFORE the left row.
     val rightTag = if (strict) 2 else 0

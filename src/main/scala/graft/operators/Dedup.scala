@@ -142,7 +142,7 @@ object Dedup {
     * @return (id, cluster) where cluster = min id in the component
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -165,6 +165,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // Silent non-convergence would mean duplicate "canonical" docs survive
+    // dedup: fail loudly instead (a chain deeper than maxIter hops is
+    // pathological input, not a tolerable approximation).
+    if (changed) throw new IllegalStateException(
+      s"clusters() did not converge within $maxIter iterations — " +
+        "a near-dup chain is deeper than maxIter; raise maxIter")
     labels
   }
 

@@ -29,16 +29,26 @@ object IdempotentSink {
     * `partitionCols` selects a hive-partitioned layout (e.g. a wallet hash
     * bucket) so keyed reads prune to matching directories.
     * Returns the number of rows actually appended.
+    *
+    * Concurrency contract: exactly-once holds under a SINGLE serialized
+    * writer per table (the streaming foreachBatch case — batches arrive in
+    * order). Two concurrent writers can both observe a key as absent and
+    * both append (check-then-write over plain parquet is not atomic);
+    * multi-writer tables need a transactional table format underneath.
     */
   def appendOnce(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
       partitionCols: Seq[String] = Nil): Long = {
-    val fresh = dedupeAgainstExisting(spark, batch, path, keyCol)
-    val n = fresh.count()
-    if (n > 0) {
-      val w = fresh.write.mode(SaveMode.Append)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-    }
-    n
+    // persist: count() and write() would otherwise each re-run the
+    // batch-dedup + existing-table anti-join — doubling the per-batch scan
+    val fresh = dedupeAgainstExisting(spark, batch, path, keyCol).persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val w = fresh.write.mode(SaveMode.Append)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      }
+      n
+    } finally fresh.unpersist()
   }
 
   /** The pure (side-effect-free) core: batch rows whose key is not already

@@ -24,6 +24,12 @@ object SkewJoin {
       salts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Replicating the small side is only sound for join types that preserve
+    // the BIG side's rows: a right/full outer would surface one null-padded
+    // phantom row per salt for unmatched small keys.
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/semi/anti join types, not $joinType")
     // xxhash64 over the whole row spreads deterministically without needing
     // a unique id column
     val bigSalted = big.withColumn("_salt",

@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
@@ -34,14 +36,21 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  // The native expressions assume their exact input types (the Column API
+  // inserts casts); the SQL path must too, or array<float> inputs — like
+  // the embeddings table — would read garbage through getDouble.
+  private def dblArr(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
+  private def strArr(e: Expression): Expression = Cast(e, ArrayType(StringType))
+
   /** name → expression builder, shared by both registration paths. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_product" -> ((args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+    "dot_product" -> ((args: Seq[Expression]) =>
+      DotProductExpr(dblArr(args(0)), dblArr(args(1)))),
     "minhash_signature" -> ((args: Seq[Expression]) =>
-      MinHashSignatureExpr(args(0), intLit(args(1), "minhash k"))),
-    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(args(0))),
+      MinHashSignatureExpr(strArr(args(0)), intLit(args(1), "minhash k"))),
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(strArr(args(0)))),
     "word_shingles" -> ((args: Seq[Expression]) =>
-      WordShinglesExpr(args(0), intLit(args(1), "shingle n"))))
+      WordShinglesExpr(strArr(args(0)), intLit(args(1), "shingle n"))))
 
   /** Register the same functions in an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -19,8 +19,17 @@ object EventStreams {
     * events schema; server-side filtering ≙ pushed filter on the stream.
     */
   def subscribe(spark: SparkSession, dir: String, eventTypes: Seq[String] = Nil): DataFrame = {
+    // events dirs may carry TIMESTAMP(NANOS) (see Tables.events): read the
+    // nanos as long and convert, instead of depending on a prior
+    // Tables.events call having mutated the session conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    val stream =
+      if (schema.fieldNames.contains("ts") &&
+        schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
     if (eventTypes.isEmpty) stream
     else stream.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))
   }

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
+import graft.analytics.LedgerQueries
 import graft.normalize.SolanaNormalizer
 
 /** Dev tool: scaling evidence for the normalizer — times the full
@@ -31,27 +32,8 @@ object ScaleCheck {
       s
     }
 
-    def normalized(ev: DataFrame) = {
-      val wallet = concat(lit("W"), col("user_id"))
-      val lamports = floor(col("value") * 1e9).cast("long")
-      val bronze = ev.select(
-        concat(lit("tx"), col("event_id")).as("id"),
-        concat(lit("u"), col("user_id")).as("user_id"),
-        wallet.as("wallet_address"),
-        unix_timestamp(col("ts")).as("timestamp"),
-        concat(lit("h"), col("event_id")).as("tx_hash"),
-        lit("solana").as("chain"),
-        concat(
-          lit("""{"slot": """), col("event_id"),
-          lit(""", "blockTime": """), unix_timestamp(col("ts")),
-          lit(""", "transaction": {"signatures": ["s"], "message": {"accountKeys": [{"pubkey": """"),
-          wallet,
-          lit("""", "signer": true, "writable": true}], "recentBlockhash": "x"}}, "meta": {"fee": 0, "preBalances": [10000000000], "postBalances": ["""),
-          (lit(10000000000L) - lamports),
-          lit("""], "preTokenBalances": [], "postTokenBalances": []}}""")
-        ).as("raw_metadata"))
-      SolanaNormalizer.normalize(bronze)
-    }
+    def normalized(ev: DataFrame) =
+      SolanaNormalizer.normalize(LedgerQueries.bronzeFromEvents(ev))
 
     val events1 = Tables.events(spark, sfDir).localCheckpoint(true)
     val events10 = replicate(events1, 10).localCheckpoint(true)

@@ -27,6 +27,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getInt(3) == 16)
   }
 
+  test("sql functions cast inputs: dot_product works on the float-typed embeddings table") {
+    Tables.embeddings(extSpark, sfDir).createOrReplaceTempView("emb_v")
+    val norms = extSpark.sql(
+      "SELECT vec_id, dot_product(embedding, embedding) AS sq FROM emb_v ORDER BY vec_id LIMIT 5")
+      .collect()
+    assert(norms.length == 5)
+    assert(norms.forall(_.getDouble(1) > 0.0), "float arrays must cast, not read garbage")
+  }
+
   test("sql results match the Column API") {
     import graft.functions.VectorExpressions.dotFast
     import org.apache.spark.sql.functions._

@@ -70,6 +70,23 @@ class OperatorSpec extends SparkSpec {
     assert(spread > 4, s"salt only used $spread buckets")
   }
 
+  test("salted skew join rejects right/full outer (would fabricate phantom rows)") {
+    import graft.operators.SkewJoin
+    val df = Seq((1L, 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(df, df, "k", joinType = "full")
+    }
+  }
+
+  test("as-of join rejects colliding value columns and reserved names") {
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 10L, 1.0)).toDF("key", "ts", "px")
+    val r = Seq((1L, 5L, 2.0)).toDF("key", "ts", "px")
+    intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, "key", "ts", "ts", Seq("px")) // px exists on left
+    }
+  }
+
   test("multimodal resize clamps into bounding box preserving aspect; frame sampling explodes videos") {
     import graft.operators.MultimodalPipeline._
     val feats = extractFeatures(mediaFromDocuments(spark, sfDir))

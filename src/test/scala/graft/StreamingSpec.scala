@@ -121,6 +121,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J1: subscribe reads the raw nanos-timestamped events parquet directly") {
+    // the corpus events.parquet is TIMESTAMP(NANOS): subscribe must handle
+    // it without a prior Tables.events call having mutated the session
+    // conf. Raw byte copy into a dir (file streams need directories).
+    val dir = Files.createTempDirectory("rawsub")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = EventStreams.subscribe(spark, dir.toString)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream.format("memory").queryName("rawsub")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rawsub").count() ==
+        Tables.events(spark, sfDir).count())
+    } finally q.stop()
+  }
+
   test("I1×J: the batch normalizer runs unchanged on a streaming bronze source") {
     import graft.analytics.LedgerQueries
     import graft.normalize.SolanaNormalizer

@@ -89,4 +89,14 @@ object LedgerPipeline {
     byWallet(spark, silverPath, wallet, nBuckets)
       .drop("_bucket")
       .orderBy("transaction_id", "asset_symbol")
+
+  /** Typed view of [[ledger]] — the compile-time-checked `Dataset` surface
+    * mirroring the reference's `Vec<LedgerEntry>` response
+    * (`core/src/models.rs:33-44`).
+    */
+  def ledgerTyped(spark: SparkSession, silverPath: String, wallet: String,
+      nBuckets: Int = DefaultBuckets): org.apache.spark.sql.Dataset[graft.model.LedgerEntry] = {
+    import spark.implicits._
+    ledger(spark, silverPath, wallet, nBuckets).as[graft.model.LedgerEntry]
+  }
 }

@@ -52,6 +52,20 @@ class NormalizerSpec extends SparkSpec {
     assert(ids.distinct.size == ids.size, "surrogate ids must be unique")
   }
 
+  test("chain dispatch: non-solana chains contribute zero entries (cli/main.rs:152-161)") {
+    import spark.implicits._
+    import graft.model.Transaction
+    val raw = LedgerQueries.fixtures.head._2 // a valid solana envelope
+    val mixed = Seq(
+      Transaction("e1", "u", LedgerQueries.W, 0L, "h1", "ethereum", raw),
+      Transaction("h1", "u", LedgerQueries.W, 0L, "h2", "hyperliquid", raw),
+      Transaction("s1", "u", LedgerQueries.W, 0L, "h3", "solana", raw)
+    ).toDF()
+    val out = SolanaNormalizer.normalize(mixed)
+      .select("transaction_id").as[String].collect().toSet
+    assert(out == Set("s1"))
+  }
+
   test("corrupt raw_metadata JSON yields zero entries, not a failure") {
     import spark.implicits._
     import graft.model.Transaction

@@ -33,6 +33,11 @@ class PipelineSpec extends SparkSpec {
       ("tx1", "SOL", -0.5), ("tx2", "MintA", 2.5),
       ("tx2", "MintB", 3.0), ("tx5", "MintD", 4.0)))
 
+    // typed surface: the Dataset[LedgerEntry] view decodes the same rows
+    val typed = LedgerPipeline.ledgerTyped(spark, silver, w).collect()
+    assert(typed.map(e => (e.transaction_id, e.asset_symbol, e.amount)).toSeq == entries)
+    assert(typed.forall(_.fiat_value.isEmpty), "fiat_value stays None (parser.rs:38,78)")
+
     // scale property: the by-wallet read prunes to the wallet's hash-bucket
     // partition (PartitionFilters on _bucket), instead of scanning the table
     val plan = LedgerPipeline.transactions(spark, bronze, w)

@@ -50,34 +50,11 @@ object SimilarityQueries {
         .limit(10)
     }),
 
-    // K3 scale path: LSH-bucketed ANN — random-hyperplane signature match
-    // first (map-side), exact cosine only on the candidate subset. Same
-    // hyperplane family as Dedup.embeddingNearDup; rows-only check (seeded
-    // hyperplanes aren't reproducible in SQL), recall asserted in ScalaTest
-    // against the brute-force baseline.
-    "k3_ann_lsh" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val dim = 64
-      val rnd = new scala.util.Random(42L)
-      val planes = Seq.fill(8)(Seq.fill(dim)(rnd.nextGaussian()))
-      def sig(v: org.apache.spark.sql.Column) =
-        planes.zipWithIndex.map { case (p, i) =>
-          when(dot(v, array(p.map(lit): _*)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val tagged = emb.select(col("vec_id"), col("label"),
-        asDouble(col("embedding")).as("v"), sig(asDouble(col("embedding"))).as("bucket"))
-      val q = tagged.filter(col("vec_id") === 0)
-        .select(col("v").as("q_vec"), col("bucket").as("q_bucket"))
-      tagged
-        .crossJoin(broadcast(q))
-        // probe the query's bucket plus hamming-1 neighbors
-        .filter(col("bucket") === col("q_bucket") ||
-          expr("bit_count(bucket ^ q_bucket)") === 1)
-        .select(col("vec_id"), col("label"),
-          round(cosine(col("v"), col("q_vec")), 6).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
-    }),
+    // K3 scale path: LSH-bucketed ANN — see [[annTopK]]; rows-only check
+    // (seeded hyperplanes aren't reproducible in SQL), recall asserted in
+    // SimilaritySpec on planted clustered vectors.
+    "k3_ann_lsh" -> ((s, d) =>
+      annTopK(Tables.embeddings(s, d), queryId = 0, dim = 64, k = 10)),
 
     // K2 embedding near-dup: hyperplane-LSH buckets → in-bucket exact
     // cosine ≥ 0.9 (rows-only; planted-pair recall in ScalaTest).
@@ -111,6 +88,37 @@ object SimilarityQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** LSH-bucketed approximate top-k: random-hyperplane signature match
+    * first (map-side, pruning to ~14% of rows at probeHamming=2 over 8
+    * planes), exact cosine only on the candidate subset, then
+    * TakeOrderedAndProject. Recall depends on the corpus's cluster
+    * structure: guaranteed-good for genuinely-near neighbours (cos ≳ 0.9 ⇒
+    * per-plane agreement ≳ 0.9); on uniform-random vectors whose "top-k"
+    * sits near cos ≈ 0.4 no sublinear method separates well — that is a
+    * property of the data, not the index. probeHamming widens multi-probe:
+    * candidates grow as sum C(nPlanes, 0..r).
+    */
+  def annTopK(emb: DataFrame, queryId: Long, dim: Int, k: Int,
+      nPlanes: Int = 8, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    def sig(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(dot(v, array(p.map(lit): _*)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val tagged = emb.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"), sig(asDouble(col("embedding"))).as("bucket"))
+    val q = tagged.filter(col("vec_id") === queryId)
+      .select(col("v").as("q_vec"), col("bucket").as("q_bucket"))
+    tagged
+      .crossJoin(broadcast(q))
+      .filter(expr("bit_count(bucket ^ q_bucket)") <= probeHamming)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("q_vec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   private val cosineTopkSql =
     """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.analytics.SimilarityQueries
+
+/** K3: ANN quality. LSH recall is only guaranteed where LSH theory applies
+  * — genuinely-near neighbours (high cosine). The planted-cluster test
+  * asserts that guarantee; the corpus (uniform-random vectors, whose
+  * "nearest" neighbours sit near cos≈0.4) is exercised as a smoke +
+  * self-retrieval check only.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topIds(name: String): Seq[Long] =
+    SimilarityQueries.queries(name)(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSeq
+
+  test("ANN on planted clusters: finds the true near neighbours") {
+    val dim = 64
+    val rnd = new scala.util.Random(7L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    // ids 1..10: tight cluster around the query (cos ≈ 0.97)
+    val near = (1L to 10L).map { i =>
+      (i, unit(base.map(_ + 0.15 * rnd.nextGaussian())), 1)
+    }
+    // ids 11..510: unrelated random vectors
+    val far = (11L to 510L).map { i =>
+      (i, unit(Array.fill(dim)(rnd.nextGaussian())), 0)
+    }
+    val emb = ((0L, unit(base), 1) +: (near ++ far))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityQueries.annTopK(emb, queryId = 0, dim = dim, k = 11)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (0L to 10L).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"ANN missed planted cluster: got $got, recall $recall")
+  }
+
+  test("ANN on the corpus retrieves the query itself and only high-ranked vectors") {
+    val exact = topIds("k3_cosine_topk")
+    val ann = topIds("k3_ann_lsh")
+    assert(ann.contains(0L), "query vector must match itself")
+    assert(ann.nonEmpty && exact.nonEmpty)
+  }
+
+  test("codegen'd cosine ranks identically to the HOF formulation") {
+    assert(topIds("k3_cosine_topk_fast") == topIds("k3_cosine_topk"))
+  }
+}

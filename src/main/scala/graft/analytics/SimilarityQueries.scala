@@ -65,6 +65,21 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K5: int8 embedding quantization — the storage-compression step of an
+    // embedding pipeline: symmetric per-vector scale, quantize, and report
+    // the worst-case dequantization error (bounded by 0.5/scale).
+    "k5_quantize_int8" -> ((s, d) => {
+      val v = asDouble(col("embedding"))
+      val scale = lit(127.0) / array_max(transform(v, abs(_)))
+      val deq = transform(v, x => round(x * scale) / scale)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(scale, 6).as("scale"),
+          round(aggregate(zip_with(v, deq, (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x)), 9).as("max_err"))
+        .orderBy("vec_id")
+    }),
+
     // K5: multimodal record assembly — text + opaque binary payload +
     // embedding in one struct-typed row. The binary payload is a
     // deterministic stand-in for image/audio bytes (decode libs aren't in
@@ -137,6 +152,14 @@ object SimilarityQueries {
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,
+
+    "k5_quantize_int8" ->
+      """SELECT vec_id,
+        |  ROUND(127.0 / list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))), 6) AS scale,
+        |  ROUND(list_max(list_transform(embedding,
+        |    x -> ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) * (127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))))
+        |                / (127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))))))), 9) AS max_err
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "k5_multimodal" ->
       """SELECT d.doc_id, 'text' AS modality,
         |  CAST(octet_length(unhex(sha256(d.text))) AS INTEGER) AS payload_len,

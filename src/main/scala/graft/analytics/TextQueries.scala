@@ -102,6 +102,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K4: pattern redaction — the PII-scrub shape of a cleaning pipeline:
+    // replace digit runs with a sentinel, count what was redacted.
+    "k4_redact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_redacted"),
+          length(regexp_replace(col("text"), "[0-9]+", "<NUM>")).as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
     // K4: document fingerprinting — content-defined prefix digest + length
     // bucket (the cheap pre-filter ahead of MinHash in a dedup cascade).
     "k4_fingerprint" -> ((s, d) => {
@@ -245,6 +255,12 @@ object TextQueries {
         |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    "k4_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redacted,
+        |  CAST(LENGTH(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS INTEGER) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "k4_fingerprint" ->
       """SELECT doc_id, SHA256(SUBSTR(text, 1, 64)) AS prefix_fp,

@@ -70,13 +70,19 @@ object SimilarityQueries {
     // the worst-case dequantization error (bounded by 0.5/scale).
     "k5_quantize_int8" -> ((s, d) => {
       val v = asDouble(col("embedding"))
-      val scale = lit(127.0) / array_max(transform(v, abs(_)))
-      val deq = transform(v, x => round(x * scale) / scale)
+      val maxAbs = array_max(transform(v, abs(_)))
+      val rawScale = lit(127.0) / maxAbs
+      // zero/empty vectors: scale undefined (null), error is exactly 0 —
+      // guarded on BOTH sides or Infinity/NaN would diverge from the oracle
+      val scale = when(maxAbs > 0, rawScale)
+      val deq = transform(v, x => round(x * rawScale) / rawScale)
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           round(scale, 6).as("scale"),
-          round(aggregate(zip_with(v, deq, (a, b) => abs(a - b)),
-            lit(0.0), (acc, x) => greatest(acc, x)), 9).as("max_err"))
+          when(maxAbs > 0,
+            round(aggregate(zip_with(v, deq, (a, b) => abs(a - b)),
+              lit(0.0), (acc, x) => greatest(acc, x)), 9))
+            .otherwise(0.0).as("max_err"))
         .orderBy("vec_id")
     }),
 
@@ -116,14 +122,9 @@ object SimilarityQueries {
     */
   def annTopK(emb: DataFrame, queryId: Long, dim: Int, k: Int,
       nPlanes: Int = 8, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-    def sig(v: org.apache.spark.sql.Column) =
-      planes.zipWithIndex.map { case (p, i) =>
-        when(dot(v, array(p.map(lit): _*)) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
-      }.reduce(_ + _)
     val tagged = emb.select(col("vec_id"), col("label"),
-      asDouble(col("embedding")).as("v"), sig(asDouble(col("embedding"))).as("bucket"))
+      asDouble(col("embedding")).as("v"),
+      hyperplaneSig(asDouble(col("embedding")), dim, nPlanes, seed).as("bucket"))
     val q = tagged.filter(col("vec_id") === queryId)
       .select(col("v").as("q_vec"), col("bucket").as("q_bucket"))
     tagged
@@ -154,12 +155,19 @@ object SimilarityQueries {
     "k3_cosine_topk_fast" -> cosineTopkSql,
 
     "k5_quantize_int8" ->
-      """SELECT vec_id,
-        |  ROUND(127.0 / list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))), 6) AS scale,
-        |  ROUND(list_max(list_transform(embedding,
-        |    x -> ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) * (127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))))
-        |                / (127.0 / list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))))))), 9) AS max_err
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS max_abs,
+        |    embedding
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CASE WHEN max_abs > 0 THEN ROUND(127.0 / max_abs, 6) END AS scale,
+        |  CASE WHEN max_abs > 0 THEN
+        |    ROUND(list_max(list_transform(embedding,
+        |      x -> ABS(CAST(x AS DOUBLE) - ROUND(CAST(x AS DOUBLE) * (127.0 / max_abs))
+        |                  / (127.0 / max_abs)))), 9)
+        |  ELSE 0.0 END AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "k5_multimodal" ->
       """SELECT d.doc_id, 'text' AS modality,
         |  CAST(octet_length(unhex(sha256(d.text))) AS INTEGER) AS payload_len,

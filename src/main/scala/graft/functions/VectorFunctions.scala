@@ -54,6 +54,19 @@ object VectorFunctions {
     }: _*)
   }
 
+  /** Random-hyperplane LSH signature: bit i set when v·plane_i > 0.
+    * Planes are seeded-deterministic; the SAME (dim, nPlanes, seed) family
+    * is shared by embedding near-dup bucketing and ANN probing so their
+    * buckets stay correlated.
+    */
+  def hyperplaneSig(v: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, array(p.map(lit): _*)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -42,7 +42,8 @@ object AsOfJoin {
     require(!valueCols.exists(leftCols.contains),
       s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — " +
         "rename or drop them on one side first")
-    val reserved = Seq("_ts", "_tag") ++ valueCols.map(c => s"_v_$c")
+    val reserved = Seq("_ts", "_tag") ++
+      valueCols.flatMap(c => Seq(s"_v_$c", s"_asof_$c"))
     require(!reserved.exists(leftCols.contains) && !reserved.exists(right.columns.contains),
       s"columns named ${reserved.mkString("/")} are reserved by AsOfJoin")
     // Tag order decides tie behavior at equal timestamps: with inclusive

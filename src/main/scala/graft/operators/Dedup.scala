@@ -149,7 +149,13 @@ object Dedup {
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
     var changed = true
     var i = 0
-    while (changed && i < maxIter) {
+    while (changed) {
+      // allow maxIter label-changing rounds plus the confirming round: a
+      // chain of diameter exactly maxIter converges on round maxIter-1 and
+      // confirms on round maxIter — only round maxIter+1 means divergence
+      if (i > maxIter) throw new IllegalStateException(
+        s"clusters() did not converge within $maxIter iterations — " +
+          "a near-dup chain is deeper than maxIter; raise maxIter")
       val neighbourMin = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
@@ -165,12 +171,6 @@ object Dedup {
       labels = next
       i += 1
     }
-    // Silent non-convergence would mean duplicate "canonical" docs survive
-    // dedup: fail loudly instead (a chain deeper than maxIter hops is
-    // pathological input, not a tolerable approximation).
-    if (changed) throw new IllegalStateException(
-      s"clusters() did not converge within $maxIter iterations — " +
-        "a near-dup chain is deeper than maxIter; raise maxIter")
     labels
   }
 
@@ -197,15 +197,8 @@ object Dedup {
       threshold: Double = 0.9,
       seed: Long = 42L,
       maxBucket: Int = 256): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
     val v = asDouble(col(vecCol))
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    val sig = sigBits.reduce(_ bitwiseOR _)
+    val sig = hyperplaneSig(v, dim, nPlanes, seed)
 
     val tagged = embeddings
       .select(col(idCol).as("_id"), v.as("_v"), sig.as("_bucket"))

@@ -27,8 +27,10 @@ object SkewJoin {
     // Replicating the small side is only sound for join types that preserve
     // the BIG side's rows: a right/full outer would surface one null-padded
     // phantom row per salt for unmatched small keys.
-    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+    // normalize the way Spark's JoinType.apply does (lowercase, strip _)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "semi", "leftsemi",
+      "anti", "leftanti").contains(jt),
       s"saltedEquiJoin supports inner/left/semi/anti join types, not $joinType")
     // xxhash64 over the whole row spreads deterministically without needing
     // a unique id column

@@ -19,14 +19,31 @@ object EventStreams {
     * events schema; server-side filtering ≙ pushed filter on the stream.
     */
   def subscribe(spark: SparkSession, dir: String, eventTypes: Seq[String] = Nil): DataFrame = {
-    // events dirs may carry TIMESTAMP(NANOS) (see Tables.events): read the
-    // nanos as long and convert, instead of depending on a prior
-    // Tables.events call having mutated the session conf.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(dir).schema
+    // Probe whether the dir actually carries TIMESTAMP(NANOS): only then
+    // enable nanosAsLong (it must stay set for the stream's lifetime — the
+    // per-batch file reads consult the session conf) and convert ns→µs.
+    // A plain long `ts` column must NOT be touched: sniffing types alone
+    // would misread epoch-seconds longs as nanoseconds.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val (schema, hasNanos) =
+      try (spark.read.parquet(dir).schema, false)
+      catch {
+        case e: Exception if Option(e.getMessage).exists(_.contains("TIMESTAMP(NANOS")) =>
+          spark.conf.set(key, "true")
+          (spark.read.parquet(dir).schema, true)
+      } finally {
+        if (!spark.conf.get(key, "false").toBoolean) {
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        }
+      }
     val raw = spark.readStream.schema(schema).parquet(dir)
     val stream =
-      if (schema.fieldNames.contains("ts") &&
+      if (hasNanos && schema.fieldNames.contains("ts") &&
         schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw

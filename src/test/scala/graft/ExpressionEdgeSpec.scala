@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.VectorExpressions._
+import org.apache.spark.sql.functions._
+
+/** Edge inputs through the native expressions: empty docs/arrays must be
+  * well-defined, not crash or diverge from the HOF formulations.
+  */
+class ExpressionEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shinglesFast on empty and single-token docs degrades to whole-doc shingle") {
+    val out = Seq("", "solo", "a b").toDF("text")
+      .select(col("text"), shinglesFast(split(col("text"), " "), 3).as("sh"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("") == Seq(""))
+    assert(out("solo") == Seq("solo"))
+    assert(out("a b") == Seq("a b"))
+  }
+
+  test("minHashFast on empty shingle set returns all-MaxValue signature (no elements to min)") {
+    val sig = Seq(1).toDF("x")
+      .select(minHashFast(array().cast("array<string>"), 8).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig == Seq.fill(8)(Long.MaxValue))
+  }
+
+  test("simHashFast on empty token set is deterministic (all-votes-zero fingerprint)") {
+    val fps = Seq(1, 2).toDF("x")
+      .select(simHashFast(array().cast("array<string>")).as("f"))
+      .as[Long].collect().toSeq
+    assert(fps.distinct.size == 1)
+  }
+
+  test("rollingChunks on empty and short strings yields exactly one chunk") {
+    val out = Seq("", "tiny").toDF("t")
+      .select(col("t"), rollingChunks(col("t")).as("c"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(out("").length == 1 && out("tiny").length == 1)
+  }
+
+  test("dotFast on empty arrays is 0") {
+    val v = Seq(1).toDF("x")
+      .select(dotFast(array().cast("array<double>"), array().cast("array<double>")))
+      .as[Double].head()
+    assert(v == 0.0)
+  }
+}

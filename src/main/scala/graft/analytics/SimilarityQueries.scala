@@ -57,9 +57,18 @@ object SimilarityQueries {
       annTopK(Tables.embeddings(s, d), queryId = 0, dim = 64, k = 10)),
 
     // K2 embedding near-dup: hyperplane-LSH buckets → in-bucket exact
-    // cosine ≥ 0.9 (rows-only; planted-pair recall in ScalaTest).
+    // cosine ≥ 0.9. The corpus embeddings are uniform-random (no cos≥0.9
+    // pairs exist), so the query plants ground truth: 20 scaled copies
+    // (cosine exactly 1, same LSH bucket by construction) that the finder
+    // MUST return — self-validating rows-only check, detailed recall in
+    // DedupSpec.
     "k2_embedding_neardup" -> ((s, d) => {
-      Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id",
+      val emb = Tables.embeddings(s, d)
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      Dedup.embeddingNearDup(emb.unionByName(planted), "embedding", "vec_id",
           dim = 64, nPlanes = 12, threshold = 0.9)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")

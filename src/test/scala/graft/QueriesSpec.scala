@@ -7,7 +7,7 @@ class QueriesSpec extends SparkSpec {
 
   // Queries whose correct result CAN be empty at tiny scale factors.
   private val mayBeEmpty = Set(
-    "k2_minhash_lsh", "k2_simhash", "k2_embedding_neardup", "k2_rolling_chunks",
+    "k2_minhash_lsh", "k2_simhash", "k2_rolling_chunks",
     "g3_except", "c6_join_anti", "c6_join_semi")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -345,10 +345,16 @@ object StarQueries {
         .orderBy("c_nationkey", "c_custkey")
     }),
 
-    // G3: multiset EXCEPT ALL.
+    // G3: multiset EXCEPT ALL / INTERSECT ALL.
     "g3_except_all" -> ((s, d) => {
       Tables.customer(s, d).select(col("c_nationkey").as("k"))
         .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    }),
+
+    "g3_intersect_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("k")))
         .orderBy("k")
     }),
 
@@ -549,6 +555,10 @@ object StarQueries {
     "g3_except_all" ->
       """SELECT c_nationkey AS k FROM customer
         |EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+
+    "g3_intersect_all" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
 
     "h13_date_funcs" ->
       """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,

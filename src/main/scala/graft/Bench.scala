@@ -17,7 +17,11 @@ object Bench {
     // startup (codegen, hadoop init, noop-sink lookup) into its number
     try SparkEntry.queries("d2_count")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // best-effort, but never silent: a skipped warmup re-skews the first
+      // timed query's number
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -64,8 +64,9 @@ object SimilarityQueries {
     // DedupSpec.
     "k2_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // negative ids cannot collide with corpus vec_ids at any scale factor
       val planted = emb.filter(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000).as("vec_id"),
+        .select((-(col("vec_id") + 1)).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
           col("label"))
       Dedup.embeddingNearDup(emb.unionByName(planted), "embedding", "vec_id",

@@ -19,36 +19,58 @@ object EventStreams {
     * events schema; server-side filtering ≙ pushed filter on the stream.
     */
   def subscribe(spark: SparkSession, dir: String, eventTypes: Seq[String] = Nil): DataFrame = {
-    // Probe whether the dir actually carries TIMESTAMP(NANOS): only then
-    // enable nanosAsLong (it must stay set for the stream's lifetime — the
-    // per-batch file reads consult the session conf) and convert ns→µs.
-    // A plain long `ts` column must NOT be touched: sniffing types alone
-    // would misread epoch-seconds longs as nanoseconds.
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    val (schema, hasNanos) =
-      try (spark.read.parquet(dir).schema, false)
-      catch {
-        case e: Exception if Option(e.getMessage).exists(_.contains("TIMESTAMP(NANOS")) =>
-          spark.conf.set(key, "true")
-          (spark.read.parquet(dir).schema, true)
-      } finally {
-        if (!spark.conf.get(key, "false").toBoolean) {
-          prev match {
-            case Some(v) => spark.conf.set(key, v)
-            case None => spark.conf.unset(key)
-          }
-        }
-      }
+    // TIMESTAMP(NANOS) columns are detected from the parquet FOOTER (exact
+    // logical-type check — no conf flipping that could race a live nanos
+    // stream, no exception-message sniffing, no misreading plain epoch
+    // longs as nanoseconds). If any column is nanos, nanosAsLong must be ON
+    // for the stream's lifetime (per-batch reads consult the session conf);
+    // a nanos `ts` is additionally converted ns→µs to TimestampType. Other
+    // nanos columns surface as raw longs — documented limitation.
+    val nanosCols = nanosColumns(spark, dir)
+    if (nanosCols.nonEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
     val stream =
-      if (hasNanos && schema.fieldNames.contains("ts") &&
-        schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      if (nanosCols.contains("ts"))
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
     if (eventTypes.isEmpty) stream
     else stream.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))
+  }
+
+  /** Names of top-level columns stored as parquet TIMESTAMP(NANOS), read
+    * from the footer of the first parquet file under `dir`.
+    */
+  private[streaming] def nanosColumns(spark: SparkSession, dir: String): Set[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    val first = {
+      val it = fs.listFiles(path, true)
+      var found: Option[org.apache.hadoop.fs.Path] = None
+      while (found.isEmpty && it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) found = Some(f.getPath)
+      }
+      found
+    }
+    first.fold(Set.empty[String]) { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+          case t if Option(t.getLogicalTypeAnnotation).exists {
+            case ts: TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          } => t.getName
+        }.toSet
+      } finally reader.close()
+    }
   }
 
   /** J2: exactly-once sink — checkpointed foreachBatch with an idempotent

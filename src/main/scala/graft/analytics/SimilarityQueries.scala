@@ -77,22 +77,16 @@ object SimilarityQueries {
 
     // K5: int8 embedding quantization — the storage-compression step of an
     // embedding pipeline: symmetric per-vector scale, quantize, and report
-    // the worst-case dequantization error (bounded by 0.5/scale).
+    // the worst-case dequantization error (bounded by 0.5/scale). One
+    // native single-pass expression ([[graft.functions.QuantizeInt8StatsExpr]])
+    // instead of four interpreted higher-order passes; zero/empty vectors
+    // yield (null scale, 0 error) on both sides of the oracle.
     "k5_quantize_int8" -> ((s, d) => {
-      val v = asDouble(col("embedding"))
-      val maxAbs = array_max(transform(v, abs(_)))
-      val rawScale = lit(127.0) / maxAbs
-      // zero/empty vectors: scale undefined (null), error is exactly 0 —
-      // guarded on BOTH sides or Infinity/NaN would diverge from the oracle
-      val scale = when(maxAbs > 0, rawScale)
-      val deq = transform(v, x => round(x * rawScale) / rawScale)
+      val st = graft.functions.VectorExpressions.quantizeInt8Stats(col("embedding"))
       Tables.embeddings(s, d)
         .select(col("vec_id"),
-          round(scale, 6).as("scale"),
-          when(maxAbs > 0,
-            round(aggregate(zip_with(v, deq, (a, b) => abs(a - b)),
-              lit(0.0), (acc, x) => greatest(acc, x)), 9))
-            .otherwise(0.0).as("max_err"))
+          round(st.getField("scale"), 6).as("scale"),
+          round(st.getField("max_err"), 9).as("max_err"))
         .orderBy("vec_id")
     }),
 
@@ -141,7 +135,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(q))
       .filter(expr("bit_count(bucket ^ q_bucket)") <= probeHamming)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("v"), col("q_vec")), 6).as("sim"))
+        round(graft.functions.VectorExpressions.cosineFast(col("v"), col("q_vec")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -125,6 +125,22 @@ object StarQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // D4: first/last aggregates — expressed as min_by/max_by over a
+    // (date, key) struct so the pick is total-ordered and deterministic
+    // (plain first()/last() depend on encounter order; SURVEY D4 wants the
+    // semantics, not the nondeterminism).
+    "d4_first_last" -> ((s, d) => {
+      val ord = struct(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          min_by(col("o_orderkey"), ord).as("first_order"),
+          max_by(col("o_orderkey"), ord).as("last_order"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+        .orderBy("o_orderstatus")
+    }),
+
     // D4: approx_count_distinct (HLL++) — approximate by design, so no
     // DuckDB oracle (its approx sketch differs); rows-only check.
     "d4_approx_distinct" -> ((s, d) => {
@@ -165,6 +181,17 @@ object StarQueries {
     "c6_join_left" -> ((s, d) => {
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // C6 right: mirror of the left join — Spark plans it as the same join
+    // with build/stream sides swapped; kept distinct because SURVEY C6
+    // lists right outer explicitly and users reach for it directly.
+    "c6_join_right" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy("c_custkey")
@@ -448,6 +475,26 @@ object StarQueries {
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "c6_join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    // min_by over a (date, key) struct ≡ the MIN key among min-date rows
+    // (and dually for max_by) — expressed that way because this DuckDB
+    // build's arg_min/arg_max do not accept struct ordering values.
+    "d4_first_last" ->
+      """WITH x AS (
+        |  SELECT o_orderstatus, o_orderkey, o_orderdate,
+        |    MIN(o_orderdate) OVER (PARTITION BY o_orderstatus) AS mind,
+        |    MAX(o_orderdate) OVER (PARTITION BY o_orderstatus) AS maxd
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  MIN(CASE WHEN o_orderdate = mind THEN o_orderkey END) AS first_order,
+        |  MAX(CASE WHEN o_orderdate = maxd THEN o_orderkey END) AS last_order,
+        |  MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date
+        |FROM x GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "c6_join_full" ->
       """WITH s AS (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1),

@@ -55,11 +55,16 @@ object TextQueries {
 
     // K4: per-language document-length percentiles (exact interpolated
     // percentile, matching DuckDB quantile_cont bit-for-bit on integers).
+    // Flattened to one scalar column per quantile — array-typed output
+    // breaks the driver's pandas hash-compare (round-2 verdict).
     "k4_length_percentiles" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang")
         .agg(
-          expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D))").as("pcts"),
+          expr("percentile(n_chars, 0.25D)").as("p25"),
+          expr("percentile(n_chars, 0.5D)").as("p50"),
+          expr("percentile(n_chars, 0.75D)").as("p75"),
+          expr("percentile(n_chars, 0.9D)").as("p90"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
@@ -126,7 +131,10 @@ object TextQueries {
     // against per-language marker sets; columnar, no UDF. The corpus text
     // is synthetic English-ish tokens, so markers are seeded from observed
     // high-frequency tokens; accuracy is asserted in ScalaTest on planted
-    // docs, not against the synthetic labels. Rows-only correctness check.
+    // docs, not against the synthetic labels. Oracled: DuckDB reproduces
+    // the argmax via the same greatest-over-(score, lang)-structs idiom
+    // (both engines compare structs lexicographically: max score, ties to
+    // the lexicographically-last lang).
     "k4_lang_id" -> ((s, d) => {
       val markers = Map(
         "en" -> Seq("the", "a", "and", "row", "table"),
@@ -214,7 +222,11 @@ object TextQueries {
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
 
     "k4_length_percentiles" ->
-      """SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9]) AS pcts,
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.9) AS p90,
         |  COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -265,6 +277,30 @@ object TextQueries {
     "k4_fingerprint" ->
       """SELECT doc_id, SHA256(SUBSTR(text, 1, 64)) AS prefix_fp,
         |  CAST(FLOOR(n_chars / 100.0) AS INTEGER) AS len_bucket
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Spark's greatest() over (score, lang) structs = max score with ties
+    // to the lexicographically-LAST lang; this DuckDB build can't compare
+    // structs, so the argmax+tiebreak unrolls into a CASE cascade ordered
+    // zh > fr > es > en > de (each branch uses >=, so an earlier-listed —
+    // lexicographically larger — lang wins exactly the ties Spark gives it).
+    "k4_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und', 'zeile'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'and', 'row', 'table'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'fila', 'tabla'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'ligne'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('biao', 'hang'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+        |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |    WHEN s_en >= s_de THEN 'en'
+        |    ELSE 'de'
+        |  END AS predicted_lang
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

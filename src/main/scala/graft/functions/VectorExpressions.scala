@@ -190,6 +190,62 @@ case class WordShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Int8 symmetric-quantization stats in ONE primitive pass:
+  * `struct(scale, max_err)` where `scale = 127 / max|x|` and `max_err` is
+  * the worst-case dequantization error `max|x − round(x·scale)/scale|`.
+  * Replaces four interpreted higher-order passes (abs-transform, array_max,
+  * dequantize-transform, zip_with+aggregate max) with a single tight
+  * double loop — the K5 storage-compression hot path.
+  *
+  * Rounding is half-away-from-zero, matching DuckDB's ROUND on doubles and
+  * — for |y| ≤ 127 at integer scale, where every shortest-decimal `k.5` is
+  * also binary-exact — Spark's BigDecimal HALF_UP `round()`.
+  * Zero/empty vectors yield (null, 0.0): scale is undefined, error is 0.
+  */
+case class QuantizeInt8StatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = true),
+    StructField("max_err", DoubleType, nullable = false)))
+
+  override def prettyName: String = "quantize_int8_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs > 0) {
+      val scale = 127.0 / maxAbs
+      var maxErr = 0.0
+      i = 0
+      while (i < n) {
+        val x = arr.getDouble(i)
+        val y = x * scale
+        val r = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+        val e = math.abs(x - r / scale)
+        if (e > maxErr) maxErr = e
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(scale, maxErr)
+    } else {
+      org.apache.spark.sql.catalyst.InternalRow(null, 0.0)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rolling-hash (Karp-Rabin) content-defined chunk fingerprints of a text
   * column: a fixed-width byte window rolls over the document; positions
   * where the window hash masks to zero become chunk boundaries; the output
@@ -281,4 +337,8 @@ object VectorExpressions {
   /** Rolling-hash content-defined chunk fingerprints of a string column. */
   def rollingChunks(text: Column, window: Int = 32, mask: Long = 0x3F): Column =
     GraftSqlBridge.column(RollingChunkHashesExpr(GraftSqlBridge.expression(text), window, mask))
+
+  /** Single-pass int8 quantization stats: struct(scale, max_err). */
+  def quantizeInt8Stats(v: Column): Column =
+    GraftSqlBridge.column(QuantizeInt8StatsExpr(asDoubleArray(v)))
 }

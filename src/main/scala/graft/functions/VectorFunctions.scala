@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast any numeric array to array<double> (element-wise, deterministic). */
-  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** Cast any numeric array to array<double>. A plain array cast, not a
+    * `transform` lambda: Cast is whole-stage-codegen'd while higher-order
+    * transforms evaluate one interpreted lambda call per element.
+    */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product; accumulates left-to-right in double. */
   def dot(a: Column, b: Column): Column =
@@ -60,10 +63,18 @@ object VectorFunctions {
     * buckets stay correlated.
     */
   def hyperplaneSig(v: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    // Signature bits pack into one Long; shiftleft(1L, i) is mod-64 in the
+    // JVM, so i ≥ 64 would silently alias plane i with plane i−64 and
+    // corrupt every LSH bucket.
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64], got $nPlanes")
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, array(p.map(lit): _*)) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      // dotFast: the codegen'd native expression — the plane is a foldable
+      // literal array, so each bit costs one tight primitive-double loop.
+      when(VectorExpressions.dotFast(v, array(p.map(lit): _*)) > 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
   }
 

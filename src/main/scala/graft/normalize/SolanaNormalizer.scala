@@ -25,8 +25,15 @@ import graft.model.{EntryType, Schemas}
   *
   * Divergence (documented): the reference's `Uuid::new_v4` row ids
   * (parser.rs:31,71) are nondeterministic; we use a deterministic surrogate
-  * `sha2(tx_hash:asset:accountIndex)` so replays and oracle compares are
-  * stable. Amounts stay Double, byte-faithful to the reference's f64 path.
+  * derived from the BRONZE ROW id (`sha2(bronze_id:asset[:accountIndex])`)
+  * so replays and oracle compares are stable. Keying on the bronze id — not
+  * tx_hash — matters: one on-chain transaction touching two tracked wallets
+  * (or one wallet tracked by two users) produces two bronze rows with the
+  * same tx_hash, and the reference emits distinct entries for each
+  * (Uuid::new_v4 per entry, no tx_hash uniqueness in the DDL); a
+  * tx_hash-keyed surrogate would collide and the idempotent sink would
+  * silently drop the second wallet's entry. Amounts stay Double,
+  * byte-faithful to the reference's f64 path.
   */
 object SolanaNormalizer {
 
@@ -70,7 +77,7 @@ object SolanaNormalizer {
         (col("post_lamports") - col("pre_lamports")).cast("double") / lit(LamportsPerSol))
       .filter(abs(col("amount")) > Dust)
       .select(
-        detId(col("tx_hash"), lit("SOL"), lit("native")).as("id"),
+        detId(col("id"), lit("SOL"), lit("native")).as("id"),
         col("id").as("transaction_id"),
         col("user_id"),
         col("wallet_address"),
@@ -101,7 +108,7 @@ object SolanaNormalizer {
       .withColumn("amount", col("post_amount") - col("pre_amount"))
       .filter(abs(col("amount")) > Dust)
       .select(
-        detId(col("tx_hash"), col("post.mint"), col("post.accountIndex")).as("id"),
+        detId(col("id"), col("post.mint"), col("post.accountIndex")).as("id"),
         col("id").as("transaction_id"),
         col("user_id"),
         col("wallet_address"),

@@ -209,7 +209,8 @@ object Dedup {
       .select(col("a"), explode(col("_rows")).as("b"))
       .filter(col("a._id") < col("b._id"))
     pairs
-      .withColumn("cos", cosine(col("a._v"), col("b._v")))
+      .withColumn("cos",
+        graft.functions.VectorExpressions.cosineFast(col("a._v"), col("b._v")))
       .filter(col("cos") >= threshold)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("cos"))
   }

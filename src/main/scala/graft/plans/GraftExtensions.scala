@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductExpr, MinHashSignatureExpr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{DotProductExpr, MinHashSignatureExpr, QuantizeInt8StatsExpr, SimHash64Expr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so the pure-SQL surface (`spark.sql`)
@@ -49,6 +49,8 @@ object GraftExtensions {
     "minhash_signature" -> ((args: Seq[Expression]) =>
       MinHashSignatureExpr(strArr(args(0)), intLit(args(1), "minhash k"))),
     "simhash64" -> ((args: Seq[Expression]) => SimHash64Expr(strArr(args(0)))),
+    "quantize_int8_stats" -> ((args: Seq[Expression]) =>
+      QuantizeInt8StatsExpr(dblArr(args(0)))),
     "word_shingles" -> ((args: Seq[Expression]) =>
       WordShinglesExpr(strArr(args(0)), intLit(args(1), "shingle n"))))
 

@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   *    from cluster size when deployed);
   *  - AQE on (runtime coalescing + skew-join splitting);
   *  - UTC session timezone (oracle parity + sane timestamp semantics);
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true` — SESSION-WIDE POLICY:
+  *    parquet TIMESTAMP(NANOS) columns (which Spark's reader otherwise
+  *    rejects outright) surface as raw nanosecond longs everywhere, and the
+  *    read helpers that know a column's meaning ([[graft.Tables.events]],
+  *    [[graft.streaming.EventStreams.subscribe]]) convert ns→µs
+  *    TimestampType. Declared here, at session construction, so it is a
+  *    documented engine contract — not a conf silently flipped as a side
+  *    effect of whichever read helper ran first;
   *  - [[graft.plans.GraftExtensions]] injected, so the native expressions
   *    (`dot_product`, `minhash_signature`, `simhash64`, `word_shingles`)
   *    resolve from SQL text as well as the Column API.
@@ -23,6 +31,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
 

@@ -29,6 +29,8 @@ object Tables {
     * vectorized reader rejects outright. Read it as a raw nanos long
     * (`nanosAsLong`) and truncate to a micros TimestampType — the same
     * ns→µs truncation DuckDB applies, so oracle comparisons agree.
+    * `nanosAsLong` is GraftSession-level policy (see its scaladoc); the set
+    * here only covers sessions built outside [[graft.GraftSession]] (tests).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -51,6 +51,32 @@ object LedgerQueries {
     }.toDF()
   }
 
+  /** Ethereum golden fixtures for the multi-chain dispatch (wallet [[EW]]):
+    * inbound +1.5 ETH, outbound −0.25 ETH, a self-transfer netting to 0
+    * (dust-dropped), and a missing-`value` envelope (parse-guard-dropped).
+    */
+  val EW = "0xWa11e700000000000000000000000000000000001"
+  val ethFixtures: Seq[(String, String)] = Seq(
+    "eth1" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "value": 1500000000000000000, "status": 1}""",
+    "eth2" -> s"""{"from": "$EW", "to": "0xReceiverBbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb", "value": 250000000000000000, "status": 1}""",
+    "eth3" -> s"""{"from": "$EW", "to": "$EW", "value": 999000000000000000, "status": 1}""",
+    "eth4" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "status": 0}"""
+  )
+
+  /** Solana + Ethereum (+ an unparsed hyperliquid row) bronze mix — the G1
+    * multi-chain union input.
+    */
+  def mixedBronze(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val eth = ethFixtures.map { case (id, raw) =>
+      Transaction(id, s"user_$id", EW, 1672531200L, s"hash_$id", "ethereum", raw)
+    }
+    val hyper = Seq(
+      Transaction("hl1", "user_hl1", "HlWallet", 1672531200L, "hash_hl1",
+        "hyperliquid", """{"anything": true}"""))
+    fixtureBronze(s).unionByName((eth ++ hyper).toDF())
+  }
+
   /** Bronze rows derived deterministically from the `events` table so the
     * normalizer has a corpus-scale input for benchmarks: each event becomes
     * a native transfer of `value` SOL from a per-user wallet.
@@ -128,6 +154,15 @@ object LedgerQueries {
         .orderBy("transaction_id", "asset_symbol")
     }),
 
+    // I1/B5/G1 multi-chain: per-chain dispatch + silver union over a mixed
+    // solana/ethereum/hyperliquid bronze. Oracle re-derives BOTH parsers
+    // independently in DuckDB SQL; the hyperliquid row must vanish.
+    "i1_normalize_multichain" -> ((s, _) => {
+      graft.normalize.ChainNormalizers.normalizeAll(mixedBronze(s))
+        .select("transaction_id", "wallet_address", "asset_symbol", "amount", "entry_type")
+        .orderBy("transaction_id", "asset_symbol")
+    }),
+
     // I1 at corpus scale: events-derived bronze → silver → per-wallet
     // position rollup (D3 over real normalizer output). Oracled: the DuckDB
     // side re-derives the envelope semantics directly from `events` (each
@@ -194,7 +229,30 @@ object LedgerQueries {
       s"('$id', 'user_$id', '$W', CAST(1672531200 AS BIGINT), 'hash_$id', 'solana')"
     }.mkString(",\n  ")
 
+  private def ethValues: String =
+    ethFixtures.map { case (id, raw) => s"('$id', '$EW', '$raw')" }.mkString(",\n  ")
+
   val oracle: Map[String, String] = Map(
+    "i1_normalize_multichain" ->
+      s"""$silverCte,
+         |eth(transaction_id, wallet_address, raw) AS (VALUES
+         |  $ethValues),
+         |eth_silver AS (
+         |  SELECT transaction_id, wallet_address, 'ETH' AS asset_symbol, amount,
+         |    'transfer' AS entry_type
+         |  FROM (
+         |    SELECT transaction_id, wallet_address,
+         |      ((CASE WHEN json_extract_string(raw, '$$.to') = wallet_address
+         |             THEN CAST(json_extract(raw, '$$.value') AS BIGINT) ELSE 0 END)
+         |       - (CASE WHEN json_extract_string(raw, '$$.from') = wallet_address
+         |               THEN CAST(json_extract(raw, '$$.value') AS BIGINT) ELSE 0 END)) / 1e18 AS amount
+         |    FROM eth
+         |    WHERE json_extract(raw, '$$.value') IS NOT NULL)
+         |  WHERE ABS(amount) > 0.000001)
+         |SELECT transaction_id, wallet_address, asset_symbol, amount, entry_type
+         |FROM (SELECT * FROM silver UNION ALL SELECT * FROM eth_silver)
+         |ORDER BY transaction_id, asset_symbol""".stripMargin,
+
     "i1_normalize_golden" ->
       s"""$silverCte
          |SELECT transaction_id, wallet_address, asset_symbol, amount, entry_type

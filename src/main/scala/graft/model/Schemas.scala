@@ -93,6 +93,18 @@ object Schemas {
       StructField("preTokenBalances", ArrayType(tokenBalance)),
       StructField("postTokenBalances", ArrayType(tokenBalance)))))))
 
+  /** Ethereum transaction envelope — the engine's second-chain branch
+    * completing the reference's 3-variant `Chain` design
+    * (`core/src/models.rs:5-10`; the reference dispatches only Solana,
+    * `cli/src/main.rs:152-161`). Minimal native-transfer shape: value in
+    * wei, from/to addresses.
+    */
+  val ethTx: StructType = StructType(Seq(
+    StructField("from", StringType),
+    StructField("to", StringType),
+    StructField("value", LongType),
+    StructField("status", IntegerType)))
+
   /** Bronze table schema (`transactions`). */
   val bronze: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),

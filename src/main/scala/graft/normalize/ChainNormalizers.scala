@@ -1,0 +1,61 @@
+package graft.normalize
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model.{Chain, EntryType, Schemas}
+
+/** Ethereum bronze → silver normalizer — the engine's second chain branch.
+  *
+  * The reference declares three `Chain` variants
+  * (`/root/reference/core/src/models.rs:5-10`) but parses only Solana,
+  * skipping other chains with a message (`cli/src/main.rs:152-161`). This
+  * branch completes the multi-chain design with the minimal Ethereum
+  * native-transfer semantics, mirroring the Solana normalizer's contract:
+  *
+  *  - envelope parse guard: missing/unparseable `value` ⇒ zero entries
+  *    (the `meta`-guard analogue, parser.rs:15-18)
+  *  - net wallet delta: +value if the tracked wallet is `to`, −value if it
+  *    is `from` — a self-transfer nets to 0 and is dropped by the dust
+  *    filter
+  *  - wei→ETH at 1e18, f64 (same double policy as the SOL path)
+  *  - dust filter |Δ| > 1e-6, deterministic surrogate id from the bronze
+  *    row id, entry_type 'transfer'
+  */
+object EthereumNormalizer {
+
+  private val Dust = 1e-6
+  private val WeiPerEth = 1e18
+
+  def normalize(bronze: DataFrame): DataFrame = {
+    val parsed = bronze
+      .filter(col("chain") === lit(Chain.Ethereum))
+      .withColumn("m", from_json(col("raw_metadata"), Schemas.ethTx))
+      .filter(col("m.value").isNotNull)
+    val in = when(col("m.to") === col("wallet_address"), col("m.value")).otherwise(lit(0L))
+    val out = when(col("m.from") === col("wallet_address"), col("m.value")).otherwise(lit(0L))
+    parsed
+      .withColumn("amount", (in - out).cast("double") / lit(WeiPerEth))
+      .filter(abs(col("amount")) > Dust)
+      .select(
+        sha2(concat_ws(":", col("id"), lit("ETH"), lit("native")), 256).as("id"),
+        col("id").as("transaction_id"),
+        col("user_id"),
+        col("wallet_address"),
+        lit("ETH").as("asset_symbol"),
+        col("amount"),
+        lit(EntryType.Transfer).as("entry_type"),
+        lit(null).cast("double").as("fiat_value"))
+  }
+}
+
+/** Per-chain dispatch (B5) + union (G1): route bronze rows to their chain's
+  * normalizer and union the silver outputs by name. Chains without a parser
+  * (hyperliquid) contribute zero rows — the reference's "skipped with a
+  * message" behavior (`cli/src/main.rs:152-161`), minus the message.
+  */
+object ChainNormalizers {
+
+  def normalizeAll(bronze: DataFrame): DataFrame =
+    SolanaNormalizer.normalize(bronze)
+      .unionByName(EthereumNormalizer.normalize(bronze))
+}

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param left      rows to enrich
-    * @param right     timeline to look up (e.g. prices); should be unique per
-    *                  (key, ts) — pre-aggregate if not, or ties are resolved
-    *                  by whichever sorts last
+    * @param right     timeline to look up (e.g. prices); if not unique per
+    *                  (key, ts), ties resolve DETERMINISTICALLY to the
+    *                  greatest (valueCols) tuple — the value columns are the
+    *                  window's final sort keys, so the pick cannot depend on
+    *                  partitioning or scan order
     * @param keyCol    equi-key column name present on both sides
     * @param leftTs    event-time column on `left`
     * @param rightTs   event-time column on `right`
@@ -62,7 +64,14 @@ object AsOfJoin {
         leftCols.filterNot(_ == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"_v_$c"))): _*)
 
-    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col("_tag"))
+    // Trailing _v_* sort keys: equal-(key, ts, tag) right rows would
+    // otherwise resolve "to whichever sorts last" — i.e. by partitioning
+    // accident. With the value tuple as the final keys, duplicates resolve
+    // to the greatest tuple on every run and every repartitioning. (Left
+    // rows are unaffected: their _tag differs from every right row's.)
+    val w = Window.partitionBy(keyCol)
+      .orderBy((Seq(col("_ts"), col("_tag")) ++
+        valueCols.map(c => col(s"_v_$c"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>

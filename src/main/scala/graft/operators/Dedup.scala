@@ -21,7 +21,11 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  /** K1 exact dedup: keep the lowest-id row per distinct text digest. */
+  /** K1 exact dedup: returns one row per distinct text digest — the
+    * surviving (lowest) id and the copy count — NOT the full document rows;
+    * `left_semi`-join the ids back against `docs` to materialize survivors
+    * (that is what [[dedupNearDups]] does for its cascade).
+    */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
       .withColumn("_digest", sha2(col(textCol), 256))

@@ -38,17 +38,20 @@ object IdempotentSink {
     */
   def appendOnce(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
       partitionCols: Seq[String] = Nil): Long = {
-    // persist: count() and write() would otherwise each re-run the
-    // batch-dedup + existing-table anti-join — doubling the per-batch scan
-    val fresh = dedupeAgainstExisting(spark, batch, path, keyCol).persist()
-    try {
-      val n = fresh.count()
-      if (n > 0) {
-        val w = fresh.write.mode(SaveMode.Append)
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-      }
-      n
-    } finally fresh.unpersist()
+    // localCheckpoint, not persist(): the anti-join reads the same table
+    // this method appends to. A plain persist() keeps the lineage alive, so
+    // an evicted/lost cached partition recomputed AFTER the append commits
+    // would re-run the anti-join against the mutated table and drop rows
+    // mid-write. Eager localCheckpoint severs that lineage — a lost block
+    // fails the job loudly instead of corrupting the output.
+    val fresh = dedupeAgainstExisting(spark, batch, path, keyCol)
+      .localCheckpoint(true)
+    val n = fresh.count()
+    if (n > 0) {
+      val w = fresh.write.mode(SaveMode.Append)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    }
+    n
   }
 
   /** The pure (side-effect-free) core: batch rows whose key is not already

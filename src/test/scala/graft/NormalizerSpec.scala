@@ -76,6 +76,41 @@ class NormalizerSpec extends SparkSpec {
     assert(SolanaNormalizer.normalize(bad).count() == 0)
   }
 
+  test("two bronze rows sharing a tx_hash (two tracked wallets) get distinct silver ids") {
+    import spark.implicits._
+    import graft.model.Transaction
+    // One on-chain transaction, observed from two tracked wallets: two
+    // bronze rows, SAME tx_hash, different bronze ids. The reference emits
+    // distinct entries for both (Uuid::new_v4 per entry); a tx_hash-keyed
+    // surrogate would collide and the idempotent sink would drop one.
+    val w2 = "Receiver11111111111111111111111111111111"
+    val raw = LedgerQueries.fixtures.head._2 // golden envelope: W and w2 both in accountKeys
+    val mixed = Seq(
+      Transaction("rowA", "userA", LedgerQueries.W, 0L, "same_hash", "solana", raw),
+      Transaction("rowB", "userB", w2, 0L, "same_hash", "solana", raw)
+    ).toDF()
+    val out = SolanaNormalizer.normalize(mixed)
+      .select("id", "wallet_address").as[(String, String)].collect()
+    assert(out.length == 2, s"expected one entry per tracked wallet, got ${out.toSeq}")
+    assert(out.map(_._1).distinct.length == 2,
+      "silver ids must be unique per bronze row, not per tx_hash")
+  }
+
+  test("multi-chain dispatch: solana + ethereum branches union; hyperliquid skipped") {
+    import graft.normalize.ChainNormalizers
+    val out = ChainNormalizers.normalizeAll(LedgerQueries.mixedBronze(spark))
+      .select("transaction_id", "asset_symbol", "amount")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val eth = out.filter(_._1.startsWith("eth"))
+    assert(eth == Set(("eth1", "ETH", 1.5), ("eth2", "ETH", -0.25)),
+      s"eth branch wrong: $eth") // eth3 self-transfer nets 0; eth4 has no value
+    assert(!out.exists(_._1.startsWith("hl")), "hyperliquid rows must be skipped")
+    assert(out.filter(t => !t._1.startsWith("eth")) == silver,
+      "solana entries must be unchanged by the multi-chain union")
+  }
+
   test("silver schema matches the declared model") {
     val out = SolanaNormalizer.normalize(LedgerQueries.fixtureBronze(spark))
     assert(out.columns.toSeq == Seq("id", "transaction_id", "user_id",

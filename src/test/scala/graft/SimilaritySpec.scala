@@ -50,4 +50,20 @@ class SimilaritySpec extends SparkSpec {
   test("codegen'd cosine ranks identically to the HOF formulation") {
     assert(topIds("k3_cosine_topk_fast") == topIds("k3_cosine_topk"))
   }
+
+  test("batch ANN matches per-query ANN for every query in the batch") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val batch = SimilarityQueries
+      .annTopKBatch(emb, col("vec_id") < 4, dim = 64, k = 10)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    (0L until 4L).foreach { q =>
+      val single = SimilarityQueries.annTopK(emb, queryId = q, dim = 64, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(q) == single, s"batch ANN diverged from annTopK for query $q")
+    }
+  }
 }

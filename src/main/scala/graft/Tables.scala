@@ -40,4 +40,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a degenerate low-partition scan out to the session's default
+    * parallelism ahead of an EXPENSIVE per-row map stage (JSON parse,
+    * shingling, signature hashing). The local corpus is one
+    * single-row-group parquet file per table — such a scan plans as ONE
+    * partition (parquet splits only at row-group boundaries), so a heavy
+    * map stage would serialize on a single core while the rest of the
+    * cluster idles. Production many-file tables already arrive
+    * well-partitioned, and then this is a no-op: the guard inspects the
+    * PLANNED partition count only (no job runs).
+    *
+    * Never apply below a selective filter — a repartition would lift the
+    * filter off the parquet scan and kill pushdown.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
 }

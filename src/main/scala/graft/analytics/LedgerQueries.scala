@@ -82,7 +82,7 @@ object LedgerQueries {
     * a native transfer of `value` SOL from a per-user wallet.
     */
   def eventsAsBronze(s: SparkSession, d: String): DataFrame =
-    bronzeFromEvents(Tables.events(s, d))
+    bronzeFromEvents(Tables.fanOut(Tables.events(s, d)))
 
   /** Same envelope over an arbitrary events-shaped DataFrame (used by
     * ScaleCheck so the scaling evidence measures the identical pipeline).

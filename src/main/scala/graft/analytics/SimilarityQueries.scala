@@ -134,7 +134,7 @@ object SimilarityQueries {
     */
   def annTopK(emb: DataFrame, queryId: Long, dim: Int, k: Int,
       nPlanes: Int = 8, probeHamming: Int = 2, seed: Long = 42L): DataFrame = {
-    val tagged = emb.select(col("vec_id"), col("label"),
+    val tagged = Tables.fanOut(emb).select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"),
       hyperplaneSig(asDouble(col("embedding")), dim, nPlanes, seed).as("bucket"))
     val q = tagged.filter(col("vec_id") === queryId)
@@ -174,7 +174,7 @@ object SimilarityQueries {
     val masks: Seq[Long] = (0 to probeHamming).flatMap(r =>
       (0 until nPlanes).combinations(r)
         .map(_.foldLeft(0L)((acc, i) => acc | (1L << i))))
-    val tagged = emb.select(col("vec_id"), col("label"),
+    val tagged = Tables.fanOut(emb).select(col("vec_id"), col("label"),
       asDouble(col("embedding")).as("v"),
       hyperplaneSig(asDouble(col("embedding")), dim, nPlanes, seed).as("bucket"))
     val probes = tagged.filter(queryPred)

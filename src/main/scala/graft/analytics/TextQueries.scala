@@ -179,7 +179,7 @@ object TextQueries {
     // the verification kernel of the dedup cascade, oracled end to end
     // (unlike the seeded-hash LSH candidates above).
     "k2_ngram_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
+      val sh = Tables.fanOut(Tables.documents(s, d))
         .filter(size(split(col("text"), " ")) >= 3)
         .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

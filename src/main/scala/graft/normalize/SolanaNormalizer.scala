@@ -47,6 +47,15 @@ object SolanaNormalizer {
   /** Columnar normalize. Input must have the bronze schema
     * ([[Schemas.bronze]]); output has the silver schema minus `fiat_value`
     * population (always null — parser.rs:38,78, the as-of-join design slot).
+    *
+    * SINGLE-PASS design: each bronze row's JSON envelope is parsed exactly
+    * once, and both entry families (native SOL + SPL tokens) are computed
+    * as row-local entry ARRAYS that concat and explode into silver rows. A
+    * two-branch `native.unionByName(spl)` formulation re-derives the parsed
+    * input per branch — Spark has no subplan reuse across union arms — so
+    * the from_json (the dominant cost of the whole normalizer) would run
+    * twice per row. The per-row arrays are tiny (0..#balances entries), so
+    * the higher-order lambdas here cost noise compared to the parse.
     */
   def normalize(bronze: DataFrame): DataFrame = {
     val parsed = bronze
@@ -54,69 +63,77 @@ object SolanaNormalizer {
       .withColumn("m", from_json(col("raw_metadata"), Schemas.solanaTx))
       // Safety check: no meta ⇒ transaction contributes zero entries.
       .filter(col("m.meta").isNotNull)
+      // array_position is 1-based; 0 means "wallet not in accountKeys" and
+      // the reference then emits nothing for the native path (parser.rs:26).
+      .withColumn("wallet_idx",
+        array_position(
+          transform(col("m.transaction.message.accountKeys"), k => k.getField("pubkey")),
+          col("wallet_address")))
+
+    // Entry element: what varies per silver row. id_key concatenates into
+    // the surrogate id exactly as the old per-branch detId arguments did.
+    val emptyEntries =
+      array().cast("array<struct<asset_symbol:string,amount:double,id_key:string>>")
 
     // --- Native SOL delta (parser.rs:20-43,89-93) ---
-    // array_position is 1-based; 0 means "wallet not in accountKeys" and the
-    // reference then emits nothing for the native path (parser.rs:26).
-    val withIdx = parsed.withColumn(
-      "wallet_idx",
-      array_position(
-        transform(col("m.transaction.message.accountKeys"), k => k.getField("pubkey")),
-        col("wallet_address")))
-
-    val native = withIdx
-      .filter(col("wallet_idx") > 0)
-      // try_element_at: index past the array end ⇒ null ⇒ 0, matching the
-      // reference's `.get(idx).unwrap_or(0)` (parser.rs:90-91) — plain
-      // element_at would throw under ANSI mode.
-      .withColumn("pre_lamports",
-        coalesce(try_element_at(col("m.meta.preBalances"), col("wallet_idx").cast("int")), lit(0L)))
-      .withColumn("post_lamports",
-        coalesce(try_element_at(col("m.meta.postBalances"), col("wallet_idx").cast("int")), lit(0L)))
-      .withColumn("amount",
-        (col("post_lamports") - col("pre_lamports")).cast("double") / lit(LamportsPerSol))
-      .filter(abs(col("amount")) > Dust)
-      .select(
-        detId(col("id"), lit("SOL"), lit("native")).as("id"),
-        col("id").as("transaction_id"),
-        col("user_id"),
-        col("wallet_address"),
-        lit("SOL").as("asset_symbol"),
-        col("amount"),
-        lit(EntryType.Transfer).as("entry_type"),
-        lit(null).cast("double").as("fiat_value"))
+    // try_element_at: index past the array end ⇒ null ⇒ 0, matching the
+    // reference's `.get(idx).unwrap_or(0)` (parser.rs:90-91) — plain
+    // element_at would throw under ANSI mode.
+    val preLamports =
+      coalesce(try_element_at(col("m.meta.preBalances"), col("wallet_idx").cast("int")), lit(0L))
+    val postLamports =
+      coalesce(try_element_at(col("m.meta.postBalances"), col("wallet_idx").cast("int")), lit(0L))
+    val nativeAmt =
+      (postLamports - preLamports).cast("double") / lit(LamportsPerSol)
+    // Nested when: the inner branch (and its element_at probes) only
+    // evaluates for rows where the wallet is present.
+    val nativeEntries =
+      when(col("wallet_idx") > 0,
+        when(abs(nativeAmt) > Dust,
+          array(struct(
+            lit("SOL").as("asset_symbol"),
+            nativeAmt.as("amount"),
+            lit("SOL:native").as("id_key"))))
+          .otherwise(emptyEntries))
+        .otherwise(emptyEntries)
 
     // --- SPL token deltas (parser.rs:45-84) ---
     // Correlation is row-local: for each owned post balance, find the pre
     // balance with the same accountIndex *inside the same row's array* via a
     // higher-order filter. No explode-then-join, no shuffle.
-    val spl = parsed
-      .filter(col("m.meta.preTokenBalances").isNotNull &&
-        col("m.meta.postTokenBalances").isNotNull)
-      .select(col("*"), explode(col("m.meta.postTokenBalances")).as("post"))
-      // OptionSerializer::None/Skip ⇒ owner null ⇒ no match (parser.rs:51-55)
-      .filter(col("post.owner") === col("wallet_address"))
-      .withColumn("pre_match",
-        try_element_at(
-          filter(col("m.meta.preTokenBalances"),
-            p => p.getField("accountIndex") === col("post.accountIndex")),
-          lit(1)))
-      .withColumn("pre_amount",
-        coalesce(col("pre_match.uiTokenAmount.uiAmount"), lit(0.0)))
-      .withColumn("post_amount",
-        coalesce(col("post.uiTokenAmount.uiAmount"), lit(0.0)))
-      .withColumn("amount", col("post_amount") - col("pre_amount"))
-      .filter(abs(col("amount")) > Dust)
+    // OptionSerializer::None/Skip ⇒ owner null ⇒ no match (parser.rs:51-55).
+    val owned = filter(col("m.meta.postTokenBalances"),
+      pb => pb.getField("owner") === col("wallet_address"))
+    val splAll = transform(owned, pb => {
+      val preMatch = try_element_at(
+        filter(col("m.meta.preTokenBalances"),
+          p => p.getField("accountIndex") === pb.getField("accountIndex")),
+        lit(1))
+      val preAmt = coalesce(preMatch.getField("uiTokenAmount").getField("uiAmount"), lit(0.0))
+      val postAmt = coalesce(pb.getField("uiTokenAmount").getField("uiAmount"), lit(0.0))
+      struct(
+        pb.getField("mint").as("asset_symbol"),
+        (postAmt - preAmt).as("amount"),
+        concat_ws(":", pb.getField("mint"), pb.getField("accountIndex")).as("id_key"))
+    })
+    // Both token arrays must be present (parser.rs:46-47); absent ⇒ none.
+    val splEntries =
+      when(col("m.meta.preTokenBalances").isNotNull &&
+          col("m.meta.postTokenBalances").isNotNull,
+        filter(splAll, e => abs(e.getField("amount")) > Dust))
+        .otherwise(emptyEntries)
+
+    parsed
+      .select(col("id"), col("user_id"), col("wallet_address"),
+        explode(concat(nativeEntries, splEntries)).as("e"))
       .select(
-        detId(col("id"), col("post.mint"), col("post.accountIndex")).as("id"),
+        detId(col("id"), col("e.id_key")).as("id"),
         col("id").as("transaction_id"),
         col("user_id"),
         col("wallet_address"),
-        col("post.mint").as("asset_symbol"),
-        col("amount"),
+        col("e.asset_symbol").as("asset_symbol"),
+        col("e.amount").as("amount"),
         lit(EntryType.Transfer).as("entry_type"),
         lit(null).cast("double").as("fiat_value"))
-
-    native.unionByName(spl)
   }
 }

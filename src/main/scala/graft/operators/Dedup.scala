@@ -54,7 +54,9 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = 64): DataFrame = {
-    val sh = docs
+    // fanOut: shingling + MinHash signatures are the expensive map stage —
+    // single-file local scans would otherwise run them on one core.
+    val sh = graft.Tables.fanOut(docs)
       .select(col(idCol).as("_id"),
         shingles(split(col(textCol), " "), shingleN).as("_sh"))
       .filter(size(col("_sh")) > 0)
@@ -94,7 +96,7 @@ object Dedup {
     * with `bandBits`, docs sharing any 16-bit fingerprint quarter.
     */
   def simHashCandidates(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = docs.select(col(idCol).as("_id"),
+    val fp = graft.Tables.fanOut(docs).select(col(idCol).as("_id"),
       simHash(split(col(textCol), " ")).as("_fp"))
     val quarters = fp.select(col("_id"), explode(array((0 until 4).map { q =>
       struct(lit(q).as("q"), shiftright(col("_fp"), q * 16).bitwiseAND(0xFFFFL).as("piece"))
@@ -121,7 +123,7 @@ object Dedup {
       window: Int = 32,
       mask: Long = 0x3F,
       maxBucket: Int = 64): DataFrame = {
-    val chunks = docs.select(col(idCol).as("_id"),
+    val chunks = graft.Tables.fanOut(docs).select(col(idCol).as("_id"),
       explode(graft.functions.VectorExpressions.rollingChunks(col(textCol), window, mask))
         .as("_chunk"))
     chunks.groupBy(col("_chunk"))
@@ -164,15 +166,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("cluster")).as("nbr_cluster"))
-      val next = labels
+      // The convergence flag is computed IN the same pass as the label
+      // update (old vs new compared before the old column is dropped) — a
+      // separate next⋈labels diff join would add a full extra join per
+      // round just to answer "did anything move".
+      val step = labels
         .join(neighbourMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (col("nbr_cluster") < col("cluster")).as("_moved"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = step.filter(col("_moved")).limit(1).count() > 0
+      labels = step.drop("_moved")
       i += 1
     }
     labels
@@ -204,7 +210,7 @@ object Dedup {
     val v = asDouble(col(vecCol))
     val sig = hyperplaneSig(v, dim, nPlanes, seed)
 
-    val tagged = embeddings
+    val tagged = graft.Tables.fanOut(embeddings)
       .select(col(idCol).as("_id"), v.as("_v"), sig.as("_bucket"))
     val pairs = tagged.groupBy(col("_bucket"))
       .agg(sort_array(collect_list(struct(col("_id"), col("_v")))).as("_rows"))

@@ -71,6 +71,17 @@ class PlanShapeSpec extends SparkSpec {
       s"existing table shuffled for the key probe:\n$plan")
   }
 
+  test("batch ANN is an equi-join on the bucket id — no cartesian/BNLJ") {
+    val plan = physicalPlan(
+      analytics.SimilarityQueries.annTopKBatch(
+        Tables.embeddings(spark, sfDir), col("vec_id") < 8, dim = 64, k = 10))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in batch-ANN plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in batch-ANN plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"probe→corpus bucket join is not an equi hash/merge join:\n$plan")
+  }
+
   test("e1 running window: single shuffle on the partition key") {
     val plan = physicalPlan(
       analytics.StarQueries.queries("e1_running_sum")(spark, sfDir))

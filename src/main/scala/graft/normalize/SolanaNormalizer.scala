@@ -58,11 +58,16 @@ object SolanaNormalizer {
     * the higher-order lambdas here cost noise compared to the parse.
     */
   def normalize(bronze: DataFrame): DataFrame = {
+    // NOTE: the no-meta guard (parser.rs:15-18) is NOT a Filter node — a
+    // `.filter(col("m.meta").isNotNull)` predicate gets pushed below the
+    // parse projection (and below any upstream repartition), where Catalyst
+    // re-inlines the whole from_json chain into the filter condition: the
+    // parse would run twice per row, once of it single-partition. Instead
+    // the guard wraps the entries expression below, and no-meta rows simply
+    // explode to zero entries inside the single parse pass.
     val parsed = bronze
       .filter(col("chain") === lit(graft.model.Chain.Solana))
       .withColumn("m", from_json(col("raw_metadata"), Schemas.solanaTx))
-      // Safety check: no meta ⇒ transaction contributes zero entries.
-      .filter(col("m.meta").isNotNull)
       // array_position is 1-based; 0 means "wallet not in accountKeys" and
       // the reference then emits nothing for the native path (parser.rs:26).
       .withColumn("wallet_idx",
@@ -123,9 +128,15 @@ object SolanaNormalizer {
         filter(splAll, e => abs(e.getField("amount")) > Dust))
         .otherwise(emptyEntries)
 
+    // Safety check: no meta ⇒ transaction contributes zero entries
+    // (parser.rs:15-18) — expressed in the entries value, not as a Filter.
+    val entries =
+      when(col("m.meta").isNotNull, concat(nativeEntries, splEntries))
+        .otherwise(emptyEntries)
+
     parsed
       .select(col("id"), col("user_id"), col("wallet_address"),
-        explode(concat(nativeEntries, splEntries)).as("e"))
+        explode(entries).as("e"))
       .select(
         detId(col("id"), col("e.id_key")).as("id"),
         col("id").as("transaction_id"),

@@ -45,4 +45,26 @@ class ExpressionEdgeSpec extends SparkSpec {
       .as[Double].head()
     assert(v == 0.0)
   }
+
+  test("quantizeInt8Stats: zero/empty vectors yield (null scale, 0 error); normal vectors bound error by 0.5/scale") {
+    val rows = Seq(
+      (1L, Seq.empty[Double]),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(1.0, -2.0, 0.5)),
+      (4L, Seq(-127.0)),
+      (5L, Seq(1e-9, -3e-9)))
+      .toDF("id", "v")
+      .select($"id", quantizeInt8Stats($"v").as("st"))
+      .select($"id", $"st.scale", $"st.max_err")
+      .as[(Long, Option[Double], Double)].collect()
+      .map { case (k, s, e) => k -> ((s, e)) }.toMap
+    assert(rows(1L) == ((None, 0.0)), "empty vector")
+    assert(rows(2L) == ((None, 0.0)), "all-zero vector")
+    val s3 = rows(3L)._1.get
+    assert(s3 == 127.0 / 2.0 && rows(3L)._2 <= 0.5 / s3 + 1e-15, s"got ${rows(3L)}")
+    assert(rows(4L)._1.contains(1.0) && rows(4L)._2 == 0.0,
+      "max-abs element quantizes exactly")
+    val s5 = rows(5L)._1.get
+    assert(rows(5L)._2 <= 0.5 / s5 + 1e-24, "tiny magnitudes stay bounded")
+  }
 }

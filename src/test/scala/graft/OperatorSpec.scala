@@ -43,6 +43,24 @@ class OperatorSpec extends SparkSpec {
     assert(out("t3") == null, "no prior quote -> null")
   }
 
+  test("as-of join: duplicate-(key, ts) quotes resolve deterministically across repartitionings") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 150L, "t2")).toDF("key", "ts", "trade_id")
+    // three quotes at the SAME (key, ts) with different values — the tie
+    // must resolve to the greatest value tuple (30.0) on every run,
+    // regardless of how the quote side is partitioned or ordered
+    val quoteRows = Seq((1L, 100L, 10.0), (1L, 100L, 30.0), (1L, 100L, 20.0))
+    val layouts = Seq(
+      quoteRows.toDF("key", "ts", "px"),
+      quoteRows.reverse.toDF("key", "ts", "px").repartition(7),
+      quoteRows.sortBy(_._3).toDF("key", "ts", "px").repartition(1))
+    layouts.zipWithIndex.foreach { case (quotes, i) =>
+      val out = AsOfJoin(trades, quotes, "key", "ts", "ts", Seq("px"))
+        .select("trade_id", "px").as[(String, Double)].collect().toMap
+      assert(out == Map("t1" -> 30.0, "t2" -> 30.0),
+        s"layout $i resolved ties nondeterministically: $out")
+    }
+  }
+
   test("as-of join strict mode excludes the equal-timestamp quote") {
     val trades = Seq((1L, 100L, "t1")).toDF("key", "ts", "trade_id")
     val quotes = Seq((1L, 100L, 10.0), (1L, 90L, 5.0)).toDF("key", "ts", "px")

@@ -57,6 +57,17 @@ class PlanShapeSpec extends SparkSpec {
       s"normalizer joins (pre/post correlation must stay array-local):\n$plan")
   }
 
+  test("normalizer parses each row's JSON exactly once (single-pass invariant)") {
+    // Must be a non-local input: local fixture relations get the parse
+    // constant-folded at plan time and from_json vanishes from the plan.
+    val bronze = analytics.LedgerQueries.eventsAsBronze(spark, sfDir)
+    val plan = physicalPlan(normalize.SolanaNormalizer.normalize(bronze))
+    val parses = "from_json".r.findAllIn(plan).length
+    assert(parses == 1,
+      s"expected exactly 1 from_json in the physical plan, saw $parses " +
+        s"(a union-of-branches formulation re-parses per branch):\n$plan")
+  }
+
   test("idempotent sink anti-join broadcasts the incoming batch, never shuffles the table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/t"

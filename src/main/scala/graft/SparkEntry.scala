@@ -34,12 +34,41 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (seeded-hash LSH, approx sketches, typed pipelines) → rows-only check.
+    * (seeded-hash LSH, approx sketches) → rows-only check.
     */
   def oracleSql: Map[String, String] =
     StarQueries.oracle ++
       EventQueries.oracle ++
       LedgerQueries.oracle ++
       TextQueries.oracle ++
-      SimilarityQueries.oracle
+      SimilarityQueries.oracle ++
+      Map(
+        // The stubbed decode is DETERMINISTIC (features derive from
+        // sha256(payload)), so even the typed mapPartitions pipeline is
+        // oracle-checkable: DuckDB re-derives u16 words from the hex digest
+        // (strpos('0123…f', c)−1 per nibble — no hex-cast dependency).
+        "k5_media_features" -> {
+          def u16(firstChar: Int): String =
+            (0 until 4).map(j =>
+              s"(strpos('0123456789abcdef', hx[${firstChar + j}]) - 1) * ${1 << (4 * (3 - j))}")
+              .mkString(" + ")
+          s"""WITH h AS (
+             |  SELECT doc_id AS media_id,
+             |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+             |    CAST(strlen(text) AS INTEGER) AS byte_len,
+             |    sha256(text) AS hx
+             |  FROM documents),
+             |u AS (
+             |  SELECT media_id, modality, byte_len, hx,
+             |    ${u16(1)} AS u16_0,
+             |    ${u16(5)} AS u16_2,
+             |    ${u16(9)} AS u16_4
+             |  FROM h)
+             |SELECT media_id, modality, byte_len,
+             |  CAST(64 + u16_0 % 1024 AS INTEGER) AS width,
+             |  CAST(64 + u16_2 % 1024 AS INTEGER) AS height,
+             |  CAST(CASE WHEN modality = 'video' THEN 1 + u16_4 % 300 ELSE 1 END AS INTEGER) AS frames,
+             |  substr(hx, 1, 16) AS checksum
+             |FROM u ORDER BY media_id""".stripMargin
+        })
 }

@@ -27,22 +27,33 @@ object EthereumNormalizer {
   private val WeiPerEth = 1e18
 
   def normalize(bronze: DataFrame): DataFrame = {
+    // Same single-pass entries-array shape as SolanaNormalizer, for the
+    // same reason: parse-guard and dust predicates as Filter nodes would be
+    // pushed below the parse projection and re-inline from_json per
+    // predicate; as array guards they stay inside the one parse pass, and
+    // guarded-out rows explode to zero entries.
     val parsed = bronze
       .filter(col("chain") === lit(Chain.Ethereum))
       .withColumn("m", from_json(col("raw_metadata"), Schemas.ethTx))
-      .filter(col("m.value").isNotNull)
     val in = when(col("m.to") === col("wallet_address"), col("m.value")).otherwise(lit(0L))
     val out = when(col("m.from") === col("wallet_address"), col("m.value")).otherwise(lit(0L))
+    val amount = (in - out).cast("double") / lit(WeiPerEth)
+    val emptyEntries = array().cast("array<struct<amount:double>>")
+    val entries =
+      when(col("m.value").isNotNull,
+        when(abs(amount) > Dust, array(struct(amount.as("amount"))))
+          .otherwise(emptyEntries))
+        .otherwise(emptyEntries)
     parsed
-      .withColumn("amount", (in - out).cast("double") / lit(WeiPerEth))
-      .filter(abs(col("amount")) > Dust)
+      .select(col("id"), col("user_id"), col("wallet_address"),
+        explode(entries).as("e"))
       .select(
         sha2(concat_ws(":", col("id"), lit("ETH"), lit("native")), 256).as("id"),
         col("id").as("transaction_id"),
         col("user_id"),
         col("wallet_address"),
         lit("ETH").as("asset_symbol"),
-        col("amount"),
+        col("e.amount").as("amount"),
         lit(EntryType.Transfer).as("entry_type"),
         lit(null).cast("double").as("fiat_value"))
   }

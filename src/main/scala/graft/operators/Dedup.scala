@@ -33,6 +33,12 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .drop("_digest")
 
+  /** K1 exact dedup returning the full surviving rows: one arbitrary-free
+    * (lowest-id) representative row per distinct text digest.
+    */
+  def exactRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.join(exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
+
   /** K2 near-dup candidates + verification via MinHash/LSH.
     *
     * @param docs       input documents

@@ -126,4 +126,14 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("exactRows returns whole surviving rows, lowest id per duplicate text") {
+    val docs = Seq(
+      (1L, "same text", "en"), (2L, "same text", "de"), (3L, "unique", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Dedup.exactRows(docs, "text", "doc_id")
+      .select("doc_id", "text", "lang").as[(Long, String, String)]
+      .collect().toSet
+    assert(rows == Set((1L, "same text", "en"), (3L, "unique", "en")))
+  }
 }

@@ -56,6 +56,14 @@ object SimilarityQueries {
     "k3_ann_lsh" -> ((s, d) =>
       annTopK(Tables.embeddings(s, d), queryId = 0, dim = 64, k = 10)),
 
+    // K3 scale path #2: IVF (k-means inverted file) ANN — data-adaptive
+    // cells vs LSH's random halfspaces; see graft.operators.IvfAnn for the
+    // training/probing scale design. Rows-only check (seeded k-means is not
+    // SQL-reproducible); recall asserted in SimilaritySpec.
+    "k3_ann_ivf" -> ((s, d) =>
+      graft.operators.IvfAnn.ivfTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", queryId = 0, dim = 64, k = 10)),
+
     // K3 batch retrieval: many query vectors answered in ONE bucket
     // equi-join pass — the shape a 100 TB retrieval pipeline actually runs
     // (per-query broadcast scans do not batch). Rows-only check (seeded

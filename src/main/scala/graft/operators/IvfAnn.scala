@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.{cosineFast, dotFast}
+import graft.functions.VectorFunctions.asDouble
+
+/** IVF (inverted-file) approximate nearest neighbour — the data-adaptive
+  * complement to the hyperplane-LSH path (SURVEY.md §2.K3 names both as the
+  * scale path): a k-means coarse quantizer splits the corpus into `nLists`
+  * cells, a query probes only its `nProbe` nearest cells, and exact cosine
+  * runs on that subset. Where LSH cells are random halfspaces, IVF cells
+  * follow the corpus's own cluster structure — better recall at equal probe
+  * cost on clustered embeddings (the realistic case for model embeddings).
+  *
+  * Scale design:
+  *  - training is Lloyd's iterations as pure DataFrame ops: assignment is a
+  *    codegen'd argmin over `nLists` dot products per row (centroids are a
+  *    broadcast-sized literal — nLists × dim doubles); the per-cell mean is
+  *    one hash aggregate. Only `nLists` rows ever reach the driver.
+  *  - at deployment the tagged corpus is WRITTEN partitioned by `_list`, so
+  *    probing prunes to nProbe directories of ~|corpus|/nLists vectors; the
+  *    in-memory form here filters on `_list IN probes`, which Catalyst
+  *    turns into the same pruning over a partitioned layout.
+  *  - centroid count is the recall/cost knob: E[probed fraction] =
+  *    nProbe/nLists.
+  */
+object IvfAnn {
+
+  /** Argmin cell id for a vector against literal centroids, as a single
+    * codegen-friendly expression: greatest over (negated distance, id)
+    * structs — ‖v−c‖² minimized ⟺ v·c − ‖c‖²/2 maximized (‖v‖ constant
+    * per row), so each cell costs ONE dot product.
+    */
+  private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
+    greatest(centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm2 = c.map(x => x * x).sum / 2.0
+      struct(
+        (dotFast(v, array(c.map(lit(_)): _*)) - lit(halfNorm2)).as("score"),
+        lit(i).as("cell"))
+    }: _*).getField("cell")
+
+  /** Train `nLists` centroids with `iters` Lloyd's iterations.
+    * Deterministic: init picks the `nLists` rows with the smallest seeded
+    * id hash; every step is a deterministic aggregate. A cell that loses
+    * all members keeps its previous centroid.
+    */
+  def trainCentroids(
+      emb: DataFrame, vecCol: String, idCol: String, dim: Int,
+      nLists: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
+    require(nLists >= 1 && iters >= 0)
+    val data = graft.Tables.fanOut(emb)
+      .select(asDouble(col(vecCol)).as("_v"))
+      .filter(size(col("_v")) === dim)
+
+    def toArr(row: org.apache.spark.sql.Row, field: Int): Array[Double] =
+      row.getSeq[Double](field).toArray
+
+    var centroids: Array[Array[Double]] = emb
+      .select(asDouble(col(vecCol)).as("_v"), xxhash64(col(idCol), lit(seed)).as("_h"))
+      .filter(size(col("_v")) === dim)
+      .orderBy("_h").limit(nLists)
+      .select("_v").collect().map(toArr(_, 0))
+    require(centroids.nonEmpty, "empty training set")
+
+    (0 until iters).foreach { _ =>
+      val means = data
+        .withColumn("_cell", nearestCell(col("_v"), centroids))
+        .groupBy("_cell")
+        .agg(array((0 until dim).map(i => avg(col("_v").getItem(i))): _*).as("_mean"))
+        .collect()
+        .map(r => r.getInt(0) -> toArr(r, 1)).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Tag each corpus vector with its IVF cell. */
+  def index(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    graft.Tables.fanOut(emb)
+      .withColumn("_v", asDouble(col(vecCol)))
+      .withColumn("_list", nearestCell(col("_v"), centroids))
+
+  /** Approximate top-k by cosine for the corpus vector with id `queryId`:
+    * probe the `nProbe` cells nearest the query, exact cosine inside them.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      dim: Int, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      iters: Int = 5, seed: Long = 42L): DataFrame = {
+    val centroids = trainCentroids(emb, vecCol, idCol, dim, nLists, iters, seed)
+    val tagged = index(emb, vecCol, centroids)
+
+    // one-row collect of the query vector — the same driver cost as the
+    // broadcast-query-vector pattern, used to pick the probe cells
+    val q = tagged.filter(col(idCol) === queryId)
+      .select(col("_v")).head().getSeq[Double](0).toArray
+    val probes = centroids.indices
+      .sortBy { i =>
+        val c = centroids(i)
+        c.map(x => x * x).sum / 2.0 - q.zip(c).map { case (a, b) => a * b }.sum
+      }
+      .take(math.min(nProbe, centroids.length))
+
+    val qLit = array(q.map(lit(_)): _*)
+    tagged
+      .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
+      .select(col(idCol), col("label"),
+        round(cosineFast(col("_v"), qLit), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -93,6 +93,37 @@ class PlanShapeSpec extends SparkSpec {
       s"probe→corpus bucket join is not an equi hash/merge join:\n$plan")
   }
 
+  test("bucketed fact-fact join plans without a shuffle on either side") {
+    import graft.operators.BucketedTables
+    val dir = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick SMJ — the shape under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      BucketedTables.writeBucketed(
+        Tables.orders(spark, sfDir), "orders_b", s"$dir/orders_b", "o_custkey", 4)
+      BucketedTables.writeBucketed(
+        Tables.customer(spark, sfDir).selectExpr("c_custkey", "c_name"),
+        "customer_b", s"$dir/customer_b", "c_custkey", 4)
+      val joined = BucketedTables.readBucketed(spark, "orders_b")
+        .join(BucketedTables.readBucketed(spark, "customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = physicalPlan(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle (bucketed scans satisfy the distribution):\n$plan")
+      // sanity: same row count as the plain-path join
+      val expected = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("e1 running window: single shuffle on the partition key") {
     val plan = physicalPlan(
       analytics.StarQueries.queries("e1_running_sum")(spark, sfDir))

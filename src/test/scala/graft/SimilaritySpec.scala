@@ -51,6 +51,35 @@ class SimilaritySpec extends SparkSpec {
     assert(topIds("k3_cosine_topk_fast") == topIds("k3_cosine_topk"))
   }
 
+  test("IVF ANN on planted clusters: finds the true near neighbours") {
+    val dim = 64
+    val rnd = new scala.util.Random(11L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = (1L to 10L).map(i => (i, unit(base.map(_ + 0.15 * rnd.nextGaussian())), 1))
+    val far = (11L to 510L).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian())), 0))
+    val emb = ((0L, unit(base), 1) +: (near ++ far))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.IvfAnn
+      .ivfTopK(emb, "vec_id", "embedding", queryId = 0, dim = dim, k = 11,
+        nLists = 8, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (0L to 10L).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.9,
+      s"IVF missed the planted cluster (cells are data-adaptive, the tight " +
+        s"cluster should land in one cell): got $got, recall $recall")
+  }
+
+  test("IVF ANN on the corpus retrieves the query itself") {
+    val ann = topIds("k3_ann_ivf")
+    assert(ann.contains(0L), "query vector must match itself")
+    assert(ann.size == 10)
+  }
+
   test("batch ANN matches per-query ANN for every query in the batch") {
     import graft.Tables
     import org.apache.spark.sql.functions.col

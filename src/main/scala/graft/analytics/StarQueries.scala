@@ -268,7 +268,11 @@ object StarQueries {
           dense_rank().over(w).as("drk"),
           ntile(4).over(w).as("quartile"),
           lag(col("c_custkey"), 1).over(w).as("prev_key"),
-          lead(col("c_custkey"), 1).over(w).as("next_key"))
+          lead(col("c_custkey"), 1).over(w).as("next_key"),
+          // exact small rationals ((rank−1)/(n−1), rows≤cur/n) — both
+          // engines compute the same double, no rounding needed
+          percent_rank().over(w).as("pct_rk"),
+          cume_dist().over(w).as("cd"))
         .orderBy("c_nationkey", "rn")
     }),
 
@@ -317,7 +321,9 @@ object StarQueries {
           substring(col("p_name"), 1, 8).as("name_pfx"),
           length(col("p_name")).as("name_len"),
           concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
-          regexp_replace(col("p_type"), " ", "_").as("type_us"))
+          regexp_replace(col("p_type"), " ", "_").as("type_us"),
+          element_at(split(col("p_name"), " "), 1).as("first_word"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
         .orderBy("p_partkey")
     }),
 
@@ -535,7 +541,8 @@ object StarQueries {
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn, CAST(RANK() OVER w AS INTEGER) AS rk,
         |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
         |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-        |  LAG(c_custkey, 1) OVER w AS prev_key, LEAD(c_custkey, 1) OVER w AS next_key
+        |  LAG(c_custkey, 1) OVER w AS prev_key, LEAD(c_custkey, 1) OVER w AS next_key,
+        |  PERCENT_RANK() OVER w AS pct_rk, CUME_DIST() OVER w AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_nationkey, rn""".stripMargin,
@@ -566,7 +573,9 @@ object StarQueries {
       """SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l,
         |  SUBSTR(p_name, 1, 8) AS name_pfx, CAST(LENGTH(p_name) AS INTEGER) AS name_len,
         |  CONCAT_WS('|', p_brand, p_type) AS bt,
-        |  REGEXP_REPLACE(p_type, ' ', '_', 'g') AS type_us
+        |  REGEXP_REPLACE(p_type, ' ', '_', 'g') AS type_us,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "h13_math_funcs" ->

@@ -246,6 +246,58 @@ case class QuantizeInt8StatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Argmin-distance cell id of a vector against a fixed centroid matrix —
+  * the IVF coarse-quantizer assignment ([[graft.operators.IvfAnn]]) in ONE
+  * expression. The naive Column formulation — `greatest` over nLists
+  * structs each containing a dot product against a 64-literal array —
+  * inflates the generated code past JIT limits and falls off the compiled
+  * path entirely (measured 25 s for a 20k-row assignment); here the matrix
+  * lives in the expression object and assignment is a tight
+  * nLists × dim primitive loop per row.
+  *
+  * ‖v−c‖² minimized ⟺ v·c − ‖c‖²/2 maximized (‖v‖ constant per row); ties
+  * break to the LARGER cell id, matching greatest-over-structs semantics.
+  * Centroids are Seq-typed so the case class keeps structural equality for
+  * plan canonicalization.
+  */
+case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val halfNorms: Array[Double] =
+    matrix.map(c => c.map(x => x * x).sum / 2.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < matrix.length) {
+      val c = matrix(i)
+      val d = math.min(n, c.length)
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += v.getDouble(j) * c(j); j += 1 }
+      s -= halfNorms(i)
+      if (s >= bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rolling-hash (Karp-Rabin) content-defined chunk fingerprints of a text
   * column: a fixed-width byte window rolls over the document; positions
   * where the window hash masks to zero become chunk boundaries; the output
@@ -341,4 +393,9 @@ object VectorExpressions {
   /** Single-pass int8 quantization stats: struct(scale, max_err). */
   def quantizeInt8Stats(v: Column): Column =
     GraftSqlBridge.column(QuantizeInt8StatsExpr(asDoubleArray(v)))
+
+  /** Argmin-distance centroid id for the IVF coarse quantizer. */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(
+      NearestCentroidExpr(asDoubleArray(v), centroids.map(_.toSeq).toSeq))
 }

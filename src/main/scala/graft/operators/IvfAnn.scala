@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorExpressions.{cosineFast, dotFast}
+import graft.functions.VectorExpressions.cosineFast
 import graft.functions.VectorFunctions.asDouble
 
 /** IVF (inverted-file) approximate nearest neighbour — the data-adaptive
@@ -27,18 +27,13 @@ import graft.functions.VectorFunctions.asDouble
   */
 object IvfAnn {
 
-  /** Argmin cell id for a vector against literal centroids, as a single
-    * codegen-friendly expression: greatest over (negated distance, id)
-    * structs — ‖v−c‖² minimized ⟺ v·c − ‖c‖²/2 maximized (‖v‖ constant
-    * per row), so each cell costs ONE dot product.
+  /** Argmin cell id — one native expression holding the centroid matrix
+    * ([[graft.functions.NearestCentroidExpr]]); a greatest-over-structs
+    * Column formulation with literal arrays blows generated code past JIT
+    * limits and runs ~25× slower.
     */
   private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
-    greatest(centroids.zipWithIndex.map { case (c, i) =>
-      val halfNorm2 = c.map(x => x * x).sum / 2.0
-      struct(
-        (dotFast(v, array(c.map(lit(_)): _*)) - lit(halfNorm2)).as("score"),
-        lit(i).as("cell"))
-    }: _*).getField("cell")
+    graft.functions.VectorExpressions.nearestCentroid(v, centroids)
 
   /** Train `nLists` centroids with `iters` Lloyd's iterations.
     * Deterministic: init picks the `nLists` rows with the smallest seeded
@@ -103,11 +98,15 @@ object IvfAnn {
       }
       .take(math.min(nProbe, centroids.length))
 
-    val qLit = array(q.map(lit(_)): _*)
+    // broadcast one-row query vector (not a 64-literal array — keeps the
+    // generated cosine code small), exact cosine inside probed cells only
+    val qRow = broadcast(tagged.filter(col(idCol) === queryId)
+      .select(col("_v").as("_q_vec")))
     tagged
       .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
+      .crossJoin(qRow)
       .select(col(idCol), col("label"),
-        round(cosineFast(col("_v"), qLit), 6).as("sim"))
+        round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

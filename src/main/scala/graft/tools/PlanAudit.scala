@@ -20,7 +20,8 @@ object PlanAudit {
   // the documented plan (see their scaladoc): broadcast query vectors and
   // the tiny×tiny cross join.
   private val expectedNestedLoop = Set(
-    "k3_cosine_topk", "k3_cosine_topk_fast", "k3_ann_lsh", "c6_join_cross")
+    "k3_cosine_topk", "k3_cosine_topk_fast", "k3_ann_lsh", "k3_ann_ivf",
+    "c6_join_cross")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -55,6 +55,7 @@ object Tables {
     * filter off the parquet scan and kill pushdown.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch sources size their own splits
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)

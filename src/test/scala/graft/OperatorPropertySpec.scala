@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup}
+import scala.util.Random
+
+/** Randomized differential tests for the two most intricate operators,
+  * each checked against an independent brute-force Scala reference on
+  * seeded random inputs (same style as NormalizerPropertySpec):
+  *
+  *  - [[AsOfJoin]] vs "scan the whole quote list per trade" — duplicate
+  *    timestamps, quote-less keys, strict + inclusive modes;
+  *  - [[Dedup.clusters]] (iterative min-label propagation) vs union-find
+  *    connected components.
+  */
+class OperatorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join matches a brute-force reference on random trades/quotes (inclusive + strict)") {
+    val rnd = new Random(2024L)
+    (1 to 12).foreach { round =>
+      val trades = (0 until 1 + rnd.nextInt(15)).map { i =>
+        (1L + rnd.nextInt(3), rnd.nextInt(20).toLong, i.toLong)
+      }
+      val quotes = (0 until rnd.nextInt(25)).map { _ =>
+        (1L + rnd.nextInt(3), rnd.nextInt(20).toLong, (1 + rnd.nextInt(99)).toDouble)
+      }
+      Seq(false, true).foreach { strict =>
+        // brute force: per trade, among eligible quotes take the latest ts,
+        // ties to the greatest px — AsOfJoin's documented tie rule
+        val expected = trades.map { case (k, ts, id) =>
+          val eligible = quotes.filter { case (qk, qts, _) =>
+            qk == k && (if (strict) qts < ts else qts <= ts)
+          }
+          val px =
+            if (eligible.isEmpty) None
+            else {
+              val best = eligible.map(_._2).max
+              Some(eligible.filter(_._2 == best).map(_._3).max)
+            }
+          id -> px
+        }.toMap
+
+        val got = AsOfJoin(
+            trades.toDF("key", "ts", "trade_id"),
+            quotes.toDF("key", "ts", "px"),
+            "key", "ts", "ts", Seq("px"), strict = strict)
+          .select("trade_id", "px").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        assert(got == expected,
+          s"round=$round strict=$strict trades=$trades quotes=$quotes")
+      }
+    }
+  }
+
+  test("cluster labels match union-find connected components on random pair sets") {
+    val rnd = new Random(7L)
+    val ids = (1L to 12L).toList
+    (1 to 8).foreach { round =>
+      val pairs = (0 until 1 + rnd.nextInt(14)).map { _ =>
+        val a = 1L + rnd.nextInt(12); val b = 1L + rnd.nextInt(12)
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      if (pairs.nonEmpty) {
+        // union-find reference: canonical label = min id in the component
+        val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = ids.map(i => i -> find(i)).toMap
+
+        val got = Dedup.clusters(
+            ids.toDF("doc_id"), "doc_id", pairs.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"round=$round pairs=$pairs")
+      }
+    }
+  }
+}

@@ -30,6 +30,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K1: normalization-before-digest dedup — the "fuzzy exact" cleaning
+    // pass (case-fold + strip punctuation) that catches trivially-mutated
+    // copies exact hashing misses, still a 32-byte-key hash aggregate.
+    "k1_normalized_dedup" -> ((s, d) => {
+      Dedup.exact(
+        Tables.documents(s, d).withColumn("text_norm",
+          lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", ""))),
+        "text_norm", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // K4: per-language corpus statistics.
     "k4_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -209,6 +220,12 @@ object TextQueries {
     "k1_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "k1_normalized_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |ORDER BY doc_id""".stripMargin,
 
     "k4_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,

@@ -49,7 +49,11 @@ object Tables {
     * map stage would serialize on a single core while the rest of the
     * cluster idles. Production many-file tables already arrive
     * well-partitioned, and then this is a no-op: the guard inspects the
-    * PLANNED partition count only (no job runs).
+    * planned partition count. For the scan/union-shaped inputs used in this
+    * codebase that is metadata-only; do NOT call it on plans containing
+    * shuffles or range sorts — materializing `.rdd` under AQE can execute
+    * those upstream stages just to answer `getNumPartitions`, and the
+    * subsequent repartition would discard and re-run that work.
     *
     * Never apply below a selective filter — a repartition would lift the
     * filter off the parquet scan and kill pushdown.

@@ -53,14 +53,20 @@ object LedgerQueries {
 
   /** Ethereum golden fixtures for the multi-chain dispatch (wallet [[EW]]):
     * inbound +1.5 ETH, outbound −0.25 ETH, a self-transfer netting to 0
-    * (dust-dropped), and a missing-`value` envelope (parse-guard-dropped).
+    * (dust-dropped), a missing-`value` envelope (parse-guard-dropped), a
+    * REVERTED transfer (status 0 ⇒ no funds moved ⇒ dropped), a whale
+    * transfer past int64 wei (+10 ETH — exercises the DECIMAL(38,0) value
+    * path), and a checksummed mixed-case `to` address (case-folded match).
     */
   val EW = "0xWa11e700000000000000000000000000000000001"
   val ethFixtures: Seq[(String, String)] = Seq(
     "eth1" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "value": 1500000000000000000, "status": 1}""",
     "eth2" -> s"""{"from": "$EW", "to": "0xReceiverBbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbbb", "value": 250000000000000000, "status": 1}""",
     "eth3" -> s"""{"from": "$EW", "to": "$EW", "value": 999000000000000000, "status": 1}""",
-    "eth4" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "status": 0}"""
+    "eth4" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "status": 0}""",
+    "eth5" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "value": 700000000000000000, "status": 0}""",
+    "eth6" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "$EW", "value": 10000000000000000000, "status": 1}""",
+    "eth7" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "${EW.toUpperCase.replace("0X", "0x")}", "value": 500000000000000000}"""
   )
 
   /** Solana + Ethereum (+ an unparsed hyperliquid row) bronze mix — the G1
@@ -242,12 +248,13 @@ object LedgerQueries {
          |    'transfer' AS entry_type
          |  FROM (
          |    SELECT transaction_id, wallet_address,
-         |      ((CASE WHEN json_extract_string(raw, '$$.to') = wallet_address
-         |             THEN CAST(json_extract(raw, '$$.value') AS BIGINT) ELSE 0 END)
-         |       - (CASE WHEN json_extract_string(raw, '$$.from') = wallet_address
-         |               THEN CAST(json_extract(raw, '$$.value') AS BIGINT) ELSE 0 END)) / 1e18 AS amount
+         |      CAST((CASE WHEN lower(json_extract_string(raw, '$$.to')) = lower(wallet_address)
+         |             THEN CAST(json_extract(raw, '$$.value') AS DECIMAL(38,0)) ELSE 0 END)
+         |       - (CASE WHEN lower(json_extract_string(raw, '$$.from')) = lower(wallet_address)
+         |               THEN CAST(json_extract(raw, '$$.value') AS DECIMAL(38,0)) ELSE 0 END) AS DOUBLE) / 1e18 AS amount
          |    FROM eth
-         |    WHERE json_extract(raw, '$$.value') IS NOT NULL)
+         |    WHERE json_extract(raw, '$$.value') IS NOT NULL
+         |      AND COALESCE(CAST(json_extract(raw, '$$.status') AS INTEGER), 1) = 1)
          |  WHERE ABS(amount) > 0.000001)
          |SELECT transaction_id, wallet_address, asset_symbol, amount, entry_type
          |FROM (SELECT * FROM silver UNION ALL SELECT * FROM eth_silver)
@@ -278,7 +285,7 @@ object LedgerQueries {
       """SELECT 'W' || CAST(user_id AS VARCHAR) AS wallet_address,
         |  'SOL' AS asset_symbol,
         |  COUNT(*) AS n_entries,
-        |  SUM(CAST(-FLOOR(value * 1e9) AS BIGINT)) AS position_lamports
+        |  CAST(SUM(CAST(-FLOOR(value * 1e9) AS BIGINT)) AS BIGINT) AS position_lamports
         |FROM events
         |WHERE ABS(FLOOR(value * 1e9) / 1e9) > 0.000001
         |GROUP BY 1, 2

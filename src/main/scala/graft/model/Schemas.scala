@@ -102,7 +102,10 @@ object Schemas {
   val ethTx: StructType = StructType(Seq(
     StructField("from", StringType),
     StructField("to", StringType),
-    StructField("value", LongType),
+    // DECIMAL(38,0), not LongType: wei values overflow int64 at ~9.22 ETH
+    // (Long.MaxValue = 9.22e18 wei) — a LongType schema would null the
+    // struct on any whale transfer and silently drop it
+    StructField("value", DecimalType(38, 0)),
     StructField("status", IntegerType)))
 
   /** Bronze table schema (`transactions`). */

@@ -14,10 +14,14 @@ import graft.model.{Chain, EntryType, Schemas}
   *
   *  - envelope parse guard: missing/unparseable `value` ⇒ zero entries
   *    (the `meta`-guard analogue, parser.rs:15-18)
+  *  - reverted transactions (`status` = 0) move no funds ⇒ zero entries;
+  *    a missing/null status (pre-Byzantium receipts) counts as success
   *  - net wallet delta: +value if the tracked wallet is `to`, −value if it
   *    is `from` — a self-transfer nets to 0 and is dropped by the dust
-  *    filter
-  *  - wei→ETH at 1e18, f64 (same double policy as the SOL path)
+  *    filter. Address comparison is case-folded: Ethereum addresses are
+  *    case-insensitive (EIP-55 checksums vary the hex case per source)
+  *  - value is DECIMAL(38,0) wei (int64 overflows at ~9.22 ETH), then
+  *    wei→ETH at 1e18 into f64 (same double policy as the SOL path)
   *  - dust filter |Δ| > 1e-6, deterministic surrogate id from the bronze
   *    row id, entry_type 'transfer'
   */
@@ -35,12 +39,14 @@ object EthereumNormalizer {
     val parsed = bronze
       .filter(col("chain") === lit(Chain.Ethereum))
       .withColumn("m", from_json(col("raw_metadata"), Schemas.ethTx))
-    val in = when(col("m.to") === col("wallet_address"), col("m.value")).otherwise(lit(0L))
-    val out = when(col("m.from") === col("wallet_address"), col("m.value")).otherwise(lit(0L))
+    val wallet = lower(col("wallet_address"))
+    val in = when(lower(col("m.to")) === wallet, col("m.value")).otherwise(lit(0L))
+    val out = when(lower(col("m.from")) === wallet, col("m.value")).otherwise(lit(0L))
     val amount = (in - out).cast("double") / lit(WeiPerEth)
+    val statusOk = col("m.status").isNull || col("m.status") === 1
     val emptyEntries = array().cast("array<struct<amount:double>>")
     val entries =
-      when(col("m.value").isNotNull,
+      when(col("m.value").isNotNull && statusOk,
         when(abs(amount) > Dust, array(struct(amount.as("amount"))))
           .otherwise(emptyEntries))
         .otherwise(emptyEntries)
@@ -63,6 +69,14 @@ object EthereumNormalizer {
   * normalizer and union the silver outputs by name. Chains without a parser
   * (hyperliquid) contribute zero rows — the reference's "skipped with a
   * message" behavior (`cli/src/main.rs:152-161`), minus the message.
+  *
+  * Scale note: the union arms each scan the bronze source (Spark has no
+  * subplan reuse across union arms), but each arm's `chain = '<x>'` filter
+  * pushes into the parquet reader, so with chain-dictionary row-group
+  * stats an arm skips the other chains' row groups — the per-arm cost is
+  * ~that chain's share of the table, not a full re-scan. Writing bronze
+  * partitioned by chain (the production layout) turns it into exact
+  * directory pruning.
   */
 object ChainNormalizers {
 

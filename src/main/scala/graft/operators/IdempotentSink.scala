@@ -46,12 +46,16 @@ object IdempotentSink {
     // fails the job loudly instead of corrupting the output.
     val fresh = dedupeAgainstExisting(spark, batch, path, keyCol)
       .localCheckpoint(true)
-    val n = fresh.count()
-    if (n > 0) {
-      val w = fresh.write.mode(SaveMode.Append)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
-    }
-    n
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val w = fresh.write.mode(SaveMode.Append)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+      }
+      n
+    } finally fresh.unpersist() // release the checkpoint blocks — a long
+    // ingest loop would otherwise accrete one batch's blocks per call in
+    // executor storage until GC-driven cleanup got around to them
   }
 
   /** The pure (side-effect-free) core: batch rows whose key is not already

@@ -71,12 +71,19 @@ object IvfAnn {
     centroids
   }
 
-  /** Tag each corpus vector with its IVF cell. */
+  /** Tag each corpus vector with its IVF cell. Wrong-dimension vectors are
+    * EXCLUDED (same `size = dim` rule training applies) — a truncated dot
+    * product would otherwise assign them a plausible-looking cell and feed
+    * mismatched lengths into cosine scoring.
+    */
   def index(emb: DataFrame, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame =
+      centroids: Array[Array[Double]]): DataFrame = {
+    val dim = centroids.head.length
     graft.Tables.fanOut(emb)
       .withColumn("_v", asDouble(col(vecCol)))
+      .filter(size(col("_v")) === dim)
       .withColumn("_list", nearestCell(col("_v"), centroids))
+  }
 
   /** Approximate top-k by cosine for the corpus vector with id `queryId`:
     * probe the `nProbe` cells nearest the query, exact cosine inside them.
@@ -98,10 +105,13 @@ object IvfAnn {
       }
       .take(math.min(nProbe, centroids.length))
 
-    // broadcast one-row query vector (not a 64-literal array — keeps the
-    // generated cosine code small), exact cosine inside probed cells only
-    val qRow = broadcast(tagged.filter(col(idCol) === queryId)
-      .select(col("_v").as("_q_vec")))
+    // broadcast one-row query vector built from the ALREADY-collected q —
+    // re-filtering `tagged` here would scan (and re-assign) the corpus a
+    // second time just to recover a row the driver is holding. Not a
+    // 64-literal array either: that inflates generated cosine code.
+    val session = emb.sparkSession
+    import session.implicits._
+    val qRow = broadcast(Seq(Tuple1(q.toSeq)).toDF("_q_vec"))
     tagged
       .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
       .crossJoin(qRow)

@@ -104,8 +104,12 @@ class NormalizerSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       .toSet
     val eth = out.filter(_._1.startsWith("eth"))
-    assert(eth == Set(("eth1", "ETH", 1.5), ("eth2", "ETH", -0.25)),
-      s"eth branch wrong: $eth") // eth3 self-transfer nets 0; eth4 has no value
+    assert(eth == Set(
+      ("eth1", "ETH", 1.5), ("eth2", "ETH", -0.25),
+      ("eth6", "ETH", 10.0), // > int64 wei: the DECIMAL(38,0) value path
+      ("eth7", "ETH", 0.5)), // checksummed mixed-case address, case-folded
+      s"eth branch wrong: $eth")
+    // eth3 self-transfer nets 0; eth4 has no value; eth5 reverted (status 0)
     assert(!out.exists(_._1.startsWith("hl")), "hyperliquid rows must be skipped")
     assert(out.filter(t => !t._1.startsWith("eth")) == silver,
       "solana entries must be unchanged by the multi-chain union")

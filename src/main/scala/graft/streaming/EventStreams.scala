@@ -90,6 +90,19 @@ object EventStreams {
       }
       .start()
 
+  /** J2 (in-stream variant): drop duplicate keys INSIDE the stream with
+    * watermark-bounded state — the complement of [[exactlyOnceSink]]'s
+    * merge-at-the-sink: replays and at-least-once sources collapse before
+    * any downstream aggregation, and the dedup state is evicted once the
+    * event-time watermark passes (bounded memory at 100 TB/day rates,
+    * unlike an unbounded `dropDuplicates`).
+    */
+  def streamingDedup(stream: DataFrame, keyCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** J3/J4: watermarked tumbling-window counts — late rows beyond the
     * watermark are dropped (tighter than the reference's unwrap_or(0)
     * tolerance; documented divergence, SURVEY.md §2.J3).

@@ -165,6 +165,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J2: in-stream watermarked dedup collapses replayed keys before any sink") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val stream = in.toDF().toDF("ts", "event_id", "value")
+    val deduped = EventStreams.streamingDedup(stream, "event_id", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // timestamps clear of epoch 0: a row with ts == the initial watermark
+      // (0) is dropped as late before dedup even sees it
+      in.addData((ts(3600), 1L, 1.0), (ts(3610), 2L, 2.0))
+      q.processAllAvailable()
+      // replay batch 1's keys (at-least-once delivery) plus one new key
+      in.addData((ts(3600), 1L, 1.0), (ts(3610), 2L, 2.0), (ts(3620), 3L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L), s"replayed keys must collapse: $got")
+    } finally q.stop()
+  }
+
   test("I1×J×G1: the multi-chain dispatch union runs unchanged on a streaming bronze source") {
     import graft.analytics.LedgerQueries
     import graft.normalize.ChainNormalizers

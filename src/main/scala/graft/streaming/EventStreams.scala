@@ -124,6 +124,33 @@ object EventStreams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** J-EXT: watermarked stream-stream interval join — each left event joins
+    * the right-stream events of the same key within the preceding
+    * `lookback` (e.g. every purchase with the clicks that led to it). Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can evict join state older than
+    * watermark − lookback — the ONLY way a stream-stream join stays
+    * bounded-memory at production rates; an unbounded-condition join keeps
+    * every row forever.
+    *
+    * Output columns: all of `left` + the right's ts as `r_<rightTs>` +
+    * `valueCols` prefixed `r_`.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      lookback: String, watermark: String): DataFrame = {
+    val r = right.select(
+      (Seq(col(keyCol).as(s"r_$keyCol"), col(rightTs).as(s"r_$rightTs")) ++
+        valueCols.map(c => col(c).as(s"r_$c"))): _*)
+    left.withWatermark(leftTs, watermark)
+      .join(r.withWatermark(s"r_$rightTs", watermark),
+        col(keyCol) === col(s"r_$keyCol") &&
+          col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+          col(s"r_$rightTs") <= col(leftTs))
+      .drop(s"r_$keyCol")
+  }
+
   /** J5: stateful running position per wallet — the continuously-maintained
     * balance the reference's ordered scans exist to serve (repo.rs:79,118).
     */

@@ -186,6 +186,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J-EXT: stream-stream interval join pairs events within the lookback only") {
+    implicit val sc = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val clicks = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStreams.intervalJoin(
+      purchases.toDF().toDF("ts", "user_id", "value"),
+      clicks.toDF().toDF("ts", "user_id", "value"),
+      "user_id", "ts", "ts", Seq("value"),
+      lookback = "10 minutes", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("interval_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: clicks at t+0s and t+700s, purchase at t+720s → only the
+      // click 20 s before (within 10 min) joins, not the one 12 min before.
+      // user 2: click only, no purchase → no output row.
+      clicks.addData((ts(3600), 1L, 0.1), (ts(4300), 1L, 0.2), (ts(4000), 2L, 0.3))
+      purchases.addData((ts(4320), 1L, 9.9))
+      q.processAllAvailable()
+      val got = spark.table("interval_join")
+        .select("user_id", "value", "r_value")
+        .as[(Long, Double, Double)].collect().toSet
+      assert(got == Set((1L, 9.9, 0.2)),
+        s"expected only the in-window click to join: $got")
+    } finally q.stop()
+  }
+
   test("I1×J×G1: the multi-chain dispatch union runs unchanged on a streaming bronze source") {
     import graft.analytics.LedgerQueries
     import graft.normalize.ChainNormalizers

@@ -106,6 +106,25 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // I2 via the SQL surface: the native expressions registered through
+    // SparkSessionExtensions (word_shingles, dot_product) reached from
+    // plain spark.sql text — and oracle-checked, so the SQL registration
+    // path sits inside the correctness gate, not just ScalaTest.
+    "i2_sql_native_fns" -> ((s, d) => {
+      // idempotent: sessions built via GraftSession already have them, bare
+      // sessions (tests) get the functions registered here
+      graft.plans.GraftExtensions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("docs_v")
+      Tables.embeddings(s, d).createOrReplaceTempView("emb_v")
+      s.sql(
+        """SELECT d.doc_id,
+          |  size(word_shingles(split(d.text, ' '), 3)) AS n_shingles,
+          |  round(dot_product(e.embedding, e.embedding), 6) AS sq_norm
+          |FROM docs_v d JOIN emb_v e ON d.doc_id = e.vec_id
+          |WHERE size(split(d.text, ' ')) >= 3
+          |ORDER BY d.doc_id""".stripMargin)
+    }),
+
     // K5: multimodal record assembly — text + opaque binary payload +
     // embedding in one struct-typed row. The binary payload is a
     // deterministic stand-in for image/audio bytes (decode libs aren't in
@@ -213,6 +232,17 @@ object SimilarityQueries {
       |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "i2_sql_native_fns" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT t.doc_id,
+        |  CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS INTEGER) AS n_shingles,
+        |  ROUND(list_sum(list_transform(e.embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+        |FROM t JOIN embeddings e ON t.doc_id = e.vec_id
+        |WHERE len(w) >= 3
+        |ORDER BY t.doc_id""".stripMargin,
+
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,

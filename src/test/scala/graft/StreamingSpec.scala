@@ -186,6 +186,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J-EXT: stream-static join enriches a stream with a broadcastable dimension") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val enriched = in.toDF().toDF("ts", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("stream_static")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(3600), 1L, 5.0), (ts(3610), 3L, 7.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_static")
+        .select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(1L -> Some("gold"), 3L -> None),
+        s"static dim must enrich per micro-batch: $got")
+    } finally q.stop()
+  }
+
   test("J-EXT: stream-stream interval join pairs events within the lookback only") {
     implicit val sc = spark.sqlContext
     val purchases = MemoryStream[(Timestamp, Long, Double)]

@@ -188,6 +188,22 @@ object EventQueries {
         .orderBy("w_start", "event_type")
     }),
 
+    // J4 (batch view): gap-based session windows — an event within 30 min
+    // of the session's last event merges, else a new session starts (the
+    // half-open [t, t+gap) rule: a gap of EXACTLY 30 min splits). Oracle is
+    // the classic gaps-and-islands formulation (LAG → island id → group).
+    // NB: group by the session_window STRUCT and extract start after the
+    // agg — grouping by .getField("start") silently degrades to one
+    // per-event window (the merge rule lives in the struct grouping).
+    "j4_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("s_start"),
+          col("user_id"), col("n_events"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // J4 (batch view): tumbling 5-minute windows — same window spec the
     // streaming path uses; batch-checked against the oracle here, replay-
     // checked in StreamingSpec.
@@ -302,6 +318,24 @@ object EventQueries {
         |    ]) AS w_start, event_type
         |  FROM events)
         |GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+
+    "j4_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+        |              >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT MIN(ts) AS s_start, user_id, COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "j4_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,

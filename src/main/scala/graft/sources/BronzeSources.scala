@@ -54,3 +54,50 @@ object JsonlBronzeSink {
   def write(bronze: DataFrame, path: String): Unit =
     bronze.write.mode("overwrite").json(path)
 }
+
+/** CSV bronze source — interop format for legacy/export pipelines. The
+  * `raw_metadata` column embeds quotes and commas, so BOTH sides pin
+  * RFC-4180 double-quote escaping (`escape = "`): Spark's default escape is
+  * backslash, which does not round-trip embedded JSON written by other
+  * tools (and vice versa).
+  */
+final class CsvBronzeSource(path: String) extends BronzeSource {
+  def read(spark: SparkSession): DataFrame =
+    spark.read.schema(Schemas.bronze)
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+      .filter(col("id").isNotNull)
+
+  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+    read(spark)
+      .filter(col("wallet_address") === wallet)
+      .orderBy("timestamp")
+      .limit(limit)
+}
+
+/** CSV bronze sink — same RFC-4180 escaping contract as the source. */
+object CsvBronzeSink {
+  def write(bronze: DataFrame, path: String): Unit =
+    bronze.write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+}
+
+/** ORC bronze source — the columnar alternative where the lakehouse
+  * standard is ORC rather than parquet; same pushdown/pruning behavior.
+  */
+final class OrcBronzeSource(path: String) extends BronzeSource {
+  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+    spark.read.orc(path)
+      .filter(col("wallet_address") === wallet)
+      .orderBy("timestamp")
+      .limit(limit)
+}
+
+/** ORC bronze sink. */
+object OrcBronzeSink {
+  def write(bronze: DataFrame, path: String): Unit =
+    bronze.write.mode("overwrite").orc(path)
+}

@@ -53,6 +53,33 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("nearest-centroid expression matches brute-force argmin on random inputs") {
+    import graft.functions.VectorExpressions.nearestCentroid
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(99L)
+    (1 to 6).foreach { round =>
+      val dim = 1 + rnd.nextInt(8)
+      val nCells = 1 + rnd.nextInt(6)
+      val centroids = Array.fill(nCells)(Array.fill(dim)(rnd.nextGaussian()))
+      val vecs = (0 until 30).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      // brute force: argmin squared distance, ties to the LARGER cell id
+      // (the expression's documented greatest-over-structs tie rule)
+      def expectedCell(v: Seq[Double]): Int =
+        centroids.indices.map { i =>
+          val d2 = v.zip(centroids(i)).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, i)
+        }.minBy { case (d2, i) => (d2, -i) }._2
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), nearestCentroid(col("v"), centroids).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) == expectedCell(v),
+          s"round=$round dim=$dim cells=$nCells vec=$id: " +
+            s"got ${got(id)}, expected ${expectedCell(v)}")
+      }
+    }
+  }
+
   test("cluster labels match union-find connected components on random pair sets") {
     val rnd = new Random(7L)
     val ids = (1L to 12L).toList

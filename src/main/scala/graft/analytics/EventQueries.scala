@@ -188,10 +188,12 @@ object EventQueries {
         .orderBy("w_start", "event_type")
     }),
 
-    // J4 (batch view): gap-based session windows — an event within 30 min
-    // of the session's last event merges, else a new session starts (the
-    // half-open [t, t+gap) rule: a gap of EXACTLY 30 min splits). Oracle is
-    // the classic gaps-and-islands formulation (LAG → island id → group).
+    // J4 (batch view): gap-based session windows — an event AT OR within
+    // 30 min of the session's last event merges (the boundary is INCLUSIVE:
+    // Spark starts a new session only when the event's start exceeds the
+    // current session end, so a gap of exactly 30 min merges — asserted in
+    // StreamingSpec "J4 boundary"). Oracle is the classic gaps-and-islands
+    // formulation (LAG → island id → group) with the matching strict-> split.
     // NB: group by the session_window STRUCT and extract start after the
     // agg — grouping by .getField("start") silently degrades to one
     // per-event window (the merge rule lives in the struct grouping).
@@ -324,7 +326,7 @@ object EventQueries {
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CASE WHEN LAG(ts) OVER w IS NULL
         |           OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
-        |              >= INTERVAL 30 MINUTE
+        |              > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -17,10 +17,18 @@ import graft.model.Schemas
   */
 trait BronzeSource {
 
+  /** Whole-table bronze read (schema [[Schemas.bronze]]). */
+  def read(spark: SparkSession): DataFrame
+
   /** Full history scan for one wallet, oldest-first, at most `limit` rows —
-    * the `fetch_history` contract.
+    * the `fetch_history` contract. Final: one definition of the contract,
+    * shared by every format; sources only supply [[read]].
     */
-  def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame
+  final def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+    read(spark)
+      .filter(col("wallet_address") === wallet)
+      .orderBy("timestamp")
+      .limit(limit)
 }
 
 /** A3: JSONL bronze source — one JSON transaction per line
@@ -28,25 +36,16 @@ trait BronzeSource {
   * inference; corrupt lines drop via the PERMISSIVE null-row path.
   */
 final class JsonlBronzeSource(path: String) extends BronzeSource {
-  def read(spark: SparkSession): DataFrame =
+  override def read(spark: SparkSession): DataFrame =
     spark.read.schema(Schemas.bronze).json(path).filter(col("id").isNotNull)
-
-  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
-    read(spark)
-      .filter(col("wallet_address") === wallet)
-      .orderBy("timestamp")
-      .limit(limit)
 }
 
 /** Parquet bronze source — the engine-native table layout. At scale the
   * table is written bucketed by wallet so this prunes instead of scanning.
   */
 final class ParquetBronzeSource(path: String) extends BronzeSource {
-  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+  override def read(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
-      .filter(col("wallet_address") === wallet)
-      .orderBy("timestamp")
-      .limit(limit)
 }
 
 /** A4: JSONL bronze sink (`/root/reference/cli/src/main.rs:106-113`). */
@@ -62,24 +61,25 @@ object JsonlBronzeSink {
   * tools (and vice versa).
   */
 final class CsvBronzeSource(path: String) extends BronzeSource {
-  def read(spark: SparkSession): DataFrame =
+  override def read(spark: SparkSession): DataFrame =
     spark.read.schema(Schemas.bronze)
       .option("header", "true")
       .option("escape", "\"")
       .csv(path)
       .filter(col("id").isNotNull)
-
-  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
-    read(spark)
-      .filter(col("wallet_address") === wallet)
-      .orderBy("timestamp")
-      .limit(limit)
 }
 
-/** CSV bronze sink — same RFC-4180 escaping contract as the source. */
+/** CSV bronze sink — same RFC-4180 escaping contract as the source. The
+  * columns are written in [[Schemas.bronze]] order regardless of the input
+  * DataFrame's layout: the reader binds by POSITION (an explicit schema
+  * with header=true skips the header rather than matching by name), so a
+  * caller-reordered DataFrame would otherwise round-trip with silently
+  * swapped same-typed fields.
+  */
 object CsvBronzeSink {
   def write(bronze: DataFrame, path: String): Unit =
-    bronze.write.mode("overwrite")
+    bronze.select(Schemas.bronze.fieldNames.map(col(_)): _*)
+      .write.mode("overwrite")
       .option("header", "true")
       .option("escape", "\"")
       .csv(path)
@@ -89,11 +89,8 @@ object CsvBronzeSink {
   * standard is ORC rather than parquet; same pushdown/pruning behavior.
   */
 final class OrcBronzeSource(path: String) extends BronzeSource {
-  override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+  override def read(spark: SparkSession): DataFrame =
     spark.read.orc(path)
-      .filter(col("wallet_address") === wallet)
-      .orderBy("timestamp")
-      .limit(limit)
 }
 
 /** ORC bronze sink. */

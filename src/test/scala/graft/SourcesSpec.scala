@@ -37,6 +37,19 @@ class SourcesSpec extends SparkSpec {
       "CSV round-trip must preserve raw_metadata byte semantics")
   }
 
+  test("csv sink canonicalizes column order: a reordered DataFrame round-trips by name") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("csvro").toString + "/bronze"
+    val reordered = LedgerQueries.fixtureBronze(spark)
+      .select("wallet_address", "raw_metadata", "id", "user_id",
+        "timestamp", "tx_hash", "chain")
+    CsvBronzeSink.write(reordered, dir)
+    val back = new CsvBronzeSource(dir).read(spark)
+    // positional binding with a swapped layout would put wallets in user_id
+    assert(back.filter(col("wallet_address") === LedgerQueries.W).count() == 5,
+      "column-reordered input must still round-trip by name")
+  }
+
   test("orc sink+source round-trips bronze rows; fetchHistory contract holds") {
     val dir = Files.createTempDirectory("orc").toString + "/bronze"
     OrcBronzeSink.write(LedgerQueries.fixtureBronze(spark), dir)

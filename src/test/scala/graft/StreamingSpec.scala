@@ -165,6 +165,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J4 boundary: an event at EXACTLY the session gap merges; one second past splits") {
+    val df = Seq(
+      (ts(3600), 1L),              // session start
+      (ts(3600 + 1800), 1L),       // exactly 30 min later → must MERGE
+      (ts(3600 + 1800 + 1801), 1L) // 30 min + 1 s later → new session
+    ).toDF("ts", "user_id")
+    val sessions = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect()
+    assert(sessions.length == 2,
+      s"session merge is inclusive at the gap boundary: $sessions")
+  }
+
   test("J2: in-stream watermarked dedup collapses replayed keys before any sink") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]

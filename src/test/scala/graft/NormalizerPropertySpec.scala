@@ -110,4 +110,54 @@ class NormalizerPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("ethereum branch: random envelopes match an independent in-test model") {
+    import spark.implicits._
+    val rnd = new Random(314L)
+    val wallet = "0xTrackedWa11et0000000000000000000000000001"
+    val others = Seq("0xOtherA", "0xOtherB")
+    def addr(): String = {
+      val a = (wallet +: others)(rnd.nextInt(3))
+      if (rnd.nextBoolean()) a.toUpperCase else a // EIP-55-style case noise
+    }
+    case class Env(id: String, from: String, to: String,
+        value: Option[BigInt], status: Option[Int])
+    val envs = (0 until 200).map { i =>
+      val value = rnd.nextInt(5) match {
+        case 0 => None                                // parse-guard drop
+        case 1 => Some(BigInt(rnd.nextInt(900)))      // dust-range wei
+        case 2 => Some(BigInt("10000000000000000000")) // > int64 wei
+        case _ => Some(BigInt(rnd.nextLong(2000000000000000000L)))
+      }
+      val status = rnd.nextInt(4) match {
+        case 0 => Some(0) // reverted
+        case 1 => None    // pre-Byzantium: success
+        case _ => Some(1)
+      }
+      Env(s"e$i", addr(), addr(), value, status)
+    }
+    // independent model of the documented semantics
+    def expected(e: Env): Option[Double] = for {
+      v <- e.value
+      if e.status.forall(_ == 1)
+      signed = (if (e.to.toLowerCase == wallet.toLowerCase) v else BigInt(0)) -
+        (if (e.from.toLowerCase == wallet.toLowerCase) v else BigInt(0))
+      amt = signed.toDouble / 1e18
+      if math.abs(amt) > 1e-6
+    } yield amt
+
+    val bronze = envs.map { e =>
+      val fields = Seq(s""""from": "${e.from}"""", s""""to": "${e.to}"""") ++
+        e.value.map(v => s""""value": $v""") ++
+        e.status.map(st => s""""status": $st""")
+      graft.model.Transaction(e.id, "u", wallet, 0L, s"h${e.id}", "ethereum",
+        fields.mkString("{", ", ", "}"))
+    }.toDF()
+    val got = graft.normalize.EthereumNormalizer.normalize(bronze)
+      .select("transaction_id", "amount").as[(String, Double)].collect().toMap
+    envs.foreach { e =>
+      assert(got.get(e.id) == expected(e),
+        s"${e.id}: got ${got.get(e.id)}, want ${expected(e)} for $e")
+    }
+  }
 }

@@ -41,6 +41,29 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K1: duplicate-rate report — the health metric every dedup pipeline
+    // publishes (one row: corpus size, distinct contents, dup ratio).
+    "k1_dup_stats" -> ((s, d) => {
+      val nd = countDistinct(sha2(col("text"), 256))
+      Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"), nd.as("n_unique"),
+          round(lit(1) - nd.cast("double") / count(lit(1)), 6).as("dup_ratio"))
+    }),
+
+    // K4/E3: top-5 words per language — grouped top-k over an exploded
+    // token stream (partial-aggregated counts, then one window pass).
+    "k4_top_words_per_lang" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .groupBy("lang", "word")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("lang", "rn")
+    }),
+
     // K4: per-language corpus statistics.
     "k4_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -226,6 +249,23 @@ object TextQueries {
         |FROM documents
         |GROUP BY lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
         |ORDER BY doc_id""".stripMargin,
+
+    "k1_dup_stats" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT sha256(text)) AS n_unique,
+        |  ROUND(1 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*), 6)
+        |    AS dup_ratio
+        |FROM documents""".stripMargin,
+
+    "k4_top_words_per_lang" ->
+      """SELECT lang, word, cnt, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT lang, word, COUNT(*) AS cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+        |  FROM (
+        |    SELECT lang, UNNEST(string_split(text, ' ')) AS word
+        |    FROM documents) t
+        |  GROUP BY lang, word) z
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
 
     "k4_text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,

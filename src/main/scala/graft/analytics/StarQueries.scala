@@ -374,7 +374,8 @@ object StarQueries {
         .select(col("c_custkey"), col("c_nationkey"),
           sum(dec2(col("c_acctbal"))).over(wRange).cast("double").as("near_sum"),
           first(col("c_name")).over(wRows).as("first_name"),
-          last(col("c_name")).over(wRows).as("last_name"))
+          last(col("c_name")).over(wRows).as("last_name"),
+          nth_value(col("c_name"), 2).over(wRows).as("second_name"))
         .orderBy("c_nationkey", "c_custkey")
     }),
 
@@ -602,7 +603,8 @@ object StarQueries {
         |    (PARTITION BY c_nationkey ORDER BY c_custkey
         |     RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum,
         |  FIRST_VALUE(c_name) OVER w AS first_name,
-        |  LAST_VALUE(c_name) OVER w AS last_name
+        |  LAST_VALUE(c_name) OVER w AS last_name,
+        |  NTH_VALUE(c_name, 2) OVER w AS second_name
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

@@ -41,11 +41,14 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // "queries" first, summary fields LAST: the harness that collects this
+    // output keeps only the tail of the run log, so a summary-first layout
+    // gets its total truncated away once the per-query map grows long.
+    val qs = timings.map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      f"""{"queries":$qs,"errors":$es,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"metric":"total","unit":"sec","value":$total%.3f}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

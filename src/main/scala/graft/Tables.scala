@@ -49,19 +49,35 @@ object Tables {
     * map stage would serialize on a single core while the rest of the
     * cluster idles. Production many-file tables already arrive
     * well-partitioned, and then this is a no-op: the guard inspects the
-    * planned partition count. For the scan/union-shaped inputs used in this
-    * codebase that is metadata-only; do NOT call it on plans containing
-    * shuffles or range sorts — materializing `.rdd` under AQE can execute
-    * those upstream stages just to answer `getNumPartitions`, and the
-    * subsequent repartition would discard and re-run that work.
+    * planned partition count.
     *
-    * Never apply below a selective filter — a repartition would lift the
-    * filter off the parquet scan and kill pushdown.
+    * Safety is STRUCTURAL, not by caller convention: the partition-count
+    * probe materializes `.rdd`, which under AQE can execute upstream shuffle
+    * stages just to plan — so plans containing anything beyond
+    * scan/project/filter/union/generate (a join, aggregate, sort,
+    * repartition, window, limit …) are returned untouched. For the allowed
+    * shapes the probe is metadata-only, and a repartition on top of them is
+    * the intended fan-out. This also protects pushdown: a scan-shaped plan's
+    * filters are already pushed before the repartition is appended.
     */
   def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch sources size their own splits
+    if (!scanShaped(df)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)
+  }
+
+  /** True when the optimized plan is pure scan/map work — leaves plus
+    * Project/Filter/Union/Generate — i.e. no node that induces a shuffle,
+    * sort, or driver-side boundary that a `.rdd` probe could execute.
+    */
+  private def scanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collect { case p => p }.forall {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Union | _: Generate | _: SubqueryAlias => true
+      case _ => false
+    }
   }
 }

@@ -62,7 +62,8 @@ object SimilarityQueries {
     // SQL-reproducible); recall asserted in SimilaritySpec.
     "k3_ann_ivf" -> ((s, d) =>
       graft.operators.IvfAnn.ivfTopK(Tables.embeddings(s, d),
-        "vec_id", "embedding", queryId = 0, dim = 64, k = 10, iters = 3)),
+        "vec_id", "embedding", queryId = 0, dim = 64, k = 10, iters = 3,
+        carryCols = Seq("label"))),
 
     // K3 batch retrieval: many query vectors answered in ONE bucket
     // equi-join pass — the shape a 100 TB retrieval pipeline actually runs

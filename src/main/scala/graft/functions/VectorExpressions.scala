@@ -265,8 +265,12 @@ case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.forall(_.length == centroids.head.length),
+    "all centroids must share one dimension")
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullable: Boolean = true
 
   override def prettyName: String = "nearest_centroid"
 
@@ -275,18 +279,23 @@ case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
   @transient private lazy val halfNorms: Array[Double] =
     matrix.map(c => c.map(x => x * x).sum / 2.0)
 
+  /** A vector whose length differs from the centroid dimension yields NULL —
+    * a truncated dot product would silently hand back a plausible-looking
+    * cell id for garbage input (callers like IvfAnn pre-filter on
+    * `size = dim`, but the public Column API carries no such guard).
+    */
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    if (n != matrix(0).length) return null
     var best = 0
     var bestScore = Double.NegativeInfinity
     var i = 0
     while (i < matrix.length) {
       val c = matrix(i)
-      val d = math.min(n, c.length)
       var s = 0.0
       var j = 0
-      while (j < d) { s += v.getDouble(j) * c(j); j += 1 }
+      while (j < n) { s += v.getDouble(j) * c(j); j += 1 }
       s -= halfNorms(i)
       if (s >= bestScore) { bestScore = s; best = i }
       i += 1

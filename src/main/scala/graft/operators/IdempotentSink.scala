@@ -38,24 +38,31 @@ object IdempotentSink {
     */
   def appendOnce(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
       partitionCols: Seq[String] = Nil): Long = {
-    // localCheckpoint, not persist(): the anti-join reads the same table
-    // this method appends to. A plain persist() keeps the lineage alive, so
-    // an evicted/lost cached partition recomputed AFTER the append commits
+    // Checkpoint, not persist(): the anti-join reads the same table this
+    // method appends to. A plain persist() keeps the lineage alive, so an
+    // evicted/lost cached partition recomputed AFTER the append commits
     // would re-run the anti-join against the mutated table and drop rows
-    // mid-write. Eager localCheckpoint severs that lineage — a lost block
-    // fails the job loudly instead of corrupting the output.
-    val fresh = dedupeAgainstExisting(spark, batch, path, keyCol)
-      .localCheckpoint(true)
+    // mid-write. Checkpointing severs that lineage — a lost block fails the
+    // job loudly instead of corrupting the output.
+    //
+    // The checkpoint is taken on an RDD we hold directly (not via
+    // Dataset.localCheckpoint, which hides its checkpointed RDD inside a
+    // LogicalRDD that Dataset.unpersist can't reach — the CacheManager has
+    // no entry for it, so the blocks would linger until ContextCleaner GC).
+    // Holding the handle makes the finally-block release real: a long
+    // ingest loop drops each batch's blocks as soon as its append lands.
+    val plan = dedupeAgainstExisting(spark, batch, path, keyCol)
+    val rdd = plan.rdd
+    rdd.localCheckpoint()
+    val fresh = spark.createDataFrame(rdd, plan.schema)
     try {
-      val n = fresh.count()
+      val n = fresh.count() // materializes the checkpoint
       if (n > 0) {
         val w = fresh.write.mode(SaveMode.Append)
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       }
       n
-    } finally fresh.unpersist() // release the checkpoint blocks — a long
-    // ingest loop would otherwise accrete one batch's blocks per call in
-    // executor storage until GC-driven cleanup got around to them
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** The pure (side-effect-free) core: batch rows whose key is not already

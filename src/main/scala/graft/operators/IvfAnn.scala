@@ -87,10 +87,14 @@ object IvfAnn {
 
   /** Approximate top-k by cosine for the corpus vector with id `queryId`:
     * probe the `nProbe` cells nearest the query, exact cosine inside them.
+    * `carryCols` names extra columns of `emb` to carry into the output
+    * alongside (idCol, sim) — the operator itself assumes nothing about the
+    * corpus schema beyond id + vector.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       dim: Int, k: Int, nLists: Int = 16, nProbe: Int = 4,
-      iters: Int = 5, seed: Long = 42L): DataFrame = {
+      iters: Int = 5, seed: Long = 42L,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val centroids = trainCentroids(emb, vecCol, idCol, dim, nLists, iters, seed)
     val tagged = index(emb, vecCol, centroids)
 
@@ -115,8 +119,8 @@ object IvfAnn {
     tagged
       .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
       .crossJoin(qRow)
-      .select(col(idCol), col("label"),
-        round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"))
+      .select(col(idCol) +: carryCols.map(col) :+
+        round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"): _*)
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{EventQueries, LedgerQueries, SimilarityQueries, StarQueries, TextQueries}
+import graft.analytics.{EventQueries, LedgerQueries, PipelineQueries, SimilarityQueries, StarQueries, TextQueries}
 import graft.operators.MultimodalPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,6 +27,7 @@ object SparkEntry {
       LedgerQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
+      PipelineQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // K5 typed pipeline: binary payload → batch feature extraction
         // (stubbed decode — deterministic, so oracled despite running
@@ -96,6 +97,7 @@ object SparkEntry {
       LedgerQueries.oracle ++
       TextQueries.oracle ++
       SimilarityQueries.oracle ++
+      PipelineQueries.oracle ++
       Map(
         "k5_media_features" ->
           s"""$mediaCte

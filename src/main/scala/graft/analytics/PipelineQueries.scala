@@ -1,0 +1,279 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.VectorExpressions.dotFast
+import graft.functions.VectorFunctions.asDouble
+
+/** Training-data-pipeline operators the north star mandates beyond the
+  * reference's own surface (SURVEY.md §2.K scope note): deterministic
+  * corpus splitting/sampling/sharding, sequence packing, TF-IDF term
+  * weighting, embedding-norm QA, merge-upsert, and an explicitly salted
+  * skew join. Everything is hash-deterministic (md5 — the one digest both
+  * Spark and DuckDB compute identically over UTF-8 strings), so every
+  * query here carries a full DuckDB oracle.
+  *
+  * Scale notes per query live on each entry; the common theme: all
+  * decisions are per-row hash arithmetic (no global state, no collect), so
+  * each op is one scan + at most one hash aggregate — the shapes that
+  * survive a 100 TB corpus unchanged.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Deterministic per-row coin: first hex chars of md5 over a salted key.
+    * Compared lexicographically against a hex threshold — avoids any
+    * hex→int conversion (which the oracle engine lacks) while giving
+    * 256 evenly-spaced buckets from two chars.
+    */
+  private def coin(saltPrefix: String, key: Column): Column =
+    substring(md5(concat(lit(saltPrefix), key.cast("string"))), 1, 2)
+
+  val queries: Map[String, Q] = Map(
+    // K6: deterministic train/validation split — the foundational pipeline
+    // op: assignment is a pure function of doc_id (stable across runs,
+    // machines, and repartitioning; no sampling state to checkpoint).
+    // Threshold '29' keeps hashes 00..28 → 41/256 ≈ 16% validation.
+    "k6_split_train_test" -> ((s, d) => {
+      val split = when(coin("split42:", col("doc_id")) < "29", lit("valid"))
+        .otherwise(lit("train"))
+      Tables.documents(s, d)
+        .withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    // K6: per-source mixture sampling — downweight/upweight sources by a
+    // deterministic keep-probability (the data-mixture knob of a pretraining
+    // corpus). Rates cycle 12.5/25/50/75% by source index; the report shows
+    // requested vs realized rates. One scan, one hash aggregate.
+    "k6_mixture_sample" -> ((s, d) => {
+      val srcNum = expr("CAST(substr(source, 4) AS INT)")
+      val thr = when(srcNum % 4 === 0, lit("20"))
+        .when(srcNum % 4 === 1, lit("40"))
+        .when(srcNum % 4 === 2, lit("80"))
+        .otherwise(lit("c0"))
+      val kept = (coin("mix:", col("doc_id")) < thr).cast("long")
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum(kept).as("n_kept"))
+        .withColumn("realized_rate",
+          round(col("n_kept").cast("double") / col("n_total"), 6))
+        .orderBy("source")
+    }),
+
+    // K6: sequence packing (concat-and-chunk) — documents concatenated in
+    // deterministic order and cut into fixed 512-token context blocks; a doc
+    // whose tokens straddle a cut spans several blocks. The running sum is
+    // windowed PER LANGUAGE (the shard key), so at scale each shard packs
+    // independently — no global order, no single-partition window.
+    "k6_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 512").as("first_block"),
+          expr("(cum - 1) div 512").as("last_block"))
+        .withColumn("n_blocks", col("last_block") - col("first_block") + 1)
+        .orderBy("doc_id")
+    }),
+
+    // K6: deterministic corpus shuffle + sharding — shard = first hex char
+    // of the row hash (16 shards, shuffle-free assignment), position within
+    // shard = rank by the remaining hash. Windows are per-shard, so the op
+    // scales as 16 independent sorts of |corpus|/16 — never a global order.
+    "k6_shard_shuffle" -> ((s, d) => {
+      val h = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("h", "doc_id")))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
+    // K4: TF-IDF top terms — the term-weighting kernel of corpus analysis.
+    // One exploded-token aggregate (map-side partial combine carries
+    // |vocab|, not |tokens|, into the shuffle) + a broadcast one-row corpus
+    // count; ln is computed identically by both engines and rounded.
+    "k4_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val total = docs.agg(countDistinct("doc_id").cast("double").as("n_total"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .crossJoin(broadcast(total))
+        .select(col("word"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_total") / col("df")), 6).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("word"))
+        .limit(20)
+    }),
+
+    // K3: embedding-norm QA — per-label L2-norm distribution, the standard
+    // sanity gate before cosine similarity (un-normalized or degenerate
+    // vectors poison every downstream dot product). Norms via the codegen'd
+    // dot expression, not an interpreted lambda.
+    "k3_norm_stats" -> ((s, d) => {
+      val v = asDouble(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("label"), sqrt(dotFast(v, v)).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("nrm"), 6).as("avg_norm"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"))
+        .orderBy("label")
+    }),
+
+    // C7: merge/upsert (SCD-1) — the DO-UPDATE half the reference's
+    // ON CONFLICT DO NOTHING sink (A5) leaves on the table: full-outer join
+    // of the existing dimension against an aggregated update feed;
+    // unmatched-right inserts, matched updates, unmatched-left keeps.
+    // Decimal accumulation keeps the money column order-insensitive.
+    "c7_merge_upsert" -> ((s, d) => {
+      val existing = Tables.customer(s, d)
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val updates = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("spend"))
+      existing.join(updates, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("(new)")).as("name"),
+          when(col("o_custkey").isNull, lit("keep"))
+            .when(col("c_custkey").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          round(coalesce(col("spend"), lit(0.0)), 2).as("spend"))
+        .orderBy("custkey")
+    }),
+
+    // C6: salted fact-dim join — the manual skew mitigation (SURVEY §2
+    // "salting for skew"): the fact side's join key gains a deterministic
+    // 16-way salt, the dimension replicates once per salt value, and the
+    // join runs on (key, salt) so one hot key spreads over 16 tasks instead
+    // of one straggler. Result is provably identical to the unsalted join —
+    // the oracle IS the plain join.
+    "c6_join_salted" -> ((s, d) => {
+      val saltChars = "0123456789abcdef".map(c => lit(c.toString))
+      val fact = Tables.lineitem(s, d)
+        .withColumn("_salt",
+          substring(md5(concat(lit("salt:"), col("l_orderkey").cast("string"))), 1, 1))
+      val dim = Tables.orders(s, d)
+        .withColumn("_salt", explode(array(saltChars: _*)))
+      fact.join(dim,
+          fact("l_orderkey") === dim("o_orderkey") && fact("_salt") === dim("_salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k6_split_train_test" ->
+      """SELECT CASE WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        |            THEN 'valid' ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "k6_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE (CAST(substr(source, 4) AS INTEGER) % 4)
+        |      WHEN 0 THEN '20' WHEN 1 THEN '40' WHEN 2 THEN '80' ELSE 'c0' END AS thr,
+        |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |    AS realized_rate
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "k6_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS first_block,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS last_block,
+        |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_blocks
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "k6_shard_shuffle" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents)
+        |SELECT doc_id, substr(h, 1, 1) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id)
+        |       AS INTEGER) AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "k4_tfidf_top_terms" ->
+      """WITH w AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_total FROM w),
+        |stats AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM w GROUP BY word)
+        |SELECT word, tf, df, ROUND(tf * ln(n_total / df), 6) AS tfidf
+        |FROM stats, tot
+        |ORDER BY tfidf DESC, word LIMIT 20""".stripMargin,
+
+    "k3_norm_stats" ->
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nrm
+        |  FROM (SELECT vec_id, label, UNNEST(embedding) AS v FROM embeddings)
+        |  GROUP BY vec_id, label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(AVG(nrm), 6) AS avg_norm,
+        |  ROUND(MIN(nrm), 6) AS min_norm,
+        |  ROUND(MAX(nrm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "c7_merge_upsert" ->
+      """WITH existing AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+        |upd AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(c_name, '(new)') AS name,
+        |  CASE WHEN o_custkey IS NULL THEN 'keep'
+        |       WHEN c_custkey IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  ROUND(COALESCE(spend, 0.0), 2) AS spend
+        |FROM existing FULL OUTER JOIN upd ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    // The salted plan must equal the PLAIN join — that equality is the
+    // entire point, so the oracle deliberately omits the salt.
+    "c6_join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

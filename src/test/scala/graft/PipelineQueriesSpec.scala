@@ -1,0 +1,122 @@
+package graft
+
+import graft.analytics.PipelineQueries
+import org.apache.spark.sql.functions._
+
+/** K6 training-data-pipeline ops + C7 merge + the salted-join equivalence
+  * (PipelineQueries). Semantic properties, not golden values — the DuckDB
+  * oracle covers exact output; these assert the invariants that make each
+  * operator correct by construction.
+  */
+class PipelineQueriesSpec extends SparkSpec {
+
+  private def q(name: String) = PipelineQueries.queries(name)(spark, sfDir)
+
+  test("train/test split partitions the corpus and both splits are populated") {
+    val rows = q("k6_split_train_test").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(total == corpus, "every doc lands in exactly one split")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "valid"))
+    val valid = rows.filter(_.getAs[String]("split") == "valid")
+      .map(_.getAs[Long]("n_docs")).sum
+    val rate = valid.toDouble / total
+    assert(rate > 0.05 && rate < 0.30, s"~16% expected, got $rate")
+  }
+
+  test("mixture sampling realizes rates near the requested per-source weights") {
+    val rows = q("k6_mixture_sample").collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val want = src.drop(3).toInt % 4 match {
+        case 0 => 0.125; case 1 => 0.25; case 2 => 0.5; case _ => 0.75
+      }
+      val got = r.getAs[Double]("realized_rate")
+      // 25 docs/source at sf0.001 → generous binomial tolerance
+      assert(math.abs(got - want) < 0.35, s"$src: want ~$want got $got")
+    }
+  }
+
+  test("sequence packing: blocks tile each language shard without gaps") {
+    val rows = q("k6_pack_sequences").collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("first_block") <= r.getAs[Long]("last_block")))
+    // per lang: consecutive docs' block ranges must overlap or abut —
+    // doc i+1 starts in the block doc i ended in (concat-and-chunk never
+    // leaves a hole) unless doc i ended exactly on a boundary.
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, docs) =>
+      docs.sortBy(_.getAs[Long]("doc_id")).sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = b.getAs[Long]("first_block") - a.getAs[Long]("last_block")
+          assert(gap == 0 || gap == 1, s"$lang: hole between blocks ($gap)")
+        case _ =>
+      }
+    }
+  }
+
+  test("shard shuffle: 16 hex shards, positions contiguous from 1 per shard") {
+    val rows = q("k6_shard_shuffle").collect()
+    val byShard = rows.groupBy(_.getAs[String]("shard"))
+    assert(byShard.keySet.subsetOf("0123456789abcdef".map(_.toString).toSet))
+    byShard.values.foreach { docs =>
+      val pos = docs.map(_.getAs[Int]("pos")).sorted
+      assert(pos.toSeq == (1 to docs.length).toSeq, "rank is a permutation")
+    }
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+  }
+
+  test("tf-idf: corpus-universal words score zero, rare words outrank common ones") {
+    val rows = q("k4_tfidf_top_terms").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("tfidf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "sorted desc")
+    rows.foreach { r =>
+      val (tf, df) = (r.getAs[Long]("tf"), r.getAs[Long]("df"))
+      assert(df <= tf, "doc frequency cannot exceed term frequency")
+    }
+  }
+
+  test("norm stats: per-label count covers the corpus, min <= avg <= max") {
+    val rows = q("k3_norm_stats").collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.embeddings(spark, sfDir).count())
+    rows.foreach { r =>
+      val (mn, av, mx) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))
+      assert(mn > 0 && mn <= av && av <= mx)
+    }
+  }
+
+  test("merge upsert: actions partition the key space correctly") {
+    val rows = q("c7_merge_upsert").collect()
+    val byAction = rows.groupBy(_.getAs[String]("action"))
+    // inserted keys are exactly the odd custkeys that placed orders
+    byAction.getOrElse("insert", Array()).foreach { r =>
+      assert(r.getAs[Long]("custkey") % 2 == 1)
+      assert(r.getAs[String]("name") == "(new)")
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+    byAction.getOrElse("keep", Array()).foreach { r =>
+      assert(r.getAs[Long]("n_orders") == 0 && r.getAs[Double]("spend") == 0.0)
+    }
+    byAction.getOrElse("update", Array()).foreach { r =>
+      assert(r.getAs[Long]("custkey") % 2 == 0 && r.getAs[Long]("n_orders") > 0)
+    }
+    // no key appears twice
+    assert(rows.map(_.getAs[Long]("custkey")).distinct.length == rows.length)
+  }
+
+  test("salted join equals the plain unsalted join bit-for-bit") {
+    val salted = q("c6_join_salted").collect().map(_.toSeq).toSeq
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+}

@@ -168,11 +168,22 @@ object PipelineQueries {
     // the oracle IS the plain join.
     "c6_join_salted" -> ((s, d) => {
       val saltChars = "0123456789abcdef".map(c => lit(c.toString))
+      // Project BEFORE salting: the dimension replicates 16×, so every
+      // column it still carries is shuffled 16 times — strip both sides to
+      // exactly the join key + the columns the aggregate needs.
       val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"))
         .withColumn("_salt",
           substring(md5(concat(lit("salt:"), col("l_orderkey").cast("string"))), 1, 1))
       val dim = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("_salt", explode(array(saltChars: _*)))
+        // salting exists for the shuffle-join regime (a dim too big to
+        // broadcast + a skewed fact key). Catalyst still sees the
+        // pre-explode size estimate and would BROADCAST the 16×-replicated
+        // dim — a driver-built multi-million-entry hash table. Pin the
+        // shuffle-hash plan the pattern is designed around.
+        .hint("shuffle_hash")
       fact.join(dim,
           fact("l_orderkey") === dim("o_orderkey") && fact("_salt") === dim("_salt"))
         .groupBy("o_orderpriority")

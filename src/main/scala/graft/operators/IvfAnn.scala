@@ -40,35 +40,51 @@ object IvfAnn {
     * id hash; every step is a deterministic aggregate. A cell that loses
     * all members keeps its previous centroid.
     */
+  /** `trainSampleMod` hash-samples the training set to ~1/mod of the corpus
+    * (deterministic: keep rows where xxhash64(id, seed) % mod == 0). Lloyd's
+    * converges on a representative sample — at 100 TB you train on ~1e6
+    * vectors, not the corpus, then assign ALL vectors once in [[index]].
+    */
   def trainCentroids(
       emb: DataFrame, vecCol: String, idCol: String, dim: Int,
-      nLists: Int, iters: Int = 5, seed: Long = 42L): Array[Array[Double]] = {
-    require(nLists >= 1 && iters >= 0)
-    val data = graft.Tables.fanOut(emb)
-      .select(asDouble(col(vecCol)).as("_v"))
+      nLists: Int, iters: Int = 5, seed: Long = 42L,
+      trainSampleMod: Int = 1): Array[Array[Double]] = {
+    require(nLists >= 1 && iters >= 0 && trainSampleMod >= 1)
+    val base = graft.Tables.fanOut(emb)
+      .select(asDouble(col(vecCol)).as("_v"), xxhash64(col(idCol), lit(seed)).as("_h"))
       .filter(size(col("_v")) === dim)
+    val data = (if (trainSampleMod > 1)
+        base.filter(pmod(col("_h"), lit(trainSampleMod)) === 0)
+      else base)
+      .select("_v")
+      // every Lloyd's iteration re-reads the training set: persist it once
+      // instead of paying iters× parquet scans + casts (at scale this is the
+      // difference between one pass over the sample and `iters` passes over
+      // storage). MEMORY_AND_DISK: a sample that outgrows memory spills
+      // rather than thrashing recomputation.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def toArr(row: org.apache.spark.sql.Row, field: Int): Array[Double] =
       row.getSeq[Double](field).toArray
 
-    var centroids: Array[Array[Double]] = emb
-      .select(asDouble(col(vecCol)).as("_v"), xxhash64(col(idCol), lit(seed)).as("_h"))
-      .filter(size(col("_v")) === dim)
-      .orderBy("_h").limit(nLists)
-      .select("_v").collect().map(toArr(_, 0))
-    require(centroids.nonEmpty, "empty training set")
+    try {
+      var centroids: Array[Array[Double]] = base
+        .orderBy("_h").limit(nLists)
+        .select("_v").collect().map(toArr(_, 0))
+      require(centroids.nonEmpty, "empty training set")
 
-    (0 until iters).foreach { _ =>
-      val means = data
-        .withColumn("_cell", nearestCell(col("_v"), centroids))
-        .groupBy("_cell")
-        .agg(array((0 until dim).map(i => avg(col("_v").getItem(i))): _*).as("_mean"))
-        .collect()
-        .map(r => r.getInt(0) -> toArr(r, 1)).toMap
-      centroids = centroids.indices
-        .map(i => means.getOrElse(i, centroids(i))).toArray
-    }
-    centroids
+      (0 until iters).foreach { _ =>
+        val means = data
+          .withColumn("_cell", nearestCell(col("_v"), centroids))
+          .groupBy("_cell")
+          .agg(array((0 until dim).map(i => avg(col("_v").getItem(i))): _*).as("_mean"))
+          .collect()
+          .map(r => r.getInt(0) -> toArr(r, 1)).toMap
+        centroids = centroids.indices
+          .map(i => means.getOrElse(i, centroids(i))).toArray
+      }
+      centroids
+    } finally data.unpersist(blocking = false)
   }
 
   /** Tag each corpus vector with its IVF cell. Wrong-dimension vectors are

@@ -160,6 +160,22 @@ object PipelineQueries {
         .orderBy("custkey")
     }),
 
+    // D6: incremental aggregation / materialized-view maintenance — the
+    // events table arrives as four deterministic batches (event_id mod 4),
+    // each is partially aggregated, and the partials fold through
+    // IncrementalAgg.merge. Because every maintained aggregate is
+    // decomposable and sums run in decimal, the folded state equals the
+    // one-shot aggregate EXACTLY — which is what the oracle computes.
+    "d6_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val batches = (0 until 4).map(i => ev.filter(pmod(col("event_id"), lit(4)) === i))
+      graft.operators.IncrementalAgg
+        .fold(batches, Seq("user_id", "event_type"), "value")
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("total").cast("double").as("total"), col("lo"), col("hi"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // C6: salted fact-dim join — the manual skew mitigation (SURVEY §2
     // "salting for skew"): the fact side's join key gains a deterministic
     // 16-way salt, the dimension replicates once per salt value, and the
@@ -278,6 +294,16 @@ object PipelineQueries {
         |  ROUND(COALESCE(spend, 0.0), 2) AS spend
         |FROM existing FULL OUTER JOIN upd ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // The folded incremental state must equal the one-shot aggregate —
+    // that equality is the operator's correctness contract, so the oracle
+    // deliberately aggregates the whole table in one pass.
+    "d6_incremental_agg" ->
+      """SELECT user_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // The salted plan must equal the PLAIN join — that equality is the
     // entire point, so the oracle deliberately omits the salt.

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incremental aggregation (materialized-view maintenance): keep a compact
+  * per-key state of (count, sum, min, max) and fold each arriving batch
+  * into it, instead of re-aggregating the full history.
+  *
+  * This is the batch counterpart of the reference's intended streaming
+  * consumer (running positions over an append-only ledger,
+  * `/root/reference/migrations/20251219000000_init.sql:18-19` indexes exist
+  * to serve exactly these rollups): at 100 TB you cannot re-scan history per
+  * refresh — you aggregate the day's delta (|delta| rows) and merge it with
+  * the state (|keys| rows), both tiny next to the table.
+  *
+  * All maintained aggregates are decomposable (count/sum merge by +,
+  * min/max by least/greatest), so `fold(batches) == partial(union(batches))`
+  * exactly — the property `d6_incremental_agg`'s DuckDB oracle checks by
+  * computing the one-shot aggregate. Sums accumulate in DECIMAL(28,6) so
+  * the merge order cannot perturb the result (double addition is not
+  * associative; a maintenance op whose answer depends on batch arrival
+  * order would be useless).
+  */
+object IncrementalAgg {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(28, 6))
+
+  /** Per-key partial state of one batch. */
+  def partial(batch: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col(valueCol))).as("total"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+
+  /** Merge two states: full outer on the keys, combine componentwise.
+    * Either side may lack a key (new key in delta / quiet key in state).
+    * Both sides are renamed to disjoint prefixes first — state and delta
+    * routinely descend from the SAME scan (batched reads of one table), and
+    * dataframe-qualified column references across such a self-join are
+    * ambiguous; globally-unique names sidestep the problem.
+    */
+  def merge(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((acc, c) => acc.withColumnRenamed(c, p + c))
+    val s = prefixed(state, "_s_")
+    val dl = prefixed(delta, "_d_")
+    val cond = keys.map(k => col(s"_s_$k") <=> col(s"_d_$k")).reduce(_ && _)
+    s.join(dl, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"_d_$k"), col(s"_s_$k")).as(k)) ++ Seq(
+          (coalesce(col("_s_n"), lit(0L)) + coalesce(col("_d_n"), lit(0L))).as("n"),
+          (coalesce(col("_s_total"), dec(lit(0))) +
+            coalesce(col("_d_total"), dec(lit(0)))).as("total"),
+          least(col("_s_lo"), col("_d_lo")).as("lo"),
+          greatest(col("_s_hi"), col("_d_hi")).as("hi")): _*)
+  }
+
+  /** Fold a sequence of batches into one final state (the declared-query
+    * shape; file-backed maintenance lives in [[updateTable]]).
+    */
+  def fold(batches: Seq[DataFrame], keys: Seq[String], valueCol: String): DataFrame = {
+    require(batches.nonEmpty)
+    batches.map(partial(_, keys, valueCol)).reduce(merge(_, _, keys))
+  }
+
+  /** File-backed refresh: merge `batch` into the parquet state at `path`.
+    * The new state is written to a fresh `v<n>` subdirectory BEFORE the
+    * pointer moves (read and overwrite of the same files would corrupt the
+    * state mid-job); the previous version is dropped after the write
+    * commits, so a crash leaves either the old or the new version intact.
+    * Returns the merged state.
+    */
+  def updateTable(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = if (!fs.exists(new org.apache.hadoop.fs.Path(path))) Seq()
+      else fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).sorted.toSeq
+    val delta = partial(batch, keys, valueCol)
+    val next = versions.lastOption.getOrElse(0L) + 1
+    val merged = versions.lastOption match {
+      case None => delta
+      case Some(v) => merge(spark.read.parquet(s"$path/v$v"), delta, keys)
+    }
+    merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v$next")
+    versions.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
+    spark.read.parquet(s"$path/v$next")
+  }
+}

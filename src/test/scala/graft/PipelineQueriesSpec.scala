@@ -107,6 +107,36 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("custkey")).distinct.length == rows.length)
   }
 
+  test("incremental agg: folded batches equal the one-shot aggregate exactly") {
+    import graft.operators.IncrementalAgg
+    val ev = Tables.events(spark, sfDir)
+    val folded = q("d6_incremental_agg").collect().map(_.toSeq).toSeq
+    val oneShot = IncrementalAgg.partial(ev, Seq("user_id", "event_type"), "value")
+      .select(col("user_id"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"), col("lo"), col("hi"))
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(folded == oneShot)
+  }
+
+  test("incremental agg: file-backed state survives repeated refreshes") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString + "/state"
+    val b1 = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "value")
+    val b2 = Seq(("a", 4.0), ("c", -1.0)).toDF("k", "value")
+    IncrementalAgg.updateTable(spark, dir, b1, Seq("k"), "value")
+    val s2 = IncrementalAgg.updateTable(spark, dir, b2, Seq("k"), "value")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDouble(3), r.getDouble(4)))
+    assert(s2.toSeq == Seq(
+      ("a", 3L, 7.0, 1.0, 4.0), ("b", 1L, 5.0, 5.0, 5.0), ("c", 1L, -1.0, -1.0, -1.0)))
+    // exactly one live version directory remains after the swap
+    val live = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("v"))
+    assert(live.length == 1)
+  }
+
   test("salted join equals the plain unsalted join bit-for-bit") {
     val salted = q("c6_join_salted").collect().map(_.toSeq).toSeq
     val li = Tables.lineitem(spark, sfDir)

@@ -206,6 +206,27 @@ object EventQueries {
         .orderBy("user_id", "s_start")
     }),
 
+    // J6: funnel analysis — per-user first occurrence of each stage
+    // (view → click → purchase), then one global roll-up of stage
+    // conversion. Two hash aggregates, no self-joins: the classic N-way
+    // "sequence of events" query collapses into conditional MINs, so at
+    // 100 TB it is one shuffle on user_id + a single-row reduce.
+    "j6_funnel" -> ((s, d) => {
+      def firstOf(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+      val stage = (a: String, b: String) =>
+        (col(s"first_$a") < col(s"first_$b")).cast("long")
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("first_view").isNotNull.cast("long")).as("viewed"),
+          sum(stage("view", "click")).as("view_then_click"),
+          sum((col("first_view") < col("first_click") &&
+            col("first_click") < col("first_purchase")).cast("long")).as("full_funnel"))
+    }),
+
     // J4 (batch view): tumbling 5-minute windows — same window spec the
     // streaming path uses; batch-checked against the oracle here, replay-
     // checked in StreamingSpec.
@@ -221,6 +242,23 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // NULL-comparison semantics carry the stage logic: a user missing a
+    // stage has a NULL first_ts, the < yields NULL, and SUM skips it —
+    // identical in both engines (the CASE has no ELSE on purpose).
+    "j6_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+        |  CAST(SUM(CASE WHEN first_view < first_click THEN 1 END) AS BIGINT) AS view_then_click,
+        |  CAST(SUM(CASE WHEN first_view < first_click AND first_click < first_purchase
+        |           THEN 1 END) AS BIGINT) AS full_funnel
+        |FROM f""".stripMargin,
+
     "a6_by_key_ordered" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         |FROM events WHERE user_id = 7 ORDER BY ts, event_id""".stripMargin,

@@ -188,6 +188,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // H14: array-function suite over the token arrays — distinct/sort/
+    // slice/contains/position, the collection built-ins H13 left out (all
+    // codegen'd; DuckDB list_* functions mirror each one for the oracle).
+    "h14_array_funcs" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          size(array_distinct(toks)).as("n_distinct"),
+          concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 3)).as("first3"),
+          array_contains(toks, "the").as("has_the"),
+          array_position(toks, "the").cast("int").as("the_pos"))
+        .orderBy("doc_id")
+    }),
+
     // K1/K2 cascade: full near-dup removal — LSH pairs → transitive
     // clusters → keep lowest id per cluster. Rows-only check (candidates
     // come from seeded MinHash, not SQL-expressible); the corpus contains
@@ -335,6 +350,18 @@ object TextQueries {
       """SELECT doc_id, SHA256(SUBSTR(text, 1, 64)) AS prefix_fp,
         |  CAST(FLOOR(n_chars / 100.0) AS INTEGER) AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Spark array_position yields 0 for a missing element; DuckDB
+    // list_position yields NULL → COALESCE to 0.
+    "h14_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_toks,
+        |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |  array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3,
+        |  list_contains(w, 'the') AS has_the,
+        |  CAST(COALESCE(list_position(w, 'the'), 0) AS INTEGER) AS the_pos
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // Spark's greatest() over (score, lang) structs = max score with ties
     // to the lexicographically-LAST lang; this DuckDB build can't compare

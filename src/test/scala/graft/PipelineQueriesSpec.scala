@@ -137,6 +137,31 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(live.length == 1)
   }
 
+  test("incremental agg: streaming foreachBatch maintenance equals batch aggregate") {
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivm-stream").toString + "/state"
+    val in = MemoryStream[(String, Double)]
+    val q = in.toDF().toDF("k", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalAgg.updateTable(spark, dir, batch, Seq("k"), "value"): Unit
+      }
+      .start()
+    try {
+      in.addData(("a", 1.0), ("b", 2.0))
+      q.processAllAvailable()
+      in.addData(("a", 3.0), ("c", 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.parquet(
+        new java.io.File(dir).listFiles().map(_.getPath).filter(_.contains("/v")).max)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
+    assert(state.toSeq == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 10.0)))
+  }
+
   test("salted join equals the plain unsalted join bit-for-bit") {
     val salted = q("c6_join_salted").collect().map(_.toSeq).toSeq
     val li = Tables.lineitem(spark, sfDir)

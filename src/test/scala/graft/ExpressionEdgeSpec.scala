@@ -32,6 +32,21 @@ class ExpressionEdgeSpec extends SparkSpec {
     assert(fps.distinct.size == 1)
   }
 
+  test("nearestCentroid yields NULL for a dimension-mismatched vector, not a truncated guess") {
+    val centroids = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Seq(
+      (1L, Seq(0.9, 0.1)),     // well-formed → cell 0
+      (2L, Seq(0.9)),          // too short → NULL
+      (3L, Seq(0.1, 0.9, 7.0)) // too long → NULL
+    ).toDF("id", "v")
+      .select(col("id"), nearestCentroid(col("v"), centroids).as("cell"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(out(1L) == Some(0))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
   test("rollingChunks on empty and short strings yields exactly one chunk") {
     val out = Seq("", "tiny").toDF("t")
       .select(col("t"), rollingChunks(col("t")).as("c"))

@@ -124,6 +124,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("salted join stays in the shuffle regime: no broadcast of the replicated dim") {
+    val plan = physicalPlan(
+      analytics.PipelineQueries.queries("c6_join_salted")(spark, sfDir))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must be a shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"16x-replicated dimension got broadcast (pre-explode size estimate trap):\n$plan")
+  }
+
+  test("k6 pipeline ops are one scan + hash aggregate / per-shard window — at most one shuffle each") {
+    Seq("k6_split_train_test", "k6_mixture_sample").foreach { name =>
+      val plan = physicalPlan(analytics.PipelineQueries.queries(name)(spark, sfDir))
+      assert(!plan.contains("Join"), s"$name joins:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$name: expected ≤1 shuffle, saw $exchanges:\n$plan")
+    }
+    // packing + sharding windows run per shard key, never a global order:
+    // a Window node with an EMPTY partition spec would collapse the whole
+    // corpus onto one task.
+    Seq("k6_pack_sequences", "k6_shard_shuffle").foreach { name =>
+      val plan = physicalPlan(analytics.PipelineQueries.queries(name)(spark, sfDir))
+      val globalWindow = """Window \[[^\]]*\], \[\], \[""".r.findFirstIn(plan)
+      assert(globalWindow.isEmpty,
+        s"$name: window has an empty partition spec (global order):\n$plan")
+    }
+  }
+
+  test("incremental-agg merge joins state and delta on the keys — no cartesian/BNLJ") {
+    val plan = physicalPlan(
+      analytics.PipelineQueries.queries("d6_incremental_agg")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the merge:\n$plan")
+  }
+
   test("e1 running window: single shuffle on the partition key") {
     val plan = physicalPlan(
       analytics.StarQueries.queries("e1_running_sum")(spark, sfDir))

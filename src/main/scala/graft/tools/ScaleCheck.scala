@@ -5,11 +5,18 @@ import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
 import graft.analytics.LedgerQueries
 import graft.normalize.SolanaNormalizer
+import graft.operators.Dedup
 
-/** Dev tool: scaling evidence for the normalizer — times the full
-  * JSON-build → parse → delta → dust pipeline at 1× and 10× input (events
-  * replicated with remapped ids, so keys stay unique) and prints the
-  * ratio. Linear ≈ 10; superlinear means a shuffle or driver bottleneck.
+/** Dev tool: scaling evidence for the two flagship pipelines.
+  *
+  *  - normalizer: full JSON-build → parse → delta → dust at 1× and 10×
+  *    input (events replicated with remapped ids, so keys stay unique).
+  *    Linear ≈ 10; superlinear means a shuffle or driver bottleneck.
+  *  - MinHash-LSH dedup: shingle → signature → banded buckets → verified
+  *    pairs at 1× and 4× docs. Replicas get a distinct trailing token, so
+  *    they are NEAR-dups (not exact dups) and genuinely exercise the
+  *    candidate-verify path; the bucket cap keeps growth near-linear.
+  *
   * Usage: runMain graft.tools.ScaleCheck [sfDir]
   */
 object ScaleCheck {
@@ -42,6 +49,24 @@ object ScaleCheck {
     val n1 = time("normalize 1x")(normalized(events1))
     val n10 = time("normalize 10x")(normalized(events10))
     println(f"normalize ratio: ${n10 / n1}%.1f (linear = 10)")
+
+    def replicateDocs(df: DataFrame, times: Int): DataFrame =
+      (0 until times).map { i =>
+        df.withColumn("doc_id", col("doc_id") * times + i)
+          .withColumn("text", concat(col("text"), lit(s" replica$i")))
+      }.reduce(_ unionAll _)
+    def lsh(docs: DataFrame) =
+      Dedup.minHashLsh(docs, "text", "doc_id", shingleN = 3, k = 32,
+        bands = 8, threshold = 0.4)
+
+    val docs1 = Tables.documents(spark, sfDir).localCheckpoint(true)
+    val docs4 = replicateDocs(docs1, 4).localCheckpoint(true)
+    println(s"docs 1x=${docs1.count()} 4x=${docs4.count()}")
+    time("lsh warmup")(lsh(docs1))
+    val d1 = time("lsh dedup 1x")(lsh(docs1))
+    val d4 = time("lsh dedup 4x")(lsh(docs4))
+    println(f"lsh dedup ratio: ${d4 / d1}%.1f (linear = 4; replicas are " +
+      "planted near-dups, so 4x also carries ~6x the true pairs)")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOfJoin, IdempotentSink, MultimodalPipeline}
+import graft.operators.{AsOfJoin, Compactor, IdempotentSink, MultimodalPipeline}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -27,6 +27,27 @@ class OperatorSpec extends SparkSpec {
     assert(n == 1)
     val state = spark.read.parquet(dir).as[(String, Int)].collect().sorted.toSeq
     assert(state == Seq(("a", 1), ("c", 3)), "existing key keeps original value")
+  }
+
+  test("compaction shrinks a many-file table without changing its contents") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")
+    df.repartition(24).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val (sumBefore, cntBefore) = (
+      before.agg(sum($"event_id")).head.getLong(0), before.count())
+    val (nBefore, nAfter) = Compactor.compact(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore == 24 && nAfter == 1, s"expected 24 -> 1, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == cntBefore)
+    assert(after.agg(sum($"event_id")).head.getLong(0) == sumBefore)
+  }
+
+  test("compaction is a no-op on an already-compact table") {
+    val dir = Files.createTempDirectory("compact2").toString + "/t"
+    Seq((1, "a"), (2, "b")).toDF("id", "v").coalesce(1).write.parquet(dir)
+    val (b, a) = Compactor.compact(spark, dir)
+    assert(b == 1 && a == 1)
   }
 
   test("as-of join: inclusive match takes most recent quote at or before trade ts") {

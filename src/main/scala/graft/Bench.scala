@@ -44,11 +44,14 @@ object Bench {
     // "queries" first, summary fields LAST: the harness that collects this
     // output keeps only the tail of the run log, so a summary-first layout
     // gets its total truncated away once the per-query map grows long.
-    val qs = timings.map { case (k, v) => f"${jstr(k)}:$v%.3f" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would render 0,123 — invalid JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      f"""{"queries":$qs,"errors":$es,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"metric":"total","unit":"sec","value":$total%.3f}"""
+      s"""{"queries":$qs,"errors":$es,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"metric":"total","unit":"sec","value":${num(total)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -214,17 +214,21 @@ object EventQueries {
     "j6_funnel" -> ((s, d) => {
       def firstOf(t: String) =
         min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
-      val stage = (a: String, b: String) =>
-        (col(s"first_$a") < col(s"first_$b")).cast("long")
+      // when(cond, 1) with NO otherwise: false and NULL conditions both
+      // yield NULL, which SUM skips — exactly the oracle's ELSE-less CASE.
+      // A cast(bool as long) would instead turn false into a summed 0 and
+      // diverge from the oracle when a stage pair exists but never in
+      // order (0 vs NULL).
+      def ordered(cond: Column) = sum(when(cond, lit(1L)))
       Tables.events(s, d)
         .groupBy("user_id")
         .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
         .agg(
           count(lit(1)).as("n_users"),
           sum(col("first_view").isNotNull.cast("long")).as("viewed"),
-          sum(stage("view", "click")).as("view_then_click"),
-          sum((col("first_view") < col("first_click") &&
-            col("first_click") < col("first_purchase")).cast("long")).as("full_funnel"))
+          ordered(col("first_view") < col("first_click")).as("view_then_click"),
+          ordered(col("first_view") < col("first_click") &&
+            col("first_click") < col("first_purchase")).as("full_funnel"))
     }),
 
     // J4 (batch view): tumbling 5-minute windows — same window spec the

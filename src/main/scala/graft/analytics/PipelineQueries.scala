@@ -187,10 +187,17 @@ object PipelineQueries {
       // Project BEFORE salting: the dimension replicates 16×, so every
       // column it still carries is shuffled 16 times — strip both sides to
       // exactly the join key + the columns the aggregate needs.
+      //
+      // The salt MUST vary WITHIN a join key (here: the row-level line
+      // number) — a salt derived from the key alone maps every row of a hot
+      // key to the same (key, salt) partition, paying the 16× replication
+      // for zero straggler relief.
       val fact = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_extendedprice"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .withColumn("_salt",
-          substring(md5(concat(lit("salt:"), col("l_orderkey").cast("string"))), 1, 1))
+          substring(md5(concat_ws(":", lit("salt"), col("l_orderkey"),
+            col("l_linenumber"))), 1, 1))
+        .drop("l_linenumber")
       val dim = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .withColumn("_salt", explode(array(saltChars: _*)))

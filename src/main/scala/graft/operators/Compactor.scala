@@ -20,9 +20,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compactor {
 
-  /** Number of data files and total bytes under `path` (non-recursive is
-    * enough for the flat layouts the engine writes).
-    */
+  /** Number of data files and total bytes directly under `path`. */
   def stats(spark: SparkSession, path: String): (Int, Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -31,10 +29,32 @@ object Compactor {
     (files.length, files.map(_.getLen).sum)
   }
 
-  /** Compact the parquet table at `path` into ceil(totalBytes/targetBytes)
-    * files. A table already at or below that file count is left untouched
-    * (returns the current count unchanged) — compaction must be cheap to
-    * schedule unconditionally. Returns (filesBefore, filesAfter).
+  /** Compact a table that may be hive-partitioned (the layout
+    * [[IdempotentSink.appendOnce]] writes with `partitionCols`): each leaf
+    * partition directory compacts independently — which is also the 100 TB
+    * shape, since leaves compact in isolation and a maintenance job can
+    * target only the partitions the last ingest touched. Flat tables
+    * degenerate to a single leaf (the root). Returns summed
+    * (filesBefore, filesAfter) over all leaves.
+    */
+  def compactTable(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val subdirs = fs.listStatus(p).filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_"))
+      if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
+    }
+    leaves(root).map(l => compact(spark, l.toString, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (lb, la)) => (b + lb, a + la) }
+  }
+
+  /** Compact ONE flat directory of parquet files into
+    * ceil(totalBytes/targetBytes) files. A directory already at or below
+    * that file count is left untouched (returns the current count
+    * unchanged) — compaction must be cheap to schedule unconditionally.
+    * Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {

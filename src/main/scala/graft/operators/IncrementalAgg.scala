@@ -70,26 +70,34 @@ object IncrementalAgg {
   /** File-backed refresh: merge `batch` into the parquet state at `path`.
     * The new state is written to a fresh `v<n>` subdirectory BEFORE the
     * pointer moves (read and overwrite of the same files would corrupt the
-    * state mid-job); the previous version is dropped after the write
-    * commits, so a crash leaves either the old or the new version intact.
-    * Returns the merged state.
+    * state mid-job); the previous version is dropped only after the write
+    * COMMITS — and "committed" means the `_SUCCESS` marker exists. A crash
+    * mid-write leaves a partial v<n> directory with no marker: the next
+    * refresh ignores it for state selection, deletes it, and reuses a
+    * higher version number, so recovery always resumes from the last
+    * committed state. Returns the merged state.
     */
   def updateTable(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], valueCol: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = if (!fs.exists(new org.apache.hadoop.fs.Path(path))) Seq()
-      else fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .map(_.getPath.getName).filter(_.startsWith("v"))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allVersions = if (!fs.exists(root)) Seq()
+      else fs.listStatus(root)
+        .map(_.getPath.getName).filter(_.matches("v\\d+"))
         .map(_.drop(1).toLong).sorted.toSeq
+    val committed = allVersions.filter(v =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/v$v/_SUCCESS")))
+    // uncommitted leftovers from a crashed refresh: garbage, remove
+    allVersions.diff(committed).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
     val delta = partial(batch, keys, valueCol)
-    val next = versions.lastOption.getOrElse(0L) + 1
-    val merged = versions.lastOption match {
+    val next = allVersions.lastOption.getOrElse(0L) + 1
+    val merged = committed.lastOption match {
       case None => delta
       case Some(v) => merge(spark.read.parquet(s"$path/v$v"), delta, keys)
     }
     merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v$next")
-    versions.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
+    committed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
     spark.read.parquet(s"$path/v$next")
   }
 }

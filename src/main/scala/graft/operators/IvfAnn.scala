@@ -50,25 +50,28 @@ object IvfAnn {
       nLists: Int, iters: Int = 5, seed: Long = 42L,
       trainSampleMod: Int = 1): Array[Array[Double]] = {
     require(nLists >= 1 && iters >= 0 && trainSampleMod >= 1)
+    // Both the seed collect and every Lloyd's iteration read this set:
+    // persist it once instead of paying (iters + 1)× parquet scans + casts
+    // (at scale this is the difference between one pass over the sample and
+    // iters+1 passes over storage). MEMORY_AND_DISK: a sample that outgrows
+    // memory spills rather than thrashing recomputation.
     val base = graft.Tables.fanOut(emb)
       .select(asDouble(col(vecCol)).as("_v"), xxhash64(col(idCol), lit(seed)).as("_h"))
       .filter(size(col("_v")) === dim)
-    val data = (if (trainSampleMod > 1)
+    val sampled = if (trainSampleMod > 1)
         base.filter(pmod(col("_h"), lit(trainSampleMod)) === 0)
-      else base)
-      .select("_v")
-      // every Lloyd's iteration re-reads the training set: persist it once
-      // instead of paying iters× parquet scans + casts (at scale this is the
-      // difference between one pass over the sample and `iters` passes over
-      // storage). MEMORY_AND_DISK: a sample that outgrows memory spills
-      // rather than thrashing recomputation.
+      else base
+    val data = sampled
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def toArr(row: org.apache.spark.sql.Row, field: Int): Array[Double] =
       row.getSeq[Double](field).toArray
 
     try {
-      var centroids: Array[Array[Double]] = base
+      // seeds come from the (persisted) training sample too — the smallest
+      // hashes within it are just as arbitrary-deterministic as within the
+      // full corpus, and this keeps training to a single storage pass
+      var centroids: Array[Array[Double]] = data
         .orderBy("_h").limit(nLists)
         .select("_v").collect().map(toArr(_, 0))
       require(centroids.nonEmpty, "empty training set")
@@ -110,8 +113,9 @@ object IvfAnn {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       dim: Int, k: Int, nLists: Int = 16, nProbe: Int = 4,
       iters: Int = 5, seed: Long = 42L,
-      carryCols: Seq[String] = Nil): DataFrame = {
-    val centroids = trainCentroids(emb, vecCol, idCol, dim, nLists, iters, seed)
+      carryCols: Seq[String] = Nil, trainSampleMod: Int = 1): DataFrame = {
+    val centroids = trainCentroids(emb, vecCol, idCol, dim, nLists, iters, seed,
+      trainSampleMod)
     val tagged = index(emb, vecCol, centroids)
 
     // one-row collect of the query vector — the same driver cost as the

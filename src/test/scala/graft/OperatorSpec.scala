@@ -50,6 +50,22 @@ class OperatorSpec extends SparkSpec {
     assert(b == 1 && a == 1)
   }
 
+  test("compactTable compacts each hive partition leaf independently") {
+    val dir = Files.createTempDirectory("compact3").toString + "/t"
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+      .repartition(6)
+      .write.partitionBy("event_type").parquet(dir)
+    val cntBefore = spark.read.parquet(dir).count()
+    val (nBefore, nAfter) = Compactor.compactTable(spark, dir, targetBytes = 1L << 30)
+    assert(nBefore > nAfter, s"expected fewer files, got $nBefore -> $nAfter")
+    assert(nAfter == 5, "one file per event_type partition")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == cntBefore)
+    assert(after.select("event_type").distinct().count() == 5,
+      "partition column still derived from the directory layout")
+  }
+
   test("as-of join: inclusive match takes most recent quote at or before trade ts") {
     val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
       .toDF("key", "ts", "trade_id")

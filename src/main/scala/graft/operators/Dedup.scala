@@ -158,7 +158,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // Propagate only over ids that appear in an edge: an isolated id can
+    // never change its label, and near-dup graphs are sparse — |edge nodes|
+    // ≪ |corpus| — so every round's join and aggregate run on the small
+    // set. The untouched ids rejoin as their own singleton clusters at the
+    // end. Per-round cost is O(|edges|), not O(|corpus|).
+    val edgeNodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var labels = edgeNodes.select(col("id"), col("id").as("cluster"))
     var changed = true
     var i = 0
     while (changed) {
@@ -187,7 +193,10 @@ object Dedup {
       labels = step.drop("_moved")
       i += 1
     }
-    labels
+    val singletons = ids.select(col(idCol).as("id"))
+      .join(edgeNodes, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.unionByName(singletons)
   }
 
   /** End-to-end near-dup removal: MinHash/LSH pairs → transitive clusters →

@@ -80,6 +80,39 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental-agg fold matches a brute-force reference on random batch splits") {
+    import graft.operators.IncrementalAgg
+    val rnd = new Random(41L)
+    (1 to 6).foreach { round =>
+      val rows = (0 until 5 + rnd.nextInt(40)).map { _ =>
+        (s"k${rnd.nextInt(6)}", math.round(rnd.nextGaussian() * 1e6) / 1e6)
+      }
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = rows.zipWithIndex.groupBy(_._2 % nBatches).values.toSeq
+        .map(part => part.map(_._1).toDF("k", "value"))
+
+      val expected = rows.groupBy(_._1).map { case (k, vs) =>
+        val xs = vs.map(_._2)
+        // sums run in decimal inside the operator — mirror with BigDecimal
+        k -> (xs.size.toLong,
+          xs.map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum,
+          xs.min, xs.max)
+      }
+
+      val got = IncrementalAgg.fold(batches, Seq("k"), "value")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)),
+          r.getDouble(3), r.getDouble(4)))
+        .toMap
+      expected.foreach { case (k, (n, total, lo, hi)) =>
+        val (gn, gtotal, glo, ghi) = got(k)
+        assert(gn == n && gtotal.compare(total) == 0 && glo == lo && ghi == hi,
+          s"round=$round key=$k: got ${got(k)}, expected ${(n, total, lo, hi)}")
+      }
+      assert(got.keySet == expected.keySet, s"round=$round")
+    }
+  }
+
   test("cluster labels match union-find connected components on random pair sets") {
     val rnd = new Random(7L)
     val ids = (1L to 12L).toList

@@ -107,9 +107,14 @@ object PipelineQueries {
     // |vocab|, not |tokens|, into the shuffle) + a broadcast one-row corpus
     // count; ln is computed identically by both engines and rounded.
     "k4_tfidf_top_terms" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val total = docs.agg(countDistinct("doc_id").cast("double").as("n_total"))
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      // n_total counts docs FROM THE EXPLODED WORD STREAM, same as the
+      // oracle's CTE — counting the documents table instead would silently
+      // include zero-token (NULL-text) docs in the IDF denominator and
+      // diverge from the oracle's definition.
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val total = words.agg(countDistinct("doc_id").cast("double").as("n_total"))
+      words
         .groupBy("word")
         .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
         .crossJoin(broadcast(total))

@@ -11,23 +11,48 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * the data does. Compaction rewrites the table into ~`targetBytes` files
   * sized for the scan path (one row-group per task).
   *
-  * The rewrite goes to a sibling temp directory first and swaps via two
-  * renames (old → trash, tmp → live). The swap is NOT atomic across the
-  * two renames — run it in the same single-writer maintenance window the
-  * sink already requires ([[IdempotentSink.appendOnce]] concurrency
-  * contract); readers of a transactional table format get atomicity from
-  * the format instead.
+  * Crash-safety: the rewrite goes to a DOT-PREFIXED sibling temp directory
+  * (hidden from Spark partition discovery and from [[compactTable]]'s leaf
+  * walk, so a leftover can never surface as phantom partition data) and
+  * swaps via two renames (live → trash, tmp → live). The swap is not
+  * atomic across the two renames, but every entry point first runs
+  * [[recover]], which completes an interrupted swap from the trash copy —
+  * so a crash at any point leaves a table that the next maintenance run
+  * (or a manual recover()) restores. Run under the same single-writer
+  * maintenance window the sink already requires
+  * ([[IdempotentSink.appendOnce]] concurrency contract).
   */
 object Compactor {
+
+  private def tmpPath(p: Path) = new Path(p.getParent, s".${p.getName}_compact_tmp")
+  private def trashPath(p: Path) = new Path(p.getParent, s".${p.getName}_compact_old")
+
+  /** Finish an interrupted swap at `path`: if the live directory is gone
+    * but the trash copy exists, the crash hit between the two renames —
+    * promote the trash copy back. Stale tmp dirs are always removed.
+    * Safe to call on a healthy table (no-op beyond the tmp sweep).
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(trashPath(p))) {
+      if (!fs.rename(trashPath(p), p))
+        throw new java.io.IOException(s"recover failed: ${trashPath(p)} -> $path")
+    }
+    fs.delete(tmpPath(p), true)
+    if (fs.exists(p)) fs.delete(trashPath(p), true)
+  }
 
   /** Number of data files and total bytes directly under `path`. */
   def stats(spark: SparkSession, path: String): (Int, Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(f =>
-      f.isFile && !f.getPath.getName.startsWith("_"))
+    val files = fs.listStatus(p).filter(f => f.isFile && !hidden(f.getPath))
     (files.length, files.map(_.getLen).sum)
   }
+
+  private def hidden(p: Path): Boolean =
+    p.getName.startsWith("_") || p.getName.startsWith(".")
 
   /** Compact a table that may be hive-partitioned (the layout
     * [[IdempotentSink.appendOnce]] writes with `partitionCols`): each leaf
@@ -42,8 +67,7 @@ object Compactor {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: Path): Seq[Path] = {
-      val subdirs = fs.listStatus(p).filter(s =>
-        s.isDirectory && !s.getPath.getName.startsWith("_"))
+      val subdirs = fs.listStatus(p).filter(s => s.isDirectory && !hidden(s.getPath))
       if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
     }
     leaves(root).map(l => compact(spark, l.toString, targetBytes))
@@ -59,15 +83,15 @@ object Compactor {
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0)
+    recover(spark, path)
     val (nFiles, totalBytes) = stats(spark, path)
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (nOut >= nFiles) return (nFiles, nFiles)
 
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path + "_compact_tmp")
-    val trash = new Path(path + "_compact_old")
-    fs.delete(tmp, true); fs.delete(trash, true)
+    val tmp = tmpPath(p)
+    val trash = trashPath(p)
 
     // coalesce, not repartition: compaction must not pay a full shuffle —
     // it only narrows the file count, preserving data order within files.

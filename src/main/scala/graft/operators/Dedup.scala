@@ -155,8 +155,15 @@ object Dedup {
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val idSet = ids.select(col(idCol).as("id"))
+    // Edges restricted to BOTH endpoints ∈ ids: the output contract is one
+    // row per id and clustering-over-ids-only — a pair endpoint outside the
+    // id set must neither appear in the output nor bridge two ids into one
+    // cluster (the caller excluded it on purpose).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .join(idSet.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(idSet.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint(true)
     // Propagate only over ids that appear in an edge: an isolated id can
     // never change its label, and near-dup graphs are sparse — |edge nodes|

@@ -51,10 +51,17 @@ object IdempotentSink {
     // no entry for it, so the blocks would linger until ContextCleaner GC).
     // Holding the handle makes the finally-block release real: a long
     // ingest loop drops each batch's blocks as soon as its append lands.
+    //
+    // The RDD stays in InternalRow (Tungsten binary) form via
+    // GraftInternalBridge — `df.rdd` would deserialize every field to boxed
+    // external Rows and re-encode them on both the count and the write.
+    // toRdd's iterators reuse mutable UnsafeRow buffers: copy before
+    // persisting (same rule Dataset.localCheckpoint applies internally).
     val plan = dedupeAgainstExisting(spark, batch, path, keyCol)
-    val rdd = plan.rdd
+    val rdd = plan.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    val fresh = spark.createDataFrame(rdd, plan.schema)
+    val fresh = org.apache.spark.sql.GraftInternalBridge
+      .fromInternalRdd(spark, rdd, plan.schema)
     try {
       val n = fresh.count() // materializes the checkpoint
       if (n > 0) {

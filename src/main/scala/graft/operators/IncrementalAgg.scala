@@ -49,12 +49,18 @@ object IncrementalAgg {
     val s = prefixed(state, "_s_")
     val dl = prefixed(delta, "_d_")
     val cond = keys.map(k => col(s"_s_$k") <=> col(s"_d_$k")).reduce(_ && _)
+    // SUM over a union is NULL iff every value is NULL — so the merged
+    // total must stay NULL when BOTH sides are NULL (a key whose values
+    // are all NULL); coalescing unconditionally to 0 would break the
+    // fold == one-shot contract for exactly that key.
+    val total = when(col("_s_total").isNull && col("_d_total").isNull, lit(null))
+      .otherwise(coalesce(col("_s_total"), dec(lit(0))) +
+        coalesce(col("_d_total"), dec(lit(0))))
     s.join(dl, cond, "full_outer")
       .select(
         keys.map(k => coalesce(col(s"_d_$k"), col(s"_s_$k")).as(k)) ++ Seq(
           (coalesce(col("_s_n"), lit(0L)) + coalesce(col("_d_n"), lit(0L))).as("n"),
-          (coalesce(col("_s_total"), dec(lit(0))) +
-            coalesce(col("_d_total"), dec(lit(0)))).as("total"),
+          total.as("total"),
           least(col("_s_lo"), col("_d_lo")).as("lo"),
           greatest(col("_s_hi"), col("_d_hi")).as("hi")): _*)
   }
@@ -75,29 +81,52 @@ object IncrementalAgg {
     * mid-write leaves a partial v<n> directory with no marker: the next
     * refresh ignores it for state selection, deletes it, and reuses a
     * higher version number, so recovery always resumes from the last
-    * committed state. Returns the merged state.
+    * committed state.
+    *
+    * `batchId` makes replay idempotent for at-least-once drivers
+    * (Structured Streaming foreachBatch re-delivers a batch when the
+    * streaming checkpoint lags the sink): the id is embedded in the
+    * version DIRECTORY NAME (`v<n>_b<id>`), so the parquet `_SUCCESS`
+    * commit records data and batch identity atomically — no window where
+    * the state is committed but unlabeled. A refresh whose batchId matches
+    * the last committed version's is a no-op returning the existing state.
+    * Returns the merged state.
     */
   def updateTable(spark: SparkSession, path: String, batch: DataFrame,
-      keys: Seq[String], valueCol: String): DataFrame = {
+      keys: Seq[String], valueCol: String,
+      batchId: Option[Long] = None): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val allVersions = if (!fs.exists(root)) Seq()
-      else fs.listStatus(root)
-        .map(_.getPath.getName).filter(_.matches("v\\d+"))
-        .map(_.drop(1).toLong).sorted.toSeq
-    val committed = allVersions.filter(v =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/v$v/_SUCCESS")))
+    val VerDir = """v(\d+)(?:_b(\d+))?""".r
+    // (version, batchId, dirName), version-sorted
+    val allVersions: Seq[(Long, Option[Long], String)] =
+      if (!fs.exists(root)) Seq()
+      else fs.listStatus(root).map(_.getPath.getName).toSeq.collect {
+        case name @ VerDir(v, b) => (v.toLong, Option(b).map(_.toLong), name)
+      }.sortBy(_._1)
+    val committed = allVersions.filter { case (_, _, name) =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name/_SUCCESS")) }
     // uncommitted leftovers from a crashed refresh: garbage, remove
-    allVersions.diff(committed).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
+    allVersions.diff(committed).foreach { case (_, _, name) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true) }
+
+    committed.lastOption match {
+      case Some((_, lastBatch, name))
+          if batchId.isDefined && lastBatch == batchId =>
+        return spark.read.parquet(s"$path/$name") // replayed batch: no-op
+      case _ =>
+    }
+
     val delta = partial(batch, keys, valueCol)
-    val next = allVersions.lastOption.getOrElse(0L) + 1
+    val next = allVersions.lastOption.map(_._1).getOrElse(0L) + 1
+    val nextName = s"v$next" + batchId.map(id => s"_b$id").getOrElse("")
     val merged = committed.lastOption match {
       case None => delta
-      case Some(v) => merge(spark.read.parquet(s"$path/v$v"), delta, keys)
+      case Some((_, _, name)) => merge(spark.read.parquet(s"$path/$name"), delta, keys)
     }
-    merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/v$next")
-    committed.foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$path/v$v"), true))
-    spark.read.parquet(s"$path/v$next")
+    merged.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$nextName")
+    committed.foreach { case (_, _, name) =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true) }
+    spark.read.parquet(s"$path/$nextName")
   }
 }

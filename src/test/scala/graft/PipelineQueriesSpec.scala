@@ -145,8 +145,9 @@ class PipelineQueriesSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("ivm-stream").toString + "/state"
     val in = MemoryStream[(String, Double)]
     val q = in.toDF().toDF("k", "value").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IncrementalAgg.updateTable(spark, dir, batch, Seq("k"), "value"): Unit
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalAgg.updateTable(spark, dir, batch, Seq("k"), "value",
+          batchId = Some(id)): Unit
       }
       .start()
     try {
@@ -160,6 +161,23 @@ class PipelineQueriesSpec extends SparkSpec {
       .orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
     assert(state.toSeq == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 10.0)))
+  }
+
+  test("incremental agg: replaying the same batchId is a no-op (at-least-once safety)") {
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivm-replay").toString + "/state"
+    val b = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "value")
+    IncrementalAgg.updateTable(spark, dir, b, Seq("k"), "value", batchId = Some(7L))
+    // foreachBatch re-delivery after a driver crash: same id, same data
+    val replayed = IncrementalAgg
+      .updateTable(spark, dir, b, Seq("k"), "value", batchId = Some(7L))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(replayed.toSeq == Seq(("a", 1L), ("b", 1L)), "counts must not double")
+    val next = IncrementalAgg
+      .updateTable(spark, dir, b, Seq("k"), "value", batchId = Some(8L))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(next.toSeq == Seq(("a", 2L), ("b", 2L)), "a new batchId merges normally")
   }
 
   test("salted join equals the plain unsalted join bit-for-bit") {

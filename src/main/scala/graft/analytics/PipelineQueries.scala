@@ -218,6 +218,50 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_lines"),
           sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
+    }),
+
+    // C8: banded range join — per-event count of same-user events in the
+    // preceding 5 minutes (velocity/fraud feature). The interval side is as
+    // big as the point side, so the naive theta join is a nested loop;
+    // RangeJoin's bucket trick turns it into one equi-shuffle on
+    // (user_id, 5-min bucket) + an exact filter. See RangeJoin scaladoc.
+    "c8_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+      val intervals = ev.select(col("event_id").as("anchor_id"), col("user_id"),
+        (col("ms") - lit(300000L)).as("lo"), col("ms").as("hi"))
+      val points = ev.select(col("event_id").as("prior_id"), col("user_id"), col("ms"))
+      val matched = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "ms", "lo", "hi",
+          bucketWidth = 300000L, equiKeys = Seq("user_id"))
+        .groupBy("anchor_id").agg(count(lit(1)).as("n_prior"))
+      ev.select(col("event_id"))
+        .join(matched, col("event_id") === col("anchor_id"), "left")
+        .select(col("event_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+        .orderBy("event_id")
+    }),
+
+    // K4: bigram language-model statistics — adjacent-pair counts plus the
+    // conditional probability P(w2|w1), the kernel of n-gram LM scoring and
+    // perplexity-based quality filters. Bigram extraction is ARRAY-LOCAL
+    // (transform over token indices), so the only shuffles are the two
+    // vocabulary-sized aggregates — token count never hits the wire.
+    "k4_bigram_lm" -> ((s, d) => {
+      // guard size >= 2: sequence(0, -1) would DESCEND ([0, -1] — Spark
+      // infers step -1 when start > stop) and t[-1] throws under ANSI.
+      // NULL text short-circuits the same way: CASE yields null, explode
+      // drops the row.
+      val pairs = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] AS w1, t[i+1] AS w2)) END")).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .withColumn("cond_p", round(col("cnt").cast("double") /
+          sum("cnt").over(Window.partitionBy("w1")), 6))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -323,6 +367,34 @@ object PipelineQueries {
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The banded plan must equal the plain theta join — the oracle writes
+    // the naive range predicate DuckDB executes as an IEJoin. epoch_ms on
+    // both sides: ms-truncation (floor, positive epochs) matches Spark's
+    // unix_millis over the micros-truncated ts.
+    "c8_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events),
+        |m AS (
+        |  SELECT a.event_id, COUNT(b.event_id) AS n_prior
+        |  FROM e a LEFT JOIN e b
+        |    ON a.user_id = b.user_id
+        |   AND b.ms >= a.ms - 300000 AND b.ms < a.ms
+        |  GROUP BY a.event_id)
+        |SELECT event_id, n_prior FROM m ORDER BY event_id""".stripMargin,
+
+    "k4_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |b AS (
+        |  SELECT a[i] AS w1, a[i + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(a) - 1)) AS s(i)
+        |  WHERE len(a) >= 2),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2)
+        |SELECT w1, w2, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY w1), 6)
+        |    AS cond_p
+        |FROM c ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{AsOfJoin, Dedup}
+import org.apache.spark.sql.functions.col
 import scala.util.Random
 
 /** Randomized differential tests for the two most intricate operators,
@@ -137,6 +138,48 @@ class OperatorPropertySpec extends SparkSpec {
           .as[(Long, Long)].collect().toMap
         assert(got == expected, s"round=$round pairs=$pairs")
       }
+    }
+  }
+
+  test("banded range join matches the naive theta join on random points/intervals") {
+    import graft.operators.RangeJoin
+    val rnd = new Random(777L)
+    (1 to 10).foreach { round =>
+      // points and intervals straddle bucket boundaries on purpose: domain
+      // 0..200 with bucketWidth 16 exercises multi-bucket intervals,
+      // boundary-exact endpoints, empty (lo >= hi) and negative-lo ranges.
+      val points = (0 until 1 + rnd.nextInt(40)).map { i =>
+        (i.toLong, 1L + rnd.nextInt(3), rnd.nextInt(200).toLong)
+      }
+      val intervals = (0 until rnd.nextInt(25)).map { j =>
+        val lo = rnd.nextInt(220).toLong - 10
+        (100L + j, 1L + rnd.nextInt(3), lo, lo + rnd.nextInt(50) - 5)
+      }
+      val expected = (for {
+        (pid, pk, p) <- points
+        (iid, ik, lo, hi) <- intervals
+        if pk == ik && lo <= p && p < hi
+      } yield (pid, iid)).sorted
+
+      val got = RangeJoin.pointInInterval(
+          points.toDF("pid", "k", "p"),
+          intervals.toDF("iid", "k", "lo", "hi"),
+          "p", "lo", "hi", bucketWidth = 16L, equiKeys = Seq("k"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expected, s"round=$round")
+    }
+  }
+
+  test("range join rejects reserved/colliding columns and bad bucket width") {
+    import graft.operators.RangeJoin
+    val p = Seq((1L, 1L)).toDF("p", "k")
+    val iv = Seq((1L, 0L, 5L)).toDF("k", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, iv, "p", "lo", "hi", 0L, Seq("k"))
+    }
+    intercept[IllegalArgumentException] { // non-key overlap: both carry "p"
+      RangeJoin.pointInInterval(p, iv.withColumn("p", col("k")),
+        "p", "lo", "hi", 16L, Seq("k"))
     }
   }
 }

@@ -158,6 +158,13 @@ class PlanShapeSpec extends SparkSpec {
       s"non-equi join in the merge:\n$plan")
   }
 
+  test("banded range join plans as an equi-join on (bucket, key) — no cartesian/BNLJ") {
+    val plan = physicalPlan(
+      analytics.PipelineQueries.queries("c8_range_join")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+  }
+
   test("e1 running window: single shuffle on the partition key") {
     val plan = physicalPlan(
       analytics.StarQueries.queries("e1_running_sum")(spark, sfDir))

@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
 import graft.analytics.LedgerQueries
 import graft.normalize.SolanaNormalizer
-import graft.operators.Dedup
+import graft.operators.{Dedup, RangeJoin}
 
-/** Dev tool: scaling evidence for the two flagship pipelines.
+/** Dev tool: scaling evidence for the flagship pipelines.
   *
   *  - normalizer: full JSON-build → parse → delta → dust at 1× and 10×
   *    input (events replicated with remapped ids, so keys stay unique).
@@ -16,6 +16,11 @@ import graft.operators.Dedup
   *    pairs at 1× and 4× docs. Replicas get a distinct trailing token, so
   *    they are NEAR-dups (not exact dups) and genuinely exercise the
   *    candidate-verify path; the bucket cap keeps growth near-linear.
+  *  - banded range join: events self-joined on a per-user 5-minute
+  *    lookback at 1× and 10×. The 10× replica remaps user ids, so per-key
+  *    density (and thus matches per point) stays constant — the regime a
+  *    growing corpus actually exhibits. Linear ≈ 10; the naive theta join
+  *    would grow 100×.
   *
   * Usage: runMain graft.tools.ScaleCheck [sfDir]
   */
@@ -67,6 +72,22 @@ object ScaleCheck {
     val d4 = time("lsh dedup 4x")(lsh(docs4))
     println(f"lsh dedup ratio: ${d4 / d1}%.1f (linear = 4; replicas are " +
       "planted near-dups, so 4x also carries ~6x the true pairs)")
+
+    def banded(ev: DataFrame) = {
+      val e = ev.select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"))
+      RangeJoin.pointInInterval(
+        e.select(col("event_id").as("prior_id"), col("user_id"), col("ms")),
+        e.select(col("event_id").as("anchor_id"), col("user_id"),
+          (col("ms") - lit(300000L)).as("lo"), col("ms").as("hi")),
+        "ms", "lo", "hi", bucketWidth = 300000L, equiKeys = Seq("user_id"))
+        .groupBy("anchor_id").agg(count(lit(1)).as("n_prior"))
+    }
+    time("range join warmup")(banded(events1))
+    val r1 = time("range join 1x")(banded(events1))
+    val r10 = time("range join 10x")(banded(events10))
+    println(f"range join ratio: ${r10 / r1}%.1f (linear = 10; user ids are " +
+      "remapped per replica, so per-key density stays constant)")
     spark.stop()
   }
 }

@@ -228,16 +228,23 @@ object PipelineQueries {
     "c8_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+      // The interval is widened to INCLUDE the anchor's own instant
+      // ([ms-5min, ms+1) instead of [ms-5min, ms)): every anchor then
+      // matches at least itself, so zero-prior anchors survive the inner
+      // join and the third events scan (a join-back for missing anchors)
+      // disappears. The aggregate applies the real strictly-before
+      // predicate (ms < anchor_ms), so self- and same-instant matches
+      // count 0 — identical semantics, one less scan.
       val intervals = ev.select(col("event_id").as("anchor_id"), col("user_id"),
-        (col("ms") - lit(300000L)).as("lo"), col("ms").as("hi"))
+        (col("ms") - lit(300000L)).as("lo"), (col("ms") + lit(1L)).as("hi"),
+        col("ms").as("anchor_ms"))
       val points = ev.select(col("event_id").as("prior_id"), col("user_id"), col("ms"))
-      val matched = graft.operators.RangeJoin
+      graft.operators.RangeJoin
         .pointInInterval(points, intervals, "ms", "lo", "hi",
           bucketWidth = 300000L, equiKeys = Seq("user_id"))
-        .groupBy("anchor_id").agg(count(lit(1)).as("n_prior"))
-      ev.select(col("event_id"))
-        .join(matched, col("event_id") === col("anchor_id"), "left")
-        .select(col("event_id"), coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+        .groupBy("anchor_id")
+        .agg(sum(when(col("ms") < col("anchor_ms"), 1L).otherwise(0L)).as("n_prior"))
+        .select(col("anchor_id").as("event_id"), col("n_prior"))
         .orderBy("event_id")
     }),
 
@@ -251,7 +258,10 @@ object PipelineQueries {
       // infers step -1 when start > stop) and t[-1] throws under ANSI.
       // NULL text short-circuits the same way: CASE yields null, explode
       // drops the row.
-      val pairs = Tables.documents(s, d)
+      // fanOut: the corpus parquet is one row group → ONE scan partition;
+      // tokenize + per-token struct build + explode (the row-multiplying
+      // CPU stage before the first shuffle) must not serialize on one core.
+      val pairs = Tables.fanOut(Tables.documents(s, d))
         .select(split(col("text"), " ").as("t"))
         .select(explode(expr(
           "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +

@@ -39,6 +39,12 @@ object RangeJoin {
     * @param equiKeys    extra equi-key columns present on BOTH sides; they
     *                    sharpen the shuffle key (and are required for
     *                    correctness when ranges are per-entity timelines)
+    * @param maxBucketsPerInterval data-quality fuse: an interval covering
+    *                    more buckets than this raises at runtime instead of
+    *                    exploding to millions of replica rows (one
+    *                    corrupted `lo = 0` row against epoch-ms bounds
+    *                    would otherwise OOM an executor or hit Spark's
+    *                    sequence-length cap mid-job with a cryptic error)
     */
   def pointInInterval(
       points: DataFrame,
@@ -47,8 +53,24 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       bucketWidth: Long,
-      equiKeys: Seq[String] = Nil): DataFrame = {
+      equiKeys: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    // integral only: with fractional range columns the bucket cover
+    // (floor(lo/w) .. floor((hi-1)/w)) is computed on hi-1, which skips
+    // the bucket of any point in (hi-1, hi) — silently WRONG results, so
+    // fail fast at plan time instead.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    Seq(points -> pointCol, intervals -> loCol, intervals -> hiCol).foreach {
+      case (df, c) =>
+        val dt = df.schema(c).dataType
+        require(integral.contains(dt),
+          s"range column $c must be integral (epoch millis/micros, heights, " +
+            s"offsets) — got $dt; convert timestamps with unix_millis first")
+    }
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet) -- equiKeys
     require(overlap.isEmpty,
@@ -66,9 +88,16 @@ object RangeJoin {
     // not cover that bucket — hence (hi - 1) / w for the last covered one.
     // Empty intervals (lo >= hi) produce a null sequence and drop out in
     // the explode, matching the vacuous-match semantics of lo <= p < hi.
+    val firstB = bucketOf(col(loCol))
+    val lastB = bucketOf(col(hiCol) - 1)
     val iv = intervals.withColumn("_bucket",
-      explode(when(col(loCol) < col(hiCol),
-        sequence(bucketOf(col(loCol)), bucketOf(col(hiCol) - 1)))))
+      explode(when(col(loCol) >= col(hiCol), lit(null).cast("array<bigint>"))
+        .when(lastB - firstB >= maxBucketsPerInterval, raise_error(concat(
+          lit(s"RangeJoin: interval covers > $maxBucketsPerInterval buckets ["),
+          col(loCol), lit(", "), col(hiCol),
+          lit(s") @ width $bucketWidth — corrupt bound, or raise " +
+            "maxBucketsPerInterval"))))
+        .otherwise(sequence(firstB, lastB))))
     p.join(iv, Seq("_bucket") ++ equiKeys)
       .where(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
       .drop("_bucket")

@@ -182,4 +182,36 @@ class OperatorPropertySpec extends SparkSpec {
         "p", "lo", "hi", 16L, Seq("k"))
     }
   }
+
+  test("range join fails fast on fractional range columns (silent-miss hazard)") {
+    import graft.operators.RangeJoin
+    // double bounds: the bucket cover is computed on hi-1, which with
+    // fractional hi skips the bucket of points in (hi-1, hi) — the
+    // operator must reject the type, not return wrong results
+    val p = Seq((16.1, 1L)).toDF("p", "k")
+    val iv = Seq((1L, 15.5, 16.2)).toDF("k", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, iv, "p", "lo", "hi", 16L, Seq("k"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("range join raises on an interval spanning more buckets than the fuse allows") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.SparkException
+    val p = Seq((5L, 1L)).toDF("p", "k")
+    // one corrupted lo=0 row against a large hi: 10 buckets > fuse of 4
+    val iv = Seq((1L, 0L, 160L)).toDF("k", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(p, iv, "p", "lo", "hi", 16L, Seq("k"),
+        maxBucketsPerInterval = 4L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("RangeJoin")), s"got: $e")
+    // and the same data passes with the fuse sized for it
+    val ok = RangeJoin.pointInInterval(p, iv, "p", "lo", "hi", 16L, Seq("k"),
+      maxBucketsPerInterval = 16L).select("p").collect()
+    assert(ok.length == 1)
+  }
 }

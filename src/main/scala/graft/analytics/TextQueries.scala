@@ -176,15 +176,15 @@ object TextQueries {
         "de" -> Seq("der", "die", "und", "zeile"),
         "fr" -> Seq("le", "la", "et", "ligne"),
         "zh" -> Seq("biao", "hang"))
-      val toks = tokens(col("text"))
-      val scores = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-        struct(
-          size(filter(toks, t => t.isin(ws.map(lit(_)): _*))).as("score"),
-          lit(lang).as("lang"))
-      }
+      // single native pass (token→langs hash lookup) replaces five
+      // interpreted filter(isin…) passes per row; the argmax + tie-to-
+      // lex-last-lang semantics are identical to the previous
+      // greatest-over-(score, lang)-structs formulation (and to the
+      // oracle's CASE cascade)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          greatest(scores: _*).getField("lang").as("predicted_lang"))
+          graft.functions.VectorExpressions
+            .langArgmax(tokens(col("text")), markers).as("predicted_lang"))
         .orderBy("doc_id")
     }),
 

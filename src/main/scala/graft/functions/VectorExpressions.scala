@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** I2 upgrade path (SURVEY.md §4): a native Catalyst expression with
   * `doGenCode` for the vector dot product — the one hot-loop where Spark's
@@ -367,6 +368,72 @@ case class RollingChunkHashesExpr(child: Expression, window: Int, mask: Long)
     copy(child = newChild)
 }
 
+/** Marker-based language argmax in ONE pass over the token array: each
+  * token is looked up in a precomputed token→languages map (a marker may
+  * belong to SEVERAL languages — "la" is both Spanish and French), per-
+  * language hit counts accumulate, and the winner is the max count with
+  * ties to the lexicographically-LAST language — bit-for-bit the semantics
+  * of `greatest()` over (score, lang) structs that the interpreted
+  * formulation used (five `filter(isin…)` higher-order passes per row).
+  *
+  * Markers are Seq-typed so the case class keeps structural equality for
+  * plan canonicalization.
+  */
+case class LangArgmaxExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(markers.nonEmpty, "need at least one language")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "lang_argmax"
+
+  // languages in ascending order: the argmax scan below relies on it for
+  // the tie-to-lexicographically-last rule
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(_._1).sorted.map(UTF8String.fromString).toArray
+  @transient private lazy val tokenLangs: java.util.HashMap[UTF8String, Array[Int]] = {
+    val sortedLangs = markers.map(_._1).sorted
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    markers.foreach { case (lang, words) =>
+      val idx = sortedLangs.indexOf(lang)
+      words.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](langs.length)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val hit = tokenLangs.get(toks.getUTF8String(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    // ascending lang order + `>=` = max count, ties to the lex-last lang
+    var best = 0
+    i = 1
+    while (i < counts.length) {
+      if (counts(i) >= counts(best)) best = i
+      i += 1
+    }
+    langs(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -407,4 +474,9 @@ object VectorExpressions {
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     GraftSqlBridge.column(
       NearestCentroidExpr(asDoubleArray(v), centroids.map(_.toSeq).toSeq))
+
+  /** Single-pass marker-count language argmax over a token column. */
+  def langArgmax(tokens: Column, markers: Map[String, Seq[String]]): Column =
+    GraftSqlBridge.column(
+      LangArgmaxExpr(GraftSqlBridge.expression(tokens), markers.toSeq.sortBy(_._1)))
 }

@@ -48,6 +48,27 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(v == 20.0)
   }
 
+  test("lang argmax: multi-language markers, ties to lex-last lang, null/empty inputs") {
+    import graft.functions.VectorExpressions.langArgmax
+    val markers = Map(
+      "en" -> Seq("the", "and"),
+      "es" -> Seq("el", "la"),
+      "fr" -> Seq("le", "la"))
+    def pred(text: org.apache.spark.sql.Column) =
+      langArgmax(split(text, " "), markers)
+    val got = Seq(
+      "the and cat",   // en wins 2-0
+      "la la la",      // "la" is BOTH es and fr: 3-3 tie → lex-last (fr)
+      "no markers at all", // 0-0-0 tie → lex-last (fr)
+      "el la the and x" // en 2, es 2, fr 1 → tie en/es → lex-last (es)
+    ).toDF("text").select(pred($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "fr", "es"), got.toString)
+    // null text → null prediction, not a crash
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(pred($"text")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))

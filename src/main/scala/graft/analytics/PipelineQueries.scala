@@ -26,6 +26,46 @@ object PipelineQueries {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** C8 body (shared with `tools.ScaleCheck` so the documented scaling
+    * evidence measures exactly the shipped plan): per-event count of
+    * same-user events in the preceding 5 minutes, via the banded
+    * [[graft.operators.RangeJoin]] — one equi-shuffle on (user_id, 5-min
+    * bucket) + exact filter where the naive theta join is O(|events|²).
+    *
+    * The interval is widened to INCLUDE the anchor's own instant
+    * ([ms−5min, ms+1) instead of [ms−5min, ms)): every non-null anchor
+    * then matches at least itself, so zero-prior anchors survive the
+    * INNER join and no join-back scan is needed. The aggregate applies
+    * the real strictly-before predicate (ms < anchor_ms), so self- and
+    * same-instant matches count 0. Anchors with a NULL user_id or
+    * timestamp — which the inner join silently drops (equi-join keys
+    * never match NULL; a NULL interval never explodes) — re-enter
+    * through the unioned null-anchor scan with n_prior = 0, the exact
+    * retention semantics of the oracle's LEFT JOIN. That third scan
+    * reads only pruned
+    * columns behind an IS NULL pushdown, which parquet null-count
+    * row-group stats skip entirely on null-free data: correctness for
+    * free at scale.
+    */
+  def priorEventCounts(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    val intervals = ev.select(col("event_id").as("anchor_id"), col("user_id"),
+      (col("ms") - lit(300000L)).as("lo"), (col("ms") + lit(1L)).as("hi"),
+      col("ms").as("anchor_ms"))
+    val points = ev.select(col("event_id").as("prior_id"), col("user_id"), col("ms"))
+    val counted = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "ms", "lo", "hi",
+        bucketWidth = 300000L, equiKeys = Seq("user_id"))
+      .groupBy("anchor_id")
+      .agg(sum(when(col("ms") < col("anchor_ms"), 1L).otherwise(0L)).as("n_prior"))
+      .select(col("anchor_id").as("event_id"), col("n_prior"))
+    val nullAnchors = ev
+      .filter(col("user_id").isNull || col("ms").isNull)
+      .select(col("event_id"), lit(0L).as("n_prior"))
+    counted.unionAll(nullAnchors)
+  }
+
   /** Deterministic per-row coin: first hex chars of md5 over a salted key.
     * Compared lexicographically against a hex threshold — avoids any
     * hex→int conversion (which the oracle engine lacks) while giving
@@ -225,28 +265,8 @@ object PipelineQueries {
     // big as the point side, so the naive theta join is a nested loop;
     // RangeJoin's bucket trick turns it into one equi-shuffle on
     // (user_id, 5-min bucket) + an exact filter. See RangeJoin scaladoc.
-    "c8_range_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
-      // The interval is widened to INCLUDE the anchor's own instant
-      // ([ms-5min, ms+1) instead of [ms-5min, ms)): every anchor then
-      // matches at least itself, so zero-prior anchors survive the inner
-      // join and the third events scan (a join-back for missing anchors)
-      // disappears. The aggregate applies the real strictly-before
-      // predicate (ms < anchor_ms), so self- and same-instant matches
-      // count 0 — identical semantics, one less scan.
-      val intervals = ev.select(col("event_id").as("anchor_id"), col("user_id"),
-        (col("ms") - lit(300000L)).as("lo"), (col("ms") + lit(1L)).as("hi"),
-        col("ms").as("anchor_ms"))
-      val points = ev.select(col("event_id").as("prior_id"), col("user_id"), col("ms"))
-      graft.operators.RangeJoin
-        .pointInInterval(points, intervals, "ms", "lo", "hi",
-          bucketWidth = 300000L, equiKeys = Seq("user_id"))
-        .groupBy("anchor_id")
-        .agg(sum(when(col("ms") < col("anchor_ms"), 1L).otherwise(0L)).as("n_prior"))
-        .select(col("anchor_id").as("event_id"), col("n_prior"))
-        .orderBy("event_id")
-    }),
+    "c8_range_join" -> ((s, d) =>
+      priorEventCounts(Tables.events(s, d)).orderBy("event_id")),
 
     // K4: bigram language-model statistics — adjacent-pair counts plus the
     // conditional probability P(w2|w1), the kernel of n-gram LM scoring and

@@ -372,9 +372,13 @@ case class RollingChunkHashesExpr(child: Expression, window: Int, mask: Long)
   * token is looked up in a precomputed token→languages map (a marker may
   * belong to SEVERAL languages — "la" is both Spanish and French), per-
   * language hit counts accumulate, and the winner is the max count with
-  * ties to the lexicographically-LAST language — bit-for-bit the semantics
-  * of `greatest()` over (score, lang) structs that the interpreted
-  * formulation used (five `filter(isin…)` higher-order passes per row).
+  * ties to the lexicographically-LAST language — for NON-NULL input,
+  * bit-for-bit the semantics of `greatest()` over (score, lang) structs
+  * that the interpreted formulation used (five `filter(isin…)`
+  * higher-order passes per row). NULL input yields NULL (the standard
+  * null-intolerant contract) where the struct formulation yielded the
+  * lex-last language and the DuckDB CASE cascade yields its ELSE branch —
+  * three arbitrary answers for "no text"; NULL is the only honest one.
   *
   * Markers are Seq-typed so the case class keeps structural equality for
   * plan canonicalization.

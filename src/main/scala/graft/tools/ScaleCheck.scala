@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.{GraftSession, Tables}
 import graft.analytics.LedgerQueries
 import graft.normalize.SolanaNormalizer
-import graft.operators.{Dedup, RangeJoin}
+import graft.operators.Dedup
 
 /** Dev tool: scaling evidence for the flagship pipelines.
   *
@@ -73,16 +73,10 @@ object ScaleCheck {
     println(f"lsh dedup ratio: ${d4 / d1}%.1f (linear = 4; replicas are " +
       "planted near-dups, so 4x also carries ~6x the true pairs)")
 
-    def banded(ev: DataFrame) = {
-      val e = ev.select(col("event_id"), col("user_id"),
-        unix_millis(col("ts")).as("ms"))
-      RangeJoin.pointInInterval(
-        e.select(col("event_id").as("prior_id"), col("user_id"), col("ms")),
-        e.select(col("event_id").as("anchor_id"), col("user_id"),
-          (col("ms") - lit(300000L)).as("lo"), col("ms").as("hi")),
-        "ms", "lo", "hi", bucketWidth = 300000L, equiKeys = Seq("user_id"))
-        .groupBy("anchor_id").agg(count(lit(1)).as("n_prior"))
-    }
+    // the SHIPPED c8 body, not a re-implementation — the documented
+    // scaling ratios must track the production plan
+    def banded(ev: DataFrame) =
+      graft.analytics.PipelineQueries.priorEventCounts(ev)
     time("range join warmup")(banded(events1))
     val r1 = time("range join 1x")(banded(events1))
     val r10 = time("range join 10x")(banded(events10))

@@ -198,7 +198,6 @@ class OperatorPropertySpec extends SparkSpec {
 
   test("range join raises on an interval spanning more buckets than the fuse allows") {
     import graft.operators.RangeJoin
-    import org.apache.spark.SparkException
     val p = Seq((5L, 1L)).toDF("p", "k")
     // one corrupted lo=0 row against a large hi: 10 buckets > fuse of 4
     val iv = Seq((1L, 0L, 160L)).toDF("k", "lo", "hi")
@@ -213,5 +212,24 @@ class OperatorPropertySpec extends SparkSpec {
     val ok = RangeJoin.pointInInterval(p, iv, "p", "lo", "hi", 16L, Seq("k"),
       maxBucketsPerInterval = 16L).select("p").collect()
     assert(ok.length == 1)
+  }
+
+  test("c8 prior-event counts retain NULL-key and NULL-ts anchors with n_prior = 0") {
+    import graft.analytics.PipelineQueries
+    import org.apache.spark.sql.functions.{col, timestamp_millis}
+    // u1 has two events 60s apart; one NULL-user and one NULL-ts event
+    // must appear with 0 priors (the oracle's LEFT JOIN retention), not
+    // vanish in the inner self-match
+    val ev = Seq(
+      (1L, Some(10L), Some(1000000L)),
+      (2L, Some(10L), Some(1060000L)),
+      (3L, None: Option[Long], Some(1060000L)),
+      (4L, Some(11L), None: Option[Long])
+    ).toDF("event_id", "user_id", "ms0")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ms0")).as("ts"))
+    val got = PipelineQueries.priorEventCounts(ev)
+      .orderBy("event_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 0L)), got.toString)
   }
 }

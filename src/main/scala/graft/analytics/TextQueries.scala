@@ -87,6 +87,27 @@ object TextQueries {
         .limit(25)
     }),
 
+    // K4/I3: heavy-hitter terms via the mergeable Misra–Gries sketch —
+    // the FIXED-MEMORY path to top terms when the key space is too big
+    // for exact groupBy (5-grams, URLs): state caps at 256 counters per
+    // partial, the shuffle carries ≤256 entries per partition, and the
+    // one-pass guarantee (est ∈ [f − N/256, f]) is asserted against exact
+    // counts in ScalaTest. Rows-only by design: sketch estimates are
+    // merge-order-dependent within the error band, like approx_distinct.
+    "k4_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.HeavyHittersAggregator(256).toColumn
+      Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .as[String]
+        .select(agg)
+        .flatMap(_.take(20).zipWithIndex.map { case ((w, c), i) =>
+          (i + 1, w, c)
+        })
+        .toDF("rank", "word", "est_count")
+        .orderBy("rank")
+    }),
+
     // K4: per-language document-length percentiles (exact interpolated
     // percentile, matching DuckDB quantile_cont bit-for-bit on integers).
     // Flattened to one scalar column per quantile — array-typed output

@@ -268,6 +268,19 @@ object PipelineQueries {
     "c8_range_join" -> ((s, d) =>
       priorEventCounts(Tables.events(s, d)).orderBy("event_id")),
 
+    // K6: decontamination — per eval doc, the fraction of its distinct
+    // 3-grams already present anywhere in the train split (deterministic
+    // doc_id % 4 partition). Semi-join on the gram key, never an
+    // eval×train doc-pair join — see Dedup.contamination scaladoc.
+    "k6_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Dedup.contamination(
+          train = docs.filter(col("doc_id") % 4 =!= 0),
+          eval_ = docs.filter(col("doc_id") % 4 === 0),
+          textCol = "text", idCol = "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // K4: bigram language-model statistics — adjacent-pair counts plus the
     // conditional probability P(w2|w1), the kernel of n-gram LM scoring and
     // perplexity-based quality filters. Bigram extraction is ARRAY-LOCAL
@@ -414,6 +427,27 @@ object PipelineQueries {
         |   AND b.ms >= a.ms - 300000 AND b.ms < a.ms
         |  GROUP BY a.event_id)
         |SELECT event_id, n_prior FROM m ORDER BY event_id""".stripMargin,
+
+    // Same shingling idiom as k2_ngram_jaccard's oracle (proven parity
+    // with WordShinglesExpr); list_distinct mirrors the expression's
+    // LinkedHashSet dedup, LEFT JOIN against the distinct train gram set
+    // mirrors the left-semi + count.
+    "k6_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |tr AS (SELECT DISTINCT UNNEST(s) AS gram FROM sh WHERE doc_id % 4 <> 0),
+        |ev AS (SELECT doc_id, UNNEST(s) AS gram FROM sh WHERE doc_id % 4 = 0),
+        |agg AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_grams, COUNT(tr.gram) AS n_shared
+        |  FROM ev e LEFT JOIN tr ON e.gram = tr.gram
+        |  GROUP BY e.doc_id)
+        |SELECT doc_id, n_grams, n_shared,
+        |  ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS contamination
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "k4_bigram_lm" ->
       """WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),

@@ -246,4 +246,46 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"), col("cos"))
   }
+
+  /** K6 decontamination: per evaluation document, how much of it already
+    * appears in the training corpus — the train/test-overlap gate every
+    * benchmark-honest pretraining pipeline runs before training.
+    *
+    * Shape: distinct word n-grams per doc (native [[graft.functions.
+    * VectorExpressions.shinglesFast]]), then a LEFT SEMI join of the eval
+    * side's exploded grams against the DISTINCT train gram set — one
+    * shuffle keyed on the gram, never an eval×train doc-pair join (a
+    * contaminated boilerplate gram hits thousands of train docs; the
+    * semi-join collapses them to one bit per eval gram). Docs shorter
+    * than `n` tokens carry no n-gram evidence and are excluded.
+    * At 100 TB, key the join on a 16-byte digest of the gram
+    * (md5/xxhash64) instead of the gram text to shrink shuffle bytes —
+    * semantics are identical, so the declared query keeps the text key
+    * the oracle can reproduce.
+    *
+    * @return (idCol, n_grams, n_shared, contamination ∈ [0,1]) per eval doc
+    */
+  def contamination(
+      train: DataFrame,
+      eval_ : DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      graft.Tables.fanOut(df)
+        .filter(size(split(col(textCol), " ")) >= n)
+        .select(col(idCol), explode(graft.functions.VectorExpressions
+          .shinglesFast(split(col(textCol), " "), n)).as("_gram"))
+    val trainGrams = grams(train).select("_gram").distinct()
+    val evalGrams = grams(eval_) // shinglesFast already emits distinct grams
+    val shared = evalGrams
+      .join(trainGrams, Seq("_gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    evalGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+      .join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
 }

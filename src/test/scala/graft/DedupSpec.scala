@@ -136,4 +136,25 @@ class DedupSpec extends SparkSpec {
       .collect().toSet
     assert(rows == Set((1L, "same text", "en"), (3L, "unique", "en")))
   }
+
+  test("contamination: full copy scores 1.0, partial overlap in (0,1), clean doc 0, short doc excluded") {
+    val train = Seq(
+      (10L, base),
+      (11L, "spark catalyst optimizer rewrites logical plans before codegen")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (0L, base),                                        // verbatim leak
+      (1L, base.split(" ").take(6).mkString(" ") +       // leading 6 words leak
+        " totally novel continuation written fresh for this evaluation set"),
+      (2L, "pristine benchmark question nobody trained on ever before now"),
+      (3L, "too short")                                   // < n tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, eval_, "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L), "short doc must be excluded")
+    assert(got(0)._2 == 1.0, s"verbatim copy must score 1.0: ${got(0)}")
+    assert(got(1)._2 > 0.0 && got(1)._2 < 1.0, s"partial leak in (0,1): ${got(1)}")
+    assert(got(2)._2 == 0.0, s"clean doc must score 0: ${got(2)}")
+  }
 }

@@ -29,42 +29,53 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * exact counts.
   */
 class HeavyHittersAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+      Seq[(String, Long)]] {
 
   require(capacity > 0, "capacity must be positive")
 
-  override def zero: Map[String, Long] = Map.empty
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-  override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+  // Mutable buffer, mutated in place and returned: typed-aggregator
+  // buffers live as objects between reduce calls (serialization happens
+  // only at partial-result boundaries), and the saturated-sketch hot path
+  // — a tail token arriving at a full table, the DOMINANT case for the
+  // high-cardinality key spaces this exists for — must not rebuild a
+  // 256-entry persistent map per token.
+  override def zero: Buf = new Buf()
+
+  override def reduce(b: Buf, tok: String): Buf = {
     b.get(tok) match {
-      case Some(c) => b.updated(tok, c + 1)
-      case None if b.size < capacity => b.updated(tok, 1L)
+      case Some(c) => b.update(tok, c + 1)
+      case None if b.size < capacity => b.update(tok, 1L)
       case None =>
         // decrement-all step, amortized: drop the min count from everyone
         // (the classic MG counter decrement, batched at the map level)
-        val dec = b.values.min
-        b.flatMap { case (k, c) => if (c > dec) Some(k -> (c - dec)) else None }
+        val dec = b.valuesIterator.min
+        b.filterInPlace { case (_, c) => c > dec }
+        b.mapValuesInPlace { case (_, c) => c - dec }
     }
+    b
+  }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (acc, (k, c)) =>
-      acc.updated(k, acc.getOrElse(k, 0L) + c)
-    }
-    if (sum.size <= capacity) sum
-    else {
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+    if (a.size > capacity) {
       // subtract the (capacity+1)-th largest count, drop non-positives —
       // the PODS'12 mergeable-summaries rule
-      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-      sum.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+      val cut = a.valuesIterator.toArray.sorted(Ordering[Long].reverse)(capacity)
+      a.filterInPlace { case (_, c) => c > cut }
+      a.mapValuesInPlace { case (_, c) => c - cut }
     }
+    a
   }
 
   /** Surviving counters, largest estimate first (ties: lexicographic). */
-  override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+  override def finish(b: Buf): Seq[(String, Long)] =
     b.toSeq.sortBy { case (k, c) => (-c, k) }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[Buf] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Buf]()
 
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()

@@ -271,21 +271,30 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 3): DataFrame = {
+    // tokenize ONCE per row (a filter predicate and a projection are
+    // separate operators — CSE does not span them, so an inline
+    // size(split(...)) guard would re-split every surviving row on the
+    // row-multiplying hot stage)
     def grams(df: DataFrame): DataFrame =
       graft.Tables.fanOut(df)
-        .filter(size(split(col(textCol), " ")) >= n)
+        .select(col(idCol), split(col(textCol), " ").as("_toks"))
+        .filter(size(col("_toks")) >= n)
         .select(col(idCol), explode(graft.functions.VectorExpressions
-          .shinglesFast(split(col(textCol), " "), n)).as("_gram"))
+          .shinglesFast(col("_toks"), n)).as("_gram"))
+    // one LEFT join against the distinct train gram set with a marker
+    // column gives BOTH counts in a single pass over the eval subtree —
+    // the same COUNT(*) / COUNT(marker) shape the DuckDB oracle uses. A
+    // semi-join + separate total-count aggregate would materialize the
+    // eval scan/shingle/explode twice and add a per-doc join of the two
+    // aggregates. trainGrams is distinct, so the left join cannot fan out.
     val trainGrams = grams(train).select("_gram").distinct()
-    val evalGrams = grams(eval_) // shinglesFast already emits distinct grams
-    val shared = evalGrams
-      .join(trainGrams, Seq("_gram"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-    evalGrams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-      .join(shared, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"), 6)
+      .withColumn("_hit", lit(1))
+    grams(eval_) // shinglesFast already emits distinct grams per doc
+      .join(trainGrams, Seq("_gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
           .as("contamination"))
   }
 }

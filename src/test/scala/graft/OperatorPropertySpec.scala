@@ -214,6 +214,40 @@ class OperatorPropertySpec extends SparkSpec {
     assert(ok.length == 1)
   }
 
+  test("contamination matches a brute-force set-intersection reference on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new Random(4242L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 6).foreach { round =>
+      // short vocab → dense shared trigrams; lengths straddle the n=3 cutoff
+      val train = (0 until 1 + rnd.nextInt(8)).map(i => (i.toLong, doc(1 + rnd.nextInt(20))))
+      val eval_ = (0 until 1 + rnd.nextInt(8)).map(i => (100L + i, doc(1 + rnd.nextInt(20))))
+
+      def grams(text: String): Set[String] = {
+        val w = text.split(" ")
+        if (w.length < 3) Set()
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val trainSet = train.flatMap(t => grams(t._2)).toSet
+      val expected = eval_.flatMap { case (id, text) =>
+        val g = grams(text)
+        if (g.isEmpty) None
+        else Some((id, g.size.toLong, g.count(trainSet.contains).toLong))
+      }.sortBy(_._1)
+
+      val got = Dedup.contamination(
+          train.toDF("doc_id", "text"), eval_.toDF("doc_id", "text"),
+          "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+        .select("doc_id", "n_grams", "n_shared")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"round=$round")
+    }
+  }
+
   test("c8 prior-event counts retain NULL-key and NULL-ts anchors with n_prior = 0") {
     import graft.analytics.PipelineQueries
     import org.apache.spark.sql.functions.{col, timestamp_millis}

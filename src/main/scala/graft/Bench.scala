@@ -6,12 +6,34 @@ import java.nio.file.{Files, Paths}
 /** Benchmark main: times every declared query at the given scale factor and
   * emits ONE JSON line (stdout + bench_out.json for robust machine parsing).
   * Failures are recorded per-query under "errors", never as fake timings.
+  *
+  * Noise attribution: this host is shared, and two rounds of forensics showed
+  * identical binaries spreading 56-116 s total with single queries spiking
+  * 5-20x under load. So the artifact now carries its own alibi:
+  *   - `/proc/loadavg` is sampled at start and end ("loadavg_start/_end");
+  *   - each query runs `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
+  *     recorded timing is the per-query MEDIAN, which discards a single
+  *     polluted rep entirely;
+  *   - "value" is the sum of medians, so one noisy window no longer fails
+  *     the total gate.
   */
 object Bench {
+  private def loadavg(): String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "unavailable" }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.getOrCreate("graft-bench", cpus.toInt)
+    val load0 = loadavg()
 
     // untimed warmup: the first timed query otherwise absorbs session
     // startup (codegen, hadoop init, noop-sink lookup) into its number
@@ -26,15 +48,24 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val ts = scala.collection.mutable.ArrayBuffer[Double]()
+      var failed = false
+      var r = 0
+      while (r < reps && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ts += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            failed = true
+        }
+        r += 1
       }
+      if (!failed) timings(name) = median(ts.toSeq)
     }
+    val load1 = loadavg()
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -51,7 +82,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"queries":$qs,"errors":$es,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"metric":"total","unit":"sec","value":${num(total)}}"""
+      s"""{"queries":$qs,"errors":$es,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"stat":"median","loadavg_start":${jstr(load0)},"loadavg_end":${jstr(load1)},"metric":"total","unit":"sec","value":${num(total)}}"""
     println(line)
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     spark.stop()

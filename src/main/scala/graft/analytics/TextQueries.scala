@@ -218,7 +218,11 @@ object TextQueries {
         .select(col("doc_id"),
           size(toks).as("n_toks"),
           size(array_distinct(toks)).as("n_distinct"),
-          concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 3)).as("first3"),
+          // concat_ws over a NULL array yields "" — explicit NULL keeps a
+          // NULL-text doc aligned with the oracle's array_to_string(NULL)
+          when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(",", slice(array_sort(array_distinct(toks)), 1, 3)))
+            .as("first3"),
           array_contains(toks, "the").as("has_the"),
           array_position(toks, "the").cast("int").as("the_pos"))
         .orderBy("doc_id")
@@ -372,16 +376,18 @@ object TextQueries {
         |  CAST(FLOOR(n_chars / 100.0) AS INTEGER) AS len_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // Spark array_position yields 0 for a missing element; DuckDB
-    // list_position yields NULL → COALESCE to 0.
+    // Spark array_position yields 0 for a missing element but NULL for a
+    // NULL array; DuckDB list_position yields NULL for both → COALESCE to 0
+    // only when the text (hence the array) is non-NULL.
     "h14_array_funcs" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,
         |  CAST(len(w) AS INTEGER) AS n_toks,
         |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
         |  array_to_string(list_sort(list_distinct(w))[1:3], ',') AS first3,
         |  list_contains(w, 'the') AS has_the,
-        |  CAST(COALESCE(list_position(w, 'the'), 0) AS INTEGER) AS the_pos
+        |  CAST(CASE WHEN text IS NULL THEN NULL
+        |            ELSE COALESCE(list_position(w, 'the'), 0) END AS INTEGER) AS the_pos
         |FROM t ORDER BY doc_id""".stripMargin,
 
     // Spark's greatest() over (score, lang) structs = max score with ties
@@ -400,6 +406,7 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, lang,
         |  CASE
+        |    WHEN s_de IS NULL THEN NULL
         |    WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
         |    WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
         |    WHEN s_es >= s_en AND s_es >= s_de THEN 'es'

@@ -66,7 +66,23 @@ object Compactor {
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The root itself may be mid-swap from an interrupted compact (live dir
+    // renamed away, trash copy present): recover BEFORE listing, or
+    // listStatus(root) throws instead of healing.
+    recover(spark, path)
     def leaves(p: Path): Seq[Path] = {
+      // Heal interrupted leaf swaps first: a crash between the two renames
+      // leaves only the hidden .<leaf>_compact_old dir, which the hidden()
+      // filter below would skip — so without this probe the leaf's data
+      // stays invisible to every reader until a manual recover().
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".")
+          && s.getPath.getName.endsWith("_compact_old"))
+        .foreach { s =>
+          val live = new Path(p,
+            s.getPath.getName.stripPrefix(".").stripSuffix("_compact_old"))
+          if (!fs.exists(live)) recover(spark, live.toString)
+        }
       val subdirs = fs.listStatus(p).filter(s => s.isDirectory && !hidden(s.getPath))
       if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
     }

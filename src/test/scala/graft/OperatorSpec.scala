@@ -66,6 +66,28 @@ class OperatorSpec extends SparkSpec {
       "partition column still derived from the directory layout")
   }
 
+  test("compactTable self-heals an interrupted swap (leaf and root)") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // leaf mid-swap: crash hit between rename(live -> trash) and
+    // rename(tmp -> live) — only the hidden trash dir remains
+    val dir = Files.createTempDirectory("compact4").toString + "/t"
+    Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")
+      .repartition(2).write.partitionBy("k").parquet(dir)
+    val leaf = new Path(dir, "k=a")
+    assert(fs.rename(leaf, new Path(dir, ".k=a_compact_old")))
+    assert(spark.read.parquet(dir).count() == 1, "partition invisible pre-heal")
+    Compactor.compactTable(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == 3, "leaf data restored")
+    // root mid-swap: the whole table dir was renamed away
+    val dir2 = Files.createTempDirectory("compact5").toString + "/t"
+    Seq((1, "x"), (2, "y")).toDF("id", "v").write.parquet(dir2)
+    val root2 = new Path(dir2)
+    assert(fs.rename(root2, new Path(root2.getParent, ".t_compact_old")))
+    Compactor.compactTable(spark, dir2, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir2).count() == 2, "root data restored")
+  }
+
   test("as-of join: inclusive match takes most recent quote at or before trade ts") {
     val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
       .toDF("key", "ts", "trade_id")

@@ -156,8 +156,12 @@ class PipelineQueriesSpec extends SparkSpec {
       in.addData(("a", 3.0), ("c", 10.0))
       q.processAllAvailable()
     } finally q.stop()
+    // numeric version parse, not lexicographic path max: "v9_b8" > "v10_b9"
+    // as strings, so a ≥10-batch run would read a stale version otherwise
     val state = spark.read.parquet(
-        new java.io.File(dir).listFiles().map(_.getPath).filter(_.contains("/v")).max)
+        new java.io.File(dir).listFiles().map(_.getPath)
+          .flatMap(p => "/v(\\d+)".r.findFirstMatchIn(p).map(m => (m.group(1).toLong, p)))
+          .maxBy(_._1)._2)
       .orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue))
     assert(state.toSeq == Seq(("a", 2L, 4.0), ("b", 1L, 2.0), ("c", 1L, 10.0)))

@@ -69,17 +69,35 @@ object LedgerQueries {
     "eth7" -> s"""{"from": "0xSenderAaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "to": "${EW.toUpperCase.replace("0X", "0x")}", "value": 500000000000000000}"""
   )
 
-  /** Solana + Ethereum (+ an unparsed hyperliquid row) bronze mix — the G1
-    * multi-chain union input.
+  /** Hyperliquid perp-fill fixtures (wallet [[HW]]): a buy fill (+0.5 ETH
+    * trade, −0.35 USDC fee), a sell fill with realized PnL (−1.25 SOL,
+    * −0.5 USDC fee), a missing-`sz` fill whose fee is still ledgered, a
+    * dust-size zero-fee fill (nothing), and an unknown-side fill with a
+    * default-feeToken fee. `hl1` is the legacy garbage envelope — all
+    * guards drop it, proving the parse guard.
+    */
+  val HW = "HlWallet1111111111111111111111111111111111"
+  val hlFixtures: Seq[(String, String)] = Seq(
+    "hl2" -> """{"coin": "ETH", "px": "2900.5", "sz": "0.5", "side": "B", "time": 1672531200000, "closedPnl": "0.0", "fee": "0.35", "feeToken": "USDC"}""",
+    "hl3" -> """{"coin": "SOL", "px": "101.25", "sz": "1.25", "side": "A", "time": 1672531201000, "closedPnl": "12.5", "fee": "0.5", "feeToken": "USDC"}""",
+    "hl4" -> """{"coin": "BTC", "side": "B", "fee": "0.1", "feeToken": "USDC"}""",
+    "hl5" -> """{"coin": "ETH", "sz": "0.0000005", "side": "B", "fee": "0"}""",
+    "hl6" -> """{"coin": "ETH", "sz": "2.0", "side": "X", "fee": "0.125"}"""
+  )
+
+  /** Solana + Ethereum + Hyperliquid bronze mix (plus one garbage
+    * hyperliquid envelope) — the G1 multi-chain union input.
     */
   def mixedBronze(s: SparkSession): DataFrame = {
     import s.implicits._
     val eth = ethFixtures.map { case (id, raw) =>
       Transaction(id, s"user_$id", EW, 1672531200L, s"hash_$id", "ethereum", raw)
     }
-    val hyper = Seq(
-      Transaction("hl1", "user_hl1", "HlWallet", 1672531200L, "hash_hl1",
-        "hyperliquid", """{"anything": true}"""))
+    val hyper = Transaction("hl1", "user_hl1", HW, 1672531200L, "hash_hl1",
+      "hyperliquid", """{"anything": true}""") +:
+      hlFixtures.map { case (id, raw) =>
+        Transaction(id, s"user_$id", HW, 1672531200L, s"hash_$id", "hyperliquid", raw)
+      }
     fixtureBronze(s).unionByName((eth ++ hyper).toDF())
   }
 
@@ -161,8 +179,9 @@ object LedgerQueries {
     }),
 
     // I1/B5/G1 multi-chain: per-chain dispatch + silver union over a mixed
-    // solana/ethereum/hyperliquid bronze. Oracle re-derives BOTH parsers
-    // independently in DuckDB SQL; the hyperliquid row must vanish.
+    // solana/ethereum/hyperliquid bronze. Oracle re-derives ALL THREE
+    // parsers independently in DuckDB SQL; the garbage hyperliquid
+    // envelope must vanish.
     "i1_normalize_multichain" -> ((s, _) => {
       graft.normalize.ChainNormalizers.normalizeAll(mixedBronze(s))
         .select("transaction_id", "wallet_address", "asset_symbol", "amount", "entry_type")
@@ -238,6 +257,9 @@ object LedgerQueries {
   private def ethValues: String =
     ethFixtures.map { case (id, raw) => s"('$id', '$EW', '$raw')" }.mkString(",\n  ")
 
+  private def hlValues: String =
+    hlFixtures.map { case (id, raw) => s"('$id', '$HW', '$raw')" }.mkString(",\n  ")
+
   val oracle: Map[String, String] = Map(
     "i1_normalize_multichain" ->
       s"""$silverCte,
@@ -255,9 +277,30 @@ object LedgerQueries {
          |    FROM eth
          |    WHERE json_extract(raw, '$$.value') IS NOT NULL
          |      AND COALESCE(CAST(json_extract(raw, '$$.status') AS INTEGER), 1) = 1)
-         |  WHERE ABS(amount) > 0.000001)
+         |  WHERE ABS(amount) > 0.000001),
+         |hl(transaction_id, wallet_address, raw) AS (VALUES
+         |  $hlValues),
+         |hl_trade AS (
+         |  SELECT transaction_id, wallet_address,
+         |    json_extract_string(raw, '$$.coin') AS asset_symbol,
+         |    (CASE WHEN json_extract_string(raw, '$$.side') = 'B' THEN 1 ELSE -1 END)
+         |      * CAST(json_extract_string(raw, '$$.sz') AS DOUBLE) AS amount,
+         |    'trade' AS entry_type
+         |  FROM hl
+         |  WHERE json_extract_string(raw, '$$.coin') IS NOT NULL
+         |    AND json_extract_string(raw, '$$.side') IN ('B', 'A')
+         |    AND json_extract_string(raw, '$$.sz') IS NOT NULL
+         |    AND ABS(CAST(json_extract_string(raw, '$$.sz') AS DOUBLE)) > 0.000001),
+         |hl_fee AS (
+         |  SELECT transaction_id, wallet_address,
+         |    COALESCE(json_extract_string(raw, '$$.feeToken'), 'USDC') AS asset_symbol,
+         |    -CAST(json_extract_string(raw, '$$.fee') AS DOUBLE) AS amount,
+         |    'fee' AS entry_type
+         |  FROM hl
+         |  WHERE CAST(json_extract_string(raw, '$$.fee') AS DOUBLE) > 0.000001)
          |SELECT transaction_id, wallet_address, asset_symbol, amount, entry_type
-         |FROM (SELECT * FROM silver UNION ALL SELECT * FROM eth_silver)
+         |FROM (SELECT * FROM silver UNION ALL SELECT * FROM eth_silver
+         |      UNION ALL SELECT * FROM hl_trade UNION ALL SELECT * FROM hl_fee)
          |ORDER BY transaction_id, asset_symbol""".stripMargin,
 
     "i1_normalize_golden" ->

@@ -108,6 +108,24 @@ object Schemas {
     StructField("value", DecimalType(38, 0)),
     StructField("status", IntegerType)))
 
+  /** Hyperliquid perp-fill envelope — the third and final `Chain` variant
+    * (`core/src/models.rs:5-10`; the reference declares it but ships no
+    * parser, so this branch is parity-plus). Shape follows Hyperliquid's
+    * public info-API fill records, which serialize numeric fields as JSON
+    * strings (`"sz": "0.5"`) — the schema keeps them as strings and the
+    * normalizer casts explicitly, making the parse bit-identical to the
+    * oracle's json_extract_string + CAST path.
+    */
+  val hlFill: StructType = StructType(Seq(
+    StructField("coin", StringType),
+    StructField("px", StringType),
+    StructField("sz", StringType),
+    StructField("side", StringType),
+    StructField("time", LongType),
+    StructField("closedPnl", StringType),
+    StructField("fee", StringType),
+    StructField("feeToken", StringType)))
+
   /** Bronze table schema (`transactions`). */
   val bronze: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),

@@ -65,10 +65,66 @@ object EthereumNormalizer {
   }
 }
 
+/** Hyperliquid bronze → silver normalizer — the third chain branch,
+  * completing the reference's 3-variant `Chain` enum
+  * (`/root/reference/core/src/models.rs:5-10`; the reference declares the
+  * variant but ships no parser, so this is parity-plus). One perp fill
+  * normalizes to up to TWO ledger entries, exercising the `trade`/`fee`
+  * `EntryType` variants the transfer chains never emit
+  * (`core/src/models.rs:13-19`):
+  *
+  *  - a `trade` entry: ±sz of `coin` (B = buy = +, A = ask/sell = −),
+  *    guarded on a known side and |sz| above the shared 1e-6 dust
+  *    threshold
+  *  - a `fee` entry: −fee in `feeToken` (USDC default — the settlement
+  *    asset), emitted whenever fee > dust, INDEPENDENTLY of the trade
+  *    guard (a malformed fill that still charged a fee keeps the fee
+  *    visible in the ledger)
+  *
+  * Same single-pass entries-array shape as the other two normalizers (one
+  * from_json per row; guards live inside the projected array, not in
+  * pushable Filter nodes), same deterministic sha2 surrogate id keyed by
+  * (bronze id, chain tag, entry kind, asset).
+  */
+object HyperliquidNormalizer {
+
+  private val Dust = 1e-6
+
+  def normalize(bronze: DataFrame): DataFrame = {
+    val parsed = bronze
+      .filter(col("chain") === lit(Chain.Hyperliquid))
+      .withColumn("m", from_json(col("raw_metadata"), Schemas.hlFill))
+    val sz = col("m.sz").cast("double")
+    val signed = when(col("m.side") === "B", sz).otherwise(-sz)
+    val fee = col("m.fee").cast("double")
+    val tradeEntry = struct(col("m.coin").as("asset"), signed.as("amount"),
+      lit(EntryType.Trade).as("etype"))
+    val feeEntry = struct(coalesce(col("m.feeToken"), lit("USDC")).as("asset"),
+      (-fee).as("amount"), lit(EntryType.Fee).as("etype"))
+    val empty = array().cast("array<struct<asset:string,amount:double,etype:string>>")
+    val entries = concat(
+      when(col("m.coin").isNotNull && col("m.side").isin("B", "A")
+          && sz.isNotNull && abs(signed) > Dust,
+        array(tradeEntry)).otherwise(empty),
+      when(fee.isNotNull && fee > Dust, array(feeEntry)).otherwise(empty))
+    parsed
+      .select(col("id"), col("user_id"), col("wallet_address"),
+        explode(entries).as("e"))
+      .select(
+        sha2(concat_ws(":", col("id"), lit("HL"), col("e.etype"), col("e.asset")), 256).as("id"),
+        col("id").as("transaction_id"),
+        col("user_id"),
+        col("wallet_address"),
+        col("e.asset").as("asset_symbol"),
+        col("e.amount").as("amount"),
+        col("e.etype").as("entry_type"),
+        lit(null).cast("double").as("fiat_value"))
+  }
+}
+
 /** Per-chain dispatch (B5) + union (G1): route bronze rows to their chain's
-  * normalizer and union the silver outputs by name. Chains without a parser
-  * (hyperliquid) contribute zero rows — the reference's "skipped with a
-  * message" behavior (`cli/src/main.rs:152-161`), minus the message.
+  * normalizer and union the silver outputs by name — all three `Chain`
+  * variants now carry a parser.
   *
   * Scale note: the union arms each scan the bronze source (Spark has no
   * subplan reuse across union arms), but each arm's `chain = '<x>'` filter
@@ -83,4 +139,5 @@ object ChainNormalizers {
   def normalizeAll(bronze: DataFrame): DataFrame =
     SolanaNormalizer.normalize(bronze)
       .unionByName(EthereumNormalizer.normalize(bronze))
+      .unionByName(HyperliquidNormalizer.normalize(bronze))
 }

@@ -96,22 +96,30 @@ class NormalizerSpec extends SparkSpec {
       "silver ids must be unique per bronze row, not per tx_hash")
   }
 
-  test("multi-chain dispatch: solana + ethereum branches union; hyperliquid skipped") {
+  test("multi-chain dispatch: solana + ethereum + hyperliquid branches union") {
     import graft.normalize.ChainNormalizers
     val out = ChainNormalizers.normalizeAll(LedgerQueries.mixedBronze(spark))
-      .select("transaction_id", "asset_symbol", "amount")
+      .select("transaction_id", "asset_symbol", "amount", "entry_type")
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getString(3)))
       .toSet
-    val eth = out.filter(_._1.startsWith("eth"))
+    val eth = out.filter(_._1.startsWith("eth")).map(t => (t._1, t._2, t._3))
     assert(eth == Set(
       ("eth1", "ETH", 1.5), ("eth2", "ETH", -0.25),
       ("eth6", "ETH", 10.0), // > int64 wei: the DECIMAL(38,0) value path
       ("eth7", "ETH", 0.5)), // checksummed mixed-case address, case-folded
       s"eth branch wrong: $eth")
     // eth3 self-transfer nets 0; eth4 has no value; eth5 reverted (status 0)
-    assert(!out.exists(_._1.startsWith("hl")), "hyperliquid rows must be skipped")
-    assert(out.filter(t => !t._1.startsWith("eth")) == silver,
+    val hl = out.filter(_._1.startsWith("hl"))
+    assert(hl == Set(
+      ("hl2", "ETH", 0.5, "trade"), ("hl2", "USDC", -0.35, "fee"),
+      ("hl3", "SOL", -1.25, "trade"), ("hl3", "USDC", -0.5, "fee"),
+      ("hl4", "USDC", -0.1, "fee"),   // missing sz: fee still ledgered
+      ("hl6", "USDC", -0.125, "fee")), // unknown side + default feeToken
+      s"hyperliquid branch wrong: $hl")
+    // hl1 garbage envelope and hl5 dust/zero-fee fill contribute nothing
+    assert(out.filter(t => !t._1.startsWith("eth") && !t._1.startsWith("hl"))
+        .map(t => (t._1, t._2, t._3)) == silver,
       "solana entries must be unchanged by the multi-chain union")
   }
 

@@ -24,20 +24,73 @@ import org.apache.spark.sql.functions._
   */
 object IdempotentSink {
 
+  /** A second writer held the table's write lock. The reference's
+    * `ON CONFLICT DO NOTHING` is concurrency-atomic because Postgres
+    * serializes it (`adapters/src/repo.rs:26,56`); check-then-write over
+    * plain parquet is not, so a concurrent writer must fail LOUDLY here
+    * rather than silently double-insert.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  private def lockFile(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p, "_graft_write_lock")
+
+  /** Run `body` holding the table's exclusive write lock — a
+    * create-exclusive marker file under the table directory (underscore
+    * prefix: invisible to parquet readers and to [[Compactor]]'s walks).
+    * Atomicity is the filesystem's create-if-absent: genuinely atomic on
+    * HDFS-like stores; an exists-then-create race window on raw local /
+    * object stores, which still converts a silent double-insert into a
+    * loud failure in every non-pathological interleaving.
+    *
+    * A writer that dies inside `body` leaves the lock behind by design —
+    * the next writer fails until an operator inspects the lock's contents
+    * (writer id + timestamp) and calls [[breakLock]]; auto-expiry would
+    * reintroduce the silent two-writer window for slow writers.
+    */
+  def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val lp = lockFile(p)
+    val out =
+      try fs.create(lp, /* overwrite = */ false)
+      catch { case e: java.io.IOException =>
+        throw new ConcurrentWriteException(
+          s"table $path is locked by another writer (${lp.getName} exists); " +
+          s"if that writer is dead, inspect the lock and call breakLock: ${e.getMessage}")
+      }
+    try {
+      out.writeBytes(s"pid=${ProcessHandle.current.pid} epochMs=${System.currentTimeMillis}\n")
+    } finally out.close()
+    try body
+    finally fs.delete(lp, false)
+  }
+
+  /** Forcibly remove a dead writer's lock. Returns true if a lock was
+    * present. Operator action — never call on a table with a live writer.
+    */
+  def breakLock(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lockFile(p), false)
+  }
+
   /** Append `batch` to the parquet table at `path`, skipping rows whose
     * `keyCol` already exists. Creates the table on first write.
     * `partitionCols` selects a hive-partitioned layout (e.g. a wallet hash
     * bucket) so keyed reads prune to matching directories.
     * Returns the number of rows actually appended.
     *
-    * Concurrency contract: exactly-once holds under a SINGLE serialized
-    * writer per table (the streaming foreachBatch case — batches arrive in
-    * order). Two concurrent writers can both observe a key as absent and
-    * both append (check-then-write over plain parquet is not atomic);
-    * multi-writer tables need a transactional table format underneath.
+    * Concurrency contract: the whole check-then-write runs under
+    * [[withTableLock]], so a second concurrent writer throws
+    * [[ConcurrentWriteException]] instead of racing the existence check
+    * and double-inserting — the loud-failure analogue of the reference's
+    * serialized `ON CONFLICT DO NOTHING`. Retrying the failed batch after
+    * the winner's append is safe by idempotence.
     */
   def appendOnce(spark: SparkSession, batch: DataFrame, path: String, keyCol: String,
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil): Long = withTableLock(spark, path) {
     // Checkpoint, not persist(): the anti-join reads the same table this
     // method appends to. A plain persist() keeps the lineage alive, so an
     // evicted/lost cached partition recomputed AFTER the append commits
@@ -92,6 +145,13 @@ object IdempotentSink {
   private def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
+    // "exists" means HAS DATA: lock acquisition mkdirs the table directory
+    // before the first write, so a bare/hidden-only dir (lock marker,
+    // _SUCCESS) must still read as a fresh table or the first append would
+    // try to schema-infer an empty parquet dir and fail.
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 }

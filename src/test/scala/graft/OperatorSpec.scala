@@ -29,6 +29,63 @@ class OperatorSpec extends SparkSpec {
     assert(state == Seq(("a", 1), ("c", 3)), "existing key keeps original value")
   }
 
+  test("idempotent sink: a second concurrent writer fails loudly, table stays dup-free") {
+    val dir = Files.createTempDirectory("idem3").toString + "/t"
+    IdempotentSink.appendOnce(spark, Seq(("a", 1)).toDF("id", "v"), dir, "id")
+    // a writer holding the lock forces the interleaved appendOnce to throw
+    // instead of double-inserting (the reference's ON CONFLICT is atomic
+    // because Postgres serializes it; plain parquet must fail loudly)
+    IdempotentSink.withTableLock(spark, dir) {
+      val e = intercept[IdempotentSink.ConcurrentWriteException] {
+        IdempotentSink.appendOnce(spark, Seq(("b", 2)).toDF("id", "v"), dir, "id")
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+    }
+    // lock released on exit: the retried batch lands exactly once
+    assert(IdempotentSink.appendOnce(spark, Seq(("b", 2)).toDF("id", "v"), dir, "id") == 1)
+    val state = spark.read.parquet(dir).as[(String, Int)].collect().sorted.toSeq
+    assert(state == Seq(("a", 1), ("b", 2)))
+  }
+
+  test("idempotent sink: dead-writer lock blocks until breakLock; lock survives body failure") {
+    val dir = Files.createTempDirectory("idem4").toString + "/t"
+    // body failure must NOT leak the lock
+    intercept[RuntimeException] {
+      IdempotentSink.withTableLock(spark, dir)(throw new RuntimeException("boom"))
+    }
+    assert(IdempotentSink.appendOnce(spark, Seq(("a", 1)).toDF("id", "v"), dir, "id") == 1)
+    // simulate a dead writer: plant a stale lock by hand
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_write_lock"), false).close()
+    intercept[IdempotentSink.ConcurrentWriteException] {
+      IdempotentSink.appendOnce(spark, Seq(("b", 2)).toDF("id", "v"), dir, "id")
+    }
+    assert(IdempotentSink.breakLock(spark, dir), "stale lock removed")
+    assert(IdempotentSink.appendOnce(spark, Seq(("b", 2)).toDF("id", "v"), dir, "id") == 1)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("idempotent sink: two racing writers never double-insert") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("idem5").toString + "/t"
+    val batch = Seq(("k1", 1), ("k2", 2)).toDF("id", "v")
+    val attempts = Seq(
+      Future(Right(IdempotentSink.appendOnce(spark, batch, dir, "id"))
+      ).recover { case e: IdempotentSink.ConcurrentWriteException => Left(e) },
+      Future(Right(IdempotentSink.appendOnce(spark, batch, dir, "id"))
+      ).recover { case e: IdempotentSink.ConcurrentWriteException => Left(e) })
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    // every outcome is legal EXCEPT a silent double-insert: the loser either
+    // threw (overlapped) or appended 0 new rows (ran after the winner)
+    assert(results.exists(_.isRight), s"at least one writer must land: $results")
+    val ids = spark.read.parquet(dir).select("id").as[String].collect().toSeq
+    assert(ids.sorted == ids.distinct.sorted, s"duplicate keys written: $ids")
+    assert(ids.toSet == Set("k1", "k2"))
+  }
+
   test("compaction shrinks a many-file table without changing its contents") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = Tables.events(spark, sfDir).select($"event_id", $"user_id", $"value")

@@ -228,6 +228,38 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K2: the cascade's TRANSITIVE-CLOSURE stage under full oracle — the
+    // one cascade component k2_dedup_cascade can't hash-check (its pairs
+    // come from seeded MinHash). Here the candidate pairs are deterministic
+    // and SQL-expressible: block on the lexicographic min AND max shingle
+    // (exactly MinHash banding with the identity hash — two one-row bands,
+    // so a pair collides with probability 1-(1-j)^2, near 1 for the ~0.97
+    // planted dups), verify with exact Jaccard ≥ 0.5, then run the SAME
+    // Dedup.clusters min-label loop the cascade uses. The oracle re-derives
+    // the components with a DuckDB recursive CTE. The corpus plants
+    // multi-node components (45-267-413 at sf0.01), so the propagation is
+    // genuinely transitive, not just pair-echo.
+    "k2_cluster_transitive" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Tables.fanOut(docs)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val keyed = sh.select(col("doc_id"),
+        array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
+      def block(k: String) = keyed.select(col("doc_id").as("id_a"), col(k).as("blk"))
+        .join(keyed.select(col("doc_id").as("id_b"), col(k).as("blk")), Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val cand = block("kmin").unionAll(block("kmax")).distinct()
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.clusters(docs.select("doc_id"), "doc_id", pairs)
+        .orderBy("id")
+    }),
+
     // K1/K2 cascade: full near-dup removal — LSH pairs → transitive
     // clusters → keep lowest id per cluster. Rows-only check (candidates
     // come from seeded MinHash, not SQL-expressible); the corpus contains
@@ -364,6 +396,41 @@ object TextQueries {
         |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // Independent connected-components re-derivation: same min/max-shingle
+    // blocking + exact-Jaccard edges, components via a recursive CTE
+    // (id reaches r; cluster = MIN over the reach set).
+    "k2_cluster_transitive" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |keyed AS (
+        |  SELECT doc_id, list_sort(s)[1] AS kmin, list_sort(s)[-1] AS kmax FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT a.doc_id AS src, b.doc_id AS dst
+        |    FROM keyed a JOIN keyed b ON a.kmin = b.kmin AND b.doc_id > a.doc_id
+        |    UNION ALL
+        |    SELECT a.doc_id, b.doc_id
+        |    FROM keyed a JOIN keyed b ON a.kmax = b.kmax AND b.doc_id > a.doc_id)),
+        |edges AS (
+        |  SELECT c.src, c.dst
+        |  FROM cand c JOIN sh x ON x.doc_id = c.src JOIN sh y ON y.doc_id = c.dst
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(x.s || y.s)) >= 0.5),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id AS id, COALESCE(c.cluster, d.doc_id) AS cluster
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY id""".stripMargin,
 
     "k4_redact" ->
       """SELECT doc_id,

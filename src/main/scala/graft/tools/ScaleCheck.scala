@@ -82,6 +82,37 @@ object ScaleCheck {
     val r10 = time("range join 10x")(banded(events10))
     println(f"range join ratio: ${r10 / r1}%.1f (linear = 10; user ids are " +
       "remapped per replica, so per-key density stays constant)")
+
+    // contamination: fixed eval set, train corpus at 1x and 10x — the
+    // production regime (train >> eval). Cost is dominated by the distinct
+    // train-gram build + the gram-keyed join; linear = 10.
+    val docs10 = replicateDocs(docs1, 10).localCheckpoint(true)
+    val evalDocs = docs1.limit(100).localCheckpoint(true)
+    println(s"contamination eval=${evalDocs.count()} train 1x=${docs1.count()} 10x=${docs10.count()}")
+    def contam(train: DataFrame) =
+      Dedup.contamination(train, evalDocs, "text", "doc_id")
+    time("contamination warmup")(contam(docs1))
+    val c1 = time("contamination 1x")(contam(docs1))
+    val c10 = time("contamination 10x")(contam(docs10))
+    println(f"contamination ratio: ${c10 / c1}%.1f (linear = 10)")
+
+    // Misra-Gries heavy hitters: token stream at 1x and 10x docs. The
+    // sketch is fixed-memory (<=256 counters per partial, <=256 entries
+    // shuffled per partition), so growth is the token-scan cost; linear = 10.
+    def heavy(docs: DataFrame) = {
+      import spark.implicits._
+      val agg = new graft.functions.HeavyHittersAggregator(256).toColumn
+      Tables.fanOut(docs)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .as[String].select(agg)
+        .flatMap(_.take(20).zipWithIndex.map { case ((w, c), i) => (i + 1, w, c) })
+        .toDF("rank", "word", "est_count")
+    }
+    time("heavy hitters warmup")(heavy(docs1))
+    val h1 = time("heavy hitters 1x")(heavy(docs1))
+    val h10 = time("heavy hitters 10x")(heavy(docs10))
+    println(f"heavy hitters ratio: ${h10 / h1}%.1f (linear = 10; sketch " +
+      "memory is capacity-fixed, so the ratio is pure scan growth)")
     spark.stop()
   }
 }

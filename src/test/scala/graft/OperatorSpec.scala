@@ -145,6 +145,48 @@ class OperatorSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).count() == 2, "root data restored")
   }
 
+  test("maintenance e2e: appendOnce batches -> incremental MV refresh -> compaction; state equals one-shot aggregate") {
+    import graft.operators.IncrementalAgg
+    val root = Files.createTempDirectory("maint").toString
+    val bronze = root + "/bronze"
+    val mv = root + "/mv"
+    // the full maintenance story composed: idempotent ingest feeds the MV
+    // with exactly the rows that LANDED (computed before the append mutates
+    // the table, materialized via localCheckpoint), batchId carries sink
+    // idempotence through to the MV, and compaction at the end must not
+    // change what a re-aggregate sees
+    val batches = Seq(
+      Seq(("e1", "a", 1.0), ("e2", "b", 2.0)),
+      Seq(("e2", "b", 99.0), ("e3", "a", 3.0)), // e2 is a replayed key
+      Seq(("e4", "c", 4.0)))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      val b = rows.toDF("event_id", "k", "value")
+      val landed = IdempotentSink
+        .dedupeAgainstExisting(spark, b, bronze, "event_id").localCheckpoint(true)
+      assert(IdempotentSink.appendOnce(spark, b, bronze, "event_id") == landed.count())
+      IncrementalAgg.updateTable(spark, mv, landed, Seq("k"), "value",
+        batchId = Some(id.toLong)): Unit
+    }
+    // crash-replay of the last batch: sink appends 0, MV refresh is a no-op
+    val replay = batches.last.toDF("event_id", "k", "value")
+    assert(IdempotentSink.appendOnce(spark, replay, bronze, "event_id") == 0)
+    // same batchId as the last commit: updateTable must ignore the data
+    // entirely and return the committed state
+    val state = IncrementalAgg.updateTable(spark, mv,
+        replay, Seq("k"), "value", batchId = Some(2L))
+      .orderBy("k").collect().map(_.toSeq)
+    // maintenance window: compact the ingested bronze
+    val (nb, na) = Compactor.compactTable(spark, bronze, targetBytes = 1L << 30)
+    assert(na == 1 && nb > na, s"expected many -> 1 file, got $nb -> $na")
+    // oracle: the incremental state must equal the one-shot aggregate over
+    // the compacted bronze, bit for bit (decomposable-aggregate contract)
+    val oneShot = IncrementalAgg
+      .partial(spark.read.parquet(bronze), Seq("k"), "value")
+      .orderBy("k").collect().map(_.toSeq)
+    assert(state.toSeq == oneShot.toSeq)
+    assert(spark.read.parquet(bronze).count() == 4, "e2 replay never landed twice")
+  }
+
   test("as-of join: inclusive match takes most recent quote at or before trade ts") {
     val trades = Seq((1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 50L, "t3"))
       .toDF("key", "ts", "trade_id")

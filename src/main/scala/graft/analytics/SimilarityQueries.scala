@@ -58,12 +58,16 @@ object SimilarityQueries {
 
     // K3 scale path #2: IVF (k-means inverted file) ANN — data-adaptive
     // cells vs LSH's random halfspaces; see graft.operators.IvfAnn for the
-    // training/probing scale design. Rows-only check (seeded k-means is not
-    // SQL-reproducible); recall asserted in SimilaritySpec.
+    // training/probing scale design. trainSampleMod = 4 trains Lloyd's on a
+    // deterministic quarter-sample of the corpus — the 100 TB configuration
+    // (train on ~1e6 sampled vectors, assign everything once), so the
+    // DECLARED query exercises the plan that actually ships. Rows-only
+    // check (seeded k-means is not SQL-reproducible); recall with sampled
+    // training asserted in SimilaritySpec.
     "k3_ann_ivf" -> ((s, d) =>
       graft.operators.IvfAnn.ivfTopK(Tables.embeddings(s, d),
         "vec_id", "embedding", queryId = 0, dim = 64, k = 10, iters = 3,
-        carryCols = Seq("label"))),
+        carryCols = Seq("label"), trainSampleMod = 4)),
 
     // K3 batch retrieval: many query vectors answered in ONE bucket
     // equi-join pass — the shape a 100 TB retrieval pipeline actually runs

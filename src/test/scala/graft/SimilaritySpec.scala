@@ -74,6 +74,31 @@ class SimilaritySpec extends SparkSpec {
         s"cluster should land in one cell): got $got, recall $recall")
   }
 
+  test("IVF ANN with sampled training matches full-corpus-training recall") {
+    val dim = 64
+    val rnd = new scala.util.Random(11L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = (1L to 10L).map(i => (i, unit(base.map(_ + 0.15 * rnd.nextGaussian())), 1))
+    val far = (11L to 510L).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian())), 0))
+    val emb = ((0L, unit(base), 1) +: (near ++ far))
+      .toDF("vec_id", "embedding", "label")
+    // the 100 TB configuration: Lloyd's trains on a deterministic
+    // half-sample; every vector is still assigned and probed, so planted
+    // recall must hold just like full-corpus training
+    val got = graft.operators.IvfAnn
+      .ivfTopK(emb, "vec_id", "embedding", queryId = 0, dim = dim, k = 11,
+        nLists = 8, nProbe = 2, trainSampleMod = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (0L to 10L).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.9,
+      s"sampled-training IVF missed the planted cluster: got $got, recall $recall")
+  }
+
   test("IVF ANN on the corpus retrieves the query itself") {
     val ann = topIds("k3_ann_ivf")
     assert(ann.contains(0L), "query vector must match itself")

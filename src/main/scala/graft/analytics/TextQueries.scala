@@ -296,9 +296,15 @@ object TextQueries {
         .orderBy("id_a")
     }),
 
-    // K2/K4: rolling-hash content-defined chunk candidates (rows-only:
-    // chunk boundaries derive from a Karp-Rabin roll not expressible in
-    // SQL; the CDC robustness property is asserted in DedupSpec).
+    // K2/K4: rolling-hash content-defined chunk candidates. ORACLED: with
+    // B = 257 and mask = 0x3F, the Karp-Rabin boundary test (h & 0x3F) == 0
+    // reduces to (sum of the last 32 bytes) % 64 == 0 — 257 ≡ 1 (mod 64),
+    // so every power of B collapses to 1 in the mask's modulus — which IS
+    // SQL-expressible; the min-chunk-length greedy accept is a recursive
+    // CTE over the sparse candidate positions, and the oracle joins chunks
+    // by CONTENT where the engine joins by their xxhash64 fingerprint
+    // (identical absent 64-bit collisions). CDC robustness is additionally
+    // asserted in DedupSpec.
     "k2_rolling_chunks" -> ((s, d) => {
       Dedup.rollingChunkCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id_a", "id_b")
@@ -396,6 +402,55 @@ object TextQueries {
         |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // Independent re-derivation of content-defined chunking: the boundary
+    // test degenerates to a windowed byte-sum mod 64 (257 ≡ 1 mod 64), the
+    // greedy min-length accept walks candidate positions in a recursive
+    // CTE, and pairs join on chunk CONTENT (the engine's xxhash64 key is a
+    // fingerprint of exactly that content). ASCII corpus: ord(char) = byte.
+    "k2_rolling_chunks" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1), i -> ord(text[i])) AS bs
+        |  FROM documents),
+        |cands AS (
+        |  SELECT doc_id, n,
+        |    list_filter(range(32, n + 1),
+        |      i -> list_sum(bs[i-31:i]) % 64 = 0) AS cand
+        |  FROM b),
+        |walk(doc_id, ci, last_end, bounds) AS (
+        |  SELECT doc_id, 0, 0, CAST([] AS BIGINT[]) FROM cands
+        |  UNION ALL
+        |  SELECT w.doc_id, w.ci + 1,
+        |    CASE WHEN c.cand[w.ci + 1] - w.last_end >= 32
+        |         THEN c.cand[w.ci + 1] ELSE w.last_end END,
+        |    CASE WHEN c.cand[w.ci + 1] - w.last_end >= 32
+        |         THEN list_append(w.bounds, c.cand[w.ci + 1]) ELSE w.bounds END
+        |  FROM walk w JOIN cands c USING (doc_id)
+        |  WHERE w.ci < len(c.cand)),
+        |done AS (
+        |  SELECT w.doc_id, w.bounds, c.n
+        |  FROM walk w JOIN cands c USING (doc_id)
+        |  WHERE w.ci = len(c.cand)),
+        |spans AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(bounds) = 0 OR bounds[-1] < n
+        |         THEN list_append(bounds, CAST(n AS BIGINT)) ELSE bounds END AS ends
+        |  FROM done),
+        |chunked AS (
+        |  SELECT DISTINCT s.doc_id,
+        |    substr(b.text,
+        |      CAST(COALESCE(s.ends[u.i - 1], 0) + 1 AS INTEGER),
+        |      CAST(u.e - COALESCE(s.ends[u.i - 1], 0) AS INTEGER)) AS chunk
+        |  FROM spans s JOIN b ON b.doc_id = s.doc_id,
+        |    LATERAL (SELECT UNNEST(s.ends) AS e, generate_subscripts(s.ends, 1) AS i) u(e, i)),
+        |ok AS (SELECT chunk FROM chunked GROUP BY chunk HAVING COUNT(*) BETWEEN 2 AND 64),
+        |pairs AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared_chunks
+        |  FROM chunked x JOIN chunked y USING (chunk) JOIN ok USING (chunk)
+        |  WHERE x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_chunks FROM pairs ORDER BY id_a, id_b""".stripMargin,
 
     // Independent connected-components re-derivation: same min/max-shingle
     // blocking + exact-Jaccard edges, components via a recursive CTE

@@ -148,10 +148,14 @@ object IdempotentSink {
     // "exists" means HAS DATA: lock acquisition mkdirs the table directory
     // before the first write, so a bare/hidden-only dir (lock marker,
     // _SUCCESS) must still read as a fresh table or the first append would
-    // try to schema-infer an empty parquet dir and fail.
+    // try to schema-infer an empty parquet dir and fail. A directory with
+    // '=' in its name is a hive partition dir and always counts as data —
+    // even when the partition COLUMN starts with '_' (the `_bucket=N`
+    // layout), which the plain hidden-prefix rule would wrongly skip.
     fs.exists(p) && fs.listStatus(p).exists { s =>
       val n = s.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
+      (s.isDirectory && n.contains("=")) ||
+        (!n.startsWith("_") && !n.startsWith("."))
     }
   }
 }

@@ -32,6 +32,39 @@ object MultimodalPipeline {
       frames: Int,
       checksum: String)
 
+  /** Pluggable decoder — the production interface point. A deployment with
+    * real codecs registers one [[MediaCodec]] per modality (JPEG decode,
+    * PCM resample, H.264 frame grab); the pipeline dispatches per record
+    * inside the partition iterator. Implementations must be Serializable
+    * (the instance ships inside the `mapPartitions` closure to every
+    * executor) and stateless or executor-thread-safe.
+    */
+  trait MediaCodec extends Serializable {
+    /** Modalities this codec claims, e.g. Set("image"). */
+    def modalities: Set[String]
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** Modality→codec dispatch table. Unknown modalities fail loudly at the
+    * first record rather than silently emitting stub features — on a real
+    * corpus a payload routed to the wrong decoder is corrupt output, not a
+    * recoverable default.
+    */
+  final case class CodecRegistry(codecs: Seq[MediaCodec]) {
+    private[this] val byModality: Map[String, MediaCodec] =
+      codecs.flatMap(c => c.modalities.iterator.map(_ -> c)).toMap
+    def decode(r: MediaRecord): MediaFeatures =
+      byModality.getOrElse(r.modality, throw new IllegalArgumentException(
+        s"no codec registered for modality '${r.modality}' (media_id=${r.media_id}); " +
+          s"registered: ${byModality.keys.toSeq.sorted.mkString(", ")}")).decode(r)
+  }
+
+  /** Default registry: the deterministic stub for all three modalities. */
+  val stubRegistry: CodecRegistry = CodecRegistry(Seq(new MediaCodec {
+    val modalities: Set[String] = Set("image", "audio", "video")
+    def decode(r: MediaRecord): MediaFeatures = decodeStub(r)
+  }))
+
   /** STUB decoder ??? replacement: deterministic fake decode. A real
     * implementation would dispatch on modality to an image/audio codec;
     * this derives plausible, reproducible dimensions from the payload hash
@@ -52,11 +85,14 @@ object MultimodalPipeline {
   }
 
   /** Batch feature extraction: one partition = one batch, decoder invoked
-    * inside the iterator so memory stays bounded at one record.
+    * inside the iterator so memory stays bounded at one record. The codec
+    * registry defaults to the stub; a real deployment passes its own.
     */
-  def extractFeatures(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  def extractFeatures(
+      records: Dataset[MediaRecord],
+      registry: CodecRegistry = stubRegistry): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
-    records.mapPartitions(_.map(decodeStub))
+    records.mapPartitions(_.map(registry.decode))
   }
 
   /** Resize: clamp decoded dimensions into a bounding box preserving aspect

@@ -299,4 +299,42 @@ class OperatorSpec extends SparkSpec {
     assert(out.filter($"modality" === "video" && $"frames" < 1).count() == 0)
     assert(out.filter(!$"modality".isin("image", "audio", "video")).count() == 0)
   }
+
+  test("multimodal codec registry dispatches per modality; unregistered modality fails loudly") {
+    import graft.operators.MultimodalPipeline._
+    import OperatorSpec.{FixedImageCodec, StubRest}
+    val media = mediaFromDocuments(spark, sfDir)
+    val feats = extractFeatures(media, CodecRegistry(Seq(FixedImageCodec, StubRest))).collect()
+    assert(feats.nonEmpty)
+    assert(feats.filter(_.modality == "image").forall(f => f.width == 333 && f.height == 444),
+      "image rows must route to the image codec")
+    val stubbed = extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    feats.filterNot(_.modality == "image").foreach { f =>
+      assert(f == stubbed(f.media_id), "non-image rows must match the stub path")
+    }
+    // Unregistered modality: the task must fail, not emit default features.
+    val ex = intercept[org.apache.spark.SparkException] {
+      extractFeatures(media, CodecRegistry(Seq(FixedImageCodec))).collect()
+    }
+    assert(ex.getMessage.contains("no codec registered") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no codec registered")))
+  }
+}
+
+/** File-scope codecs for the registry test — keeps the Spark closure free
+  * of a captured (non-serializable) suite instance.
+  */
+object OperatorSpec {
+  import graft.operators.MultimodalPipeline._
+
+  object FixedImageCodec extends MediaCodec {
+    val modalities: Set[String] = Set("image")
+    def decode(r: MediaRecord): MediaFeatures =
+      decodeStub(r).copy(width = 333, height = 444)
+  }
+
+  object StubRest extends MediaCodec {
+    val modalities: Set[String] = Set("audio", "video")
+    def decode(r: MediaRecord): MediaFeatures = decodeStub(r)
+  }
 }

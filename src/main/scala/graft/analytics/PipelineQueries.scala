@@ -305,6 +305,39 @@ object PipelineQueries {
           sum("cnt").over(Window.partitionBy("w1")), 6))
         .orderBy(col("cnt").desc, col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // K4+: model-based quality scoring — each document scored by the mean
+    // log conditional probability of its bigrams under the corpus's own
+    // bigram LM (the in-engine analogue of perplexity filtering: low
+    // avg_logp = text unlike the corpus). Two aggregate passes + one join,
+    // all keyed shuffles: (1) bigram explode → LM counts (vocab²-bounded,
+    // i.e. FAR smaller than the corpus — at 100 TB this is the classic
+    // heavy-aggregate-then-join shape, with map-side partial aggregation
+    // collapsing each partition's counts before the shuffle); (2) doc
+    // bigrams equi-join the LM on (w1, w2); (3) re-aggregate per doc.
+    // Determinism: each log p is quantized to a 6-decimal DECIMAL before
+    // the per-doc SUM, so the aggregate is exact decimal arithmetic —
+    // partial-aggregation ORDER cannot move the result (a raw double sum
+    // could flip the final 6-dp rounding at a boundary).
+    "k4_doc_lm_score" -> ((s, d) => {
+      val bg = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] AS w1, t[i+1] AS w2)) END")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .withColumn("logp6",
+          round(log(col("cnt").cast("double") /
+            sum("cnt").over(Window.partitionBy("w1"))), 6)
+            .cast(DecimalType(12, 6)))
+        .drop("cnt")
+      bg.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum("logp6").cast("double") / count(lit(1)), 6).as("avg_logp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -459,6 +492,25 @@ object PipelineQueries {
         |SELECT w1, w2, cnt,
         |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY w1), 6)
         |    AS cond_p
-        |FROM c ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin
+        |FROM c ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // Mirrors the engine's decimal quantization: ln(p) rounded to 6 dp,
+    // cast DECIMAL(12,6), summed exactly, then one final division+round.
+    "k4_doc_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |b AS (
+        |  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(a) - 1)) AS s(i)
+        |  WHERE len(a) >= 2),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    CAST(ROUND(ln(CAST(cnt AS DOUBLE) /
+        |      SUM(cnt) OVER (PARTITION BY w1)), 6) AS DECIMAL(12, 6)) AS logp6
+        |  FROM c)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(logp6) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |FROM b JOIN lm USING (w1, w2)
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -314,6 +314,66 @@ object TextQueries {
     "k2_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id_a", "id_b")
+    }),
+
+    // K4: within-document repetition metrics (the Gopher-style repetition
+    // filter): fraction of bigram instances taken by the single most
+    // frequent bigram, and the duplicate-bigram fraction. Entirely
+    // array-local column arithmetic — the bigram multiset never leaves its
+    // row, so the operator is shuffle-free and scales with the scan. The
+    // per-row cost is O(distinct_bigrams * n_bigrams), bounded by document
+    // length, not corpus size.
+    "k4_repetition_ratio" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))").as("bg"))
+        .select(col("doc_id"),
+          size(col("bg")).as("n_bigrams"),
+          round(expr(
+            "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+            .cast("double") / size(col("bg")), 6).as("top_bigram_frac"),
+          round(lit(1) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6)
+            .as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // K4: quality-filter cascade — the data-cleaning funnel every corpus
+    // pipeline publishes: gates applied in order (min length → word-shape →
+    // stopword density → repetition), with per-stage admission accounting.
+    // One scan computes every per-doc signal columnar + shuffle-free; the
+    // funnel itself is a single tiny aggregate (cumulative conjunction
+    // counts) inlined to one row per stage — at 100 TB the only shuffle is
+    // 5 longs.
+    "k4_filter_cascade" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nW = size(toks).cast("long")
+      val signals = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), toks.as("t"), nW.as("nw"),
+          ((col("n_chars") - nW + 1).cast("double") / nW).as("awl"),
+          (size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+            .cast("double") / nW).as("sr"))
+        .withColumn("bg", expr(
+          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+            "i -> concat(t[i], ' ', t[i+1])) END"))
+        .withColumn("tbf", expr(
+          "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+          .cast("double") / size(col("bg")))
+      val p1 = col("nw") >= 20
+      val p2 = p1 && col("awl") <= 4.8
+      val p3 = p2 && col("sr") >= 0.03
+      val p4 = p3 && col("tbf") <= 0.09
+      def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+      signals
+        .agg(count(lit(1)).as("n0"), cnt(p1).as("n1"), cnt(p2).as("n2"),
+          cnt(p3).as("n3"), cnt(p4).as("n4"))
+        .selectExpr("inline(array(" +
+          "struct(1 AS stage, 'min_words' AS filter, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out), " +
+          "struct(2 AS stage, 'avg_word_len' AS filter, n1 AS n_in, n1 - n2 AS n_dropped, n2 AS n_out), " +
+          "struct(3 AS stage, 'stopword_ratio' AS filter, n2 AS n_in, n2 - n3 AS n_dropped, n3 AS n_out), " +
+          "struct(4 AS stage, 'repetition' AS filter, n3 AS n_in, n3 - n4 AS n_dropped, n4 AS n_out)))")
+        .orderBy("stage")
     })
   )
 
@@ -535,6 +595,59 @@ object TextQueries {
         |    WHEN s_en >= s_de THEN 'en'
         |    ELSE 'de'
         |  END AS predicted_lang
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Same bigram multiset built 1-based (range end-exclusive), same
+    // mode-count-over-distinct derivation; len()/size() both count
+    // instances, so the two fractions are identical IEEE divisions.
+    "k4_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]) AS bg
+        |  FROM t WHERE len(a) >= 2)
+        |SELECT doc_id,
+        |  CAST(len(bg) AS INTEGER) AS n_bigrams,
+        |  ROUND(CAST(list_max(list_transform(list_distinct(bg),
+        |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg), 6)
+        |    AS top_bigram_frac,
+        |  ROUND(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |    AS dup_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "k4_filter_cascade" ->
+      """WITH t AS (
+        |  SELECT n_chars, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |s AS (
+        |  SELECT nw,
+        |    CAST(n_chars - nw + 1 AS DOUBLE) / nw AS awl,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+        |      AS DOUBLE) / nw AS sr,
+        |    CASE WHEN nw >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END AS bg
+        |  FROM t),
+        |f AS (
+        |  SELECT nw, awl, sr,
+        |    CAST(list_max(list_transform(list_distinct(bg),
+        |        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS tbf
+        |  FROM s),
+        |a AS (
+        |  SELECT COUNT(*) AS n0,
+        |    COUNT(*) FILTER (WHERE nw >= 20) AS n1,
+        |    COUNT(*) FILTER (WHERE nw >= 20 AND awl <= 4.8) AS n2,
+        |    COUNT(*) FILTER (WHERE nw >= 20 AND awl <= 4.8 AND sr >= 0.03) AS n3,
+        |    COUNT(*) FILTER (WHERE nw >= 20 AND awl <= 4.8 AND sr >= 0.03
+        |                       AND tbf <= 0.09) AS n4
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'min_words' AS filter, n0 AS n_in,
+        |         n0 - n1 AS n_dropped, n1 AS n_out FROM a
+        |  UNION ALL SELECT 2, 'avg_word_len', n1, n1 - n2, n2 FROM a
+        |  UNION ALL SELECT 3, 'stopword_ratio', n2, n2 - n3, n3 FROM a
+        |  UNION ALL SELECT 4, 'repetition', n3, n3 - n4, n4 FROM a)
+        |ORDER BY stage""".stripMargin
   )
 }

@@ -196,4 +196,70 @@ class PipelineQueriesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(salted == plain)
   }
+
+  test("repetition ratio matches a driver-side recount on sampled docs") {
+    import graft.analytics.TextQueries
+    val rows = TextQueries.queries("k4_repetition_ratio")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, r) =>
+      val top = r.getAs[Double]("top_bigram_frac")
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      val n = r.getAs[Int]("n_bigrams")
+      assert(top > 0 && top <= 1 && dup >= 0 && dup < 1 && n >= 1)
+    }
+    // independent scalar recount for a deterministic sample
+    docs.toSeq.sortBy(_._1).take(10).foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length >= 2) {
+        val bg = w.sliding(2).map(_.mkString(" ")).toSeq
+        val mode = bg.groupBy(identity).values.map(_.size).max
+        val r = rows(id)
+        assert(r.getAs[Int]("n_bigrams") == bg.size)
+        assert(math.abs(r.getAs[Double]("top_bigram_frac") - mode.toDouble / bg.size) < 1e-6)
+        assert(math.abs(r.getAs[Double]("dup_bigram_frac") -
+          (1.0 - bg.distinct.size.toDouble / bg.size)) < 1e-6)
+      }
+    }
+  }
+
+  test("filter cascade is a consistent funnel over the whole corpus") {
+    import graft.analytics.TextQueries
+    val rows = TextQueries.queries("k4_filter_cascade")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.map(_.getAs[String]("filter")).toSeq ==
+      Seq("min_words", "avg_word_len", "stopword_ratio", "repetition"))
+    assert(rows.head.getAs[Long]("n_in") == Tables.documents(spark, sfDir).count(),
+      "stage 1 sees the whole corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
+      assert(r.getAs[Long]("n_dropped") >= 0)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"), "stages chain")
+    }
+    assert(rows.last.getAs[Long]("n_out") > 0, "the cascade must admit documents")
+  }
+
+  test("doc LM score: corpus-built LM loses no bigram and scores are log-probs") {
+    val rows = q("k4_doc_lm_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_logp") <= 0.0, "log of p<=1 is non-positive")
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+    }
+    // the LM is built from the same corpus → every doc bigram is in-vocab,
+    // so the join drops nothing: per-doc n_bigrams == len(tokens) - 1
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("nb"))
+      .filter(col("nb") >= 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("nb")).toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == expected(r.getAs[Long]("doc_id")).toLong)
+    }
+  }
 }

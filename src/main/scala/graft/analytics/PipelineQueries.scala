@@ -320,26 +320,32 @@ object PipelineQueries {
     // the per-doc SUM, so the aggregate is exact decimal arithmetic —
     // partial-aggregation ORDER cannot move the result (a raw double sum
     // could flip the final 6-dp rounding at a boundary).
-    "k4_doc_lm_score" -> ((s, d) => {
-      val bg = Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), explode(expr(
-          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
-            "i -> struct(t[i] AS w1, t[i+1] AS w2)) END")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-        .withColumn("logp6",
-          round(log(col("cnt").cast("double") /
-            sum("cnt").over(Window.partitionBy("w1"))), 6)
-            .cast(DecimalType(12, 6)))
-        .drop("cnt")
-      bg.join(lm, Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(sum("logp6").cast("double") / count(lit(1)), 6).as("avg_logp"))
-        .orderBy("doc_id")
-    })
+    "k4_doc_lm_score" -> ((s, d) =>
+      docLmScore(Tables.documents(s, d)).orderBy("doc_id"))
   )
+
+  /** K4+ body (shared with `tools.ScaleCheck` so the documented scaling
+    * evidence measures exactly the shipped plan) — see the `k4_doc_lm_score`
+    * entry's scaladoc above for the full scale analysis.
+    */
+  def docLmScore(docs: DataFrame): DataFrame = {
+    val bg = Tables.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2)) END")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .withColumn("logp6",
+        round(log(col("cnt").cast("double") /
+          sum("cnt").over(Window.partitionBy("w1"))), 6)
+          .cast(DecimalType(12, 6)))
+      .drop("cnt")
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("logp6").cast("double") / count(lit(1)), 6).as("avg_logp"))
+  }
 
   val oracle: Map[String, String] = Map(
     "k6_split_train_test" ->

@@ -113,6 +113,17 @@ object ScaleCheck {
     val h10 = time("heavy hitters 10x")(heavy(docs10))
     println(f"heavy hitters ratio: ${h10 / h1}%.1f (linear = 10; sketch " +
       "memory is capacity-fixed, so the ratio is pure scan growth)")
+
+    // doc LM score (the SHIPPED k4_doc_lm_score body): bigram explode →
+    // vocab²-bounded LM aggregate → (w1,w2) equi-join → per-doc aggregate.
+    // All shuffles are keyed; the LM stays far smaller than the corpus, so
+    // growth is the explode+join cost; linear = 10.
+    def lmScore(docs: DataFrame) =
+      graft.analytics.PipelineQueries.docLmScore(docs)
+    time("doc lm warmup")(lmScore(docs1))
+    val l1 = time("doc lm 1x")(lmScore(docs1))
+    val l10 = time("doc lm 10x")(lmScore(docs10))
+    println(f"doc lm ratio: ${l10 / l1}%.1f (linear = 10)")
     spark.stop()
   }
 }

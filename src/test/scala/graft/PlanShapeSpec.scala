@@ -171,4 +171,28 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"running-sum should shuffle once, saw $exchanges:\n$plan")
   }
+
+  test("repetition ratio is array-local: zero hash shuffles (k4)") {
+    val plan = physicalPlan(
+      analytics.TextQueries.queries("k4_repetition_ratio")(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0,
+      s"bigram metrics must stay inside their row, saw $exchanges shuffles:\n$plan")
+  }
+
+  test("filter cascade is one scan + one global aggregate (k4)") {
+    val df = analytics.TextQueries.queries("k4_filter_cascade")(spark, sfDir)
+    val plan = physicalPlan(df)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"cascade must compute all gates in ONE pass, saw $scans scans:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"a global aggregate needs only a SinglePartition exchange:\n$plan")
+  }
+
+  test("doc LM score joins on the bigram key — no cartesian/BNLJ (k4)") {
+    val plan = physicalPlan(
+      analytics.PipelineQueries.queries("k4_doc_lm_score")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LM join degenerated to a nested loop:\n$plan")
+  }
 }

@@ -321,7 +321,37 @@ object PipelineQueries {
     // partial-aggregation ORDER cannot move the result (a raw double sum
     // could flip the final 6-dp rounding at a boundary).
     "k4_doc_lm_score" -> ((s, d) =>
-      docLmScore(Tables.documents(s, d)).orderBy("doc_id"))
+      docLmScore(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // K6+: the end-to-end corpus cleaning pipeline — the composition the
+    // individual operators exist for: exact dedup (lowest-id survivor per
+    // content digest) → the four quality gates (same thresholds as
+    // k4_filter_cascade, via the shared TextQueries.qualitySignals) →
+    // md5-deterministic train/valid split → per-split/lang admission
+    // accounting. Every stage is a shape proven scale-safe on its own
+    // (digest groupBy; array-local signals; per-row hash split; one final
+    // tiny aggregate) — composing them adds exactly ONE extra shuffle (the
+    // dedup window) on top of the cascade's plan.
+    "k6_corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val survivors = Tables.documents(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val admitted = TextQueries.qualityGates
+        .foldLeft(TextQueries.qualitySignals(survivors)) {
+          case (df, (_, gate)) => df.filter(gate)
+        }
+      admitted
+        .withColumn("split",
+          when(coin("split42:", col("doc_id")) < "29", lit("valid"))
+            .otherwise(lit("train")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("nw").as("total_words"))
+        .orderBy("split", "lang")
+    })
   )
 
   /** K4+ body (shared with `tools.ScaleCheck` so the documented scaling
@@ -517,6 +547,38 @@ object PipelineQueries {
         |SELECT b.doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(CAST(SUM(logp6) AS DOUBLE) / COUNT(*), 6) AS avg_logp
         |FROM b JOIN lm USING (w1, w2)
-        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Independent re-composition: MIN(doc_id)-per-content dedup, the same
+    // four gate predicates, the same md5 split, same accounting.
+    "k6_corpus_pipeline" ->
+      """WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d AS (SELECT doc.* FROM documents doc JOIN surv USING (doc_id)),
+        |s AS (
+        |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM d),
+        |sig AS (
+        |  SELECT doc_id, lang, n_chars, nw,
+        |    CAST(n_chars - nw + 1 AS DOUBLE) / nw AS awl,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+        |      AS DOUBLE) / nw AS sr,
+        |    CASE WHEN nw >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END AS bg
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id, lang, n_chars, nw
+        |  FROM (SELECT *,
+        |          CAST(list_max(list_transform(list_distinct(bg),
+        |              x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS tbf
+        |        FROM sig)
+        |  WHERE nw >= 20 AND awl <= 4.8 AND sr >= 0.03 AND tbf <= 0.09)
+        |SELECT CASE WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        |            THEN 'valid' ELSE 'train' END AS split,
+        |  lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(nw) AS BIGINT) AS total_words
+        |FROM g GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
   )
 }

@@ -22,6 +22,50 @@ object TextQueries {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** Per-doc quality signals shared by the filter cascade and the
+    * end-to-end corpus pipeline (PipelineQueries `k6_corpus_pipeline`):
+    * token array `t`, word count `nw`, average word length `awl`, stopword
+    * ratio `sr`, bigram array `bg`, and top-bigram fraction `tbf`. All
+    * array-local column arithmetic — adds columns, no shuffle. `fanOut`:
+    * the corpus parquet is one row group → one scan partition in local
+    * mode; the per-doc bigram work (the row-local CPU stage) must not
+    * serialize on one core (no-op when the input is already fanned out or
+    * post-shuffle).
+    */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nW = size(toks).cast("long")
+    Tables.fanOut(docs)
+      .withColumn("t", toks)
+      .withColumn("nw", nW)
+      .withColumn("awl", (col("n_chars") - nW + 1).cast("double") / nW)
+      .withColumn("sr",
+        size(filter(col("t"), t => t.isin(stopwords.map(lit(_)): _*)))
+          .cast("double") / col("nw"))
+      .withColumn("bg", expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i+1])) END"))
+      // tbf binds bg to a LAMBDA VARIABLE (transform over a one-element
+      // array) before the quadratic mode count. Without the binding, a
+      // downstream .filter(tbf <= …) lets Catalyst collapse projections and
+      // re-inline the whole bigram BUILD inside the per-distinct-bigram
+      // lambda — turning O(d·n) comparisons into O(d·n) array REBUILDS
+      // (measured 129 s vs 0.8 s on the corpus pipeline). A lambda-bound
+      // variable is opaque to that rewrite, so the build runs once per row
+      // under every consumer, filter or project alike.
+      .withColumn("tbf", expr(
+        "element_at(transform(array(bg), b -> " +
+          "cast(array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x)))) as double)" +
+          " / size(b)), 1)"))
+  }
+
+  /** The four quality gates, in cascade order. */
+  val qualityGates: Seq[(String, Column)] = Seq(
+    "min_words" -> (col("nw") >= 20),
+    "avg_word_len" -> (col("awl") <= 4.8),
+    "stopword_ratio" -> (col("sr") >= 0.03),
+    "repetition" -> (col("tbf") <= 0.09))
+
   val queries: Map[String, Q] = Map(
     // K1: exact dedup via content digest (group keys are 32-byte hashes,
     // not document bodies).
@@ -320,11 +364,13 @@ object TextQueries {
     // filter): fraction of bigram instances taken by the single most
     // frequent bigram, and the duplicate-bigram fraction. Entirely
     // array-local column arithmetic — the bigram multiset never leaves its
-    // row, so the operator is shuffle-free and scales with the scan. The
-    // per-row cost is O(distinct_bigrams * n_bigrams), bounded by document
-    // length, not corpus size.
+    // row, so the operator is shuffle-free and scales with the scan
+    // (fanOut is the local-mode one-row-group parallelism fix, a no-op on
+    // a real multi-file corpus). The per-row cost is
+    // O(distinct_bigrams * n_bigrams), bounded by document length, not
+    // corpus size.
     "k4_repetition_ratio" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"), expr(
@@ -347,27 +393,11 @@ object TextQueries {
     // counts) inlined to one row per stage — at 100 TB the only shuffle is
     // 5 longs.
     "k4_filter_cascade" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val nW = size(toks).cast("long")
-      val signals = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), toks.as("t"), nW.as("nw"),
-          ((col("n_chars") - nW + 1).cast("double") / nW).as("awl"),
-          (size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-            .cast("double") / nW).as("sr"))
-        .withColumn("bg", expr(
-          "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
-            "i -> concat(t[i], ' ', t[i+1])) END"))
-        .withColumn("tbf", expr(
-          "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
-          .cast("double") / size(col("bg")))
-      val p1 = col("nw") >= 20
-      val p2 = p1 && col("awl") <= 4.8
-      val p3 = p2 && col("sr") >= 0.03
-      val p4 = p3 && col("tbf") <= 0.09
+      val cum = qualityGates.scanLeft(lit(true))(_ && _._2).tail // cumulative conjunctions
       def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
-      signals
-        .agg(count(lit(1)).as("n0"), cnt(p1).as("n1"), cnt(p2).as("n2"),
-          cnt(p3).as("n3"), cnt(p4).as("n4"))
+      qualitySignals(Tables.documents(s, d))
+        .agg(count(lit(1)).as("n0"), cnt(cum(0)).as("n1"), cnt(cum(1)).as("n2"),
+          cnt(cum(2)).as("n3"), cnt(cum(3)).as("n4"))
         .selectExpr("inline(array(" +
           "struct(1 AS stage, 'min_words' AS filter, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out), " +
           "struct(2 AS stage, 'avg_word_len' AS filter, n1 AS n_in, n1 - n2 AS n_dropped, n2 AS n_out), " +

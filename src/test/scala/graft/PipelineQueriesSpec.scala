@@ -244,6 +244,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("n_out") > 0, "the cascade must admit documents")
   }
 
+  test("corpus pipeline admits exactly the gated dedup survivors") {
+    import graft.analytics.TextQueries
+    val rows = q("k6_corpus_pipeline").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "valid")))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    // independent recount via the groupBy-min dedup formulation (the query
+    // itself uses a window), then the same gates
+    val docs = Tables.documents(spark, sfDir)
+    val survivorIds = docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val gated = TextQueries.qualityGates.foldLeft(
+      TextQueries.qualitySignals(docs.join(survivorIds, "doc_id"))) {
+      case (df, (_, gate)) => df.filter(gate)
+    }.count()
+    assert(total == gated, s"pipeline admitted $total, recount says $gated")
+    assert(total <= docs.count())
+  }
+
   test("doc LM score: corpus-built LM loses no bigram and scores are log-probs") {
     val rows = q("k4_doc_lm_score").collect()
     assert(rows.nonEmpty)

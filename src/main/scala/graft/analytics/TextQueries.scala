@@ -50,7 +50,7 @@ object TextQueries {
       // downstream .filter(tbf <= …) lets Catalyst collapse projections and
       // re-inline the whole bigram BUILD inside the per-distinct-bigram
       // lambda — turning O(d·n) comparisons into O(d·n) array REBUILDS
-      // (measured 129 s vs 0.8 s on the corpus pipeline). A lambda-bound
+      // (measured 129 s vs 2.6 s on the corpus pipeline). A lambda-bound
       // variable is opaque to that rewrite, so the build runs once per row
       // under every consumer, filter or project alike.
       .withColumn("tbf", expr(
@@ -370,16 +370,14 @@ object TextQueries {
     // O(distinct_bigrams * n_bigrams), bounded by document length, not
     // corpus size.
     "k4_repetition_ratio" -> ((s, d) => {
-      Tables.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("t"))
+      // shares qualitySignals (fanOut + lambda-bound tbf), so composing a
+      // .filter on top of these columns can't re-trigger the projection-
+      // collapse rebuild pathology documented there
+      qualitySignals(Tables.documents(s, d))
         .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))").as("bg"))
         .select(col("doc_id"),
           size(col("bg")).as("n_bigrams"),
-          round(expr(
-            "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
-            .cast("double") / size(col("bg")), 6).as("top_bigram_frac"),
+          round(col("tbf"), 6).as("top_bigram_frac"),
           round(lit(1) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6)
             .as("dup_bigram_frac"))
         .orderBy("doc_id")
@@ -395,14 +393,16 @@ object TextQueries {
     "k4_filter_cascade" -> ((s, d) => {
       val cum = qualityGates.scanLeft(lit(true))(_ && _._2).tail // cumulative conjunctions
       def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+      // stage labels derive from qualityGates, so a gate rename/reorder
+      // can never mislabel a stage's counts
+      val stages = qualityGates.zipWithIndex.map { case ((name, _), i) =>
+        s"struct(${i + 1} AS stage, '$name' AS filter, n$i AS n_in, " +
+          s"n$i - n${i + 1} AS n_dropped, n${i + 1} AS n_out)"
+      }
       qualitySignals(Tables.documents(s, d))
-        .agg(count(lit(1)).as("n0"), cnt(cum(0)).as("n1"), cnt(cum(1)).as("n2"),
-          cnt(cum(2)).as("n3"), cnt(cum(3)).as("n4"))
-        .selectExpr("inline(array(" +
-          "struct(1 AS stage, 'min_words' AS filter, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out), " +
-          "struct(2 AS stage, 'avg_word_len' AS filter, n1 AS n_in, n1 - n2 AS n_dropped, n2 AS n_out), " +
-          "struct(3 AS stage, 'stopword_ratio' AS filter, n2 AS n_in, n2 - n3 AS n_dropped, n3 AS n_out), " +
-          "struct(4 AS stage, 'repetition' AS filter, n3 AS n_in, n3 - n4 AS n_dropped, n4 AS n_out)))")
+        .agg(count(lit(1)).as("n0"),
+          cum.zipWithIndex.map { case (p, i) => cnt(p).as(s"n${i + 1}") }: _*)
+        .selectExpr(s"inline(array(${stages.mkString(", ")}))")
         .orderBy("stage")
     })
   )

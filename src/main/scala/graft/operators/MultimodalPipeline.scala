@@ -51,8 +51,14 @@ object MultimodalPipeline {
     * recoverable default.
     */
   final case class CodecRegistry(codecs: Seq[MediaCodec]) {
-    private[this] val byModality: Map[String, MediaCodec] =
-      codecs.flatMap(c => c.modalities.iterator.map(_ -> c)).toMap
+    private[this] val byModality: Map[String, MediaCodec] = {
+      val bindings = codecs.flatMap(c => c.modalities.iterator.map(_ -> c))
+      val dups = bindings.groupBy(_._1).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"modalities claimed by more than one codec: ${dups.toSeq.sorted.mkString(", ")} — " +
+          "a silent last-wins override would route payloads to the wrong decoder")
+      bindings.toMap
+    }
     def decode(r: MediaRecord): MediaFeatures =
       byModality.getOrElse(r.modality, throw new IllegalArgumentException(
         s"no codec registered for modality '${r.modality}' (media_id=${r.media_id}); " +

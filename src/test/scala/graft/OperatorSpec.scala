@@ -318,6 +318,12 @@ class OperatorSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no codec registered") ||
       Option(ex.getCause).exists(_.getMessage.contains("no codec registered")))
+    // Two codecs claiming one modality: construction must fail — last-wins
+    // would silently route payloads to the wrong decoder.
+    val dup = intercept[IllegalArgumentException] {
+      CodecRegistry(Seq(FixedImageCodec, MultimodalPipeline.stubRegistry.codecs.head))
+    }
+    assert(dup.getMessage.contains("image"))
   }
 }
 

@@ -74,16 +74,24 @@ object PipelineQueries {
   private def coin(saltPrefix: String, key: Column): Column =
     substring(md5(concat(lit(saltPrefix), key.cast("string"))), 1, 2)
 
+  /** THE canonical train/valid assignment — one definition shared by
+    * `k6_split_train_test` and `k6_corpus_pipeline`, so retuning the salt
+    * or validation fraction can never de-synchronize the standalone split
+    * from the end-to-end pipeline. Threshold '29' keeps hashes 00..28 →
+    * 41/256 ≈ 16% validation.
+    */
+  private def trainValidSplit: Column =
+    when(coin("split42:", col("doc_id")) < "29", lit("valid"))
+      .otherwise(lit("train"))
+
   val queries: Map[String, Q] = Map(
     // K6: deterministic train/validation split — the foundational pipeline
     // op: assignment is a pure function of doc_id (stable across runs,
-    // machines, and repartitioning; no sampling state to checkpoint).
-    // Threshold '29' keeps hashes 00..28 → 41/256 ≈ 16% validation.
+    // machines, and repartitioning; no sampling state to checkpoint) —
+    // see [[trainValidSplit]].
     "k6_split_train_test" -> ((s, d) => {
-      val split = when(coin("split42:", col("doc_id")) < "29", lit("valid"))
-        .otherwise(lit("train"))
       Tables.documents(s, d)
-        .withColumn("split", split)
+        .withColumn("split", trainValidSplit)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("split", "lang")
@@ -343,9 +351,7 @@ object PipelineQueries {
           case (df, (_, gate)) => df.filter(gate)
         }
       admitted
-        .withColumn("split",
-          when(coin("split42:", col("doc_id")) < "29", lit("valid"))
-            .otherwise(lit("train")))
+        .withColumn("split", trainValidSplit)
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("total_chars"),

@@ -71,19 +71,27 @@ object Compactor {
     // listStatus(root) throws instead of healing.
     recover(spark, path)
     def leaves(p: Path): Seq[Path] = {
+      // ONE listing serves both the heal probe and the recursion — listing
+      // dominates the maintenance walk on object stores, so each directory
+      // must be listed exactly once per run (twice only when a heal
+      // actually fired and changed the entries).
+      val entries = fs.listStatus(p)
       // Heal interrupted leaf swaps first: a crash between the two renames
       // leaves only the hidden .<leaf>_compact_old dir, which the hidden()
       // filter below would skip — so without this probe the leaf's data
       // stays invisible to every reader until a manual recover().
-      fs.listStatus(p)
+      val healed = entries
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(".")
           && s.getPath.getName.endsWith("_compact_old"))
-        .foreach { s =>
+        .count { s =>
           val live = new Path(p,
             s.getPath.getName.stripPrefix(".").stripSuffix("_compact_old"))
-          if (!fs.exists(live)) recover(spark, live.toString)
+          val heal = !fs.exists(live)
+          if (heal) recover(spark, live.toString)
+          heal
         }
-      val subdirs = fs.listStatus(p).filter(s => s.isDirectory && !hidden(s.getPath))
+      val fresh = if (healed > 0) fs.listStatus(p) else entries
+      val subdirs = fresh.filter(s => s.isDirectory && !hidden(s.getPath))
       if (subdirs.isEmpty) Seq(p) else subdirs.toSeq.flatMap(s => leaves(s.getPath))
     }
     leaves(root).map(l => compact(spark, l.toString, targetBytes))

@@ -39,9 +39,12 @@ object IdempotentSink {
     * create-exclusive marker file under the table directory (underscore
     * prefix: invisible to parquet readers and to [[Compactor]]'s walks).
     * Atomicity is the filesystem's create-if-absent: genuinely atomic on
-    * HDFS-like stores; an exists-then-create race window on raw local /
-    * object stores, which still converts a silent double-insert into a
-    * loud failure in every non-pathological interleaving.
+    * HDFS-like stores; raw local / object stores have an exists-then-create
+    * race window, which the TOKEN FENCE below closes to microseconds: each
+    * writer stamps a unique token into the lock and reads it back — if two
+    * writers slipped through the non-atomic create, the later stamp
+    * overwrote the earlier one, so exactly the writer whose token survived
+    * proceeds and the other throws without touching the (now foreign) lock.
     *
     * A writer that dies inside `body` leaves the lock behind by design —
     * the next writer fails until an operator inspects the lock's contents
@@ -53,18 +56,40 @@ object IdempotentSink {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p)
     val lp = lockFile(p)
+    val token = s"pid=${ProcessHandle.current.pid} epochMs=${System.currentTimeMillis} " +
+      s"nonce=${java.util.UUID.randomUUID}\n"
+    def contention(detail: String) = new ConcurrentWriteException(
+      s"table $path is locked by another writer ($detail); " +
+        "if that writer is dead, inspect the lock and call breakLock")
     val out =
       try fs.create(lp, /* overwrite = */ false)
       catch { case e: java.io.IOException =>
-        throw new ConcurrentWriteException(
-          s"table $path is locked by another writer (${lp.getName} exists); " +
-          s"if that writer is dead, inspect the lock and call breakLock: ${e.getMessage}")
+        // Only an existing lock is contention; any other IO failure
+        // (permissions, transient store fault) must stay loud and distinct
+        // — reporting it as "locked" would send the operator to breakLock,
+        // masking the real cause.
+        if (fs.exists(lp)) throw contention(s"${lp.getName} exists") else throw e
       }
+    // The lock file exists from here on: a failure writing its metadata
+    // must release it, or a writer that never entered the critical section
+    // would wedge the table until a manual breakLock.
+    var ownLock = true
     try {
-      out.writeBytes(s"pid=${ProcessHandle.current.pid} epochMs=${System.currentTimeMillis}\n")
-    } finally out.close()
-    try body
-    finally fs.delete(lp, false)
+      try out.writeBytes(token) finally out.close()
+      // token fence (see scaladoc): a racing writer that slipped through a
+      // non-atomic create overwrote our stamp — the lock is theirs now, so
+      // fail WITHOUT deleting it.
+      val seen = try {
+        val in = fs.open(lp)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+      if (seen != token) {
+        ownLock = false
+        throw contention(s"lost the create race; lock now held by: ${seen.trim}")
+      }
+      body
+    } finally if (ownLock) fs.delete(lp, false)
   }
 
   /** Forcibly remove a dead writer's lock. Returns true if a lock was

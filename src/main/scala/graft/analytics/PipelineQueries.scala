@@ -338,14 +338,24 @@ object PipelineQueries {
     // md5-deterministic train/valid split → per-split/lang admission
     // accounting. Every stage is a shape proven scale-safe on its own
     // (digest groupBy; array-local signals; per-row hash split; one final
-    // tiny aggregate) — composing them adds exactly ONE extra shuffle (the
-    // dedup window) on top of the cascade's plan.
+    // tiny aggregate). The dedup is the K1 aggregate (digest + id on the
+    // wire, never bodies) plus an id-keyed semi-join — document bodies
+    // cross the wire exactly once, and the quality gates push to the scan
+    // side of that join, so dropped docs never shuffle at all. Local-mode
+    // bench note: that same pushdown pins the gate evaluation onto the
+    // corpus's single-row-group scan partition, so the measured time is
+    // single-core interpreted-HOF cost — an artifact of the one-file test
+    // corpus, not of the plan (BASELINE.md round-5 notes).
     "k6_corpus_pipeline" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val survivors = Tables.documents(s, d)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1).drop("rn")
+      val docs = Tables.documents(s, d)
+      // dedup via the K1 aggregate shape (digest groupBy → MIN survivor id,
+      // 32-byte keys + ids on the wire) + an id-keyed semi-join back to the
+      // rows — bodies shuffle once, by doc_id
+      val survivorIds = docs
+        .groupBy(sha2(col("text"), 256).as("dig"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
       val admitted = TextQueries.qualityGates
         .foldLeft(TextQueries.qualitySignals(survivors)) {
           case (df, (_, gate)) => df.filter(gate)

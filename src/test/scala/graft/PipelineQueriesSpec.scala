@@ -244,6 +244,51 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(rows.last.getAs[Long]("n_out") > 0, "the cascade must admit documents")
   }
 
+  test("streaming quality gates + incremental maintenance equal the batch funnel") {
+    import graft.analytics.TextQueries
+    import graft.operators.IncrementalAgg
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("gate-stream").toString + "/state"
+    // independent re-derivation of the split assignment (the query helper
+    // is deliberately private)
+    val split = when(substring(md5(concat(lit("split42:"),
+      col("doc_id").cast("string"))), 1, 2) < "29", lit("valid")).otherwise(lit("train"))
+    def admitted(df: org.apache.spark.sql.DataFrame) =
+      TextQueries.qualityGates.foldLeft(TextQueries.qualitySignals(df)) {
+        case (d, (_, g)) => d.filter(g)
+      }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalAgg.updateTable(spark, dir,
+          admitted(batch)
+            .select(concat_ws("|", split, col("lang")).as("k"),
+              col("nw").cast("double").as("value")),
+          Seq("k"), "value", batchId = Some(id)): Unit
+      }.start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val state = spark.read.parquet(
+        new java.io.File(dir).listFiles().map(_.getPath)
+          .flatMap(p => "/v(\\d+)".r.findFirstMatchIn(p).map(m => (m.group(1).toLong, p)))
+          .maxBy(_._1)._2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+    val expected = admitted(Tables.documents(spark, sfDir))
+      .groupBy(concat_ws("|", split, col("lang")).as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("nw").cast("double")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(state == expected,
+      s"3-batch streaming maintenance must equal the one-shot batch funnel: $state vs $expected")
+  }
+
   test("corpus pipeline admits exactly the gated dedup survivors") {
     import graft.analytics.TextQueries
     val rows = q("k6_corpus_pipeline").collect()

@@ -50,7 +50,13 @@ class HeavyHittersAggregator(capacity: Int)
       case None if b.size < capacity => b.update(tok, 1L)
       case None =>
         // decrement-all step, amortized: drop the min count from everyone
-        // (the classic MG counter decrement, batched at the map level)
+        // (the classic MG counter decrement, batched at the map level).
+        // Batching by `dec` = min is slightly more aggressive than the
+        // textbook single decrement — when all counters are equal the
+        // buffer empties in one step — but each batched step still
+        // decrements every counter (and the arriving token's implicit 1)
+        // by the same amount, so the MG invariant est ∈ [f − N/capacity, f]
+        // is preserved; the ε-bound test exercises exactly this path.
         val dec = b.valuesIterator.min
         b.filterInPlace { case (_, c) => c > dec }
         b.mapValuesInPlace { case (_, c) => c - dec }

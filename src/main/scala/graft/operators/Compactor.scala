@@ -80,14 +80,16 @@ object Compactor {
       // leaves only the hidden .<leaf>_compact_old dir, which the hidden()
       // filter below would skip — so without this probe the leaf's data
       // stays invisible to every reader until a manual recover().
+      val names = entries.map(_.getPath.getName).toSet
       val healed = entries
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(".")
           && s.getPath.getName.endsWith("_compact_old"))
         .count { s =>
-          val live = new Path(p,
-            s.getPath.getName.stripPrefix(".").stripSuffix("_compact_old"))
-          val heal = !fs.exists(live)
-          if (heal) recover(spark, live.toString)
+          val liveName = s.getPath.getName.stripPrefix(".").stripSuffix("_compact_old")
+          // live-sibling presence answered from the snapshot we already
+          // hold — no extra exists() round trip per trash dir
+          val heal = !names.contains(liveName)
+          if (heal) recover(spark, new Path(p, liveName).toString)
           heal
         }
       val fresh = if (healed > 0) fs.listStatus(p) else entries

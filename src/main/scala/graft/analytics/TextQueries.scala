@@ -25,7 +25,9 @@ object TextQueries {
   /** Per-doc quality signals shared by the filter cascade and the
     * end-to-end corpus pipeline (PipelineQueries `k6_corpus_pipeline`):
     * token array `t`, word count `nw`, average word length `awl`, stopword
-    * ratio `sr`, bigram array `bg`, and top-bigram fraction `tbf`. All
+    * ratio `sr`, repetition stats struct `rs` (native single-pass
+    * `repetition_stats`: n_bigrams / mode_count / n_distinct), and
+    * top-bigram fraction `tbf`. All
     * array-local column arithmetic — adds columns, no shuffle. `fanOut`:
     * the corpus parquet is one row group → one scan partition in local
     * mode; the per-doc bigram work (the row-local CPU stage) must not
@@ -42,32 +44,17 @@ object TextQueries {
       .withColumn("sr",
         size(filter(col("t"), t => t.isin(stopwords.map(lit(_)): _*)))
           .cast("double") / col("nw"))
-      .withColumn("bg", expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
-          "i -> concat(t[i], ' ', t[i+1])) END"))
-      // tbf = mode count / total, via SORT + MAX-RUN-LENGTH: O(n log n)
-      // per row where the distinct×filter formulation is O(d·n) — ~10× on
-      // typical docs, and the gate predicate gets pushed to the SCAN
-      // (exactly what you want at scale), so the per-row cost is the
-      // scan-side cost. Both bg and its sorted copy bind to LAMBDA
-      // VARIABLES (transform over a one-element array): without the
-      // binding, a downstream .filter(tbf <= …) lets Catalyst collapse
-      // projections and re-inline the whole bigram BUILD inside the
-      // per-element lambda — O(n) array rebuilds per row (measured 129 s
-      // vs 2.6 s on the corpus pipeline). Lambda-bound variables are
-      // opaque to that rewrite, so the build runs once per row under
-      // every consumer, filter or project alike.
-      .withColumn("tbf", expr(
-        """element_at(transform(array(bg), b ->
-          |  element_at(transform(array(array_sort(b)), sb ->
-          |    cast(IF(size(sb) < 2, 1,
-          |      aggregate(sequence(1, size(sb) - 1),
-          |        named_struct('cur', 1, 'best', 1),
-          |        (acc, i) -> IF(sb[i] = sb[i-1],
-          |          named_struct('cur', acc.cur + 1,
-          |                       'best', greatest(acc.best, acc.cur + 1)),
-          |          named_struct('cur', 1, 'best', acc.best)),
-          |        acc -> acc.best)) as double) / size(b)), 1)), 1)""".stripMargin))
+      // single native pass (RepetitionStatsExpr): bigram count, mode
+      // count, and distinct count in one primitive loop. One expression
+      // node means a downstream .filter on tbf inlines the WHOLE pass once
+      // per row — the earlier higher-order-function formulations either
+      // re-expanded the bigram build per element under projection collapse
+      // (129 s vs 2.6 s on the corpus pipeline; see BASELINE.md round-5
+      // notes) or needed lambda-binding guards to prevent it.
+      .withColumn("rs",
+        graft.functions.VectorExpressions.repetitionStats(col("t")))
+      .withColumn("tbf",
+        col("rs.mode_count").cast("double") / col("rs.n_bigrams"))
   }
 
   /** The four quality gates, in cascade order. */
@@ -381,15 +368,13 @@ object TextQueries {
     // O(distinct_bigrams * n_bigrams), bounded by document length, not
     // corpus size.
     "k4_repetition_ratio" -> ((s, d) => {
-      // shares qualitySignals (fanOut + lambda-bound tbf), so composing a
-      // .filter on top of these columns can't re-trigger the projection-
-      // collapse rebuild pathology documented there
+      // shares qualitySignals' native single-pass stats (fanOut included)
       qualitySignals(Tables.documents(s, d))
         .filter(size(col("t")) >= 2)
         .select(col("doc_id"),
-          size(col("bg")).as("n_bigrams"),
+          col("rs.n_bigrams").as("n_bigrams"),
           round(col("tbf"), 6).as("top_bigram_frac"),
-          round(lit(1) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6)
+          round(lit(1) - col("rs.n_distinct").cast("double") / col("rs.n_bigrams"), 6)
             .as("dup_bigram_frac"))
         .orderBy("doc_id")
     }),

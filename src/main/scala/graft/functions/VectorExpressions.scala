@@ -438,6 +438,56 @@ case class LangArgmaxExpr(child: Expression, markers: Seq[(String, Seq[String])]
     copy(child = newChild)
 }
 
+/** Single-pass within-document repetition statistics over a token array:
+  * struct(n_bigrams, mode_count, n_distinct) for the adjacent-bigram
+  * multiset — the kernel of the Gopher-style repetition gate
+  * (`TextQueries.qualitySignals`). One primitive loop with an open hash
+  * map replaces a five-deep interpreted higher-order-function chain
+  * (build → sort → run-length-aggregate), and because the whole
+  * computation is ONE expression node, predicate pushdown can inline it
+  * into a scan-side Filter without any risk of re-expanding intermediate
+  * arrays per element (the projection-collapse pathology documented on
+  * the previous formulation).
+  *
+  * Fewer than 2 tokens → NULL (no bigrams exist; matches the CASE-guarded
+  * column formulation and the DuckDB oracle's `WHERE len(w) >= 2`).
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("mode_count", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < 2) return null
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var mode = 0
+    var i = 0
+    var prev = toks.getUTF8String(0)
+    while (i < n - 1) {
+      val next = toks.getUTF8String(i + 1)
+      val bigram = UTF8String.concatWs(UTF8String.fromString(" "), prev, next)
+      val c = counts.merge(bigram, 1, (a, b) => a + b)
+      if (c > mode) mode = c
+      prev = next
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n - 1, mode, counts.size)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -483,4 +533,10 @@ object VectorExpressions {
   def langArgmax(tokens: Column, markers: Map[String, Seq[String]]): Column =
     GraftSqlBridge.column(
       LangArgmaxExpr(GraftSqlBridge.expression(tokens), markers.toSeq.sortBy(_._1)))
+
+  /** Single-pass bigram repetition stats of a token column:
+    * struct(n_bigrams, mode_count, n_distinct); NULL under 2 tokens.
+    */
+  def repetitionStats(tokens: Column): Column =
+    GraftSqlBridge.column(RepetitionStatsExpr(GraftSqlBridge.expression(tokens)))
 }

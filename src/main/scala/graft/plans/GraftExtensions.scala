@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProductExpr, MinHashSignatureExpr, QuantizeInt8StatsExpr, SimHash64Expr, WordShinglesExpr}
+import graft.functions.{DotProductExpr, MinHashSignatureExpr, QuantizeInt8StatsExpr, RepetitionStatsExpr, SimHash64Expr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so the pure-SQL surface (`spark.sql`)
@@ -52,7 +52,9 @@ object GraftExtensions {
     "quantize_int8_stats" -> ((args: Seq[Expression]) =>
       QuantizeInt8StatsExpr(dblArr(args(0)))),
     "word_shingles" -> ((args: Seq[Expression]) =>
-      WordShinglesExpr(strArr(args(0)), intLit(args(1), "shingle n"))))
+      WordShinglesExpr(strArr(args(0)), intLit(args(1), "shingle n"))),
+    "repetition_stats" -> ((args: Seq[Expression]) =>
+      RepetitionStatsExpr(strArr(args(0)))))
 
   /** Register the same functions in an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

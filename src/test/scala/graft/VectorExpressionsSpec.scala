@@ -69,6 +69,52 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("repetition stats: known multisets, <2 tokens and null text yield null") {
+    import graft.functions.VectorExpressions.repetitionStats
+    val df = Seq(
+      (1L, "a b a b c"),     // bigrams: ab, ba, ab, bc → n=4 mode=2 distinct=3
+      (2L, "x x x x"),       // xx ×3 → n=3 mode=3 distinct=1
+      (3L, "one"),           // <2 tokens → null
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id", repetitionStats(split($"text", " ")).as("rs"))
+      .orderBy("id")
+      .collect()
+    assert(df(0).getStruct(1).toSeq == Seq(4, 2, 3))
+    assert(df(1).getStruct(1).toSeq == Seq(3, 3, 1))
+    assert(df(2).isNullAt(1) && df(3).isNullAt(1))
+  }
+
+  test("repetition stats agree with the higher-order formulation on the corpus") {
+    import graft.functions.VectorExpressions.repetitionStats
+    val t = split($"text", " ")
+    val bg = expr(
+      "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+        "i -> concat(t[i], ' ', t[i+1])) END")
+    val rows = Tables.documents(spark, sfDir)
+      .select($"doc_id", t.as("t"))
+      .select($"doc_id", bg.as("bg"), repetitionStats($"t").as("rs"))
+      .filter($"bg".isNotNull)
+      .select($"doc_id",
+        (size($"bg") === $"rs.n_bigrams").as("n_ok"),
+        (size(array_distinct($"bg")) === $"rs.n_distinct").as("d_ok"),
+        (expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+          === $"rs.mode_count").as("m_ok"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"mismatch at doc ${r.getLong(0)}")
+    }
+  }
+
+  test("repetition_stats is reachable from SQL via the extension registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT repetition_stats(split('a b a b c', ' ')) AS rs").head.getStruct(0)
+    assert(r.toSeq == Seq(4, 2, 3))
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))

@@ -450,13 +450,20 @@ case class LangArgmaxExpr(child: Expression, markers: Seq[(String, Seq[String])]
   * the previous formulation).
   *
   * Fewer than 2 tokens → NULL (no bigrams exist; matches the CASE-guarded
-  * column formulation and the DuckDB oracle's `WHERE len(w) >= 2`).
+  * column formulation and the DuckDB oracle's `WHERE len(w) >= 2`). A NULL
+  * token element also yields NULL — split() never produces one, but the
+  * SQL-registered function accepts arbitrary arrays, and silently folding
+  * a null into bigrams (concatWs skips nulls) would miscount.
   */
 case class RepetitionStatsExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  // NULL for valid (<2-token / null-element) input, independent of the
+  // child's nullability — same pattern as NearestCentroidExpr.
+  override def nullable: Boolean = true
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_bigrams", IntegerType, nullable = false),
@@ -465,6 +472,8 @@ case class RepetitionStatsExpr(child: Expression)
 
   override def prettyName: String = "repetition_stats"
 
+  @transient private lazy val space = UTF8String.fromString(" ")
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
@@ -472,10 +481,12 @@ case class RepetitionStatsExpr(child: Expression)
     val counts = new java.util.HashMap[UTF8String, Int](n * 2)
     var mode = 0
     var i = 0
+    if (toks.isNullAt(0)) return null
     var prev = toks.getUTF8String(0)
     while (i < n - 1) {
+      if (toks.isNullAt(i + 1)) return null
       val next = toks.getUTF8String(i + 1)
-      val bigram = UTF8String.concatWs(UTF8String.fromString(" "), prev, next)
+      val bigram = UTF8String.concatWs(space, prev, next)
       val c = counts.merge(bigram, 1, (a, b) => a + b)
       if (c > mode) mode = c
       prev = next

@@ -83,6 +83,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df(0).getStruct(1).toSeq == Seq(4, 2, 3))
     assert(df(1).getStruct(1).toSeq == Seq(3, 3, 1))
     assert(df(2).isNullAt(1) && df(3).isNullAt(1))
+    // null ELEMENTS (reachable via the SQL registration, never via split):
+    // honest NULL, not bigrams silently folded across the gap
+    import graft.functions.VectorExpressions.repetitionStats
+    val withNullTok = Seq(1)
+      .toDF("i")
+      .select(repetitionStats(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("rs"))
+      .head
+    assert(withNullTok.isNullAt(0), "null token must null the stats")
   }
 
   test("repetition stats agree with the higher-order formulation on the corpus") {

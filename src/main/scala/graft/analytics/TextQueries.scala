@@ -150,6 +150,28 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // K4/I3: the SAME Misra–Gries aggregator in its EXACT regime — keyed
+    // on token first characters, whose cardinality (≈ alphabet size) stays
+    // below the 256-counter capacity at any corpus scale, so no decrement
+    // or merge-cut ever fires and the sketch returns exact counts
+    // independent of merge order. This puts the aggregator's full
+    // partial/merge/finish path under the DuckDB hash gate; the sketch
+    // regime above keeps its ε-band ScalaTest evidence.
+    "k4_heavy_hitters_exact" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.HeavyHittersAggregator(256).toColumn
+      Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(substring(col("tok"), 1, 1).as("tok"))
+        .as[String]
+        .select(agg)
+        .flatMap(_.take(20).zipWithIndex.map { case ((w, c), i) =>
+          (i + 1, w, c)
+        })
+        .toDF("rank", "word", "est_count")
+        .orderBy("rank")
+    }),
+
     // K4: per-language document-length percentiles (exact interpolated
     // percentile, matching DuckDB quantile_cont bit-for-bit on integers).
     // Flattened to one scalar column per quantile — array-typed output
@@ -281,6 +303,13 @@ object TextQueries {
     // the components with a DuckDB recursive CTE. The corpus plants
     // multi-node components (45-267-413 at sf0.01), so the propagation is
     // genuinely transitive, not just pair-echo.
+    //
+    // Blocking goes through Dedup.blockPairs — the capped collect+explode
+    // shape every other candidate-pair path uses — NOT a raw self-join on
+    // the block key: one boilerplate shingle shared by 10⁵ docs would turn
+    // a raw join quadratic (5·10⁹ pairs into the Jaccard verify). Blocks
+    // larger than 64 docs are dropped by declared semantic, mirrored in
+    // the oracle's HAVING COUNT(*) BETWEEN 2 AND 64.
     "k2_cluster_transitive" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sh = Tables.fanOut(docs)
@@ -288,10 +317,9 @@ object TextQueries {
         .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
       val keyed = sh.select(col("doc_id"),
         array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
-      def block(k: String) = keyed.select(col("doc_id").as("id_a"), col(k).as("blk"))
-        .join(keyed.select(col("doc_id").as("id_b"), col(k).as("blk")), Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
+      def block(k: String) = Dedup.blockPairs(
+        keyed.select(col("doc_id"), col(k).as("blk")), "doc_id", "blk",
+        maxBucket = 64)
       val cand = block("kmin").unionAll(block("kmax")).distinct()
       val pairs = cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -442,6 +470,20 @@ object TextQueries {
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
 
+    // Exact-regime Misra–Gries: first-char cardinality < capacity, so the
+    // sketch degenerates to an exact count and plain SQL reproduces it.
+    "k4_heavy_hitters_exact" ->
+      """WITH counts AS (
+        |  SELECT substr(tok, 1, 1) AS word, COUNT(*) AS est_count
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY est_count DESC, word)
+        |           AS INTEGER) AS rank, word, est_count
+        |  FROM counts)
+        |SELECT rank, word, est_count FROM ranked
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     "k4_length_percentiles" ->
       """SELECT lang,
         |  quantile_cont(n_chars, 0.25) AS p25,
@@ -550,13 +592,19 @@ object TextQueries {
         |  FROM t WHERE len(w) >= 3),
         |keyed AS (
         |  SELECT doc_id, list_sort(s)[1] AS kmin, list_sort(s)[-1] AS kmax FROM sh),
+        |okmin AS (SELECT kmin AS k FROM keyed GROUP BY kmin
+        |          HAVING COUNT(*) BETWEEN 2 AND 64),
+        |okmax AS (SELECT kmax AS k FROM keyed GROUP BY kmax
+        |          HAVING COUNT(*) BETWEEN 2 AND 64),
         |cand AS (
         |  SELECT DISTINCT src, dst FROM (
         |    SELECT a.doc_id AS src, b.doc_id AS dst
         |    FROM keyed a JOIN keyed b ON a.kmin = b.kmin AND b.doc_id > a.doc_id
+        |    JOIN okmin o ON o.k = a.kmin
         |    UNION ALL
         |    SELECT a.doc_id, b.doc_id
-        |    FROM keyed a JOIN keyed b ON a.kmax = b.kmax AND b.doc_id > a.doc_id)),
+        |    FROM keyed a JOIN keyed b ON a.kmax = b.kmax AND b.doc_id > a.doc_id
+        |    JOIN okmax o ON o.k = a.kmax)),
         |edges AS (
         |  SELECT c.src, c.dst
         |  FROM cand c JOIN sh x ON x.doc_id = c.src JOIN sh y ON y.doc_id = c.dst

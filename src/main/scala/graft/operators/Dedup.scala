@@ -39,6 +39,40 @@ object Dedup {
   def exactRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.join(exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
 
+  /** Capped blocking-join candidate pairs — the ONE safe shape for turning
+    * a block key into within-block pairs at scale. Groups ids per key,
+    * drops singleton blocks (no pair) and oversize blocks (a boilerplate
+    * key shared by 10⁵ docs would emit 5·10⁹ pairs — quadratic death), then
+    * explodes ordered pairs. Every candidate-pair path in this file uses
+    * this shape; a raw self-join on the key has no cap and must never be
+    * used for blocking.
+    *
+    * Dropping oversize blocks is a DECLARED SEMANTIC of the blocking
+    * scheme, not an approximation to hide: callers that need visibility
+    * can count drops via [[oversizeBlocks]].
+    *
+    * @param keyed  (idCol, keyCol) rows, one block key per row
+    * @return (id_a, id_b) with id_a < id_b, distinct within each block
+    */
+  def blockPairs(keyed: DataFrame, idCol: String, keyCol: String,
+      maxBucket: Int = 64): DataFrame =
+    keyed.groupBy(col(keyCol))
+      .agg(sort_array(collect_set(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+
+  /** Blocks dropped by [[blockPairs]]'s size cap: (keyCol, n_ids) for every
+    * block larger than `maxBucket`. Cheap observability for the declared
+    * drop semantic — run it alongside a blocking query to log skew.
+    */
+  def oversizeBlocks(keyed: DataFrame, idCol: String, keyCol: String,
+      maxBucket: Int = 64): DataFrame =
+    keyed.groupBy(col(keyCol))
+      .agg(countDistinct(col(idCol)).as("n_ids"))
+      .filter(col("n_ids") > maxBucket)
+
   /** K2 near-dup candidates + verification via MinHash/LSH.
     *
     * @param docs       input documents
@@ -154,7 +188,16 @@ object Dedup {
     * @return (id, cluster) where cluster = min id in the component
     */
   def clusters(ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    clustersCounted(ids, idCol, pairs, maxIter)._1
+
+  /** [[clusters]] plus the number of propagation rounds actually run —
+    * the scaling observable: rounds track component DIAMETER, not corpus
+    * size, so a growing corpus with constant-shape near-dup clusters must
+    * show a constant round count (ScaleCheck asserts exactly that).
+    */
+  def clustersCounted(ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     val idSet = ids.select(col(idCol).as("id"))
     // Edges restricted to BOTH endpoints ∈ ids: the output contract is one
     // row per id and clustering-over-ids-only — a pair endpoint outside the
@@ -203,7 +246,7 @@ object Dedup {
     val singletons = ids.select(col(idCol).as("id"))
       .join(edgeNodes, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
-    labels.unionByName(singletons)
+    (labels.unionByName(singletons), i)
   }
 
   /** End-to-end near-dup removal: MinHash/LSH pairs → transitive clusters →

@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("blockPairs drops oversize hot blocks instead of exploding them quadratically") {
+    // 100 docs share one boilerplate block key ("hot"); 3 docs share a
+    // normal key; 1 doc is alone. A raw self-join would emit 4950 pairs
+    // from the hot key; the capped shape must emit ZERO (block > maxBucket
+    // dropped by declared semantic) and only the 3 pairs of the small block.
+    val keyed = ((0L until 100L).map(i => (i, "hot")) ++
+      Seq((200L, "ok"), (201L, "ok"), (202L, "ok"), (300L, "solo")))
+      .toDF("doc_id", "blk")
+    val pairs = Dedup.blockPairs(keyed, "doc_id", "blk", maxBucket = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((200L, 201L), (200L, 202L), (201L, 202L)),
+      s"hot block must be dropped, singleton emits nothing: got ${pairs.size} pairs")
+    val dropped = Dedup.oversizeBlocks(keyed, "doc_id", "blk", maxBucket = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(dropped == Seq(("hot", 100L)), "the dropped block must be observable")
+  }
+
   test("clusters: min-label propagation closes transitive chains") {
     val ids = (0L to 5L).toDF("doc_id")
     // chain 0-1, 1-2 (0 and 2 never paired directly); separate pair 4-5

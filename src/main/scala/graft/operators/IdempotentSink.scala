@@ -38,23 +38,25 @@ object IdempotentSink {
   /** Run `body` holding the table's exclusive write lock — a
     * create-exclusive marker file under the table directory (underscore
     * prefix: invisible to parquet readers and to [[Compactor]]'s walks).
-    * Atomicity is the filesystem's create-if-absent: genuinely atomic on
-    * HDFS-like stores. Raw local / object stores have an
-    * exists-then-create race window, hardened by a SETTLE-THEN-FENCE: each
-    * writer stamps a unique token, waits `fenceSettleMs` (beyond any
-    * realistic create→stamp stall), and reads the lock back — if two
-    * writers slipped through the non-atomic create, both read the SAME
-    * final content after the settle, so exactly the writer whose stamp
-    * survived proceeds and the other throws without touching the (now
-    * foreign) lock. The fence is probabilistic, not a proof: a writer
-    * stalled longer than the settle between create and stamp can still
-    * defeat it, so on stores without atomic create the contract remains
-    * best-effort loud failure — deploy one writer per table there.
     *
-    * A writer that dies inside `body` leaves the lock behind by design —
-    * the next writer fails until an operator inspects the lock's contents
-    * (writer id + timestamp) and calls [[breakLock]]; auto-expiry would
-    * reintroduce the silent two-writer window for slow writers.
+    * Acquisition is ATOMIC on both filesystems this engine targets:
+    *  - Local FS: `java.nio` `CREATE_NEW` = `O_CREAT|O_EXCL` — the create
+    *    AND the token stamp are one atomic syscall-backed operation (the
+    *    Hadoop `RawLocalFileSystem.create(overwrite=false)` it replaces
+    *    was exists-then-create, a race window the old settle-then-fence
+    *    only papered over probabilistically).
+    *  - HDFS-like stores: `FileSystem.create(overwrite=false)` is a single
+    *    serialized namenode op; exclusivity comes from the create itself
+    *    and the token stamped afterwards is crash forensics only.
+    * Object stores without atomic create-exclusive (plain S3 check-then-put)
+    * are OUTSIDE this contract — deploy one writer per table there or front
+    * the lock with a real coordination service.
+    *
+    * The token (pid + epoch + nonce) is the crash-forensics payload: a
+    * writer that dies inside `body` leaves the lock behind by design — the
+    * next writer fails until an operator inspects the lock's contents and
+    * calls [[breakLock]]; auto-expiry would reintroduce the silent
+    * two-writer window for slow writers.
     */
   def withTableLock[T](spark: SparkSession, path: String)(body: => T): T = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -66,73 +68,47 @@ object IdempotentSink {
     def contention(detail: String) = new ConcurrentWriteException(
       s"table $path is locked by another writer ($detail); " +
         "if that writer is dead, inspect the lock and call breakLock")
-    val out =
-      try fs.create(lp, /* overwrite = */ false)
+    if (fs.getScheme == "file") {
+      // Atomic create+stamp in one O_EXCL operation; no window in which the
+      // lock exists unstamped.
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(lp.toUri.getPath),
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       catch {
-        // An existing lock is contention — classified by exception TYPE
-        // (the Hadoop create contract), not a post-hoc exists() probe that
-        // would race the holder's release.
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        case _: java.nio.file.FileAlreadyExistsException =>
           throw contention(s"${lp.getName} exists")
-        case e: java.io.IOException =>
-          // Secondary, best-effort classification for stores that signal
-          // an existing file with a generic IOException; other IO faults
-          // (permissions, transient store errors) stay loud and distinct —
-          // reporting them as "locked" would send the operator to
-          // breakLock, masking the real cause.
-          val probed = try fs.exists(lp) catch { case _: java.io.IOException => false }
-          if (probed) throw contention(s"${lp.getName} exists") else throw e
       }
-    def readLock(): Option[String] = {
-      var attempt = 0
-      while (attempt < 3) {
-        try {
-          val in = fs.open(lp)
-          try return Some(new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally in.close()
-        } catch { case _: java.io.IOException => attempt += 1; Thread.sleep(50) }
-      }
-      None
-    }
-    // The lock file exists from here on; every exit path below decides
-    // explicitly whether we still own it.
-    var ownLock = true
-    try {
+    } else {
+      val out =
+        try fs.create(lp, /* overwrite = */ false)
+        catch {
+          // An existing lock is contention — classified by exception TYPE
+          // (the Hadoop create contract), not a post-hoc exists() probe that
+          // would race the holder's release.
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw contention(s"${lp.getName} exists")
+          case e: java.io.IOException =>
+            // Secondary, best-effort classification for stores that signal
+            // an existing file with a generic IOException; other IO faults
+            // (permissions, transient store errors) stay loud and distinct —
+            // reporting them as "locked" would send the operator to
+            // breakLock, masking the real cause.
+            val probed = try fs.exists(lp) catch { case _: java.io.IOException => false }
+            if (probed) throw contention(s"${lp.getName} exists") else throw e
+        }
       try { try out.writeBytes(token) finally out.close() }
       catch { case e: Throwable =>
-        // Failed stamping the metadata: release the lock so a writer that
-        // never entered the critical section doesn't wedge the table — but
-        // only if no OTHER writer's stamp landed in the same window
-        // (deleting a foreign stamp would unlock a live writer).
-        ownLock = false
-        if (readLock().forall(s => s.isEmpty || s == token)) fs.delete(lp, false)
+        // The create was exclusive, so the lock is OURS even unstamped —
+        // deleting it cannot touch another writer's lock. Release it so a
+        // writer that never entered the critical section doesn't wedge the
+        // table (an unstamped lock also carries no forensics to inspect).
+        fs.delete(lp, false)
         throw e
       }
-      Thread.sleep(fenceSettleMs) // settle: let any racing stamp land
-      readLock() match {
-        case Some(`token`) => // verified sole owner
-        case Some(seen) =>
-          ownLock = false
-          throw contention(s"lost the create race; lock now held by: ${seen.trim}")
-        case None =>
-          // Can't VERIFY ownership (persistent read fault): neither proceed
-          // (risks two writers) nor delete (risks removing a live writer's
-          // lock). Distinct error, not contention — the operator needs to
-          // look at the store, not hunt a phantom writer.
-          ownLock = false
-          throw new java.io.IOException(
-            s"could not verify write-lock ownership for $path after stamping; " +
-              s"inspect $lp and call breakLock if no writer is alive")
-      }
-      body
-    } finally if (ownLock) fs.delete(lp, false)
+    }
+    try body finally fs.delete(lp, false)
   }
-
-  /** Settle window for the token fence — longer than any realistic
-    * create→stamp stall; var so tests covering the fence can shrink it.
-    */
-  private[operators] var fenceSettleMs: Long = 100L
 
   /** Forcibly remove a dead writer's lock. Returns true if a lock was
     * present. Operator action — never call on a table with a live writer.

@@ -454,6 +454,13 @@ case class LangArgmaxExpr(child: Expression, markers: Seq[(String, Seq[String])]
   * token element also yields NULL — split() never produces one, but the
   * SQL-registered function accepts arbitrary arrays, and silently folding
   * a null into bigrams (concatWs skips nulls) would miscount.
+  *
+  * Bigram identity is the exact TOKEN PAIR, not a joined string: a
+  * space-joined key would collide ['a b','c'] with ['a','b c'] for tokens
+  * that themselves contain the separator — invisible to the declared
+  * queries (their tokens come from split-on-space) but wrong for the
+  * SQL-registered function over arbitrary arrays. The pair key is also
+  * cheaper: no per-bigram string concatenation.
   */
 case class RepetitionStatsExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -472,13 +479,11 @@ case class RepetitionStatsExpr(child: Expression)
 
   override def prettyName: String = "repetition_stats"
 
-  @transient private lazy val space = UTF8String.fromString(" ")
-
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < 2) return null
-    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    val counts = new java.util.HashMap[java.util.Map.Entry[UTF8String, UTF8String], Int](n * 2)
     var mode = 0
     var i = 0
     if (toks.isNullAt(0)) return null
@@ -486,7 +491,7 @@ case class RepetitionStatsExpr(child: Expression)
     while (i < n - 1) {
       if (toks.isNullAt(i + 1)) return null
       val next = toks.getUTF8String(i + 1)
-      val bigram = UTF8String.concatWs(space, prev, next)
+      val bigram = java.util.Map.entry(prev, next)
       val c = counts.merge(bigram, 1, (a, b) => a + b)
       if (c > mode) mode = c
       prev = next

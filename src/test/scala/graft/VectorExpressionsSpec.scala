@@ -124,6 +124,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.toSeq == Seq(4, 2, 3))
   }
 
+  test("repetition_stats bigram identity is the token pair, not a joined string") {
+    graft.plans.GraftExtensions.register(spark)
+    // bigrams: ('a b','c'), ('c','a'), ('a','b c') — all distinct. A
+    // space-joined key would collide the first and last into 'a b c'
+    // (mode_count 2, n_distinct 2) for tokens that contain the separator.
+    val r = spark.sql(
+      "SELECT repetition_stats(array('a b', 'c', 'a', 'b c')) AS rs").head.getStruct(0)
+    assert(r.toSeq == Seq(3, 1, 3))
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))

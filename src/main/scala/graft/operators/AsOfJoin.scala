@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,28 +41,7 @@ object AsOfJoin {
       valueCols: Seq[String],
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!valueCols.exists(leftCols.contains),
-      s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — " +
-        "rename or drop them on one side first")
-    val reserved = Seq("_ts", "_tag") ++
-      valueCols.flatMap(c => Seq(s"_v_$c", s"_asof_$c"))
-    require(!reserved.exists(leftCols.contains) && !reserved.exists(right.columns.contains),
-      s"columns named ${reserved.mkString("/")} are reserved by AsOfJoin")
-    // Tag order decides tie behavior at equal timestamps: with inclusive
-    // semantics the quote at ts==left.ts must sort BEFORE the left row.
-    val rightTag = if (strict) 2 else 0
-    val l = left
-      .withColumn("_ts", col(leftTs))
-      .withColumn("_tag", lit(1))
-      .select((Seq(col(keyCol), col("_ts"), col("_tag")) ++
-        leftCols.filterNot(_ == keyCol).map(c => col(c)) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c"))): _*)
-    val r = right
-      .withColumn("_ts", col(rightTs))
-      .withColumn("_tag", lit(rightTag))
-      .select((Seq(col(keyCol), col("_ts"), col("_tag")) ++
-        leftCols.filterNot(_ == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"_v_$c"))): _*)
+    val (l, r) = taggedSides(left, right, keyCol, leftTs, rightTs, valueCols, strict)
 
     // Trailing _v_* sort keys: equal-(key, ts, tag) right rows would
     // otherwise resolve "to whichever sorts last" — i.e. by partitioning
@@ -81,5 +60,128 @@ object AsOfJoin {
       .filter(col("_tag") === 1)
       .select((leftCols.map(c => col(c)) ++
         valueCols.map(c => col(s"_asof_$c").as(c))): _*)
+  }
+
+  /** Skew-tolerant variant of [[apply]] with IDENTICAL semantics: the
+    * window additionally partitions on a coarse time-range bucket
+    * (`floor(ts / bucketWidth)`) within the key, so a hot key's rows split
+    * across `range/bucketWidth` parallel sorts instead of one straggler
+    * task sorting the whole key (ScaleCheck measures the plain form's hot
+    * partition at 90% of the corpus — a single task at any cluster size).
+    *
+    * Correctness across bucket boundaries: each (key, bucket) window gets
+    * a synthetic CARRY-IN row holding, per value column, the last non-null
+    * value from all earlier buckets (the same (ts, value-tuple) total
+    * order the plain window uses, so duplicate-(key, ts) ties resolve
+    * identically). The carry-in sorts before every real row in its bucket
+    * (tag -1 at the bucket's min ts), exactly as an older quote would.
+    * Cost: one extra keyed aggregate over the right side plus a tiny
+    * per-(key, bucket) cumulative window — both shuffle-keyed, no skew.
+    *
+    * Pick `bucketWidth` so a hot key spreads over enough buckets to fill
+    * the cluster but average keys don't fragment: ~(hot-key time range) /
+    * (4× cores). Degenerate widths stay correct (one bucket = plain plan).
+    */
+  def bucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      bucketWidth: Long,
+      strict: Boolean = false): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val leftCols = left.columns.toSeq
+    val (l0, r0) = taggedSides(left, right, keyCol, leftTs, rightTs, valueCols, strict)
+    def bkt(c: Column) = floor(c.cast("double") / bucketWidth).cast("long")
+    val l = l0.withColumn("_bkt", bkt(col("_ts")))
+    val r = r0.withColumn("_bkt", bkt(col("_ts")))
+
+    // Per-(key, bucket) end state of each value column: the value at the
+    // max (ts, value-tuple) among the bucket's rows where that column is
+    // non-null — struct max reproduces the plain window's total order.
+    val pickCols = valueCols.map { c =>
+      max(when(col(s"_v_$c").isNotNull,
+        struct((col("_ts").as("_o_ts") +:
+          valueCols.map(v => col(s"_v_$v").as(s"_o_$v")) :+
+          col(s"_v_$c").as("_pick")): _*))).as(s"_m_$c")
+    }
+    val rBuckets = r.groupBy(col(keyCol), col("_bkt"))
+      .agg(pickCols.head, pickCols.tail: _*)
+
+    // Every bucket the final window will see, with its min ts (the
+    // synthetic carry row must sort before every real row of its bucket).
+    val allBuckets = l.select(col(keyCol), col("_bkt"), col("_ts"))
+      .unionByName(r.select(col(keyCol), col("_bkt"), col("_ts")))
+      .groupBy(col(keyCol), col("_bkt")).agg(min(col("_ts")).as("_min_ts"))
+
+    // Carry-in for bucket b = cumulative max over buckets < b. The struct
+    // leads with ts and buckets are time-ordered, so max = latest quote.
+    // This window partitions per KEY, but on (key, bucket) rows — the hot
+    // key contributes only #buckets rows, not #quotes.
+    val wCum = Window.partitionBy(keyCol).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allBuckets
+      .join(rBuckets, Seq(keyCol, "_bkt"), "left")
+      .select((Seq(col(keyCol), col("_bkt"), col("_min_ts")) ++
+        valueCols.map(c => max(col(s"_m_$c")).over(wCum).as(s"_c_$c"))): _*)
+      .filter(valueCols.map(c => col(s"_c_$c").isNotNull).reduce(_ || _))
+    val carryRows = carries.select((Seq(col(keyCol),
+      col("_min_ts").as("_ts"), lit(-1).as("_tag"), col("_bkt")) ++
+      leftCols.filterNot(_ == keyCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      valueCols.map(c => col(s"_c_$c").getField("_pick").as(s"_v_$c"))): _*)
+
+    val w = Window.partitionBy(col(keyCol), col("_bkt"))
+      .orderBy((Seq(col("_ts"), col("_tag")) ++
+        valueCols.map(c => col(s"_v_$c"))): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(
+      l.unionByName(r).unionByName(carryRows)) { (df, c) =>
+      df.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_tag") === 1)
+      .select((leftCols.map(c => col(c)) ++
+        valueCols.map(c => col(s"_asof_$c").as(c))): _*)
+  }
+
+  /** Shared tagging: both sides aligned to one schema (key, _ts, _tag,
+    * left payload, _v_* value slots) for the union+window formulation.
+    * Tag order decides tie behavior at equal timestamps: with inclusive
+    * semantics the quote at ts==left.ts must sort BEFORE the left row
+    * (tag 0 < 1); strict mode sorts it after (tag 2).
+    */
+  private def taggedSides(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      strict: Boolean): (DataFrame, DataFrame) = {
+    val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — " +
+        "rename or drop them on one side first")
+    val reserved = Seq("_ts", "_tag", "_bkt", "_min_ts") ++
+      valueCols.flatMap(c => Seq(s"_v_$c", s"_asof_$c", s"_m_$c", s"_c_$c"))
+    require(!reserved.exists(leftCols.contains) && !reserved.exists(right.columns.contains),
+      s"columns named ${reserved.mkString("/")} are reserved by AsOfJoin")
+    val rightTag = if (strict) 2 else 0
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_tag", lit(1))
+      .select((Seq(col(keyCol), col("_ts"), col("_tag")) ++
+        leftCols.filterNot(_ == keyCol).map(c => col(c)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c"))): _*)
+    val r = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_tag", lit(rightTag))
+      .select((Seq(col(keyCol), col("_ts"), col("_tag")) ++
+        leftCols.filterNot(_ == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"_v_$c"))): _*)
+    (l, r)
   }
 }

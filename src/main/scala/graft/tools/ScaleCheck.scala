@@ -124,6 +124,71 @@ object ScaleCheck {
     val l1 = time("doc lm 1x")(lmScore(docs1))
     val l10 = time("doc lm 10x")(lmScore(docs10))
     println(f"doc lm ratio: ${l10 / l1}%.1f (linear = 10)")
+
+    // Dedup.clusters: synthetic edge sets at N and 10N edges with CONSTANT
+    // component shape (4-node paths, diameter 3) — the regime a growing
+    // near-dup corpus exhibits: MORE clusters, not deeper ones. Per-round
+    // cost is O(|edges|) and rounds track component diameter, so time
+    // should grow ~10x with an IDENTICAL round count.
+    def pathEdges(n: Long) = spark.range(3L * n)
+      .select(((col("id") / 3).cast("long") * 4 + col("id") % 3).as("id_a"))
+      .withColumn("id_b", col("id_a") + 1)
+    def timedClusters(what: String, n: Long): (Int, Double) = {
+      val ids = spark.range(4L * n).select(col("id").as("doc_id"))
+        .localCheckpoint(true)
+      val edges = pathEdges(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.clustersCounted(ids, "doc_id", edges)
+      labels.write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"$what%-20s $s%7.2f s ($rounds rounds)")
+      (rounds, s)
+    }
+    val cn = 100000L
+    timedClusters("clusters warmup", cn)
+    val (cr1, ct1) = timedClusters("clusters 1x", cn)
+    val (cr10, ct10) = timedClusters("clusters 10x", 10 * cn)
+    println(f"clusters ratio: ${ct10 / ct1}%.1f (linear = 10; rounds " +
+      s"$cr1 -> $cr10, diameter-bound so must be equal)")
+
+    // As-of join under key skew: 90% of both sides on ONE hot asset. The
+    // union+window formulation shuffles once on the key, so the hot key
+    // lands in a single window partition whose sort is the suspected
+    // bottleneck. N vs 10N at constant skew measures whether that
+    // single-task sort dominates (superlinear => mitigation: bucket the
+    // hot key by coarse time range and run the asof per bucket with a
+    // carried-in boundary quote).
+    def skewedSide(n: Long, shift: Long) = spark.range(n).select(
+      (col("id") + shift).as("event_id"),
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 1000).as("asset"),
+      (col("id") * 37 % 1000000).as("ts"),
+      (col("id") % 97).cast("double").as("value"))
+    def asof(n: Long) = {
+      val trades = skewedSide(n, 0)
+      val quotes = skewedSide(n, 1).select(col("asset"),
+        (col("ts") + 1).as("ts"), col("value").as("quote"))
+      graft.operators.AsOfJoin(trades, quotes, "asset", "ts", "ts", Seq("quote"))
+    }
+    val an = 1000000L
+    time("asof skew warmup")(asof(an))
+    val a1 = time("asof skew 1x")(asof(an))
+    val a10 = time("asof skew 10x")(asof(10 * an))
+    println(f"asof skew ratio: ${a10 / a1}%.1f (linear = 10; 90%% of rows " +
+      "on one asset => one window partition sorts 1.8N rows single-task)")
+    // the mitigation: ~128 time-range buckets inside each key restore
+    // parallelism; OperatorSpec proves result equality with the plain form
+    def asofBucketed(n: Long) = {
+      val trades = skewedSide(n, 0)
+      val quotes = skewedSide(n, 1).select(col("asset"),
+        (col("ts") + 1).as("ts"), col("value").as("quote"))
+      graft.operators.AsOfJoin.bucketed(trades, quotes, "asset", "ts", "ts",
+        Seq("quote"), bucketWidth = 8192L)
+    }
+    time("asof bucketed warmup")(asofBucketed(an))
+    val ab1 = time("asof bucketed 1x")(asofBucketed(an))
+    val ab10 = time("asof bucketed 10x")(asofBucketed(10 * an))
+    println(f"asof bucketed ratio: ${ab10 / ab1}%.1f at 10x " +
+      f"(vs plain ${a10}%.1f s -> ${ab10}%.1f s on the same skew corpus)")
     spark.stop()
   }
 }

@@ -227,6 +227,31 @@ class OperatorSpec extends SparkSpec {
     assert(out == 5.0)
   }
 
+  test("bucketed as-of join equals the plain formulation across widths, modes, ties and nulls") {
+    // Randomized-but-seeded corpus engineered to hit every boundary case:
+    // multiple keys, duplicate-(key, ts) quote ties, null quote values
+    // (per-column carry), trades in buckets with no quotes (carry-in from
+    // earlier buckets), trades before any quote (null result).
+    val rnd = new scala.util.Random(7)
+    val trades = (1 to 400).map { i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, s"t$i")
+    }.toDF("key", "ts", "trade_id")
+    val quotes = (1 to 300).map { _ =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(10) == 0) null else java.lang.Double.valueOf(rnd.nextInt(50)),
+        java.lang.Long.valueOf(rnd.nextInt(5)))
+    }.toDF("key", "ts", "px", "depth")
+    for (strict <- Seq(false, true); width <- Seq(7L, 100L, 10000L)) {
+      val plain = AsOfJoin(trades, quotes, "key", "ts", "ts",
+        Seq("px", "depth"), strict)
+        .orderBy("trade_id").collect().toSeq
+      val buck = AsOfJoin.bucketed(trades, quotes, "key", "ts", "ts",
+        Seq("px", "depth"), width, strict)
+        .orderBy("trade_id").collect().toSeq
+      assert(buck == plain, s"strict=$strict width=$width diverged")
+    }
+  }
+
   test("salted skew join matches plain join result on a hot-key dataset") {
     import graft.operators.SkewJoin
     // 90% of rows share key 1 (the skew), the rest spread over 2..10

@@ -104,6 +104,58 @@ object IvfAnn {
       .withColumn("_list", nearestCell(col("_v"), centroids))
   }
 
+  /** The `nProbe` cells nearest to query `q` under cosine-compatible
+    * (squared-distance-to-halved-norm) ordering — the probe-selection rule
+    * shared by the in-memory and written-layout paths.
+    */
+  def nearestProbes(q: Array[Double], centroids: Array[Array[Double]],
+      nProbe: Int): Seq[Int] =
+    centroids.indices
+      .sortBy { i =>
+        val c = centroids(i)
+        c.map(x => x * x).sum / 2.0 - q.zip(c).map { case (a, b) => a * b }.sum
+      }
+      .take(math.min(nProbe, centroids.length))
+
+  /** Exact cosine top-k over only the probed cells of an already-tagged
+    * corpus (`_v` vector + `_list` cell columns, i.e. [[index]] output —
+    * in memory or read back from a [[writeIndex]] layout, where the
+    * `_list` filter becomes PARTITION pruning at the scan).
+    */
+  def probeTopK(tagged: DataFrame, idCol: String, q: Array[Double],
+      centroids: Array[Array[Double]], k: Int, nProbe: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val probes = nearestProbes(q, centroids, nProbe)
+    // broadcast one-row query vector built from the ALREADY-collected q —
+    // re-filtering `tagged` here would scan (and re-assign) the corpus a
+    // second time just to recover a row the driver is holding. Not a
+    // 64-literal array either: that inflates generated cosine code.
+    val session = tagged.sparkSession
+    import session.implicits._
+    val qRow = broadcast(Seq(Tuple1(q.toSeq)).toDF("_q_vec"))
+    tagged
+      .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
+      .crossJoin(qRow)
+      .select(col(idCol) +: carryCols.map(col) :+
+        round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"): _*)
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Write the tagged corpus in the DEPLOYMENT layout: hive-partitioned by
+    * IVF cell, one directory per `_list` value, so [[probeTopK]]'s cell
+    * filter prunes the scan to `nProbe` directories of ~|corpus|/nLists
+    * vectors (PlanShapeSpec asserts the pruning on the physical plan; a
+    * full scan would defeat the entire point of IVF at 100 TB).
+    * `repartition(_list)` keeps output to one file per cell per shuffle
+    * partition instead of #input-partitions × #cells fragments.
+    */
+  def writeIndex(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    index(emb, vecCol, centroids)
+      .repartition(col("_list"))
+      .write.partitionBy("_list").mode("overwrite").parquet(path)
+
   /** Approximate top-k by cosine for the corpus vector with id `queryId`:
     * probe the `nProbe` cells nearest the query, exact cosine inside them.
     * `carryCols` names extra columns of `emb` to carry into the output
@@ -122,26 +174,6 @@ object IvfAnn {
     // broadcast-query-vector pattern, used to pick the probe cells
     val q = tagged.filter(col(idCol) === queryId)
       .select(col("_v")).head().getSeq[Double](0).toArray
-    val probes = centroids.indices
-      .sortBy { i =>
-        val c = centroids(i)
-        c.map(x => x * x).sum / 2.0 - q.zip(c).map { case (a, b) => a * b }.sum
-      }
-      .take(math.min(nProbe, centroids.length))
-
-    // broadcast one-row query vector built from the ALREADY-collected q —
-    // re-filtering `tagged` here would scan (and re-assign) the corpus a
-    // second time just to recover a row the driver is holding. Not a
-    // 64-literal array either: that inflates generated cosine code.
-    val session = emb.sparkSession
-    import session.implicits._
-    val qRow = broadcast(Seq(Tuple1(q.toSeq)).toDF("_q_vec"))
-    tagged
-      .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
-      .crossJoin(qRow)
-      .select(col(idCol) +: carryCols.map(col) :+
-        round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"): _*)
-      .orderBy(col("sim").desc, col(idCol))
-      .limit(k)
+    probeTopK(tagged, idCol, q, centroids, k, nProbe, carryCols)
   }
 }

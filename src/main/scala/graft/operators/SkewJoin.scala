@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
   * skew-join splitting can't apply — e.g. the skewed side feeds a
   * co-partitioned downstream op, or the join is shuffle-hash).
   *
+  * When to let AQE handle skew INSTEAD of this operator: with
+  * `spark.sql.adaptive.skewJoin.enabled` (default on), AQE splits
+  * oversized partitions of a SORT-MERGE or shuffle-hash join at runtime —
+  * no replication cost, no code change — and that is the right default
+  * for plain SMJ joins at cluster scale. Manual salting remains necessary
+  * when (a) AQE's split can't fire: the skewed shuffle output is reused by
+  * another downstream operator requiring that exact partitioning, the join
+  * sits under a window/aggregate on the same key, or runtime stats miss
+  * the skew (one giant key inside an otherwise-median partition); or
+  * (b) the skew is IN THE KEY ITSELF so every row of the hot key still
+  * lands in one task after splitting by partition — AQE splits partitions,
+  * not keys, for shuffle-hash joins only when
+  * `spark.sql.adaptive.forceOptimizeSkewedJoin` permits the extra shuffle.
+  * PlanShapeSpec asserts this operator's shuffle-hash shape survives AQE's
+  * runtime re-planning (final adaptive plan, not just the static one).
+  *
   * Mechanics: the big (skewed) side gets a deterministic row-spread salt in
   * [0, salts); the small side is replicated once per salt value. The join
   * key becomes (key, salt), so a hot key's rows spread over `salts`

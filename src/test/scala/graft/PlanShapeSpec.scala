@@ -14,6 +14,21 @@ class PlanShapeSpec extends SparkSpec {
   private def physicalPlan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** All parquet scans in an executed plan, descending through AQE's
+    * stage wrappers (AdaptiveSparkPlanExec / QueryStageExec hold their
+    * subtree as a field, not a child, so a plain collect misses them).
+    */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other =>
+      other.children.flatMap(fileScans) ++ other.subqueries.flatMap(fileScans)
+  }
+
   test("filter + projection push down to the parquet scan (a8)") {
     val plan = physicalPlan(
       analytics.StarQueries.queries("a8_scan_project")(spark, sfDir))
@@ -32,6 +47,32 @@ class PlanShapeSpec extends SparkSpec {
     val plan = physicalPlan(
       analytics.StarQueries.queries("f3_topk")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not fused:\n$plan")
+  }
+
+  test("IVF probe over a written _list layout prunes to nProbe partition directories") {
+    import graft.operators.IvfAnn
+    val emb = Tables.embeddings(spark, sfDir)
+    val nLists = 8
+    val nProbe = 2
+    val centroids = IvfAnn.trainCentroids(emb, "embedding", "vec_id", 64, nLists)
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString + "/idx"
+    IvfAnn.writeIndex(emb, "embedding", centroids, dir)
+    val q = IvfAnn.index(emb, "embedding", centroids)
+      .filter(col("vec_id") === 0L).select("_v").head().getSeq[Double](0).toArray
+
+    val topk = IvfAnn.probeTopK(spark.read.parquet(dir), "vec_id", q,
+      centroids, k = 10, nProbe = nProbe)
+    topk.collect() // finalize the adaptive plan and populate scan metrics
+    val scan = fileScans(topk.queryExecution.executedPlan)
+      .find(_.toString.contains("_list"))
+      .getOrElse(fail(s"no partitioned scan in plan:\n${topk.queryExecution.executedPlan}"))
+    // the cell filter must be a PARTITION filter (directory pruning), not a
+    // post-scan data filter — at 100 TB that is the entire point of IVF
+    assert(scan.toString.contains("PartitionFilters: [_list"),
+      s"_list filter not applied at partition level:\n$scan")
+    val read = scan.metrics("numPartitions").value
+    assert(read == nProbe,
+      s"scan read $read partition directories, expected exactly nProbe=$nProbe of $nLists")
   }
 
   test("minhash LSH dedup plan contains no cartesian/broadcast-nested-loop join") {
@@ -117,6 +158,10 @@ class PlanShapeSpec extends SparkSpec {
         .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
         .count()
       assert(joined.count() == expected)
+      // and the shape must survive AQE's runtime re-planning too
+      val fin = finalPlan(joined)
+      assert(fin.contains("SortMergeJoin") && !fin.contains("Exchange"),
+        s"bucketed zero-exchange join degraded in the AQE final plan:\n$fin")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
@@ -131,6 +176,44 @@ class PlanShapeSpec extends SparkSpec {
       s"salted join must be a shuffled hash join:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"),
       s"16x-replicated dimension got broadcast (pre-explode size estimate trap):\n$plan")
+  }
+
+  /** The FINAL adaptive plan after execution — AQE re-plans at runtime
+    * (stage coalescing, skew splitting, join-strategy switches), and a
+    * 100× cluster runs with it enabled, so the scale shapes must hold in
+    * what actually EXECUTED, not just the static plan the other tests
+    * read. (`spark.sql.adaptive.enabled` defaults to true on Spark 4; the
+    * session leaves it on.)
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("isFinalPlan=true")
+      || !df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"),
+      "expected the adaptive plan to be finalized after an action")
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("AQE final plans keep the asserted shapes (salted c6, banded c8, LSH k2)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+
+    val salted = analytics.PipelineQueries.queries("c6_join_salted")(spark, sfDir)
+    val saltedPlan = finalPlan(salted)
+    assert(saltedPlan.contains("ShuffledHashJoin"),
+      s"AQE switched the salted join away from shuffle-hash:\n$saltedPlan")
+    assert(!saltedPlan.contains("BroadcastHashJoin"),
+      s"AQE broadcast the 16x-replicated dimension:\n$saltedPlan")
+
+    val range = analytics.PipelineQueries.queries("c8_range_join")(spark, sfDir)
+    val rangePlan = finalPlan(range)
+    assert(!rangePlan.contains("CartesianProduct") &&
+      !rangePlan.contains("BroadcastNestedLoopJoin"),
+      s"AQE degraded the banded range join:\n$rangePlan")
+
+    val lsh = Dedup.minHashLsh(Tables.documents(spark, sfDir), "text", "doc_id")
+    val lshPlan = finalPlan(lsh)
+    assert(!lshPlan.contains("CartesianProduct") &&
+      !lshPlan.contains("BroadcastNestedLoopJoin"),
+      s"AQE degraded the LSH candidate join:\n$lshPlan")
   }
 
   test("k6 pipeline ops are one scan + hash aggregate / per-shard window — at most one shuffle each") {

@@ -99,6 +99,26 @@ class SimilaritySpec extends SparkSpec {
       s"sampled-training IVF missed the planted cluster: got $got, recall $recall")
   }
 
+  test("IVF written partitioned layout returns identical results to the in-memory path") {
+    import graft.operators.IvfAnn
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = 64
+    val centroids = IvfAnn.trainCentroids(emb, "embedding", "vec_id", dim, nLists = 8)
+    val tagged = IvfAnn.index(emb, "embedding", centroids)
+    val q = tagged.filter($"vec_id" === 0L)
+      .select("_v").head().getSeq[Double](0).toArray
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    IvfAnn.writeIndex(emb, "embedding", centroids, dir)
+    val fromDisk = spark.read.parquet(dir)
+
+    val mem = IvfAnn.probeTopK(tagged, "vec_id", q, centroids, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = IvfAnn.probeTopK(fromDisk, "vec_id", q, centroids, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(disk == mem, s"partitioned layout diverged:\nmem  $mem\ndisk $disk")
+  }
+
   test("IVF ANN on the corpus retrieves the query itself") {
     val ann = topIds("k3_ann_ivf")
     assert(ann.contains(0L), "query vector must match itself")

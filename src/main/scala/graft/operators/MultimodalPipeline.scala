@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 /** K5: multimodal column plumbing — image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs): [[decodeStub]] derives deterministic fake features from the
-  * payload bytes. Everything around it — the schema, the typed record, the
-  * `mapPartitions` batch shape (one iterator pass per partition, no
-  * per-row task overhead, the Scala analogue of `mapInPandas` batches), and
-  * the partitioning — is real, tested plumbing a real decoder drops into.
+  * IMAGE decode is REAL: [[ImageIoCodec]] reads PNG/JPEG/GIF/BMP headers
+  * through the JDK's `javax.imageio` (no external codec needed). Audio and
+  * video decode remain STUBBED (the JDK ships no codec for them; this
+  * container has none to install): [[decodeStub]] derives deterministic
+  * fake features from the payload bytes. Everything around the codecs —
+  * the schema, the typed record, the `mapPartitions` batch shape (one
+  * iterator pass per partition, no per-row task overhead, the Scala
+  * analogue of `mapInPandas` batches), the registry dispatch, and the
+  * partitioning — is real, tested plumbing further codecs drop into.
+  * The declared (oracled) k5 queries keep the stub registry so the DuckDB
+  * oracle can reproduce them; OperatorSpec exercises [[ImageIoCodec]] on
+  * genuinely encoded images.
   */
 object MultimodalPipeline {
 
@@ -65,11 +71,59 @@ object MultimodalPipeline {
           s"registered: ${byModality.keys.toSeq.sorted.mkString(", ")}")).decode(r)
   }
 
-  /** Default registry: the deterministic stub for all three modalities. */
-  val stubRegistry: CodecRegistry = CodecRegistry(Seq(new MediaCodec {
-    val modalities: Set[String] = Set("image", "audio", "video")
+  /** Stub codec claiming the given modalities — composes with real codecs
+    * (e.g. [[ImageIoCodec]] for image + stub for the rest).
+    */
+  def stubCodec(mods: Set[String]): MediaCodec = new MediaCodec {
+    val modalities: Set[String] = mods
     def decode(r: MediaRecord): MediaFeatures = decodeStub(r)
-  }))
+  }
+
+  /** Default registry: the deterministic stub for all three modalities. */
+  val stubRegistry: CodecRegistry = CodecRegistry(
+    Seq(stubCodec(Set("image", "audio", "video"))))
+
+  /** REAL image decode via the JDK's `javax.imageio` — PNG/JPEG/GIF/BMP
+    * need no external codec library. Dimensions come from the image
+    * HEADER (`ImageReader.getWidth/getHeight`, not a full raster decode),
+    * so cost per record is parsing a few hundred bytes — the right unit
+    * economics for a 100 TB media scan where most pipelines only need
+    * metadata gates (resolution filters, aspect buckets) before a GPU
+    * stage does the pixel work. A payload no installed reader recognizes
+    * fails loudly (corrupt media must not flow on as fake features).
+    * Audio/video stay stubbed: the JDK ships no codec for them.
+    */
+  final class ImageIoCodec extends MediaCodec {
+    val modalities: Set[String] = Set("image")
+    def decode(r: MediaRecord): MediaFeatures = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            s"media_id=${r.media_id}: payload is not a decodable image " +
+              s"(${r.payload.length} bytes, no ImageIO reader claims it)")
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val h = java.security.MessageDigest.getInstance("SHA-256").digest(r.payload)
+          MediaFeatures(
+            media_id = r.media_id,
+            modality = r.modality,
+            byte_len = r.payload.length,
+            width = reader.getWidth(0),
+            height = reader.getHeight(0),
+            frames = reader.getNumImages(/* allowSearch = */ true).max(1),
+            checksum = h.take(8).map("%02x".format(_)).mkString)
+        } finally reader.dispose()
+      } finally in.close()
+    }
+  }
+
+  /** Production-shape registry: real JDK image decode, stub audio/video. */
+  val imageIoRegistry: CodecRegistry =
+    CodecRegistry(Seq(new ImageIoCodec, stubCodec(Set("audio", "video"))))
 
   /** STUB decoder ??? replacement: deterministic fake decode. A real
     * implementation would dispatch on modality to an image/audio codec;

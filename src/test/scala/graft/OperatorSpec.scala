@@ -350,6 +350,45 @@ class OperatorSpec extends SparkSpec {
     }
     assert(dup.getMessage.contains("image"))
   }
+
+  test("ImageIoCodec decodes genuine PNG and JPEG payloads; corrupt bytes fail loudly") {
+    import graft.operators.MultimodalPipeline._
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
+      out.toByteArray
+    }
+    val records = Seq(
+      MediaRecord(1L, "image", encode(37, 21, "png"), "{}"),
+      MediaRecord(2L, "image", encode(128, 64, "jpg"), "{}"),
+      MediaRecord(3L, "audio", Array[Byte](1, 2, 3), "{}")) // stub path
+      .toDS()
+    val feats = extractFeatures(records, imageIoRegistry)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 37 && feats(1L).height == 21 && feats(1L).frames == 1,
+      s"PNG header misread: ${feats(1L)}")
+    assert(feats(2L).width == 128 && feats(2L).height == 64,
+      s"JPEG header misread: ${feats(2L)}")
+    assert(feats(3L) == decodeStub(MediaRecord(3L, "audio", Array[Byte](1, 2, 3), "{}")),
+      "audio must stay on the stub path")
+    // downstream plumbing works unchanged on really-decoded features
+    val resized = resize(extractFeatures(records, imageIoRegistry), 64, 64)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(resized(2L).width == 64 && resized(2L).height == 32,
+      s"aspect-preserving resize over real dims: ${resized(2L)}")
+    // a payload no reader recognizes must fail the task, not emit features
+    val corrupt = Seq(MediaRecord(9L, "image",
+      "this is not an image".getBytes("UTF-8"), "{}")).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      extractFeatures(corrupt, imageIoRegistry).collect()
+    }
+    assert(ex.getMessage.contains("not a decodable image") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
 }
 
 /** File-scope codecs for the registry test — keeps the Spark closure free

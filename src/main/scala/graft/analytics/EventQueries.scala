@@ -119,6 +119,25 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // C5 skew path: the SAME as-of join through AsOfJoin.bucketed — per-key
+    // week-wide time buckets with carried-in boundary quotes, the hot-key
+    // mitigation (a key holding 90% of the corpus otherwise sorts in ONE
+    // window task; see BASELINE.md asof-skew ScaleCheck). Semantics are
+    // identical to the plain form by construction, so it shares c5's
+    // DuckDB ASOF oracle — the bucketing must be invisible in the values.
+    "c5_asof_bucketed" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val quotes = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("quote"))
+      AsOfJoin.bucketed(trades, quotes, "user_id", "ts", "ts", Seq("quote"),
+          bucketWidth = 7L * 24 * 3600)
+        .select("event_id", "user_id", "value", "quote")
+        .orderBy("event_id")
+    }),
+
     // D4: pivot — wide per-user totals by event type (explicit value list,
     // so no extra distinct-values job; oracle = conditional aggregation).
     "d4_pivot" -> ((s, d) => {
@@ -308,6 +327,20 @@ object EventQueries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "c5_asof_join" ->
+      """WITH trades AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |quotes AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS quote
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT t.event_id, t.user_id, t.value, q.quote
+        |FROM trades t ASOF LEFT JOIN quotes q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY t.event_id""".stripMargin,
+
+    // identical semantics to c5_asof_join by construction — the bucketing
+    // is a physical-plan concern and must be invisible in the values
+    "c5_asof_bucketed" ->
       """WITH trades AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
         |  FROM events WHERE event_type = 'purchase'),

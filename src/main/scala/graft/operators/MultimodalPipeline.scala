@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in partition-sized batches.
   *
   * IMAGE decode is REAL: [[ImageIoCodec]] reads PNG/JPEG/GIF/BMP headers
-  * through the JDK's `javax.imageio` (no external codec needed). Audio and
-  * video decode remain STUBBED (the JDK ships no codec for them; this
-  * container has none to install): [[decodeStub]] derives deterministic
-  * fake features from the payload bytes. Everything around the codecs —
+  * through the JDK's `javax.imageio` (no external codec needed). AUDIO
+  * header decode is REAL for WAV/AIFF/AU via [[JavaSoundCodec]]
+  * (`javax.sound.sampled`). Only VIDEO decode remains STUBBED (the JDK
+  * ships no video codec; this container has none to install):
+  * [[decodeStub]] derives deterministic fake features from the payload
+  * bytes. Everything around the codecs —
   * the schema, the typed record, the `mapPartitions` batch shape (one
   * iterator pass per partition, no per-row task overhead, the Scala
   * analogue of `mapInPandas` batches), the registry dispatch, and the
@@ -121,9 +123,46 @@ object MultimodalPipeline {
     }
   }
 
-  /** Production-shape registry: real JDK image decode, stub audio/video. */
+  /** REAL audio header decode via the JDK's `javax.sound.sampled` —
+    * WAV/AIFF/AU need no external codec. Field mapping onto the shared
+    * [[MediaFeatures]] record (documented, not overloaded silently):
+    * `width` = sample rate in Hz, `height` = channel count, `frames` =
+    * total sample frames — the three gates an audio-corpus pipeline
+    * filters on (resample targets, mono/stereo splits, duration buckets;
+    * duration seconds = frames / width). Header-only parse, same unit
+    * economics as [[ImageIoCodec]]. Unrecognized payloads fail loudly.
+    * Compressed formats (MP3/OGG) have no JDK codec and stay outside —
+    * register a real codec for them at deployment.
+    */
+  final class JavaSoundCodec extends MediaCodec {
+    val modalities: Set[String] = Set("audio")
+    def decode(r: MediaRecord): MediaFeatures = {
+      val fmt =
+        try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id=${r.media_id}: payload is not a decodable audio file " +
+                s"(${r.payload.length} bytes): ${e.getMessage}")
+        }
+      val h = java.security.MessageDigest.getInstance("SHA-256").digest(r.payload)
+      MediaFeatures(
+        media_id = r.media_id,
+        modality = r.modality,
+        byte_len = r.payload.length,
+        width = fmt.getFormat.getSampleRate.toInt,
+        height = fmt.getFormat.getChannels,
+        frames = fmt.getFrameLength.max(0),
+        checksum = h.take(8).map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** Production-shape registry: real JDK image + audio header decode; only
+    * video remains stubbed (the JDK ships no video codec).
+    */
   val imageIoRegistry: CodecRegistry =
-    CodecRegistry(Seq(new ImageIoCodec, stubCodec(Set("audio", "video"))))
+    CodecRegistry(Seq(new ImageIoCodec, new JavaSoundCodec, stubCodec(Set("video"))))
 
   /** STUB decoder ??? replacement: deterministic fake decode. A real
     * implementation would dispatch on modality to an image/audio codec;

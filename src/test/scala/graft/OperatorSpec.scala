@@ -351,7 +351,7 @@ class OperatorSpec extends SparkSpec {
     assert(dup.getMessage.contains("image"))
   }
 
-  test("ImageIoCodec decodes genuine PNG and JPEG payloads; corrupt bytes fail loudly") {
+  test("real codecs decode genuine PNG/JPEG/WAV payloads; corrupt bytes fail loudly") {
     import graft.operators.MultimodalPipeline._
     def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
@@ -362,10 +362,22 @@ class OperatorSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.write(img, fmt, out), s"JDK must encode $fmt")
       out.toByteArray
     }
+    def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](nFrames * fmt.getFrameSize)),
+        fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val videoBytes = Array[Byte](1, 2, 3)
     val records = Seq(
       MediaRecord(1L, "image", encode(37, 21, "png"), "{}"),
       MediaRecord(2L, "image", encode(128, 64, "jpg"), "{}"),
-      MediaRecord(3L, "audio", Array[Byte](1, 2, 3), "{}")) // stub path
+      MediaRecord(3L, "audio", wav(8000f, 2, 1234), "{}"),
+      MediaRecord(4L, "video", videoBytes, "{}")) // stub path
       .toDS()
     val feats = extractFeatures(records, imageIoRegistry)
       .collect().map(f => f.media_id -> f).toMap
@@ -373,8 +385,10 @@ class OperatorSpec extends SparkSpec {
       s"PNG header misread: ${feats(1L)}")
     assert(feats(2L).width == 128 && feats(2L).height == 64,
       s"JPEG header misread: ${feats(2L)}")
-    assert(feats(3L) == decodeStub(MediaRecord(3L, "audio", Array[Byte](1, 2, 3), "{}")),
-      "audio must stay on the stub path")
+    assert(feats(3L).width == 8000 && feats(3L).height == 2 && feats(3L).frames == 1234,
+      s"WAV header misread (width=rate, height=channels, frames=samples): ${feats(3L)}")
+    assert(feats(4L) == decodeStub(MediaRecord(4L, "video", videoBytes, "{}")),
+      "video must stay on the stub path")
     // downstream plumbing works unchanged on really-decoded features
     val resized = resize(extractFeatures(records, imageIoRegistry), 64, 64)
       .collect().map(f => f.media_id -> f).toMap

@@ -75,8 +75,15 @@ object AsOfJoin {
     * order the plain window uses, so duplicate-(key, ts) ties resolve
     * identically). The carry-in sorts before every real row in its bucket
     * (tag -1 at the bucket's min ts), exactly as an older quote would.
-    * Cost: one extra keyed aggregate over the right side plus a tiny
-    * per-(key, bucket) cumulative window — both shuffle-keyed, no skew.
+    *
+    * Cost, honestly: the right side is READ TWICE MORE (the per-bucket
+    * end-state aggregate and the all-buckets union) and the left side's
+    * (key, ts) pairs once more, plus a tiny per-(key, bucket) cumulative
+    * window — all shuffle-keyed, none skewed. On a NON-skewed corpus this
+    * makes bucketed ~2× the plain form (measured 1.06 s vs 0.47 s on the
+    * sf0.1 events asof); under real key skew it wins by whatever the
+    * straggler cost was (5.6× on the 90%-one-key ScaleCheck corpus at
+    * 10×). Reach for it when one key dominates, not by default.
     *
     * Pick `bucketWidth` so a hot key spreads over enough buckets to fill
     * the cluster but average keys don't fragment: ~(hot-key time range) /

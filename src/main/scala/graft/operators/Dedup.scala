@@ -105,16 +105,8 @@ object Dedup {
       .withColumn("_sig", graft.functions.VectorExpressions.minHashFast(col("_sh"), k))
       .select(col("_id"), explode(lshBandKeys(col("_sig"), k, bands)).as("_b"))
 
-    val buckets = banded
-      .groupBy(col("_b"))
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
-
-    val candidates = buckets
-      .select(explode(col("_ids")).as("id_a"), col("_ids"))
-      .select(col("id_a"), explode(col("_ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    // distinct: a pair can collide in several bands; verify it once
+    val candidates = blockPairs(banded, "_id", "_b", maxBucket).distinct()
 
     candidates
       .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
@@ -141,13 +133,7 @@ object Dedup {
     val quarters = fp.select(col("_id"), explode(array((0 until 4).map { q =>
       struct(lit(q).as("q"), shiftright(col("_fp"), q * 16).bitwiseAND(0xFFFFL).as("piece"))
     }: _*)).as("_qp"))
-    quarters.groupBy(col("_qp"))
-      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")).between(2, 64))
-      .select(explode(col("_ids")).as("id_a"), col("_ids"))
-      .select(col("id_a"), explode(col("_ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    blockPairs(quarters, "_id", "_qp", maxBucket = 64).distinct()
   }
 
   /** K2/K4 rolling-hash containment candidates: docs sharing any
@@ -166,12 +152,8 @@ object Dedup {
     val chunks = graft.Tables.fanOut(docs).select(col(idCol).as("_id"),
       explode(graft.functions.VectorExpressions.rollingChunks(col(textCol), window, mask))
         .as("_chunk"))
-    chunks.groupBy(col("_chunk"))
-      .agg(sort_array(collect_set(col("_id"))).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
-      .select(explode(col("_ids")).as("id_a"), col("_ids"))
-      .select(col("id_a"), explode(col("_ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // one pair row per shared chunk block → the count IS shared_chunks
+    blockPairs(chunks, "_id", "_chunk", maxBucket)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_chunks"))
   }

@@ -100,7 +100,8 @@ object AsOfJoin {
       strict: Boolean = false): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val leftCols = left.columns.toSeq
-    val (l0, r0) = taggedSides(left, right, keyCol, leftTs, rightTs, valueCols, strict)
+    val (l0, r0) = taggedSides(left, right, keyCol, leftTs, rightTs, valueCols,
+      strict, bucketed = true)
     def bkt(c: Column) = floor(c.cast("double") / bucketWidth).cast("long")
     val l = l0.withColumn("_bkt", bkt(col("_ts")))
     val r = r0.withColumn("_bkt", bkt(col("_ts")))
@@ -167,13 +168,18 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      strict: Boolean): (DataFrame, DataFrame) = {
+      strict: Boolean,
+      bucketed: Boolean = false): (DataFrame, DataFrame) = {
     val leftCols = left.columns.toSeq
     require(!valueCols.exists(leftCols.contains),
       s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — " +
         "rename or drop them on one side first")
-    val reserved = Seq("_ts", "_tag", "_bkt", "_min_ts") ++
-      valueCols.flatMap(c => Seq(s"_v_$c", s"_asof_$c", s"_m_$c", s"_c_$c"))
+    // reserve only what the chosen variant actually uses: the bucketed-only
+    // names must not narrow plain apply()'s input contract
+    val reserved = Seq("_ts", "_tag") ++
+      valueCols.flatMap(c => Seq(s"_v_$c", s"_asof_$c")) ++
+      (if (bucketed) Seq("_bkt", "_min_ts") ++
+        valueCols.flatMap(c => Seq(s"_m_$c", s"_c_$c")) else Nil)
     require(!reserved.exists(leftCols.contains) && !reserved.exists(right.columns.contains),
       s"columns named ${reserved.mkString("/")} are reserved by AsOfJoin")
     val rightTag = if (strict) 2 else 0

@@ -39,18 +39,23 @@ object IdempotentSink {
     * create-exclusive marker file under the table directory (underscore
     * prefix: invisible to parquet readers and to [[Compactor]]'s walks).
     *
-    * Acquisition is ATOMIC on both filesystems this engine targets:
+    * Acquisition is ATOMIC on the filesystems this engine targets:
     *  - Local FS: `java.nio` `CREATE_NEW` = `O_CREAT|O_EXCL` — the create
     *    AND the token stamp are one atomic syscall-backed operation (the
     *    Hadoop `RawLocalFileSystem.create(overwrite=false)` it replaces
     *    was exists-then-create, a race window the old settle-then-fence
     *    only papered over probabilistically).
-    *  - HDFS-like stores: `FileSystem.create(overwrite=false)` is a single
-    *    serialized namenode op; exclusivity comes from the create itself
-    *    and the token stamped afterwards is crash forensics only.
-    * Object stores without atomic create-exclusive (plain S3 check-then-put)
-    * are OUTSIDE this contract — deploy one writer per table there or front
-    * the lock with a real coordination service.
+    *  - HDFS-like stores (hdfs/viewfs/webhdfs): `create(overwrite=false)`
+    *    is a single serialized namenode op; exclusivity comes from the
+    *    create itself and the token stamped afterwards is crash forensics.
+    *  - Any OTHER scheme (object stores: plain S3's create is
+    *    check-then-put, not atomic) keeps the SETTLE-THEN-FENCE: stamp a
+    *    unique token, wait out racing stamps, read back — the loser of a
+    *    non-atomic create race throws loudly instead of double-writing.
+    *    The fence is probabilistic (a writer stalled longer than the
+    *    settle between create and stamp can defeat it), so on such stores
+    *    the contract remains best-effort loud failure — prefer one writer
+    *    per table or a real coordination service there.
     *
     * The token (pid + epoch + nonce) is the crash-forensics payload: a
     * writer that dies inside `body` leaves the lock behind by design — the
@@ -68,7 +73,10 @@ object IdempotentSink {
     def contention(detail: String) = new ConcurrentWriteException(
       s"table $path is locked by another writer ($detail); " +
         "if that writer is dead, inspect the lock and call breakLock")
-    if (fs.getScheme == "file") {
+    // fs.getUri always carries a scheme; FileSystem.getScheme is an
+    // OPTIONAL api (base class throws UnsupportedOperationException).
+    val scheme = fs.getUri.getScheme
+    if (scheme == "file") {
       // Atomic create+stamp in one O_EXCL operation; no window in which the
       // lock exists unstamped.
       try java.nio.file.Files.write(
@@ -79,6 +87,7 @@ object IdempotentSink {
         case _: java.nio.file.FileAlreadyExistsException =>
           throw contention(s"${lp.getName} exists")
       }
+      try body finally fs.delete(lp, false)
     } else {
       val out =
         try fs.create(lp, /* overwrite = */ false)
@@ -97,17 +106,72 @@ object IdempotentSink {
             val probed = try fs.exists(lp) catch { case _: java.io.IOException => false }
             if (probed) throw contention(s"${lp.getName} exists") else throw e
         }
-      try { try out.writeBytes(token) finally out.close() }
-      catch { case e: Throwable =>
-        // The create was exclusive, so the lock is OURS even unstamped —
-        // deleting it cannot touch another writer's lock. Release it so a
-        // writer that never entered the critical section doesn't wedge the
-        // table (an unstamped lock also carries no forensics to inspect).
-        fs.delete(lp, false)
-        throw e
-      }
+      val createIsAtomic = atomicCreateSchemes.contains(scheme)
+      var ownLock = true
+      try {
+        try { try out.writeBytes(token) finally out.close() }
+        catch { case e: Throwable =>
+          if (createIsAtomic) {
+            // The create was exclusive, so the lock is OURS even unstamped —
+            // release it so a writer that never entered the critical
+            // section doesn't wedge the table.
+            fs.delete(lp, false)
+          } else {
+            // Non-atomic create: another writer's stamp may have landed in
+            // the same window; only delete when the lock is verifiably
+            // empty or ours (an UNREADABLE lock stays put — deleting a
+            // possibly-foreign live lock is worse than a wedged table).
+            ownLock = false
+            if (readLock(fs, lp).exists(s => s.isEmpty || s == token))
+              fs.delete(lp, false)
+          }
+          throw e
+        }
+        if (!createIsAtomic) {
+          // settle-then-fence for stores where create may be check-then-put
+          Thread.sleep(fenceSettleMs)
+          readLock(fs, lp) match {
+            case Some(`token`) => // verified sole owner
+            case Some(seen) =>
+              ownLock = false
+              throw contention(s"lost the create race; lock now held by: ${seen.trim}")
+            case None =>
+              // Can't VERIFY ownership: neither proceed (risks two writers)
+              // nor delete (risks removing a live writer's lock).
+              ownLock = false
+              throw new java.io.IOException(
+                s"could not verify write-lock ownership for $path after stamping; " +
+                  s"inspect $lp and call breakLock if no writer is alive")
+          }
+        }
+        body
+      } finally if (ownLock) fs.delete(lp, false)
     }
-    try body finally fs.delete(lp, false)
+  }
+
+  /** Schemes whose `create(overwrite=false)` is a single atomic namespace
+    * op (no fence needed). Local `file` never reaches this check (it takes
+    * the NIO O_EXCL path).
+    */
+  private val atomicCreateSchemes = Set("hdfs", "viewfs", "webhdfs", "file")
+
+  /** Settle window for the non-atomic-store token fence; var so tests
+    * covering the fence can shrink it.
+    */
+  private[operators] var fenceSettleMs: Long = 100L
+
+  private def readLock(fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path): Option[String] = {
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        val in = fs.open(lp)
+        try return Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch { case _: java.io.IOException => attempt += 1; Thread.sleep(50) }
+    }
+    None
   }
 
   /** Forcibly remove a dead writer's lock. Returns true if a lock was

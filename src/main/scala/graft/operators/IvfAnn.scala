@@ -148,11 +148,15 @@ object IvfAnn {
     * vectors (PlanShapeSpec asserts the pruning on the physical plan; a
     * full scan would defeat the entire point of IVF at 100 TB).
     * `repartition(_list)` keeps output to one file per cell per shuffle
-    * partition instead of #input-partitions × #cells fragments.
+    * partition instead of #input-partitions × #cells fragments. The
+    * original float vector column is DROPPED — `_v` (the double form
+    * probing reads) already carries the values, and storing both would
+    * triple the vector bytes of the layout at corpus scale.
     */
   def writeIndex(emb: DataFrame, vecCol: String,
       centroids: Array[Array[Double]], path: String): Unit =
     index(emb, vecCol, centroids)
+      .drop(vecCol)
       .repartition(col("_list"))
       .write.partitionBy("_list").mode("overwrite").parquet(path)
 

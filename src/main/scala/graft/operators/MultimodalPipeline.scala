@@ -110,14 +110,19 @@ object MultimodalPipeline {
         try {
           reader.setInput(in)
           val h = java.security.MessageDigest.getInstance("SHA-256").digest(r.payload)
+          // allowSearch=false keeps this pass header-only: counting the
+          // frames of an animated GIF would walk the ENTIRE payload,
+          // breaking the few-hundred-bytes unit economics. -1 ("unknown
+          // without a search") maps to 1 — still images are the corpus
+          // norm, and a pixel-stage decoder owns the exact frame count.
           MediaFeatures(
             media_id = r.media_id,
             modality = r.modality,
             byte_len = r.payload.length,
             width = reader.getWidth(0),
             height = reader.getHeight(0),
-            frames = reader.getNumImages(/* allowSearch = */ true).max(1),
-            checksum = h.take(8).map("%02x".format(_)).mkString)
+            frames = reader.getNumImages(/* allowSearch = */ false).max(1),
+            checksum = checksum(h))
         } finally reader.dispose()
       } finally in.close()
     }
@@ -154,7 +159,7 @@ object MultimodalPipeline {
         width = fmt.getFormat.getSampleRate.toInt,
         height = fmt.getFormat.getChannels,
         frames = fmt.getFrameLength.max(0),
-        checksum = h.take(8).map("%02x".format(_)).mkString)
+        checksum = checksum(h))
     }
   }
 
@@ -180,8 +185,14 @@ object MultimodalPipeline {
       width = 64 + u16(0) % 1024,
       height = 64 + u16(2) % 1024,
       frames = if (r.modality == "video") 1 + u16(4) % 300 else 1,
-      checksum = h.take(8).map("%02x".format(_)).mkString)
+      checksum = checksum(h))
   }
+
+  /** Shared checksum format: first 8 bytes of SHA-256, hex — sampleFrames
+    * and downstream joins key on it, so every codec must agree.
+    */
+  private def checksum(sha256: Array[Byte]): String =
+    sha256.take(8).map("%02x".format(_)).mkString
 
   /** Batch feature extraction: one partition = one batch, decoder invoked
     * inside the iterator so memory stays bounded at one record. The codec

@@ -330,6 +330,37 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // K2 INCREMENTAL dedup under full oracle: an incoming "batch" slice
+    // (doc_id % 5 == 0) deduped against the existing "corpus" (the rest)
+    // — the ingest-time shape: candidates come from capped cross-corpus
+    // blocking (Dedup.blockPairsAgainst on the min/max shingle, the same
+    // deterministic two-band scheme k2_cluster_transitive uses), verified
+    // with exact Jaccard ≥ 0.5. The seeded-signature scale path
+    // (minHashSignatures + minHashLshAgainst — corpus text never re-read)
+    // is rows-only by the usual xxhash64 note and tested in DedupSpec.
+    "k2_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Tables.fanOut(docs)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val keyed = sh.select(col("doc_id"),
+        array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
+      def block(k: String) = Dedup.blockPairsAgainst(
+        keyed.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col(k).as("blk")),
+        keyed.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col(k).as("blk")),
+        "doc_id", "blk", maxBucket = 64)
+      val cand = block("kmin").unionAll(block("kmax")).distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+        .join(sh.select(col("doc_id").as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+        // filter on the UNROUNDED value (as the oracle does); round only
+        // the output column
+        .filter(jaccard(col("sh_l"), col("sh_r")) >= 0.5)
+        .withColumn("jaccard", round(jaccard(col("sh_l"), col("sh_r")), 6))
+        .select("id_l", "id_r", "jaccard")
+        .orderBy("id_l", "id_r")
+    }),
+
     // K1/K2 cascade: full near-dup removal — LSH pairs → transitive
     // clusters → keep lowest id per cluster. Rows-only check (candidates
     // come from seeded MinHash, not SQL-expressible); the corpus contains
@@ -579,6 +610,47 @@ object TextQueries {
         |  WHERE x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_chunks FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // Cross-corpus (batch % 5 == 0 vs rest) capped blocking + exact
+    // Jaccard — mirrors Dedup.blockPairsAgainst's drop semantic: a block
+    // needs ≥1 doc on EACH side and ≤64 total, else no pairs.
+    "k2_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |keyed AS (
+        |  SELECT doc_id, list_sort(s)[1] AS kmin, list_sort(s)[-1] AS kmax FROM sh),
+        |okmin AS (
+        |  SELECT kmin AS k FROM keyed GROUP BY kmin
+        |  HAVING SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) >= 1
+        |     AND SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) >= 1
+        |     AND COUNT(*) BETWEEN 2 AND 64),
+        |okmax AS (
+        |  SELECT kmax AS k FROM keyed GROUP BY kmax
+        |  HAVING SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) >= 1
+        |     AND SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) >= 1
+        |     AND COUNT(*) BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT id_l, id_r FROM (
+        |    SELECT b.doc_id AS id_l, c.doc_id AS id_r
+        |    FROM keyed b JOIN keyed c ON b.kmin = c.kmin
+        |    JOIN okmin o ON o.k = b.kmin
+        |    WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+        |    UNION ALL
+        |    SELECT b.doc_id, c.doc_id
+        |    FROM keyed b JOIN keyed c ON b.kmax = c.kmax
+        |    JOIN okmax o ON o.k = b.kmax
+        |    WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0))
+        |SELECT p.id_l, p.id_r,
+        |  ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(x.s || y.s)), 6) AS jaccard
+        |FROM cand p JOIN sh x ON x.doc_id = p.id_l JOIN sh y ON y.doc_id = p.id_r
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / len(list_distinct(x.s || y.s)) >= 0.5
+        |ORDER BY id_l, id_r""".stripMargin,
 
     // Independent connected-components re-derivation: same min/max-shingle
     // blocking + exact-Jaccard edges, components via a recursive CTE

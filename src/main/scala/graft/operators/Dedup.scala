@@ -116,6 +116,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Capped CROSS-CORPUS blocking pairs: for each block key, every
+    * (left id, right id) combination — left and right being different
+    * corpora (e.g. an incoming batch vs the existing corpus), so no
+    * ordering filter applies. The same oversize-drop semantic as
+    * [[blockPairs]]: a block whose combined membership exceeds
+    * `maxBucket` is dropped, because one boilerplate key shared by 10⁵
+    * corpus docs would otherwise emit |batch∩block|·10⁵ pairs.
+    *
+    * @return (id_l, id_r) distinct within each block
+    */
+  def blockPairsAgainst(leftKeyed: DataFrame, rightKeyed: DataFrame,
+      idCol: String, keyCol: String, maxBucket: Int = 64): DataFrame = {
+    val tagged = leftKeyed.select(col(keyCol), col(idCol).as("_lid"),
+        lit(null).cast(rightKeyed.schema(idCol).dataType).as("_rid"))
+      .unionAll(rightKeyed.select(col(keyCol),
+        lit(null).cast(leftKeyed.schema(idCol).dataType).as("_lid"),
+        col(idCol).as("_rid")))
+    tagged.groupBy(col(keyCol))
+      .agg(sort_array(collect_set(col("_lid"))).as("_lids"),
+        sort_array(collect_set(col("_rid"))).as("_rids"))
+      .filter(size(col("_lids")) >= 1 && size(col("_rids")) >= 1 &&
+        (size(col("_lids")) + size(col("_rids"))).between(2, maxBucket))
+      .select(explode(col("_lids")).as("id_l"), col("_rids"))
+      .select(col("id_l"), explode(col("_rids")).as("id_r"))
+  }
+
+  /** K2 MinHash signatures only — the PERSISTENT INDEX form: (idCol, _sig
+    * array<long>). Store this next to the corpus; [[minHashLshAgainst]]
+    * dedups future batches against it without touching corpus text again.
+    */
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame =
+    graft.Tables.fanOut(docs)
+      .select(col(idCol),
+        shingles(split(col(textCol), " "), shingleN).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col(idCol),
+        graft.functions.VectorExpressions.minHashFast(col("_sh"), k).as("_sig"))
+
+  /** K2 INCREMENTAL near-dup: candidate pairs between an incoming batch
+    * and an existing signature index ([[minHashSignatures]] output) —
+    * the ingest-time shape at corpus scale: the corpus's text is never
+    * re-read and its signatures never recomputed; only the batch is
+    * shingled + signed, banded keys of both sides meet in a capped
+    * bucket join, and verification is the SIGNATURE Jaccard estimate
+    * (mean equal MinHash components — unbiased for set Jaccard), so the
+    * index doesn't need to store shingle sets.
+    *
+    * @return (batch id as id_l, index id as id_r, sig_jaccard) pairs with
+    *         estimate ≥ threshold
+    */
+  def minHashLshAgainst(indexSigs: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val batchSigs = minHashSignatures(batch, textCol, idCol, shingleN, k)
+    def banded(sigs: DataFrame) = sigs.select(col(idCol).as("_id"),
+      explode(lshBandKeys(col("_sig"), k, bands)).as("_b"))
+    val cand = blockPairsAgainst(banded(batchSigs), banded(indexSigs),
+        "_id", "_b", maxBucket)
+      .distinct()
+    // signature Jaccard: fraction of equal components across the two sigs
+    val sigEq = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
+        lit(0), (acc, e) => acc + e).cast("double") / k
+    cand
+      .join(batchSigs.select(col(idCol).as("id_l"), col("_sig").as("_sig_l")), Seq("id_l"))
+      .join(indexSigs.select(col(idCol).as("id_r"), col("_sig").as("_sig_r")), Seq("id_r"))
+      .withColumn("sig_jaccard", sigEq(col("_sig_l"), col("_sig_r")))
+      .filter(col("sig_jaccard") >= threshold)
+      .select(col("id_l"), col("id_r"), col("sig_jaccard"))
+  }
+
   /** K2 SimHash 64-bit fingerprint of a token array: per-bit majority vote
     * over distinct token hashes. Native single-pass expression
     * ([[graft.functions.SimHash64Expr]]) — bit-identical to the unrolled

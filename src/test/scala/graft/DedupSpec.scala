@@ -107,6 +107,44 @@ class DedupSpec extends SparkSpec {
     assert(dropped == Seq(("hot", 100L)), "the dropped block must be observable")
   }
 
+  test("blockPairsAgainst pairs batch with corpus only, drops one-sided and oversize blocks") {
+    // "both": key present on both sides -> cross pairs only (no batch-batch
+    // or corpus-corpus). "batchonly"/"corpusonly": one-sided, no pairs.
+    // "hot": 100 corpus docs + 1 batch doc -> oversize, dropped.
+    val batch = (Seq((0L, "both"), (1L, "both"), (2L, "batchonly")) ++
+      Seq((3L, "hot"))).toDF("doc_id", "blk")
+    val corpus = (Seq((100L, "both"), (101L, "corpusonly")) ++
+      (200L until 300L).map(i => (i, "hot"))).toDF("doc_id", "blk")
+    val pairs = Dedup.blockPairsAgainst(batch, corpus, "doc_id", "blk", maxBucket = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 100L)),
+      s"expected only cross-side pairs from the shared small block: $pairs")
+  }
+
+  test("incremental LSH dedups a batch against a signature index without corpus text") {
+    val corpus = docs // ids 0-4
+    val index = Dedup.minHashSignatures(corpus, "text", "doc_id")
+    val batch = Seq(
+      (100L, base),                                  // exact dup of corpus 0/1
+      (101L, base.replace("lazy", "sleepy")),        // near-dup of corpus 0
+      (102L, "entirely novel content about incremental corpus ingest with " +
+        "signature indexes and banded bucket joins at petabyte scale")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshAgainst(index, batch, "text", "doc_id",
+        bands = 16, threshold = 0.4)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 0L)) && pairs.contains((100L, 1L)),
+      s"exact dup must match both corpus copies: $pairs")
+    assert(pairs.exists(_._1 == 101L), s"near-dup must match: $pairs")
+    assert(!pairs.exists(_._1 == 102L), s"novel doc must stay clean: $pairs")
+    // signature jaccard of the exact dup is 1.0 (identical signatures)
+    val sj = Dedup.minHashLshAgainst(index, batch, "text", "doc_id", bands = 16,
+        threshold = 0.4)
+      .filter($"id_l" === 100L && $"id_r" === 0L)
+      .select("sig_jaccard").as[Double].head()
+    assert(sj == 1.0)
+  }
+
   test("clusters: min-label propagation closes transitive chains") {
     val ids = (0L to 5L).toDF("doc_id")
     // chain 0-1, 1-2 (0 and 2 never paired directly); separate pair 4-5

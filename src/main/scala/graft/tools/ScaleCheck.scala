@@ -125,6 +125,22 @@ object ScaleCheck {
     val l10 = time("doc lm 10x")(lmScore(docs10))
     println(f"doc lm ratio: ${l10 / l1}%.1f (linear = 10)")
 
+    // incremental dedup: FIXED 100-doc batch against a 1x and 10x
+    // signature index — the ingest regime (corpus ≫ batch). The corpus
+    // text is never re-read (signatures only); growth is the banded
+    // bucket join over index signatures, linear in index size with no
+    // batch×corpus term.
+    val batch100 = docs1.limit(100).localCheckpoint(true)
+    val idx1 = Dedup.minHashSignatures(docs1, "text", "doc_id").localCheckpoint(true)
+    val idx10 = Dedup.minHashSignatures(docs10, "text", "doc_id").localCheckpoint(true)
+    def incr(index: DataFrame) =
+      Dedup.minHashLshAgainst(index, batch100, "text", "doc_id")
+    time("incr dedup warmup")(incr(idx1))
+    val n1i = time("incr dedup 1x")(incr(idx1))
+    val n10i = time("incr dedup 10x")(incr(idx10))
+    println(f"incr dedup ratio: ${n10i / n1i}%.1f (linear = 10; fixed batch, " +
+      "index signatures only — corpus text never re-read)")
+
     // Dedup.clusters: synthetic edge sets at N and 10N edges with CONSTANT
     // component shape (4-node paths, diameter 3) — the regime a growing
     // near-dup corpus exhibits: MORE clusters, not deeper ones. Per-round

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import graft.operators.{Dedup, IdempotentSink}
+
+/** K2×J: streaming corpus ingest with near-dup rejection — the shape a
+  * continuously-fed training corpus actually runs: every micro-batch is
+  * (1) exact-deduped within itself, (2) near-deduped within itself
+  * (MinHash/LSH cascade), (3) near-deduped against the PERSISTENT
+  * signature index of everything already accepted
+  * ([[graft.operators.Dedup.minHashLshAgainst]] — corpus text is never
+  * re-read, only its signatures), and the survivors are appended to the
+  * corpus and their signatures to the index through
+  * [[graft.operators.IdempotentSink.appendOnce]], so a replayed batch
+  * (at-least-once source, recovered query) is a no-op rather than a
+  * double insert.
+  *
+  * Scale notes: per micro-batch cost is batch-shingling + one capped
+  * banded bucket join against the index (ScaleCheck: 10× index → 1.1×
+  * time at fixed batch) + the keyed anti-join appendOnce already pays.
+  * Near-dup state lives entirely in the index parquet — no streaming
+  * state store, so the query restarts cold with full dedup history.
+  *
+  * An exact duplicate of an indexed doc is caught by the signature path
+  * too (identical signatures → estimate 1.0 ≥ threshold) provided the
+  * doc carries ≥ shingleN tokens; shorter docs only get the within-batch
+  * exact dedup plus appendOnce's key-level idempotence.
+  */
+object CorpusIngest {
+
+  /** Start the deduping ingest over a streaming `docs` frame (columns
+    * `idCol`, `textCol`, any payload). Survivor rows (all columns) land at
+    * `corpusPath`; their (id, signature) rows at `indexPath`.
+    */
+  def dedupingSink(
+      docs: DataFrame,
+      corpusPath: String,
+      indexPath: String,
+      checkpoint: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, corpusPath, indexPath, textCol, idCol, threshold): Unit
+      }
+      .start()
+
+  /** One micro-batch of the ingest — also the BATCH entry point (backfill
+    * jobs call this directly with the same semantics the stream gets).
+    * Returns the number of documents accepted.
+    */
+  def ingestBatch(
+      batch: DataFrame,
+      corpusPath: String,
+      indexPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.5): Long = {
+    val spark = batch.sparkSession
+    val withinExact = Dedup.exactRows(batch, textCol, idCol)
+    val within = Dedup.dedupNearDups(withinExact, textCol, idCol, threshold)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivors =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) within
+      else {
+        val index = spark.read.parquet(indexPath)
+        val dupIds = Dedup
+          .minHashLshAgainst(index, within, textCol, idCol, threshold = threshold)
+          .select(col("id_l").as(idCol)).distinct()
+        within.join(dupIds, Seq(idCol), "left_anti")
+      }
+    // Survivors are read twice (corpus append + signature build) and the
+    // anti-join above re-evaluates the batch subtree: checkpoint once so
+    // a replayed/non-deterministic source can't diverge between the two
+    // writes, then release the blocks.
+    val pinned = survivors.localCheckpoint(true)
+    val n = IdempotentSink.appendOnce(spark, pinned, corpusPath, idCol)
+    IdempotentSink.appendOnce(spark,
+      Dedup.minHashSignatures(pinned, textCol, idCol), indexPath, idCol)
+    n
+  }
+}

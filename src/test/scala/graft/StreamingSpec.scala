@@ -285,4 +285,47 @@ class StreamingSpec extends SparkSpec {
         spark.read.parquet(tmp).filter($"event_type" === "click").count())
     } finally q.stop()
   }
+
+  test("K2xJ: streaming corpus ingest rejects near-dups across micro-batches, replay is a no-op") {
+    import graft.streaming.CorpusIngest
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("ingest").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep dark forest where nobody ever goes at night"
+    val novel = "completely different text about spark catalyst optimizer " +
+      "rules and tungsten codegen for columnar execution at scale today"
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusIngest.dedupingSink(
+      in.toDF().toDF("doc_id", "text"),
+      s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt", "text", "doc_id",
+      threshold = 0.4)
+    try {
+      // batch 1: two originals + an in-batch exact dup of doc 1
+      in.addData((1L, base), (2L, novel), (3L, base))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(s"$tmp/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(after1 == Set(1L, 2L), s"in-batch exact dup must collapse: $after1")
+      // batch 2: near-dup of an INDEXED doc (one-word edit) + a fresh doc
+      in.addData((10L, base.replace("lazy", "sleepy")), (11L,
+        "yet another unrelated document mentioning minhash signatures " +
+          "banded locality sensitive hashing and jaccard similarity"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(s"$tmp/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(after2 == Set(1L, 2L, 11L),
+        s"cross-batch near-dup must be rejected via the index: $after2")
+      // index carries exactly the accepted docs' signatures
+      val idx = spark.read.parquet(s"$tmp/index")
+        .select("doc_id").as[Long].collect().toSet
+      assert(idx == after2, s"index out of sync with corpus: $idx")
+      // replaying an already-ingested batch is a no-op (idempotent appends)
+      val n = CorpusIngest.ingestBatch(
+        Seq((10L, base.replace("lazy", "sleepy")), (11L, novel + " v2"))
+          .toDF("doc_id", "text"),
+        s"$tmp/corpus", s"$tmp/index", "text", "doc_id", threshold = 0.4)
+      assert(n == 0, s"replayed keys must not re-insert, appended $n")
+      assert(spark.read.parquet(s"$tmp/corpus").count() == 3)
+    } finally q.stop()
+  }
 }

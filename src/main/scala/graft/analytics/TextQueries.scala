@@ -354,10 +354,13 @@ object TextQueries {
         .join(sh.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
         .join(sh.select(col("doc_id").as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
         // filter on the UNROUNDED value (as the oracle does); round only
-        // the output column
-        .filter(jaccard(col("sh_l"), col("sh_r")) >= 0.5)
-        .withColumn("jaccard", round(jaccard(col("sh_l"), col("sh_r")), 6))
-        .select("id_l", "id_r", "jaccard")
+        // the output. Single source-level evaluation — filter+project
+        // fuse into one codegen stage where runtime subexpression
+        // elimination shares the set ops, and the cardinality here is
+        // verified candidates only.
+        .withColumn("_j", jaccard(col("sh_l"), col("sh_r")))
+        .filter(col("_j") >= 0.5)
+        .select(col("id_l"), col("id_r"), round(col("_j"), 6).as("jaccard"))
         .orderBy("id_l", "id_r")
     }),
 

@@ -177,10 +177,19 @@ object Dedup {
     val cand = blockPairsAgainst(banded(batchSigs), banded(indexSigs),
         "_id", "_b", maxBucket)
       .distinct()
-    // signature Jaccard: fraction of equal components across the two sigs
+    // signature Jaccard: fraction of equal components across the two sigs.
+    // A length mismatch (index built with a different k than this call)
+    // must fail LOUDLY: zip_with would null-pad, the estimate would go
+    // null, and the threshold filter would silently drop every pair —
+    // dedup off with no error, the worst possible failure mode.
     val sigEq = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
-        lit(0), (acc, e) => acc + e).cast("double") / k
+      when(size(a) === k && size(b) === k,
+        aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
+          lit(0), (acc, e) => acc + e).cast("double") / k)
+      .otherwise(raise_error(concat(
+        lit(s"MinHash signature length mismatch: expected k=$k, got batch="),
+        size(a), lit(" index="), size(b),
+        lit(" — was the index built with a different k?"))).cast("double"))
     cand
       .join(batchSigs.select(col(idCol).as("id_l"), col("_sig").as("_sig_l")), Seq("id_l"))
       .join(indexSigs.select(col(idCol).as("id_r"), col("_sig").as("_sig_r")), Seq("id_r"))

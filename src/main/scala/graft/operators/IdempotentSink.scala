@@ -249,7 +249,7 @@ object IdempotentSink {
     }
   }
 
-  private def tableExists(spark: SparkSession, path: String): Boolean = {
+  private[graft] def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "exists" means HAS DATA: lock acquisition mkdirs the table directory

@@ -53,6 +53,21 @@ object CorpusIngest {
   /** One micro-batch of the ingest — also the BATCH entry point (backfill
     * jobs call this directly with the same semantics the stream gets).
     * Returns the number of documents accepted.
+    *
+    * Concurrency and crash contract: the whole read-index → decide →
+    * append sequence runs under an INGEST-SCOPE lock (an `_ingest`
+    * sub-table of the index — `withTableLock` on the index path itself
+    * would deadlock against the inner `appendOnce`'s own lock), so a
+    * second concurrent ingest fails loudly instead of both reading an
+    * index that lacks the other's signatures and silently admitting
+    * mutual near-dups. The corpus append runs BEFORE the index append on
+    * purpose: a crash between the two leaves corpus docs unindexed, and
+    * RE-RUNNING THE SAME BATCH HEALS IT — the unindexed docs raise no
+    * near-dup match, the corpus append is a keyed no-op, and the index
+    * append then lands the missing signatures. (Index-first would
+    * instead ghost-reject future docs whose "duplicate" never made it
+    * into the corpus.) The streaming wrapper replays failed batches
+    * automatically; direct batch callers re-run on failure.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -60,29 +75,39 @@ object CorpusIngest {
       indexPath: String,
       textCol: String,
       idCol: String,
-      threshold: Double = 0.5): Long = {
-    val spark = batch.sparkSession
-    val withinExact = Dedup.exactRows(batch, textCol, idCol)
-    val within = Dedup.dedupNearDups(withinExact, textCol, idCol, threshold)
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val survivors =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(indexPath))) within
-      else {
-        val index = spark.read.parquet(indexPath)
-        val dupIds = Dedup
-          .minHashLshAgainst(index, within, textCol, idCol, threshold = threshold)
-          .select(col("id_l").as(idCol)).distinct()
-        within.join(dupIds, Seq(idCol), "left_anti")
-      }
-    // Survivors are read twice (corpus append + signature build) and the
-    // anti-join above re-evaluates the batch subtree: checkpoint once so
-    // a replayed/non-deterministic source can't diverge between the two
-    // writes, then release the blocks.
-    val pinned = survivors.localCheckpoint(true)
-    val n = IdempotentSink.appendOnce(spark, pinned, corpusPath, idCol)
-    IdempotentSink.appendOnce(spark,
-      Dedup.minHashSignatures(pinned, textCol, idCol), indexPath, idCol)
-    n
-  }
+      threshold: Double = 0.5): Long =
+    IdempotentSink.withTableLock(batch.sparkSession, s"$indexPath/_ingest") {
+      val spark = batch.sparkSession
+      val withinExact = Dedup.exactRows(batch, textCol, idCol)
+      val within = Dedup.dedupNearDups(withinExact, textCol, idCol, threshold)
+      // has-DATA check, not fs.exists: appendOnce's lock acquisition
+      // mkdirs the table dir even on a zero-row append (e.g. a first
+      // batch of sub-shingle-length docs), and parquet-reading a
+      // dataless dir throws — which would wedge the stream forever.
+      val survivors =
+        if (!IdempotentSink.tableExists(spark, indexPath)) within
+        else {
+          val index = spark.read.parquet(indexPath)
+          val dupIds = Dedup
+            .minHashLshAgainst(index, within, textCol, idCol, threshold = threshold)
+            .select(col("id_l").as(idCol)).distinct()
+          within.join(dupIds, Seq(idCol), "left_anti")
+        }
+      // Survivors feed two writes (corpus + signatures) and the anti-join
+      // re-evaluates the batch subtree: checkpoint once so a replayed or
+      // non-deterministic source can't diverge between the writes. Same
+      // held-RDD pattern as IdempotentSink.appendOnce — a long-running
+      // ingest must release each batch's blocks deterministically, and
+      // Dataset.localCheckpoint's hidden RDD can't be unpersisted.
+      val rdd = survivors.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      val pinned = org.apache.spark.sql.GraftInternalBridge
+        .fromInternalRdd(spark, rdd, survivors.schema)
+      try {
+        val n = IdempotentSink.appendOnce(spark, pinned, corpusPath, idCol)
+        IdempotentSink.appendOnce(spark,
+          Dedup.minHashSignatures(pinned, textCol, idCol), indexPath, idCol)
+        n
+      } finally rdd.unpersist(blocking = false)
+    }
 }

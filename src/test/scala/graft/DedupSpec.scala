@@ -145,6 +145,22 @@ class DedupSpec extends SparkSpec {
     assert(sj == 1.0)
   }
 
+  test("incremental LSH fails loudly on a signature length mismatch, never silently no-ops") {
+    // a truncated index (as if built with a smaller k) still collides on
+    // the first band for an exact-dup text, so the verify stage runs and
+    // must RAISE rather than null-pad into an always-false threshold
+    val index = Dedup.minHashSignatures(docs, "text", "doc_id", k = 32)
+      .withColumn("_sig", slice(col("_sig"), 1, 16))
+    val batch = Seq((100L, base)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.minHashLshAgainst(index, batch, "text", "doc_id", k = 32).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("signature length mismatch")),
+      s"expected loud mismatch error, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("clusters: min-label propagation closes transitive chains") {
     val ids = (0L to 5L).toDF("doc_id")
     // chain 0-1, 1-2 (0 and 2 never paired directly); separate pair 4-5

@@ -116,6 +116,46 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // K6: temperature-scaled mixture sampling (multinomial domain
+    // reweighting, the multilingual-pretraining recipe): source i keeps
+    // rate (n_min/n_i)^(1-α) with α = 0.5 — the smallest source keeps
+    // everything, larger sources are downsampled toward balance. n_min
+    // comes from a tiny integer aggregate (order-independent, unlike a
+    // float sum over sources) broadcast back over the scan; the rate uses
+    // only /, sqrt — IEEE correctly-rounded, so both engines compute the
+    // identical double and the identical 12-bit hex threshold. Keep
+    // decisions are the same deterministic md5 coin as k6_mixture_sample,
+    // so resampling is stable across runs and repartitioning. One scan +
+    // two tiny aggregates at any corpus size.
+    "k6_mixture_temperature" -> ((s, d) => {
+      val sizes = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_total"))
+      val nMin = sizes.agg(min(col("n_total")).as("n_min"))
+      val rates = sizes.crossJoin(broadcast(nMin))
+        .withColumn("target_rate",
+          sqrt(col("n_min").cast("double") / col("n_total")))
+        // rate 1.0 would floor to 0x1000 — four hex digits, which lpad-3
+        // would TRUNCATE into an almost-never threshold; 'zzz' sorts
+        // above every hex string, i.e. keep-all
+        .withColumn("_thr",
+          when(col("target_rate") >= 1, lit("zzz"))
+            .otherwise(lpad(lower(hex(
+              floor(col("target_rate") * 4096).cast("long"))), 3, "0")))
+        .select("source", "n_total", "target_rate", "_thr")
+      Tables.documents(s, d)
+        .join(broadcast(rates), Seq("source"))
+        .withColumn("_kept",
+          (substring(md5(concat(lit("mixT:"), col("doc_id").cast("string"))),
+            1, 3) < col("_thr")).cast("long"))
+        .groupBy("source", "n_total", "target_rate")
+        .agg(sum(col("_kept")).as("n_kept"))
+        .select(col("source"), col("n_total"),
+          round(col("target_rate"), 6).as("target_rate"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_total"), 6)
+            .as("realized_rate"))
+        .orderBy("source")
+    }),
+
     // K6: sequence packing (concat-and-chunk) — documents concatenated in
     // deterministic order and cut into fixed 512-token context blocks; a doc
     // whose tokens straddle a cut spans several blocks. The running sum is
@@ -412,6 +452,31 @@ object PipelineQueries {
         |  ROUND(CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
         |    AS realized_rate
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same arithmetic, same operation order as the engine: n_min/n_i in
+    // double, sqrt, ×4096, floor — every step correctly rounded, so the
+    // hex thresholds agree bit-for-bit.
+    "k6_mixture_temperature" ->
+      """WITH s AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_total) AS n_min FROM s),
+        |r AS (
+        |  SELECT source, n_total,
+        |    sqrt(CAST(n_min AS DOUBLE) / n_total) AS target_rate
+        |  FROM s, m),
+        |t AS (
+        |  SELECT source, n_total, target_rate,
+        |    CASE WHEN target_rate >= 1 THEN 'zzz'
+        |         ELSE lpad(lower(to_hex(CAST(floor(target_rate * 4096) AS BIGINT))), 3, '0')
+        |    END AS thr
+        |  FROM r)
+        |SELECT d.source, t.n_total, ROUND(t.target_rate, 6) AS target_rate,
+        |  CAST(SUM(CASE WHEN substr(md5('mixT:' || CAST(d.doc_id AS VARCHAR)), 1, 3) < t.thr
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(CASE WHEN substr(md5('mixT:' || CAST(d.doc_id AS VARCHAR)), 1, 3) < t.thr
+        |                 THEN 1 ELSE 0 END) AS DOUBLE) / t.n_total, 6) AS realized_rate
+        |FROM documents d JOIN t USING (source)
+        |GROUP BY d.source, t.n_total, t.target_rate
+        |ORDER BY source""".stripMargin,
 
     "k6_pack_sequences" ->
       """WITH t AS (

@@ -414,6 +414,19 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K2: exact duplicated-span statistics — per doc, the fraction of its
+    // 10-token sliding windows that occur ≥2 times anywhere in the corpus
+    // (the substring-granular dedup signal; planted near-dup replicas make
+    // shared spans abundant). Spans hash to 64 bits BEFORE the explode, so
+    // the shuffle carries (id, bigint) — never span text; the oracle
+    // groups by span CONTENT, identical absent 64-bit collisions (same
+    // argument as k2_rolling_chunks' fingerprint join).
+    "k2_span_dupes" -> ((s, d) => {
+      Dedup.duplicateSpans(Tables.documents(s, d), "text", "doc_id",
+          spanLen = 10)
+        .orderBy("doc_id")
+    }),
+
     // K2: SimHash fingerprint near-dup candidates (rows-only: xxhash64).
     "k2_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
@@ -613,6 +626,22 @@ object TextQueries {
         |  WHERE x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_chunks FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // Duplicated spans re-derived on span CONTENT (the engine keys the
+    // identical string through xxhash64 — a pure fingerprint of it).
+    "k2_span_dupes" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, array_to_string(w[u.i:u.i+9], ' ') AS span
+        |  FROM t, LATERAL (SELECT UNNEST(range(1, len(w) - 8)) AS i) u(i)
+        |  WHERE len(w) >= 10),
+        |c AS (SELECT span, COUNT(*) AS n FROM sp GROUP BY 1)
+        |SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  ROUND(CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS dup_frac
+        |FROM sp JOIN c USING (span)
+        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus (batch % 5 == 0 vs rest) capped blocking + exact
     // Jaccard — mirrors Dedup.blockPairsAgainst's drop semantic: a block

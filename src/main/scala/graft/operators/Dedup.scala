@@ -404,4 +404,44 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_grams"), 6)
           .as("contamination"))
   }
+
+  /** K2+ exact duplicated-span statistics — the substring-granular dedup
+    * family (find repeated SPANS across the corpus, not duplicate
+    * documents): for each document, how many of its `spanLen`-token
+    * sliding windows occur ≥2 times anywhere in the corpus (another doc
+    * or elsewhere in the same doc). The published formulation builds a
+    * corpus-wide suffix array — inherently single-machine; this windowed-
+    * hash formulation is the one that distributes (ref: minimal Rust
+    * indexer has no text ops; capability class from the EXT mandate).
+    *
+    * Scale shape: spans are built array-local and hashed to 64 bits
+    * BEFORE the explode, so the shuffle carries (doc_id, hash) pairs —
+    * ~16 bytes per token position regardless of span length, never span
+    * text. Two shuffles on the hash key (occurrence count + join-back),
+    * both partial-aggregated; no pair term anywhere — a span shared by
+    * 10⁵ docs costs 10⁵ count rows, not 10¹⁰ pairs. At 100 TB the
+    * join-back is a plain shuffle-hash equi-join on a bigint.
+    *
+    * @return (idCol, n_spans, n_dup_spans, dup_frac) per doc with
+    *         ≥ spanLen tokens
+    */
+  def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int = 10): DataFrame = {
+    val sp = graft.Tables.fanOut(docs)
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .filter(size(col("_toks")) >= spanLen)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1), size(col("_toks")) - (spanLen - 1)),
+          i => xxhash64(array_join(slice(col("_toks"), i, lit(spanLen)), " "))))
+          .as("_h"))
+    val occ = sp.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
+    sp.join(occ, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_n") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+          .as("dup_frac"))
+  }
 }

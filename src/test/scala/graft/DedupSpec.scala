@@ -161,6 +161,25 @@ class DedupSpec extends SparkSpec {
       s"expected loud mismatch error, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("duplicateSpans counts positions whose span recurs, cross-doc and within-doc") {
+    def toks(p: String, n: Int, from: Int = 1) =
+      (from until from + n).map(i => s"$p$i").mkString(" ")
+    val a = toks("a", 12)                         // 3 spans, all unique... except
+    val b = toks("a", 10) + " b11 b12"            // shares span #1 with a
+    val c = toks("c", 10) + " " + toks("c", 10)   // internal repeat: pos 1 == pos 11
+    val d = toks("d", 9)                          // < spanLen: excluded
+    val spanDocs = Seq((0L, a), (1L, b), (2L, c), (3L, d)).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(spanDocs, "text", "doc_id", spanLen = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dup_spans").as[(Long, Long, Long)]
+      .collect().toSeq
+    // a: spans at 1..3, span1 (a1..a10) also opens b → 1 dup position;
+    // b: 3 spans, span1 dup of a's span1; the b11/b12 tails are unique;
+    // c: 11 spans, positions 1 and 11 both spell c1..c10 (the 9 rotations
+    //    between them are unique) → 2 dup positions; d: excluded
+    assert(out == Seq((0L, 3L, 1L), (1L, 3L, 1L), (2L, 11L, 2L)))
+  }
+
   test("clusters: min-label propagation closes transitive chains") {
     val ids = (0L to 5L).toDF("doc_id")
     // chain 0-1, 1-2 (0 and 2 never paired directly); separate pair 4-5

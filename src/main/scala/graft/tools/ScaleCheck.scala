@@ -141,6 +141,18 @@ object ScaleCheck {
     println(f"incr dedup ratio: ${n10i / n1i}%.1f (linear = 10; fixed batch, " +
       "index signatures only — corpus text never re-read)")
 
+    // duplicated spans: 1x vs 10x docs. Span rows grow with token
+    // positions (10x); replicas share every interior span, so the 10x run
+    // also carries ~10x-deep occurrence groups — which must stay an
+    // aggregate-count cost, never a pair term. Linear = 10.
+    def spans(docs: DataFrame) =
+      Dedup.duplicateSpans(docs, "text", "doc_id", spanLen = 10)
+    time("dup spans warmup")(spans(docs1))
+    val s1 = time("dup spans 1x")(spans(docs1))
+    val s10 = time("dup spans 10x")(spans(docs10))
+    println(f"dup spans ratio: ${s10 / s1}%.1f (linear = 10; spans hash " +
+      "to 64-bit keys before the shuffle, occurrences aggregate — no pairs)")
+
     // Dedup.clusters: synthetic edge sets at N and 10N edges with CONSTANT
     // component shape (4-node paths, diameter 3) — the regime a growing
     // near-dup corpus exhibits: MORE clusters, not deeper ones. Per-round

@@ -96,6 +96,24 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K2 semantic dedup (SemDeDup shape): nearest-centroid clustering →
+    // capped within-cluster exact cosine ≥ 0.9. Same planted ground truth
+    // as k2_embedding_neardup (scaled copies, cosine ≈ 1), but FULLY
+    // ORACLED: centroids are the deterministic stride-31 id subset, the
+    // planted scaling is float×float (IEEE, bit-identical in DuckDB), and
+    // cosine reuses the k3_cosine_topk double formulation the oracle
+    // already matches bit-for-bit.
+    "k2_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((-(col("vec_id") + 1)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
+          col("label"))
+      Dedup.semanticDedup(emb.unionByName(planted), "embedding", "vec_id")
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // K5: int8 embedding quantization — the storage-compression step of an
     // embedding pipeline: symmetric per-vector scale, quantize, and report
     // the worst-case dequantization error (bounded by 0.5/scale). One
@@ -251,6 +269,45 @@ object SimilarityQueries {
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,
+
+    // Full SQL re-derivation of the SemDeDup shape: planted scaled copies
+    // (REAL×REAL multiply, IEEE-identical to the engine's float math),
+    // stride-31 centroids, argmax-by-cosine assignment (row_number with
+    // the engine's tie-break), capped same-cluster pairs, exact cosine in
+    // the proven double formulation.
+    "k2_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT -(vec_id + 1) AS vec_id,
+        |    list_transform(embedding, x -> x * CAST(1.001 AS REAL)) AS embedding
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM base WHERE vec_id % 31 = 0),
+        |sims AS (
+        |  SELECT b.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS cos
+        |  FROM base b, c),
+        |asg AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |ok AS (SELECT cid FROM asg GROUP BY cid HAVING COUNT(*) BETWEEN 2 AND 256),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM asg a JOIN asg b USING (cid) JOIN ok USING (cid)
+        |      WHERE a.vec_id < b.vec_id),
+        |pc AS (SELECT p.id_a, p.id_b,
+        |    list_sum(list_transform(range(1, len(x.embedding) + 1),
+        |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(x.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(y.embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))))
+        |    AS cos
+        |  FROM p JOIN base x ON x.vec_id = p.id_a JOIN base y ON y.vec_id = p.id_b)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM pc
+        |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "k5_quantize_int8" ->
       """WITH q AS (

@@ -405,6 +405,56 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** K2+ semantic near-dup pairs — the cluster-then-verify shape of
+    * embedding-space dedup (SemDeDup): assign every embedding to its
+    * nearest centroid by cosine, then verify exact cosine only WITHIN
+    * clusters (capped via [[blockPairs]]) — never across the corpus.
+    * Complements [[embeddingNearDup]]'s hyperplane-LSH buckets: k-means-
+    * style cells give semantically coherent candidate sets, LSH gives
+    * probabilistic ones.
+    *
+    * Centroids here are the deterministic stride-`centStride` subset of
+    * the corpus (ids ≡ 0 mod centStride) — the oracle-reproducible
+    * stand-in for learned centroids; swap in `IvfAnn.trainCentroids` for
+    * the k-means variant (identical downstream shape, and at 100 TB the
+    * assignment should use IvfAnn's `NearestCentroidExpr` — a zero-
+    * shuffle literal-matrix argmin — instead of this crossJoin, which is
+    * kept here because the oracle must re-derive the assignment in SQL).
+    *
+    * Scale shape: the centroid side is k broadcast rows, so assignment is
+    * a map-side scan (n·k codegen'd dots, no corpus shuffle); the argmax
+    * is a partial-aggregated max_by (one row per id reaches the shuffle);
+    * pairs come from the capped [[blockPairs]]; exact cosine runs on
+    * verified candidates only. No pair term outside cluster cells.
+    *
+    * @return (id_a, id_b, cos) for same-cluster pairs with cosine ≥
+    *         threshold, id_a < id_b; cos unrounded (callers round for
+    *         display)
+    */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+      centStride: Int = 31, threshold: Double = 0.9,
+      maxBucket: Int = 256): DataFrame = {
+    import graft.functions.VectorExpressions.cosineFast
+    val cents = emb.filter(col(idCol) % centStride === 0)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val assigned = graft.Tables.fanOut(emb)
+      .select(col(idCol), col(vecCol).as("_v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_cos", cosineFast(col("_v"), col("_cv")))
+      .groupBy(col(idCol))
+      // ties (identical cosine doubles) break to the LOWEST centroid id —
+      // struct order (cos, -cid) makes that the max; the oracle's
+      // row_number ORDER BY cos DESC, cid picks the same centroid
+      .agg(max_by(col("_cid"), struct(col("_cos"), -col("_cid"))).as("_cid"))
+    val pairs = blockPairs(assigned, idCol, "_cid", maxBucket)
+    pairs
+      .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("_va")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), Seq("id_b"))
+      .withColumn("_c", cosineFast(col("_va"), col("_vb")))
+      .filter(col("_c") >= threshold)
+      .select(col("id_a"), col("id_b"), col("_c").as("cos"))
+  }
+
   /** K2+ exact duplicated-span statistics — the substring-granular dedup
     * family (find repeated SPANS across the corpus, not duplicate
     * documents): for each document, how many of its `spanLen`-token

@@ -180,6 +180,27 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((0L, 3L, 1L), (1L, 3L, 1L), (2L, 11L, 2L)))
   }
 
+  test("semanticDedup pairs only high-cosine members of the same centroid cell") {
+    // two loose clusters around orthogonal centroids (members 30° off
+    // centre: cos 0.866 to their centroid, 0.5 to each other — below the
+    // 0.9 verify threshold) plus one planted identical pair inside A
+    val c30 = math.cos(math.Pi / 6).toFloat; val s30 = math.sin(math.Pi / 6).toFloat
+    val emb = Seq(
+      0L  -> Array(1f, 0f, 0f, 0f),     // centroid A (stride-31 id)
+      1L  -> Array(c30, s30, 0f, 0f),   // A, +30°
+      2L  -> Array(c30, s30, 0f, 0f),   // A, planted dup of 1
+      3L  -> Array(c30, -s30, 0f, 0f),  // A, -30°
+      31L -> Array(0f, 1f, 0f, 0f),     // centroid B
+      32L -> Array(s30, c30, 0f, 0f),   // B, 60° from x = 30° from B
+      33L -> Array(-s30, c30, 0f, 0f)   // B, 120° from x
+    ).map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "embedding", "vec_id")
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"only the planted identical pair may verify, got $out")
+    assert(math.abs(out.head._3 - 1.0) < 1e-9)
+  }
+
   test("clusters: min-label propagation closes transitive chains") {
     val ids = (0L to 5L).toDF("doc_id")
     // chain 0-1, 1-2 (0 and 2 never paired directly); separate pair 4-5

@@ -427,6 +427,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K2: span-removal accounting — the removal half of substring dedup:
+    // every duplicated 10-token span keeps its globally-first occurrence;
+    // each doc reports the token count covered by the UNION of its removed
+    // windows (fixed-length windows make the union one lag subtraction
+    // over sorted removed positions — no interval sweep state).
+    "k2_span_removal" -> ((s, d) => {
+      Dedup.spanRemovalStats(Tables.documents(s, d), "text", "doc_id",
+          spanLen = 10)
+        .orderBy("doc_id")
+    }),
+
     // K2: SimHash fingerprint near-dup candidates (rows-only: xxhash64).
     "k2_simhash" -> ((s, d) => {
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
@@ -642,6 +653,31 @@ object TextQueries {
         |        / COUNT(*), 6) AS dup_frac
         |FROM sp JOIN c USING (span)
         |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Span removal re-derived on content: canonical = MIN of the packed
+    // (doc, pos) key per span; the interval union of fixed-length windows
+    // is LEAST(10, pos - lag(pos)) summed per doc.
+    "k2_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tt AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 10),
+        |sp AS (
+        |  SELECT doc_id, u.i AS pos, array_to_string(w[u.i:u.i+9], ' ') AS span,
+        |    doc_id * 1048576 + u.i AS key
+        |  FROM tt, LATERAL (SELECT UNNEST(range(1, n - 8)) AS i) u(i)),
+        |occ AS (SELECT span, COUNT(*) AS n, MIN(key) AS canon FROM sp GROUP BY 1),
+        |rem AS (
+        |  SELECT sp.doc_id, sp.pos FROM sp JOIN occ USING (span)
+        |  WHERE occ.n >= 2 AND sp.key <> occ.canon),
+        |ragg AS (
+        |  SELECT doc_id, SUM(seg) AS n_removed FROM (
+        |    SELECT doc_id,
+        |      LEAST(10, COALESCE(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 10)) AS seg
+        |    FROM rem)
+        |  GROUP BY doc_id)
+        |SELECT tt.doc_id, tt.n AS n_tokens,
+        |  CAST(COALESCE(ragg.n_removed, 0) AS BIGINT) AS n_removed,
+        |  ROUND(1 - CAST(COALESCE(ragg.n_removed, 0) AS DOUBLE) / tt.n, 6) AS keep_frac
+        |FROM tt LEFT JOIN ragg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus (batch % 5 == 0 vs rest) capped blocking + exact
     // Jaccard — mirrors Dedup.blockPairsAgainst's drop semantic: a block

@@ -455,6 +455,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("_c").as("cos"))
   }
 
+  /** K2+ span-removal accounting — the REMOVAL half of substring-granular
+    * dedup: every span content occurring ≥2 times keeps exactly one
+    * canonical occurrence (the globally lowest (doc, position)); all other
+    * occurrences are marked removed, and each doc reports how many of its
+    * tokens fall under the UNION of its removed windows.
+    *
+    * Scale shape: same hashed-span explode as [[duplicateSpans]] (the
+    * shuffle carries (id, pos, hash), never text), the canonical choice is
+    * one partial-aggregated min per span hash, and the interval-union
+    * count exploits fixed-length windows — with positions sorted, window
+    * i contributes min(spanLen, pos_i − pos_{i−1}) — so it is one lag
+    * window over REMOVED positions only (a small fraction of the corpus),
+    * partitioned by doc. No pair term, no per-token state.
+    *
+    * The canonical key packs (doc, pos) into one long (pos < 2²⁰); at
+    * true 100 TB id ranges widen it to min(struct(doc, pos)) — the
+    * declared packing keeps the oracle arithmetic identical.
+    *
+    * @return (idCol, n_tokens, n_removed, keep_frac) per doc with
+    *         ≥ spanLen tokens
+    */
+  def spanRemovalStats(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.fanOut(docs)
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .filter(size(col("_toks")) >= spanLen)
+      .select(col(idCol), col("_toks"), size(col("_toks")).cast("long").as("n_tokens"))
+    val sp = base.select(col(idCol), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(1), size(col("_toks")) - (spanLen - 1)),
+          i => xxhash64(array_join(slice(col("_toks"), i, lit(spanLen)), " ")))))
+      .select(col(idCol), (col("pos") + 1).as("_pos"), col("col").as("_h"))
+      .withColumn("_key", col(idCol) * 1048576L + col("_pos"))
+    val occ = sp.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), min(col("_key")).as("_canon"))
+    val removed = sp.join(occ, Seq("_h"))
+      .filter(col("_n") >= 2 && col("_key") =!= col("_canon"))
+      .select(col(idCol), col("_pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val ragg = removed
+      .withColumn("_add", least(lit(spanLen.toLong),
+        coalesce(col("_pos") - lag(col("_pos"), 1).over(w), lit(spanLen.toLong))))
+      .groupBy(col(idCol)).agg(sum(col("_add")).as("n_removed"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(ragg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        round(lit(1) - coalesce(col("n_removed"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("keep_frac"))
+  }
+
   /** K2+ exact duplicated-span statistics — the substring-granular dedup
     * family (find repeated SPANS across the corpus, not duplicate
     * documents): for each document, how many of its `spanLen`-token

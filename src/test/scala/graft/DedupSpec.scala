@@ -180,6 +180,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((0L, 3L, 1L), (1L, 3L, 1L), (2L, 11L, 2L)))
   }
 
+  test("spanRemovalStats keeps one canonical occurrence and unions overlapping removed windows") {
+    def toks(p: String, n: Int, from: Int = 1) =
+      (from until from + n).map(i => s"$p$i").mkString(" ")
+    // doc 0 owns the canonical (first) occurrence of a1..a10 and a2..a11;
+    // doc 1 opens with a1..a10 -> its position 1 is removed (10 tokens);
+    // doc 2 repeats its own opener at positions 1 and 11 -> 11 removed;
+    // doc 3 embeds a1..a11 twice -> four removed positions whose
+    // overlapping windows must union, not sum
+    val spanDocs = Seq(
+      (0L, toks("a", 12)),
+      (1L, toks("a", 10) + " b11 b12"),
+      (2L, toks("c", 10) + " " + toks("c", 10)),
+      (3L, "x0 " + toks("a", 11) + " y0 " + toks("a", 11))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanRemovalStats(spanDocs, "text", "doc_id", spanLen = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc 3 (24 tokens: x0, a1..a11, y0, a1..a11): a1..a10 occurs at doc0
+    // pos1 (canonical), doc1 pos1, doc3 pos2, doc3 pos14; a2..a11 at doc0
+    // pos2 (canonical), doc3 pos3, doc3 pos15 -> doc3 removes positions
+    // {2,3,14,15}, whose overlapping windows union to [2,12]+[14,24] = 22
+    // tokens (lag formula: 10+1+10+1), NOT 4x10=40
+    assert(out == Seq((0L, 12L, 0L), (1L, 12L, 10L), (2L, 20L, 10L), (3L, 24L, 22L)),
+      s"got $out")
+  }
+
   test("semanticDedup pairs only high-cosine members of the same centroid cell") {
     // two loose clusters around orthogonal centroids (members 30° off
     // centre: cos 0.866 to their centroid, 0.5 to each other — below the

@@ -153,6 +153,38 @@ object ScaleCheck {
     println(f"dup spans ratio: ${s10 / s1}%.1f (linear = 10; spans hash " +
       "to 64-bit keys before the shuffle, occurrences aggregate — no pairs)")
 
+    // span removal: same hashed-span explode as duplicateSpans plus the
+    // canonical MIN and the lag-union window over removed positions only.
+    // Linear = 10 (the lag window grows with removed rows, not spans).
+    def spanRm(docs: DataFrame) =
+      Dedup.spanRemovalStats(docs, "text", "doc_id", spanLen = 10)
+    time("span removal warmup")(spanRm(docs1))
+    val sr1 = time("span removal 1x")(spanRm(docs1))
+    val sr10 = time("span removal 10x")(spanRm(docs10))
+    println(f"span removal ratio: ${sr10 / sr1}%.1f (linear = 10; the " +
+      "10x replicas make nearly every position removed — worst case)")
+
+    // semantic dedup in the k ∝ n regime (stride fixed => 10x centroids,
+    // constant ~31-member cells — the SemDeDup recipe): in-cell verify
+    // stays linear, but ASSIGNMENT is n·k map-side dots = 100x raw FLOPs
+    // here. The measured ratio shows how much of that the scan absorbs at
+    // this size; at 100 TB, k caps at centroid-matrix memory and
+    // assignment moves to IvfAnn's NearestCentroidExpr / ANN-assignment —
+    // the documented production path.
+    val emb1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+    val emb10 = (0 until 10).map { i =>
+      emb1.select((col("vec_id") * 10 + i).as("vec_id"), col("embedding"), col("label"))
+    }.reduce(_ unionAll _).localCheckpoint(true)
+    println(s"embeddings 1x=${emb1.count()} 10x=${emb10.count()}")
+    def sem(emb: DataFrame, stride: Int) =
+      Dedup.semanticDedup(emb, "embedding", "vec_id", centStride = stride)
+    time("semantic dedup warmup")(sem(emb1, 31))
+    val sd1 = time("semantic dedup 1x")(sem(emb1, 31))
+    val sd10 = time("semantic dedup 10x")(sem(emb10, 31))
+    println(f"semantic dedup ratio: ${sd10 / sd1}%.1f (k grows with n: " +
+      "assignment dots are 100x raw — the map-side scan absorbs them " +
+      "until k hits centroid-memory, then NearestCentroidExpr/ANN assignment)")
+
     // Dedup.clusters: synthetic edge sets at N and 10N edges with CONSTANT
     // component shape (4-node paths, diameter 3) — the regime a growing
     // near-dup corpus exhibits: MORE clusters, not deeper ones. Per-round

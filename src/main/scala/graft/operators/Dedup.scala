@@ -461,51 +461,90 @@ object Dedup {
     * occurrences are marked removed, and each doc reports how many of its
     * tokens fall under the UNION of its removed windows.
     *
-    * Scale shape: same hashed-span explode as [[duplicateSpans]] (the
+    * Scale shape: same [[hashedSpans]] explode as [[duplicateSpans]] (the
     * shuffle carries (id, pos, hash), never text), the canonical choice is
     * one partial-aggregated min per span hash, and the interval-union
     * count exploits fixed-length windows — with positions sorted, window
-    * i contributes min(spanLen, pos_i − pos_{i−1}) — so it is one lag
-    * window over REMOVED positions only (a small fraction of the corpus),
-    * partitioned by doc. No pair term, no per-token state.
+    * i contributes min(spanLen, pos_i − pos_{i−1}) — an adjacent-gap fold
+    * computed ARRAY-LOCAL over each doc's removed positions (bounded by
+    * doc length) inside the one per-doc aggregate, which also recovers
+    * n_tokens from the span count. One scan, two keyed shuffles (span
+    * hash, doc id); no pair term, no second tokenize, no window exchange.
     *
-    * The canonical key packs (doc, pos) into one long (pos < 2²⁰); at
-    * true 100 TB id ranges widen it to min(struct(doc, pos)) — the
-    * declared packing keeps the oracle arithmetic identical.
+    * The canonical key packs (doc, pos) into one long; a position past
+    * 2²⁰ RAISES rather than silently bleeding into the next id's key
+    * space — at true 100 TB doc lengths widen the key to
+    * min(struct(doc, pos)) (the declared packing keeps the oracle
+    * arithmetic identical).
     *
     * @return (idCol, n_tokens, n_removed, keep_frac) per doc with
     *         ≥ spanLen tokens
     */
   def spanRemovalStats(docs: DataFrame, textCol: String, idCol: String,
       spanLen: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = graft.Tables.fanOut(docs)
+    // Packed canonical key: sound only while positions fit 20 bits. A doc
+    // past 2²⁰ tokens would silently bleed into the next id's key space
+    // and corrupt canonical selection — fail LOUDLY instead (the sigEq
+    // rule: silent mis-dedup is the worst failure mode). The oracle
+    // shares the packing, so only this guard can surface the overflow.
+    val packedKey = when(col("_pos") < lit(1048576L),
+        col(idCol) * 1048576L + col("_pos"))
+      .otherwise(raise_error(concat(
+        lit(s"spanRemovalStats: token position "), col("_pos"),
+        lit(" exceeds the 2^20 packed-key range — widen the canonical " +
+          "key to min(struct(id, pos)) for docs this long"))).cast("long"))
+    val sp = hashedSpans(docs, textCol, idCol, spanLen)
+      .withColumn("_key", packedKey)
+    val occ = sp.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_n"), min(col("_key")).as("_canon"))
+    // ONE aggregate over the joined span rows recovers everything:
+    // n_tokens from the per-doc span count (n + spanLen − 1), and the
+    // removed-window union from the sorted removed positions — fixed-
+    // length windows make it an adjacent-gap fold, array-local per doc
+    // (bounded by doc length), so no second corpus scan, no window
+    // shuffle, no join-back.
+    val union = aggregate(
+      col("_rpos"),
+      struct(lit(0L).as("t"), lit(Long.MinValue / 2).as("last")),
+      (acc, p) => struct(
+        (acc.getField("t") +
+          least(lit(spanLen.toLong), p - acc.getField("last"))).as("t"),
+        p.as("last")),
+      acc => acc.getField("t"))
+    sp.join(occ, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nsp"),
+        sort_array(collect_list(
+          when(col("_n") >= 2 && col("_key") =!= col("_canon"), col("_pos"))))
+          .as("_rpos"))
+      .select(col(idCol),
+        (col("_nsp") + (spanLen - 1)).as("n_tokens"),
+        union.as("n_removed"))
+      .select(col(idCol), col("n_tokens"), col("n_removed"),
+        round(lit(1) - col("n_removed").cast("double") / col("n_tokens"), 6)
+          .as("keep_frac"))
+  }
+
+  /** Shared span-explode for the substring-dedup family: one row per
+    * `spanLen`-token sliding window, the span hashed to 64 bits ARRAY-
+    * LOCAL before the explode so the shuffle never carries span text.
+    * The window arithmetic (1-based positions, `n − spanLen + 1` spans)
+    * lives here and only here — both span operators and both oracles
+    * depend on it agreeing.
+    *
+    * @return (idCol, _pos [1-based], _h) for docs with ≥ spanLen tokens
+    */
+  private def hashedSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int): DataFrame =
+    graft.Tables.fanOut(docs)
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .filter(size(col("_toks")) >= spanLen)
-      .select(col(idCol), col("_toks"), size(col("_toks")).cast("long").as("n_tokens"))
-    val sp = base.select(col(idCol), col("n_tokens"),
+      .select(col(idCol),
         posexplode(transform(
           sequence(lit(1), size(col("_toks")) - (spanLen - 1)),
           i => xxhash64(array_join(slice(col("_toks"), i, lit(spanLen)), " ")))))
-      .select(col(idCol), (col("pos") + 1).as("_pos"), col("col").as("_h"))
-      .withColumn("_key", col(idCol) * 1048576L + col("_pos"))
-    val occ = sp.groupBy(col("_h"))
-      .agg(count(lit(1)).as("_n"), min(col("_key")).as("_canon"))
-    val removed = sp.join(occ, Seq("_h"))
-      .filter(col("_n") >= 2 && col("_key") =!= col("_canon"))
-      .select(col(idCol), col("_pos"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    val ragg = removed
-      .withColumn("_add", least(lit(spanLen.toLong),
-        coalesce(col("_pos") - lag(col("_pos"), 1).over(w), lit(spanLen.toLong))))
-      .groupBy(col(idCol)).agg(sum(col("_add")).as("n_removed"))
-    base.select(col(idCol), col("n_tokens"))
-      .join(ragg, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-        round(lit(1) - coalesce(col("n_removed"), lit(0L)).cast("double")
-          / col("n_tokens"), 6).as("keep_frac"))
-  }
+      .select(col(idCol), (col("pos") + 1).cast("long").as("_pos"),
+        col("col").as("_h"))
 
   /** K2+ exact duplicated-span statistics — the substring-granular dedup
     * family (find repeated SPANS across the corpus, not duplicate
@@ -529,14 +568,8 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
       spanLen: Int = 10): DataFrame = {
-    val sp = graft.Tables.fanOut(docs)
-      .select(col(idCol), split(col(textCol), " ").as("_toks"))
-      .filter(size(col("_toks")) >= spanLen)
-      .select(col(idCol),
-        explode(transform(
-          sequence(lit(1), size(col("_toks")) - (spanLen - 1)),
-          i => xxhash64(array_join(slice(col("_toks"), i, lit(spanLen)), " "))))
-          .as("_h"))
+    val sp = hashedSpans(docs, textCol, idCol, spanLen)
+      .select(col(idCol), col("_h"))
     val occ = sp.groupBy(col("_h")).agg(count(lit(1)).as("_n"))
     sp.join(occ, Seq("_h"))
       .groupBy(col(idCol))

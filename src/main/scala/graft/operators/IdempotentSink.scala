@@ -203,33 +203,43 @@ object IdempotentSink {
     // evicted/lost cached partition recomputed AFTER the append commits
     // would re-run the anti-join against the mutated table and drop rows
     // mid-write. Checkpointing severs that lineage — a lost block fails the
-    // job loudly instead of corrupting the output.
-    //
-    // The checkpoint is taken on an RDD we hold directly (not via
-    // Dataset.localCheckpoint, which hides its checkpointed RDD inside a
-    // LogicalRDD that Dataset.unpersist can't reach — the CacheManager has
-    // no entry for it, so the blocks would linger until ContextCleaner GC).
-    // Holding the handle makes the finally-block release real: a long
-    // ingest loop drops each batch's blocks as soon as its append lands.
-    //
-    // The RDD stays in InternalRow (Tungsten binary) form via
-    // GraftInternalBridge — `df.rdd` would deserialize every field to boxed
-    // external Rows and re-encode them on both the count and the write.
-    // toRdd's iterators reuse mutable UnsafeRow buffers: copy before
-    // persisting (same rule Dataset.localCheckpoint applies internally).
-    val plan = dedupeAgainstExisting(spark, batch, path, keyCol)
-    val rdd = plan.queryExecution.toRdd.map(_.copy())
-    rdd.localCheckpoint()
-    val fresh = org.apache.spark.sql.GraftInternalBridge
-      .fromInternalRdd(spark, rdd, plan.schema)
-    try {
+    // job loudly instead of corrupting the output (see [[withPinned]] for
+    // the held-RDD mechanics).
+    withPinned(dedupeAgainstExisting(spark, batch, path, keyCol)) { fresh =>
       val n = fresh.count() // materializes the checkpoint
       if (n > 0) {
         val w = fresh.write.mode(SaveMode.Append)
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
       }
       n
-    } finally rdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Pin `df` to a local checkpoint for the duration of `body`, releasing
+    * the blocks deterministically afterwards — the safe shape for reading
+    * one plan several times across writes that mutate its inputs.
+    *
+    * The checkpoint is taken on an RDD we hold directly (not via
+    * Dataset.localCheckpoint, which hides its checkpointed RDD inside a
+    * LogicalRDD that Dataset.unpersist can't reach — the CacheManager has
+    * no entry for it, so the blocks would linger until ContextCleaner GC).
+    * Holding the handle makes the finally-block release real: a long
+    * ingest loop drops each batch's blocks as soon as its writes land.
+    *
+    * The RDD stays in InternalRow (Tungsten binary) form via
+    * GraftInternalBridge — `df.rdd` would deserialize every field to boxed
+    * external Rows and re-encode them on every downstream action.
+    * toRdd's iterators reuse mutable UnsafeRow buffers: copy before
+    * persisting (same rule Dataset.localCheckpoint applies internally).
+    * This invariant lives HERE and only here — callers must not inline
+    * their own toRdd/checkpoint/bridge variant.
+    */
+  private[graft] def withPinned[T](df: DataFrame)(body: DataFrame => T): T = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val pinned = org.apache.spark.sql.GraftInternalBridge
+      .fromInternalRdd(df.sparkSession, rdd, df.schema)
+    try body(pinned) finally rdd.unpersist(blocking = false)
   }
 
   /** The pure (side-effect-free) core: batch rows whose key is not already

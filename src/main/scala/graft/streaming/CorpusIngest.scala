@@ -66,8 +66,17 @@ object CorpusIngest {
     * near-dup match, the corpus append is a keyed no-op, and the index
     * append then lands the missing signatures. (Index-first would
     * instead ghost-reject future docs whose "duplicate" never made it
-    * into the corpus.) The streaming wrapper replays failed batches
-    * automatically; direct batch callers re-run on failure.
+    * into the corpus.)
+    *
+    * A crash INSIDE the lock leaves the `_ingest` lock file behind (by
+    * [[IdempotentSink.withTableLock]] design: locks never auto-expire, so
+    * a slow-but-alive writer is never raced). Replays therefore throw
+    * [[graft.operators.ConcurrentWriteException]] until an operator
+    * confirms the crashed writer is dead and calls [[recoverIngestLock]]
+    * (which names the non-obvious `_ingest` sub-path for you); the data
+    * itself needs no repair — the next replay heals as above. The
+    * streaming wrapper replays failed batches automatically; direct
+    * batch callers re-run on failure.
     */
   def ingestBatch(
       batch: DataFrame,
@@ -94,20 +103,27 @@ object CorpusIngest {
           within.join(dupIds, Seq(idCol), "left_anti")
         }
       // Survivors feed two writes (corpus + signatures) and the anti-join
-      // re-evaluates the batch subtree: checkpoint once so a replayed or
-      // non-deterministic source can't diverge between the writes. Same
-      // held-RDD pattern as IdempotentSink.appendOnce — a long-running
-      // ingest must release each batch's blocks deterministically, and
-      // Dataset.localCheckpoint's hidden RDD can't be unpersisted.
-      val rdd = survivors.queryExecution.toRdd.map(_.copy())
-      rdd.localCheckpoint()
-      val pinned = org.apache.spark.sql.GraftInternalBridge
-        .fromInternalRdd(spark, rdd, survivors.schema)
-      try {
+      // re-evaluates the batch subtree: pin once so a replayed or
+      // non-deterministic source can't diverge between the writes, and so
+      // a long-running ingest releases each batch's blocks as it goes.
+      IdempotentSink.withPinned(survivors) { pinned =>
         val n = IdempotentSink.appendOnce(spark, pinned, corpusPath, idCol)
         IdempotentSink.appendOnce(spark,
           Dedup.minHashSignatures(pinned, textCol, idCol), indexPath, idCol)
         n
-      } finally rdd.unpersist(blocking = false)
+      }
     }
+
+  /** Break a crashed ingest's `_ingest`-scope lock after confirming the
+    * writer is dead (inspect the lock contents first — it records
+    * pid/epoch/nonce). Exists because the lock lives at a sub-path of the
+    * index table that callers would otherwise have to know by convention;
+    * the DATA needs no repair — re-running the failed batch heals it (see
+    * [[ingestBatch]]'s crash contract).
+    *
+    * @return true if a lock was present and removed
+    */
+  def recoverIngestLock(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Boolean =
+    IdempotentSink.breakLock(spark, s"$indexPath/_ingest")
 }

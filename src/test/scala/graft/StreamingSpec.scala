@@ -328,4 +328,35 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$tmp/corpus").count() == 3)
     } finally q.stop()
   }
+
+  test("K2xJ: crashed-ingest lock fails replays loudly until recoverIngestLock, then heals") {
+    import graft.streaming.CorpusIngest
+    import graft.operators.IdempotentSink.ConcurrentWriteException
+    val tmp = Files.createTempDirectory("ingest-crash").toString
+    val doc = Seq((1L, "a perfectly ordinary document with enough words " +
+      "to shingle and sign for the minhash index path")).toDF("doc_id", "text")
+    assert(CorpusIngest.ingestBatch(doc, s"$tmp/corpus", s"$tmp/index",
+      "text", "doc_id") == 1L)
+    // simulate a writer that died inside the ingest scope: its lock file
+    // survives (withTableLock never auto-expires locks)
+    val stale = new java.io.File(s"$tmp/index/_ingest/_graft_write_lock")
+    stale.getParentFile.mkdirs()
+    java.nio.file.Files.write(stale.toPath,
+      "pid=999999 epochMs=0 nonce=dead".getBytes)
+    val replay = Seq((2L, "another document that the replayed batch " +
+      "carries after the crash with plenty of words")).toDF("doc_id", "text")
+    intercept[ConcurrentWriteException] {
+      CorpusIngest.ingestBatch(replay, s"$tmp/corpus", s"$tmp/index",
+        "text", "doc_id")
+    }
+    // the documented recovery: confirm dead, break the scoped lock, replay
+    assert(CorpusIngest.recoverIngestLock(spark, s"$tmp/index"),
+      "a stale lock must be present and removed")
+    assert(CorpusIngest.ingestBatch(replay, s"$tmp/corpus", s"$tmp/index",
+      "text", "doc_id") == 1L)
+    assert(spark.read.parquet(s"$tmp/corpus").count() == 2)
+    assert(spark.read.parquet(s"$tmp/index")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "index must hold both docs' signatures after the healed replay")
+  }
 }

@@ -114,6 +114,52 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("span removal matches a brute-force reference on random repeated-chunk corpora") {
+    val rnd = new Random(7L)
+    val L = 4 // short spans so random small docs actually collide
+    (1 to 10).foreach { round =>
+      // a tiny shared vocabulary of "phrases" guarantees cross-doc and
+      // within-doc repeats, including overlapping and adjacent ones
+      val phrases = Vector.tabulate(3)(p =>
+        Vector.tabulate(2 + rnd.nextInt(4))(w => s"p${p}w$w"))
+      val docs = (0L until (3 + rnd.nextInt(5)).toLong).map { id =>
+        val words = (0 until 2 + rnd.nextInt(5)).flatMap { _ =>
+          if (rnd.nextBoolean()) phrases(rnd.nextInt(3))
+          else Vector(s"u${id}x${rnd.nextInt(50)}")
+        }
+        (id, words.mkString(" "))
+      }
+      // brute force: spans by content, canonical = lexicographically
+      // first (doc, pos), removed-position interval union per doc
+      val spans = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (1 to t.length - L + 1).map(p => (t.slice(p - 1, p + L - 1).mkString(" "), id, p))
+      }
+      val byContent = spans.groupBy(_._1)
+      val removed = spans.filter { case (s, id, p) =>
+        val occ = byContent(s)
+        occ.size >= 2 && (id, p) != occ.map(o => (o._2, o._3)).min
+      }
+      val expect = docs.flatMap { case (id, text) =>
+        val n = text.split(" ").length
+        if (n < L) None
+        else {
+          val rpos = removed.collect { case (_, `id`, p) => p }.sorted
+          val rm = rpos.foldLeft((0L, Long.MinValue / 2)) { case ((tot, last), p) =>
+            (tot + math.min(L.toLong, p - last), p.toLong)
+          }._1
+          Some((id, n.toLong, rm))
+        }
+      }.sortBy(_._1)
+      val got = Dedup.spanRemovalStats(docs.toDF("doc_id", "text"),
+          "text", "doc_id", spanLen = L)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "n_removed").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(got == expect, s"round $round: got $got\nexpected $expect")
+    }
+  }
+
   test("cluster labels match union-find connected components on random pair sets") {
     val rnd = new Random(7L)
     val ids = (1L to 12L).toList

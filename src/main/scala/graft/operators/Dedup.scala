@@ -468,8 +468,11 @@ object Dedup {
     * i contributes min(spanLen, pos_i − pos_{i−1}) — an adjacent-gap fold
     * computed ARRAY-LOCAL over each doc's removed positions (bounded by
     * doc length) inside the one per-doc aggregate, which also recovers
-    * n_tokens from the span count. One scan, two keyed shuffles (span
-    * hash, doc id); no pair term, no second tokenize, no window exchange.
+    * n_tokens from the span count. The span subtree evaluates twice
+    * (occurrence build + probe — the standard self-aggregation-join
+    * shape; scans parallelize, so re-reading beats materializing every
+    * token position); beyond that: two keyed shuffles (span hash, doc
+    * id), no pair term, no third tokenize pass, no window exchange.
     *
     * The canonical key packs (doc, pos) into one long; a position past
     * 2²⁰ RAISES rather than silently bleeding into the next id's key

@@ -272,6 +272,30 @@ class PlanShapeSpec extends SparkSpec {
       s"a global aggregate needs only a SinglePartition exchange:\n$plan")
   }
 
+  test("span removal: two span-subtree evaluations, keyed shuffles only, no window (k2)") {
+    val plan = physicalPlan(
+      analytics.TextQueries.queries("k2_span_removal")(spark, sfDir))
+    // occurrence build + probe — the self-aggregation-join shape; a THIRD
+    // scan would mean the n_tokens recovery regressed to a re-tokenize
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2,
+      s"span removal must evaluate the span subtree exactly twice, saw $scans scans:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3,
+      s"span removal grew extra shuffles, saw $exchanges:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the interval union must fold array-local, not via a window:\n$plan")
+  }
+
+  test("semantic dedup: broadcast centroid assignment, no cartesian, capped pair join (k2)") {
+    val plan = physicalPlan(
+      analytics.SimilarityQueries.queries("k2_semantic_dedup")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid side must broadcast (map-side assignment):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-side cartesian in semantic dedup:\n$plan")
+  }
+
   test("doc LM score joins on the bigram key — no cartesian/BNLJ (k4)") {
     val plan = physicalPlan(
       analytics.PipelineQueries.queries("k4_doc_lm_score")(spark, sfDir))

@@ -156,6 +156,24 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // K6: token-budget corpus truncation — keep documents in deterministic
+    // global order until half the corpus' tokens are consumed (the
+    // fixed-token-budget cut every training run makes). The global running
+    // sum is the textbook single-partition-window trap; PrefixSum computes
+    // it with one balanced hash exchange + a bounded driver offset scan,
+    // and the budget itself falls out of the same scan (no second global
+    // aggregate). Integer arithmetic end-to-end, so the oracle's window
+    // formulation hash-matches exactly.
+    "k6_token_budget" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val (cum, total) = graft.operators.PrefixSum
+        .globalCumsumAndTotal(t, "doc_id", "n_tokens", cumCol = "cum_tokens")
+      cum.filter(col("cum_tokens") <= lit(total / 2))
+        .select("doc_id", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // K6: sequence packing (concat-and-chunk) — documents concatenated in
     // deterministic order and cut into fixed 512-token context blocks; a doc
     // whose tokens straddle a cut spans several blocks. The running sum is
@@ -477,6 +495,23 @@ object PipelineQueries {
         |FROM documents d JOIN t USING (source)
         |GROUP BY d.source, t.n_total, t.target_rate
         |ORDER BY source""".stripMargin,
+
+    // Budget = floor(total/2): DuckDB's window SUM yields HUGEINT, so both
+    // it and the budget cast back to BIGINT to match Spark's long.
+    "k6_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT c.doc_id, c.n_tokens, c.cum_tokens
+        |FROM c, b WHERE c.cum_tokens <= b.budget ORDER BY doc_id""".stripMargin,
 
     "k6_pack_sequences" ->
       """WITH t AS (

@@ -129,6 +129,40 @@ object TextQueries {
         .limit(25)
     }),
 
+    // K4: inverted index — term → capped posting list, the retrieval-side
+    // artifact of corpus analysis. doc_freq/total_tf aggregate over ALL
+    // postings (partial-combined: a hot term costs rows, never pairs); the
+    // posting LIST caps at 16 docs by (tf DESC, doc_id) via a TWO-STAGE
+    // salted top-k: rank within (term, doc_id%16) keeping ≤16 per salt,
+    // then re-rank the ≤256 survivors per term. Top-k with a total-order
+    // tiebreak is mergeable — the global top-16 is a subset of the union
+    // of per-salt top-16s — so this is EXACTLY the single-stage top-k the
+    // oracle computes, but no task ever sorts a stopword's full posting
+    // set (the single-stage window would funnel a 10⁹-doc term through
+    // one sort at 100 TB).
+    "k4_inverted_index" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy("term")
+        .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_tf"))
+      val w1 = Window.partitionBy(col("term"), pmod(col("doc_id"), lit(16)))
+        .orderBy(col("tf").desc, col("doc_id"))
+      val w2 = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+      val postings = tf
+        .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= 16)
+        .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= 16)
+        .groupBy("term")
+        .agg(transform(
+          sort_array(collect_list(struct(col("_r2"), col("doc_id")))),
+          e => e.getField("doc_id")).as("postings"))
+      stats.join(postings, Seq("term"))
+        .select("term", "doc_freq", "total_tf", "postings")
+        .orderBy("term")
+    }),
+
     // K4/I3: heavy-hitter terms via the mergeable Misra–Gries sketch —
     // the FIXED-MEMORY path to top terms when the key space is too big
     // for exact groupBy (5-grams, URLs): state caps at 256 counters per
@@ -527,6 +561,25 @@ object TextQueries {
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // Single-stage top-k — provably identical to the engine's two-stage
+    // salted ranking because the (tf DESC, doc_id) tiebreak is total.
+    "k4_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT term, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT term, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |  FROM tf),
+        |p AS (
+        |  SELECT term, list(doc_id ORDER BY rn) AS postings
+        |  FROM ranked WHERE rn <= 16 GROUP BY term)
+        |SELECT s.term, s.doc_freq, s.total_tf, p.postings
+        |FROM stats s JOIN p USING (term) ORDER BY term""".stripMargin,
 
     // Exact-regime Misra–Gries: first-char cardinality < capacity, so the
     // sketch degenerates to an exact count and plain SQL reproduces it.

@@ -372,6 +372,75 @@ object TextQueries {
     // with exact Jaccard ≥ 0.5. The seeded-signature scale path
     // (minHashSignatures + minHashLshAgainst — corpus text never re-read)
     // is rows-only by the usual xxhash64 note and tested in DedupSpec.
+    // K2: cross-source overlap matrix — for every source pair, how many
+    // distinct prefix keys (leading 8 tokens: the boilerplate-header
+    // signature) appear in BOTH — the data-governance scan that tells you
+    // which crawls are re-scraping each other before you mix them. The
+    // pair explosion rides the same capped blockPairs shape as every
+    // candidate-pair path: per key at most |sources| rows aggregate into
+    // one set (bounded by the source universe, not the corpus), so a
+    // boilerplate key shared by every source costs C(|sources|, 2) pairs,
+    // never a per-doc quadratic. One distinct + one groupBy; no text
+    // leaves the scan.
+    "k2_source_overlap" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("source"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("k"))
+        .distinct()
+      Dedup.blockPairs(keyed, "source", "k", maxBucket = 64)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_shared_keys"))
+        .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
+          col("n_shared_keys"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // K4: exact token-length deciles — the calibration table for packing /
+    // truncation decisions (what context length covers 90% of the
+    // corpus?). Computed scale-right: lengths collapse into a histogram
+    // FIRST (domain-bounded — one row per distinct length, not per doc),
+    // then the cumulative walk + boundary pick run over that tiny table (a
+    // window and a 9×|domain| broadcast cross join, both histogram-sized).
+    // Boundary d = smallest length with cum_count ≥ ceil(d·n/10) — stated
+    // explicitly so the oracle is definitionally identical (quantile
+    // functions differ across engines in interpolation; rank picking does
+    // not). Integer in, integer out — hash-exact.
+    "k4_length_deciles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val hist = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+        .groupBy("len").agg(count(lit(1)).as("cnt"))
+      val cum = hist.select(col("len"),
+        sum(col("cnt")).over(Window.orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy()).as("n"))
+      val deciles = (1 to 9).toDF("decile").select(col("decile").cast("long"))
+      deciles.crossJoin(cum)
+        .filter(col("cum") >= ceil(col("decile") * col("n") / lit(10.0)))
+        .groupBy("decile").agg(min(col("len")).as("boundary"))
+        .orderBy("decile")
+    }),
+
+    // K2/K1: Bloom-prefiltered incremental exact dedup — batch (doc_id %
+    // 4 == 0) kept only where its leading-8-token prefix key (the
+    // boilerplate-header dedup key: identical scrape preambles share it)
+    // is absent from the history partition's digest index. Exact NOT
+    // EXISTS semantics; the Bloom filter only decides who gets exactly
+    // verified, so the oracle needs no Bloom model at all. History text is
+    // scanned once into a 32-byte digest index, never shuffled; most of
+    // the batch short-circuits on the map-side codegen'd probe.
+    "k2_bloom_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = array_join(slice(split(col("text"), " "), 1, 8), " ")
+      val idx = Dedup.digestIndex(docs.filter(col("doc_id") % 4 =!= 0), key)
+      Dedup.bloomDedupAgainst(idx, docs.filter(col("doc_id") % 4 === 0),
+          key, expectedItems = 1L << 17)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "k2_incremental_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val sh = Tables.fanOut(docs)
@@ -731,6 +800,51 @@ object TextQueries {
         |  CAST(COALESCE(ragg.n_removed, 0) AS BIGINT) AS n_removed,
         |  ROUND(1 - CAST(COALESCE(ragg.n_removed, 0) AS DOUBLE) / tt.n, 6) AS keep_frac
         |FROM tt LEFT JOIN ragg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same capped-block semantics as Dedup.blockPairs: a key pairs its
+    // sources only when 2..64 of them share it. COUNT(*) counts keys per
+    // pair because d is distinct (source, k).
+    "k2_source_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS k
+        |  FROM documents),
+        |ok AS (SELECT k FROM d GROUP BY k HAVING COUNT(*) BETWEEN 2 AND 64)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  COUNT(*) AS n_shared_keys
+        |FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
+        |JOIN ok ON ok.k = a.k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Identical rank-pick definition (smallest length whose cumulative
+    // count reaches ceil(d·n/10)) — no engine quantile interpolation.
+    "k4_length_deciles" ->
+      """WITH lens AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |h AS (SELECT len, COUNT(*) AS cnt FROM lens GROUP BY len),
+        |c AS (SELECT len, CAST(SUM(cnt) OVER (ORDER BY len) AS BIGINT) AS cum FROM h),
+        |n AS (SELECT COUNT(*) AS n FROM lens)
+        |SELECT d.decile, MIN(c.len) AS boundary
+        |FROM (SELECT CAST(UNNEST(range(1, 10)) AS BIGINT) AS decile) d, c, n
+        |WHERE c.cum >= CEIL(d.decile * n.n / 10.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Plain NOT EXISTS on the prefix key — the Bloom filter is invisible
+    // to semantics (false-positives are exactly verified, false negatives
+    // impossible), so the oracle is the anti-join the operator guarantees.
+    "k2_bloom_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    array_to_string(string_split(text, ' ')[1:8], ' ') AS k
+        |  FROM documents)
+        |SELECT b.doc_id, b.lang,
+        |  CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_tokens
+        |FROM d b
+        |WHERE b.doc_id % 4 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM d h
+        |                  WHERE h.doc_id % 4 <> 0 AND h.k = b.k)
+        |ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus (batch % 5 == 0 vs rest) capped blocking + exact
     // Jaccard — mirrors Dedup.blockPairsAgainst's drop semantic: a block

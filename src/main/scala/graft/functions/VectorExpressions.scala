@@ -504,6 +504,49 @@ case class RepetitionStatsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe as a native codegen'd expression: the
+  * map-side prefilter for incremental dedup against a huge history
+  * ([[graft.operators.Dedup.bloomDedupAgainst]]). The serialized filter
+  * (built once driver-side with `df.stat.bloomFilter`, a single
+  * distributed aggregate whose size is bits-bounded, never data-bounded)
+  * ships with the task closure and deserializes once per executor; each
+  * probe is then a handful of bit tests — no join, no shuffle, no state.
+  *
+  * Probes use `mightContainBinary` on the child's UTF-8 bytes, which is
+  * byte-identical to the `putString` path `DataFrameStatFunctions
+  * .bloomFilter` uses to build the filter over a string column, so the
+  * no-false-negative guarantee holds: `false` PROVES absence from the
+  * build set; `true` needs exact verification (the caller's job).
+  *
+  * `bits` is Seq-typed so the case class keeps structural equality for
+  * Catalyst canonicalization (same reason as [[NearestCentroidExpr]]);
+  * the wrapper wraps the byte array without copying.
+  */
+case class BloomMightContainExpr(child: Expression, bits: Seq[Byte])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bits.toArray))
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(input: Any): Any =
+    filter.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.mightContainBinary($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -555,4 +598,12 @@ object VectorExpressions {
     */
   def repetitionStats(tokens: Column): Column =
     GraftSqlBridge.column(RepetitionStatsExpr(GraftSqlBridge.expression(tokens)))
+
+  /** Codegen'd Bloom membership probe of a string column against a
+    * serialized `org.apache.spark.util.sketch.BloomFilter`.
+    */
+  def bloomMightContain(key: Column, bloomBits: Array[Byte]): Column =
+    GraftSqlBridge.column(BloomMightContainExpr(
+      GraftSqlBridge.expression(key.cast(org.apache.spark.sql.types.StringType)),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBits)))
 }

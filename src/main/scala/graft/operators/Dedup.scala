@@ -39,6 +39,69 @@ object Dedup {
   def exactRows(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.join(exact(docs, textCol, idCol).select(col(idCol)), Seq(idCol), "left_semi")
 
+  /** Compact digest index over an arbitrary content key — the stored half
+    * of incremental exact dedup ([[bloomDedupAgainst]]): 32-byte sha256
+    * rows, so a trillion-doc history's index is re-scannable without ever
+    * re-reading document text. Null keys are dropped (a null key matches
+    * nothing under SQL equality, so it can never disqualify a batch row).
+    */
+  def digestIndex(docs: DataFrame, keyCol: Column): DataFrame =
+    docs.select(sha2(keyCol.cast("string"), 256).as("digest")).na.drop()
+
+  /** K1 INCREMENTAL exact dedup: batch rows whose content key does NOT
+    * appear in a (huge) history index — "dedup today's shard against the
+    * corpus so far", the shape every rolling ingest runs. Exact anti-join
+    * semantics (fully oracle-able as `NOT EXISTS`); the Bloom filter is
+    * only an optimization that keeps the history from ever shuffling:
+    *
+    *  1. One aggregate over the digest index builds a driver-side Bloom
+    *     filter (size bits-bounded — `expectedItems`/`fpp` — regardless of
+    *     history size), shipped to tasks as a literal.
+    *  2. The batch probes it map-side ([[graft.functions
+    *     .VectorExpressions.bloomMightContain]], codegen'd): `false` PROVES
+    *     the key is new (no false negatives) — most of a mostly-novel
+    *     batch short-circuits here, touching no join at all.
+    *  3. Only Bloom-positive candidates (true dups + ~fpp of the batch)
+    *     are exactly verified: their distinct digests broadcast into a
+    *     semi-join against the index (history scanned, never shuffled),
+    *     and the confirmed digests broadcast back into an anti-join on the
+    *     batch — so a false positive is rescued, never dropped.
+    *
+    * Cost at 100 TB: two scans of the 32-byte-row index (bloom aggregate +
+    * verify), ZERO scans of history text, ZERO shuffles of either side;
+    * only candidate digests (≪ batch under any reasonable `fpp`) cross
+    * the wire. A null batch key matches nothing and always survives,
+    * mirroring SQL `NOT EXISTS` semantics.
+    *
+    * @param historyDigests [[digestIndex]] output (column `digest`)
+    * @param keyCol         content key of the batch rows (same expression
+    *                       the index was built over)
+    * @param expectedItems  Bloom sizing; undersizing only raises the
+    *                       false-positive rate (more verify traffic),
+    *                       never affects correctness
+    */
+  def bloomDedupAgainst(historyDigests: DataFrame, batch: DataFrame,
+      keyCol: Column, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bloom = historyDigests.select("digest").na.drop().stat
+      .bloomFilter("digest", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bits = bos.toByteArray
+    val batchD = batch.withColumn("_digest", sha2(keyCol.cast("string"), 256))
+    // null digest ⇒ probe is null ⇒ treat as "definitely new" (matches the
+    // oracle's NOT EXISTS, where a null key equi-matches nothing).
+    val mightC = coalesce(
+      graft.functions.VectorExpressions.bloomMightContain(col("_digest"), bits),
+      lit(false))
+    val fresh = batchD.filter(!mightC)
+    val cand = batchD.filter(mightC)
+    val confirmed = historyDigests.select(col("digest").as("_digest"))
+      .join(broadcast(cand.select("_digest").distinct()), Seq("_digest"), "left_semi")
+      .distinct()
+    fresh.unionByName(cand.join(broadcast(confirmed), Seq("_digest"), "left_anti"))
+      .drop("_digest")
+  }
+
   /** Capped blocking-join candidate pairs — the ONE safe shape for turning
     * a block key into within-block pairs at scale. Groups ids per key,
     * drops singleton blocks (no pair) and oversize blocks (a boilerplate

@@ -19,14 +19,20 @@ import graft.operators.{Dedup, IdempotentSink}
   *
   * Scale notes: per micro-batch cost is batch-shingling + one capped
   * banded bucket join against the index (ScaleCheck: 10× index → 1.1×
-  * time at fixed batch) + the keyed anti-join appendOnce already pays.
+  * time at fixed batch) + two scans of the 32-byte-row digest index
+  * (Bloom aggregate + broadcast verify — neither shuffles; ScaleCheck
+  * `bloom dedup`) + the keyed anti-join appendOnce already pays.
   * Near-dup state lives entirely in the index parquet — no streaming
   * state store, so the query restarts cold with full dedup history.
   *
-  * An exact duplicate of an indexed doc is caught by the signature path
-  * too (identical signatures → estimate 1.0 ≥ threshold) provided the
-  * doc carries ≥ shingleN tokens; shorter docs only get the within-batch
-  * exact dedup plus appendOnce's key-level idempotence.
+  * Cross-batch EXACT dedup runs before the near-dup stage against a
+  * hidden `_digests` sub-table of the index (underscore-prefixed, so
+  * parquet scans of the index itself never see it — the same convention
+  * as the `_ingest` lock scope): a Bloom-prefiltered anti-join
+  * ([[graft.operators.Dedup.bloomDedupAgainst]]) that rejects any
+  * already-accepted text REGARDLESS of length — including sub-shingle
+  * docs the signature path cannot see — while most novel docs
+  * short-circuit on the map-side Bloom probe without touching a join.
   */
 object CorpusIngest {
 
@@ -87,8 +93,19 @@ object CorpusIngest {
       threshold: Double = 0.5): Long =
     IdempotentSink.withTableLock(batch.sparkSession, s"$indexPath/_ingest") {
       val spark = batch.sparkSession
+      val digestsPath = s"$indexPath/_digests"
       val withinExact = Dedup.exactRows(batch, textCol, idCol)
-      val within = Dedup.dedupNearDups(withinExact, textCol, idCol, threshold)
+      // Cross-batch exact dedup vs everything already accepted, any
+      // length. expectedItems from the parquet footer count (metadata
+      // read); undersizing would only raise the verify traffic.
+      val exactFresh =
+        if (!IdempotentSink.tableExists(spark, digestsPath)) withinExact
+        else {
+          val dIdx = spark.read.parquet(digestsPath).select("digest")
+          Dedup.bloomDedupAgainst(dIdx, withinExact, col(textCol),
+            expectedItems = math.max(1024L, dIdx.count()))
+        }
+      val within = Dedup.dedupNearDups(exactFresh, textCol, idCol, threshold)
       // has-DATA check, not fs.exists: appendOnce's lock acquisition
       // mkdirs the table dir even on a zero-row append (e.g. a first
       // batch of sub-shingle-length docs), and parquet-reading a
@@ -110,6 +127,15 @@ object CorpusIngest {
         val n = IdempotentSink.appendOnce(spark, pinned, corpusPath, idCol)
         IdempotentSink.appendOnce(spark,
           Dedup.minHashSignatures(pinned, textCol, idCol), indexPath, idCol)
+        // Digests last: a crash before this line leaves accepted docs
+        // undigested, and replaying the batch heals it — a shingleable
+        // doc is meanwhile still guarded by its signatures, a sub-shingle
+        // doc flows through both dedup stages unmatched and its keyed
+        // appends land only the missing digest row.
+        IdempotentSink.appendOnce(spark,
+          pinned.select(col(idCol),
+            sha2(col(textCol).cast("string"), 256).as("digest")),
+          digestsPath, idCol)
         n
       }
     }

@@ -141,6 +141,22 @@ object ScaleCheck {
     println(f"incr dedup ratio: ${n10i / n1i}%.1f (linear = 10; fixed batch, " +
       "index signatures only — corpus text never re-read)")
 
+    // Bloom exact dedup: same FIXED batch against a 1x and 10x digest
+    // index. Growth is the two index scans (bloom aggregate + broadcast
+    // verify); the batch side (probe + candidate broadcast) is constant,
+    // so ratio ≈ index scan cost, with no batch×history term and no
+    // shuffle of either side.
+    val bkey = col("text")
+    val bidx1 = Dedup.digestIndex(docs1, bkey).localCheckpoint(true)
+    val bidx10 = Dedup.digestIndex(docs10, bkey).localCheckpoint(true)
+    def bloomDd(index: DataFrame, items: Long) =
+      Dedup.bloomDedupAgainst(index, batch100, bkey, expectedItems = items)
+    time("bloom dedup warmup")(bloomDd(bidx1, 1L << 17))
+    val b1t = time("bloom dedup 1x")(bloomDd(bidx1, 1L << 17))
+    val b10t = time("bloom dedup 10x")(bloomDd(bidx10, 1L << 20))
+    println(f"bloom dedup ratio: ${b10t / b1t}%.1f (linear = 10; fixed batch, " +
+      "32-byte digest index scans only — history text never re-read)")
+
     // duplicated spans: 1x vs 10x docs. Span rows grow with token
     // positions (10x); replicas share every interior span, so the 10x run
     // also carries ~10x-deep occurrence groups — which must stay an

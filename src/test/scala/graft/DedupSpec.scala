@@ -295,4 +295,63 @@ class DedupSpec extends SparkSpec {
     assert(got(1)._2 > 0.0 && got(1)._2 < 1.0, s"partial leak in (0,1): ${got(1)}")
     assert(got(2)._2 == 0.0, s"clean doc must score 0: ${got(2)}")
   }
+
+  test("bloom probe: no false negatives on members, null key yields null") {
+    import graft.functions.VectorExpressions.bloomMightContain
+    val members = (0 until 200).map(i => s"member-$i")
+    val idx = Dedup.digestIndex(members.toDF("text"), col("text"))
+    val bloom = idx.stat.bloomFilter("digest", 200, 0.03)
+    val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+    val probes = (members.map(m => (m, true)) ++ Seq((null: String, false)))
+      .toDF("key", "is_member")
+    val got = probes
+      .withColumn("hit", bloomMightContain(sha2(col("key"), 256), bos.toByteArray))
+      .select("is_member", "hit").as[(Boolean, Option[Boolean])].collect()
+    assert(got.filter(_._1).forall(_._2.contains(true)),
+      "a Bloom filter must never report a member absent")
+    assert(got.exists(r => !r._1 && r._2.isEmpty), "null key must probe to null")
+  }
+
+  test("bloomDedupAgainst equals the naive anti-join, including null batch keys") {
+    val history = Seq((100L, "alpha shared"), (101L, "beta shared"), (102L, "gamma only"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (0L, "alpha shared"),   // dup of history
+      (1L, "beta shared"),    // dup of history
+      (2L, "delta novel"),    // new
+      (3L, null: String),     // null key: matches nothing, must survive
+      (4L, "epsilon novel"))  // new
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomDedupAgainst(
+        Dedup.digestIndex(history, col("text")), batch, col("text"),
+        expectedItems = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L))
+  }
+
+  test("bloom false positives are exactly verified, never dropped") {
+    // Deliberately starved filter (1 expected item, 256 in the index) —
+    // saturates toward all-positive, so most of the batch takes the
+    // verify path; results must STILL be the exact anti-join.
+    val history = (0 until 256).map(i => (1000L + i, s"hist-$i")).toDF("doc_id", "text")
+    val batch = (0 until 64).map(i => (i.toLong, s"batch-$i")) ++
+      Seq((64L, "hist-7"), (65L, "hist-200"))
+    val got = Dedup.bloomDedupAgainst(
+        Dedup.digestIndex(history, col("text")), batch.toDF("doc_id", "text"),
+        col("text"), expectedItems = 1, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (0L until 64L).toSet, s"exact semantics must survive saturation: $got")
+  }
+
+  test("bloomDedupAgainst plan never sort-merge-joins: history stays unshuffled") {
+    val history = (0 until 50).map(i => (1000L + i, s"hist-$i")).toDF("doc_id", "text")
+    val batch = (0 until 50).map(i => (i.toLong, s"batch-$i")).toDF("doc_id", "text")
+    val out = Dedup.bloomDedupAgainst(
+      Dedup.digestIndex(history, col("text")), batch, col("text"), expectedItems = 64)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"verify joins must broadcast, not shuffle the history:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast verify joins:\n$plan")
+  }
 }

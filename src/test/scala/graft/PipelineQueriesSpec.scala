@@ -351,4 +351,52 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_bigrams") == expected(r.getAs[Long]("doc_id")).toLong)
     }
   }
+
+  test("source overlap: pairs are ordered, counted symmetrically, and key-consistent") {
+    val rows = graft.analytics.TextQueries.queries("k2_source_overlap")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "sf0.001 plants cross-source prefix dups")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"),
+        "pair must be strictly ordered (each unordered pair appears once)")
+      assert(r.getAs[Long]("n_shared_keys") >= 1)
+    }
+    // ground truth by brute force on the tiny SF: distinct (source, key)
+    // rows joined on key. maxBucket=64 > 20 sources, so no block drops.
+    val keyed: Seq[(String, String)] = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("k"))
+      .distinct().collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+    val pairs: Seq[(String, String)] = keyed.groupBy(_._2).valuesIterator.flatMap { g =>
+      val srcs = g.map(_._1).distinct.sorted
+      for (a <- srcs; b <- srcs if a < b) yield (a, b)
+    }.toSeq
+    val expected: Set[(String, String, Long)] =
+      pairs.groupBy(identity).iterator
+        .map { case ((a, b), v) => (a, b, v.size.toLong) }.toSet
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      == expected)
+  }
+
+  test("length deciles: monotone boundaries that cover exactly the promised mass") {
+    val rows = graft.analytics.TextQueries.queries("k4_length_deciles")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("boundary")))
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "boundaries must be monotone")
+    val lens = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = lens.length
+    rows.foreach { case (d, b) =>
+      val covered = lens.count(_ <= b)
+      assert(covered >= math.ceil(d * n / 10.0).toLong,
+        s"decile $d boundary $b must cover >= ${d * 10}% of docs")
+      // minimality: the previous distinct length covers strictly less
+      val below = lens.filter(_ < b)
+      assert(below.isEmpty || below.length < math.ceil(d * n / 10.0),
+        s"decile $d boundary $b is not the smallest qualifying length")
+    }
+  }
 }

@@ -329,6 +329,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("K2xJ: ingest rejects a cross-batch EXACT dup of a sub-shingle doc via the digest index") {
+    import graft.streaming.CorpusIngest
+    val tmp = Files.createTempDirectory("ingest-short").toString
+    // two tokens < shingleN=3: invisible to the MinHash signature path —
+    // before the digest index, this dup was admitted (documented gap).
+    val short = "tiny doc"
+    assert(CorpusIngest.ingestBatch(
+      Seq((1L, short)).toDF("doc_id", "text"),
+      s"$tmp/corpus", s"$tmp/index", "text", "doc_id") == 1L)
+    val n = CorpusIngest.ingestBatch(
+      Seq((2L, short), (3L, "a genuinely new document with enough words " +
+        "to shingle and sign for the minhash index path")).toDF("doc_id", "text"),
+      s"$tmp/corpus", s"$tmp/index", "text", "doc_id")
+    assert(n == 1L, s"exact short dup must be rejected cross-batch, accepted $n")
+    val ids = spark.read.parquet(s"$tmp/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"corpus must hold the original + the novel doc: $ids")
+    // the digest sub-table is invisible to a parquet read of the index
+    // (underscore convention), and stays in sync with the corpus
+    val digests = spark.read.parquet(s"$tmp/index/_digests")
+      .select("doc_id").as[Long].collect().toSet
+    assert(digests == ids, s"digest index out of sync: $digests")
+  }
+
   test("K2xJ: crashed-ingest lock fails replays loudly until recoverIngestLock, then heals") {
     import graft.streaming.CorpusIngest
     import graft.operators.IdempotentSink.ConcurrentWriteException

@@ -156,6 +156,34 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // K6: epoch schedule under a token budget — the data-constrained
+    // repeat plan (Muennighoff et al., "Scaling Data-Constrained Language
+    // Models": repeating up to ~4 epochs is near-free, beyond decays):
+    // budget B = 2× corpus tokens split uniformly across sources; each
+    // source repeats ceil(target / n_i) epochs capped at 4, and serves
+    // min(target, 4·n_i) tokens — the shortfall is what the cap refuses
+    // to fill by over-repeating. INTEGER arithmetic throughout (DIV +
+    // multiply — a float epochs column would round differently across
+    // engines); one scan + two one-row broadcast aggregates at any scale.
+    "k6_epoch_schedule" -> ((s, d) => {
+      val sizes = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      val totals = sizes.agg(
+        (sum(col("n_tokens")) * 2).cast("long").as("budget"),
+        count(lit(1)).cast("long").as("n_sources"))
+      sizes.crossJoin(broadcast(totals))
+        .withColumn("target_tokens", expr("budget DIV n_sources"))
+        .withColumn("epochs",
+          least(expr("(target_tokens + n_tokens - 1) DIV n_tokens"), lit(4L)))
+        .withColumn("served_tokens",
+          least(col("target_tokens"), col("n_tokens") * 4))
+        .withColumn("shortfall", col("target_tokens") - col("served_tokens"))
+        .select("source", "n_tokens", "target_tokens", "epochs",
+          "served_tokens", "shortfall")
+        .orderBy("source")
+    }),
+
     // K6: token-budget corpus truncation — keep documents in deterministic
     // global order until half the corpus' tokens are consumed (the
     // fixed-token-budget cut every training run makes). The global running
@@ -495,6 +523,25 @@ object PipelineQueries {
         |FROM documents d JOIN t USING (source)
         |GROUP BY d.source, t.n_total, t.target_rate
         |ORDER BY source""".stripMargin,
+
+    // Integer DIV/multiply mirror — no float epochs anywhere.
+    "k6_epoch_schedule" ->
+      """WITH sizes AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(n_tokens) * 2 AS BIGINT) AS budget,
+        |             CAST(COUNT(*) AS BIGINT) AS n_sources FROM sizes)
+        |SELECT s.source, s.n_tokens,
+        |  CAST(t.budget // t.n_sources AS BIGINT) AS target_tokens,
+        |  CAST(LEAST((t.budget // t.n_sources + s.n_tokens - 1) // s.n_tokens,
+        |             4) AS BIGINT) AS epochs,
+        |  CAST(LEAST(t.budget // t.n_sources, s.n_tokens * 4) AS BIGINT)
+        |    AS served_tokens,
+        |  CAST(t.budget // t.n_sources
+        |       - LEAST(t.budget // t.n_sources, s.n_tokens * 4) AS BIGINT)
+        |    AS shortfall
+        |FROM sizes s, t ORDER BY s.source""".stripMargin,
 
     // Budget = floor(total/2): DuckDB's window SUM yields HUGEINT, so both
     // it and the budget cast back to BIGINT to match Spark's long.

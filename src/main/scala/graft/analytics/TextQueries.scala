@@ -364,6 +364,38 @@ object TextQueries {
         .orderBy("id")
     }),
 
+    // K2: asymmetric containment (Broder) — |sh(A) ∩ sh(B)| / |sh(A)|,
+    // "is A substantially quoted inside B". Jaccard washes out when B is
+    // much larger than A (a fully-contained small doc can score ~0), so
+    // quote/excerpt detection needs the directed measure. Candidates ride
+    // the same deterministic capped min/max-shingle blocking as
+    // k2_cluster_transitive; each undirected candidate is scored in both
+    // directions (containment is not symmetric), verified ≥ 0.5.
+    "k2_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = Tables.fanOut(docs)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val keyed = sh.select(col("doc_id"),
+        array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
+      def block(k: String) = Dedup.blockPairs(
+        keyed.select(col("doc_id"), col(k).as("blk")), "doc_id", "blk",
+        maxBucket = 64)
+      val cand = block("kmin").unionAll(block("kmax")).distinct()
+      val directed = cand.select(col("id_a").as("id_src"), col("id_b").as("id_dst"))
+        .unionAll(cand.select(col("id_b").as("id_src"), col("id_a").as("id_dst")))
+      directed
+        .join(sh.select(col("doc_id").as("id_src"), col("sh").as("sh_src")), Seq("id_src"))
+        .join(sh.select(col("doc_id").as("id_dst"), col("sh").as("sh_dst")), Seq("id_dst"))
+        // single integer-derived division — IEEE-identical to the oracle
+        .withColumn("_c",
+          size(array_intersect(col("sh_src"), col("sh_dst"))).cast("double")
+            / size(col("sh_src")).cast("double"))
+        .filter(col("_c") >= 0.5)
+        .select(col("id_src"), col("id_dst"), round(col("_c"), 6).as("containment"))
+        .orderBy("id_src", "id_dst")
+    }),
+
     // K2 INCREMENTAL dedup under full oracle: an incoming "batch" slice
     // (doc_id % 5 == 0) deduped against the existing "corpus" (the rest)
     // — the ingest-time shape: candidates come from capped cross-corpus
@@ -927,6 +959,41 @@ object TextQueries {
         |SELECT d.doc_id AS id, COALESCE(c.cluster, d.doc_id) AS cluster
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         |ORDER BY id""".stripMargin,
+
+    // Same capped blocking as the cluster oracle; both directions scored
+    // (containment is directed), denominator = the SOURCE side's set.
+    "k2_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |keyed AS (
+        |  SELECT doc_id, list_sort(s)[1] AS kmin, list_sort(s)[-1] AS kmax FROM sh),
+        |okmin AS (SELECT kmin AS k FROM keyed GROUP BY kmin
+        |          HAVING COUNT(*) BETWEEN 2 AND 64),
+        |okmax AS (SELECT kmax AS k FROM keyed GROUP BY kmax
+        |          HAVING COUNT(*) BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |    FROM keyed a JOIN keyed b ON a.kmin = b.kmin AND b.doc_id > a.doc_id
+        |    JOIN okmin o ON o.k = a.kmin
+        |    UNION ALL
+        |    SELECT a.doc_id, b.doc_id
+        |    FROM keyed a JOIN keyed b ON a.kmax = b.kmax AND b.doc_id > a.doc_id
+        |    JOIN okmax o ON o.k = a.kmax)),
+        |directed AS (
+        |  SELECT id_a AS id_src, id_b AS id_dst FROM cand
+        |  UNION ALL SELECT id_b, id_a FROM cand)
+        |SELECT d.id_src, d.id_dst,
+        |  ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s), 6)
+        |    AS containment
+        |FROM directed d
+        |JOIN sh x ON x.doc_id = d.id_src JOIN sh y ON y.doc_id = d.id_dst
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(x.s) >= 0.5
+        |ORDER BY id_src, id_dst""".stripMargin,
 
     "k4_redact" ->
       """SELECT doc_id,

@@ -22,7 +22,7 @@ object PlanAudit {
   private val expectedNestedLoop = Set(
     "k3_cosine_topk", "k3_cosine_topk_fast", "k3_ann_lsh", "k3_ann_ivf",
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
-    "k2_semantic_dedup", "k4_length_deciles")
+    "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

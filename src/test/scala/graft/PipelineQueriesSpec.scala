@@ -352,6 +352,48 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("epoch schedule: integer repeat plan honors the 4-epoch cap and the budget split") {
+    val rows = q("k6_epoch_schedule").collect()
+    assert(rows.nonEmpty)
+    val budgetPerSource = rows.head.getAs[Long]("target_tokens")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val target = r.getAs[Long]("target_tokens")
+      val epochs = r.getAs[Long]("epochs")
+      val served = r.getAs[Long]("served_tokens")
+      val shortfall = r.getAs[Long]("shortfall")
+      assert(target == budgetPerSource, "uniform split: same target everywhere")
+      assert(epochs >= 1 && epochs <= 4, s"epochs out of [1,4]: $epochs")
+      assert(served == math.min(target, 4 * n))
+      assert(shortfall == target - served && shortfall >= 0)
+      // the cap binds exactly when 4 full passes cannot reach the target
+      assert((epochs == 4 && 4 * n <= target) == (shortfall > 0) ||
+        (epochs == 4 && 4 * n > target && shortfall == 0) || epochs < 4,
+        s"cap/shortfall inconsistent: n=$n target=$target epochs=$epochs")
+    }
+  }
+
+  test("containment: a fully-quoted doc scores 1.0 toward its superset, jaccard would not") {
+    import spark.implicits._
+    // build a tiny frame and run the same operator shapes the query uses
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " " + "eta theta iota kappa lambda mu nu xi omicron " +
+      "pi rho sigma tau upsilon phi chi psi omega one two three four five six"
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    import graft.functions.VectorFunctions.shingles
+    val sh = docs.select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+    val got = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") === 1L && col("b.doc_id") === 2L)
+      .select(
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+          / size(col("a.sh")).cast("double")).as("containment"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+          / size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+      .head()
+    assert(got.getDouble(0) == 1.0, s"small doc fully contained: $got")
+    assert(got.getDouble(1) < 0.5, s"jaccard must wash out under size mismatch: $got")
+  }
+
   test("source overlap: pairs are ordered, counted symmetrically, and key-consistent") {
     val rows = graft.analytics.TextQueries.queries("k2_source_overlap")(spark, sfDir)
       .collect()

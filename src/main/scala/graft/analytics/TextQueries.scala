@@ -92,6 +92,35 @@ object TextQueries {
           round(lit(1) - nd.cast("double") / count(lit(1)), 6).as("dup_ratio"))
     }),
 
+    // K4: per-source quality report — the per-crawl dashboard every
+    // mixing decision reads: volume, mean length, mean stopword ratio,
+    // and the full-cascade pass rate, grouped by source. Float means use
+    // the decimal-quantization trick: per-doc ratios round to 6 dp and
+    // sum as DECIMAL (order-independent — a double sum would drift by
+    // merge order and diverge from the oracle by ulps), then ONE final
+    // double division (the decimal total is exactly representable, so
+    // the division is IEEE-identical across engines). One scan + one
+    // source-keyed aggregate at any corpus size.
+    "k4_source_quality" -> ((s, d) => {
+      val sig = qualitySignals(Tables.documents(s, d))
+      val pass = qualityGates.map(_._2).reduce(_ && _)
+      sig.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_tokens"),
+          sum(round(col("sr"), 6).cast("decimal(12,6)")).as("_sum_sr"),
+          sum(pass.cast("long")).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 6)
+            .as("avg_tokens"),
+          round(col("_sum_sr").cast("double") / col("n_docs"), 6)
+            .as("avg_stopword_ratio"),
+          col("n_pass"),
+          round(col("n_pass").cast("double") / col("n_docs"), 6)
+            .as("pass_rate"))
+        .orderBy("source")
+    }),
+
     // K4/E3: top-5 words per language — grouped top-k over an exploded
     // token stream (partial-aggregated counts, then one window pass).
     "k4_top_words_per_lang" -> ((s, d) => {
@@ -1062,6 +1091,41 @@ object TextQueries {
         |  ROUND(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
         |    AS dup_bigram_frac
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Same per-doc signal derivations as the cascade oracle; the DECIMAL
+    // sum of 6-dp-rounded ratios makes the mean order-independent.
+    "k4_source_quality" ->
+      """WITH t AS (
+        |  SELECT source, n_chars, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, nw,
+        |    CAST(n_chars - nw + 1 AS DOUBLE) / nw AS awl,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+        |      AS DOUBLE) / nw AS sr,
+        |    CASE WHEN nw >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END AS bg
+        |  FROM t),
+        |f AS (
+        |  SELECT source, nw, sr,
+        |    (nw >= 20 AND awl <= 4.8 AND sr >= 0.03 AND
+        |     CAST(list_max(list_transform(list_distinct(bg),
+        |         x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+        |       <= 0.09) AS pass
+        |  FROM s),
+        |a AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(ROUND(sr, 6) AS DECIMAL(12,6))) AS sum_sr,
+        |    COUNT(*) FILTER (WHERE pass) AS n_pass
+        |  FROM f GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+        |  ROUND(CAST(sum_sr AS DOUBLE) / n_docs, 6) AS avg_stopword_ratio,
+        |  n_pass,
+        |  ROUND(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
+        |FROM a ORDER BY source""".stripMargin,
 
     "k4_filter_cascade" ->
       """WITH t AS (

@@ -294,6 +294,32 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom dedup matches a brute-force anti-join on random history/batch mixes") {
+    val rnd = new Random(4096L)
+    (1 to 10).foreach { round =>
+      // vocabulary small enough to force real overlap; duplicates within
+      // history and within the batch are both legal inputs
+      val vocab = (0 until 8 + rnd.nextInt(20)).map(i => s"doc-$round-$i")
+      val history = (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      val batch = (0 until 1 + rnd.nextInt(30)).map { i =>
+        (i.toLong,
+          if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.size))
+          else s"novel-$round-$i")
+      }
+      val expected = batch.collect {
+        case (id, text) if !history.contains(text) => id
+      }.toSet
+      // deliberately undersized expectedItems on odd rounds: saturation
+      // must not change results, only verify traffic
+      val items = if (round % 2 == 1) 2L else 1024L
+      val got = Dedup.bloomDedupAgainst(
+          Dedup.digestIndex(history.toDF("text"), col("text")),
+          batch.toDF("doc_id", "text"), col("text"), expectedItems = items)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"round=$round items=$items")
+    }
+  }
+
   test("c8 prior-event counts retain NULL-key and NULL-ts anchors with n_prior = 0") {
     import graft.analytics.PipelineQueries
     import org.apache.spark.sql.functions.{col, timestamp_millis}

@@ -352,6 +352,25 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("source quality report: conserves the corpus and agrees with the gate recount") {
+    val rows = graft.analytics.TextQueries.queries("k4_source_quality")(spark, sfDir)
+      .collect()
+    val docs = Tables.documents(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_pass") <= nd)
+      val rate = r.getAs[Double]("pass_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("avg_tokens") > 0.0)
+    }
+    // total passers across sources == the cascade's final-stage output
+    val cascadeOut = graft.analytics.TextQueries.queries("k4_filter_cascade")(spark, sfDir)
+      .filter(col("stage") === 4).head().getAs[Long]("n_out")
+    assert(rows.map(_.getAs[Long]("n_pass")).sum == cascadeOut,
+      "per-source passers must sum to the cascade's stage-4 survivors")
+  }
+
   test("epoch schedule: integer repeat plan honors the 4-epoch cap and the budget split") {
     val rows = q("k6_epoch_schedule").collect()
     assert(rows.nonEmpty)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{EventQueries, LedgerQueries, PipelineQueries, SimilarityQueries, StarQueries, TextQueries}
+import graft.analytics.{EventQueries, GraphQueries, LedgerQueries, PipelineQueries, SimilarityQueries, StarQueries, TextQueries}
 import graft.operators.MultimodalPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,6 +28,7 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       PipelineQueries.queries ++
+      GraphQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // K5 typed pipeline: binary payload → batch feature extraction
         // (stubbed decode — deterministic, so oracled despite running
@@ -98,6 +99,7 @@ object SparkEntry {
       TextQueries.oracle ++
       SimilarityQueries.oracle ++
       PipelineQueries.oracle ++
+      GraphQueries.oracle ++
       Map(
         "k5_media_features" ->
           s"""$mediaCte

@@ -193,6 +193,32 @@ object TextQueries {
     }),
 
     // K4/I3: heavy-hitter terms via the mergeable Misra–Gries sketch —
+    // K4 (EXT): n-gram NOVELTY scoring — per doc, the fraction of its
+    // distinct 3-shingles whose FIRST corpus occurrence (min doc_id, the
+    // corpus's arrival order) is this doc. The memorization/contribution
+    // signal of curriculum work: a doc of already-seen grams adds nothing;
+    // high-novelty docs carry new text. Shape: gram explode → gram-keyed
+    // MIN aggregate → gram-keyed join back → doc-keyed count. All three
+    // shuffles are on gram or doc_id with partial aggregation — a
+    // boilerplate gram shared by 10⁵ docs costs 10⁵ aggregated join rows,
+    // never pairs. The gram aggregate and the join share the same key, so
+    // a co-partitioned plan reuses the exchange.
+    "k4_gram_novelty" -> ((s, d) => {
+      val grams = Tables.fanOut(Tables.documents(s, d))
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          explode(shingles(split(col("text"), " "), 3)).as("g"))
+      val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    }),
+
     // the FIXED-MEMORY path to top terms when the key space is too big
     // for exact groupBy (5-grams, URLs): state caps at 256 counters per
     // partial, the shuffle carries ≤256 entries per partition, and the
@@ -710,6 +736,25 @@ object TextQueries {
         |  FROM ranked WHERE rn <= 16 GROUP BY term)
         |SELECT s.term, s.doc_freq, s.total_tf, p.postings
         |FROM stats s JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // First-occurrence novelty: the engine's native word_shingles dedups
+    // per doc (LinkedHashSet), mirrored by list_distinct; counts are
+    // integer-exact, the one division rounds identically.
+    "k4_gram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM t WHERE len(w) >= 3),
+        |f AS (SELECT g, MIN(doc_id) AS first_doc FROM g0 GROUP BY 1)
+        |SELECT g0.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g0.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN f.first_doc = g0.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM g0 JOIN f USING (g)
+        |GROUP BY g0.doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact-regime Misra–Gries: first-char cardinality < capacity, so the
     // sketch degenerates to an exact count and plain SQL reproduces it.

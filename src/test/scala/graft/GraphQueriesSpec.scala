@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{GraphQueries, TextQueries}
+import graft.functions.VectorFunctions.shingles
+
+/** Semantic checks for the iterative graph operators (G4 EXT) and the
+  * n-gram novelty score (K4 EXT) — differentials against driver-side
+  * brute force on the sf0.001 corpus, not just rows>0 smoke.
+  */
+class GraphQueriesSpec extends SparkSpec {
+
+  test("g4_degree: both graph sides present, degree totals balance") {
+    val deg = GraphQueries.queries("g4_degree")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySide = deg.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySide.keySet == Set("C", "S"))
+    // Undirected edges encoded as two directed rows: customer-side degree
+    // mass equals supplier-side degree mass exactly.
+    assert(bySide("C") == bySide("S"))
+    assert(deg.forall(_._3 >= 1))
+  }
+
+  test("g4_pagerank matches a driver-side brute force of the recurrence") {
+    val total = 1000000000000L
+    // Recompute the edge list independently (plain joins, driver-side).
+    val e = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("C"), col("o_custkey")).as("c"),
+        concat(lit("S"), col("l_suppkey")).as("p"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val edges = e.flatMap { case (c, p) => Seq((c, p), (p, c)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size
+    var rank = deg.map { case (v, _) => v -> total / n }
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / deg(src) }.sum).toMap
+      rank = deg.map { case (v, _) =>
+        v -> ((15L * (total / n)) / 100 + 85L * in.getOrElse(v, 0L) / 100)
+      }
+    }
+    val got = GraphQueries.queries("g4_pagerank")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.keySet == rank.keySet)
+    val diffs = rank.collect { case (v, r) if got(v) != r => (v, r, got(v)) }
+    assert(diffs.isEmpty, s"rank mismatches: ${diffs.take(5)}")
+    // Integer truncation only sheds mass — never creates it.
+    assert(got.values.sum <= total)
+  }
+
+  test("k4_gram_novelty: bounds, first doc novel, novel grams partition") {
+    val rows = TextQueries.queries("k4_gram_novelty")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, grams, novel, score) =>
+      assert(novel >= 0 && novel <= grams, s"doc $id: $novel/$grams")
+      assert(score >= 0.0 && score <= 1.0)
+    }
+    // The earliest doc in arrival order can only contain first-seen grams.
+    val first = rows.minBy(_._1)
+    assert(first._4 == 1.0, s"first doc novelty ${first._4}")
+    // Every distinct corpus gram is novel in exactly one doc: the sum of
+    // n_novel equals the corpus-wide distinct 3-shingle count.
+    val distinctGrams = Tables.fanOut(Tables.documents(spark, sfDir))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(shingles(split(col("text"), " "), 3)))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctGrams)
+  }
+}

@@ -111,6 +111,71 @@ object GraphQueries {
       r.select(col("node"), substring(col("node"), 1, 1).as("side"),
           col("deg").as("degree"), col("rank").as("rank_ppt"))
         .orderBy("node")
+    }),
+
+    // G4: triangle counting + local clustering coefficient over the
+    // supplier CO-SUPPLY graph (suppliers sharing ≥1 order; the C↔S graph
+    // is bipartite, hence triangle-free). Degree-ordered orientation
+    // ("node-iterator++"): orient every edge from the (deg, id)-smaller
+    // endpoint, enumerate wedges at the smallest vertex of each triangle,
+    // and close them against the oriented edge list. Scale story:
+    //   - co-supply pair derivation is a lineitem self-join on l_orderkey
+    //     — per-order fan-out is C(items, 2) with items bounded by order
+    //     size (≤7 in TPC-H-shaped data), so it's linear in orders;
+    //   - orientation caps out-degree at O(√m) for ANY degree
+    //     distribution, so wedge enumeration is Σ C(outdeg, 2) = O(m^1.5)
+    //     total — the celebrity supplier with 10⁶ co-suppliers
+    //     contributes wedges only where it is the (deg,id)-SMALLEST corner,
+    //     i.e. almost never;
+    //   - each triangle is found exactly once, then credited to all three
+    //     corners by an explode (3 rows per triangle, aggregated — never
+    //     pairs).
+    // All joins are equi-joins on node ids; the (deg,id) tie-break makes
+    // the orientation total and deterministic.
+    "g4_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val e0 = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("a"))
+        .join(li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("b")), "ok")
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .localCheckpoint(true)
+      val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      // (deg, id)-orientation: src is the smaller endpoint under the total
+      // order, so out-degree is O(√m) regardless of skew.
+      val keyed = e0
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      val oriented = keyed.select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              col("da").as("ds"), col("db").as("dd")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+              col("db").as("ds"), col("da").as("dd")))
+            .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.ds").as("ds"), col("e.dd").as("dd"))
+        .localCheckpoint(true)
+      // Wedges at the smallest corner: two out-edges of src, ends ordered
+      // by the same (deg, id) key so each unordered wedge appears once.
+      val wedges = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+        .join(oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy")), "src")
+        .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      val tris = wedges.join(
+          oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+        .select(col("src").as("v1"), col("x").as("v2"), col("y").as("v3"))
+      val perNode = tris.select(explode(array(col("v1"), col("v2"), col("v3"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("triangles"))
+      deg.join(perNode, Seq("v"), "left").na.fill(0L, Seq("triangles"))
+        .select(col("v").as("supplier"), col("deg").as("degree"),
+          col("triangles"),
+          // integer numerator/denominator, ONE double division → IEEE-
+          // identical across engines, then a shared round
+          round((col("triangles") * lit(2L)) /
+            (col("deg") * (col("deg") - lit(1L))), 6).as("clustering"))
+        .filter(col("deg") >= 2)
+        .orderBy("supplier")
     }))
 
   /** DuckDB mirrors — `//` floor division equals Spark's truncating DIV on
@@ -150,6 +215,39 @@ object GraphQueries {
            |${iter("2", "3")}
            |SELECT node, substr(node, 1, 1) AS side, deg AS degree,
            |  rank AS rank_ppt
-           |FROM r3 ORDER BY node""".stripMargin)
+           |FROM r3 ORDER BY node""".stripMargin,
+
+      // Same (deg, id)-oriented wedge-close algorithm in SQL; `/` on
+      // BIGINTs is double division in DuckDB, matching Spark's long/long.
+      "g4_triangles" ->
+        """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+          |e0 AS (SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+          |       FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          |        AND x.l_suppkey < y.l_suppkey),
+          |deg AS (SELECT v, COUNT(*) AS deg FROM
+          |        (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+          |        GROUP BY 1),
+          |o AS (SELECT
+          |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+          |         THEN a ELSE b END AS src,
+          |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+          |         THEN b ELSE a END AS dst,
+          |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+          |         THEN d2.deg ELSE d1.deg END AS dd
+          |  FROM e0 JOIN deg d1 ON d1.v = a JOIN deg d2 ON d2.v = b),
+          |w AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+          |      FROM o o1 JOIN o o2 ON o1.src = o2.src
+          |      WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+          |tris AS (SELECT w.src AS v1, w.x AS v2, w.y AS v3
+          |         FROM w JOIN o ON o.src = w.x AND o.dst = w.y),
+          |pn AS (SELECT v, COUNT(*) AS triangles FROM
+          |       (SELECT v1 AS v FROM tris UNION ALL SELECT v2 FROM tris
+          |        UNION ALL SELECT v3 FROM tris) GROUP BY 1)
+          |SELECT d.v AS supplier, d.deg AS degree,
+          |  COALESCE(pn.triangles, 0) AS triangles,
+          |  ROUND((COALESCE(pn.triangles, 0) * 2) / (d.deg * (d.deg - 1)), 6)
+          |    AS clustering
+          |FROM deg d LEFT JOIN pn USING (v)
+          |WHERE d.deg >= 2 ORDER BY supplier""".stripMargin)
   }
 }

@@ -92,6 +92,39 @@ object TextQueries {
           round(lit(1) - nd.cast("double") / count(lit(1)), 6).as("dup_ratio"))
     }),
 
+    // K4 (EXT): per-source boilerplate-prefix detection — the crawl
+    // curation signal for shared headers ("Terms of Service", scraper
+    // banners): the most common leading-5-token prefix per source, its
+    // doc count, and its share of the source. Shape: ZERO windows and
+    // ZERO joins — two keyed aggregates with map-side partials. The
+    // top-1-with-tiebreak is an ORDER-ENCODED MIN: key =
+    // lpad(10^12 − cnt) || prefix, so min(key) is "highest count, then
+    // lexicographically smallest prefix", and the winner's count parses
+    // back out of the key — no window over a source's (potentially
+    // |docs|-sized) distinct-prefix set, no join back. A source with 10⁸
+    // distinct prefixes costs aggregated rows only.
+    "k4_boilerplate" -> ((s, d) => {
+      val pfx = array_join(slice(tokens(col("text")), 1, 5), " ")
+      val g = Tables.documents(s, d)
+        .select(col("source"), pfx.as("prefix"))
+        .groupBy("source", "prefix").agg(count(lit(1)).as("cnt"))
+      g.select(col("source"), col("cnt"),
+          concat(lpad((lit(1000000000000L) - col("cnt")).cast("string"),
+            13, "0"), col("prefix")).as("_k"))
+        .groupBy("source")
+        .agg(sum("cnt").as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          min("_k").as("_top"))
+        .select(col("source"), col("n_docs"), col("n_prefixes"),
+          expr("substring(_top, 14)").as("top_prefix"),
+          (lit(1000000000000L) -
+            expr("substring(_top, 1, 13)").cast("long")).as("top_count"),
+          round((lit(1000000000000L) -
+            expr("substring(_top, 1, 13)").cast("long")) / col("n_docs"), 6)
+            .as("top_share"))
+        .orderBy("source")
+    }),
+
     // K4: per-source quality report — the per-crawl dashboard every
     // mixing decision reads: volume, mean length, mean stopword ratio,
     // and the full-cascade pass rate, grouped by source. Float means use
@@ -1139,6 +1172,29 @@ object TextQueries {
 
     // Same per-doc signal derivations as the cascade oracle; the DECIMAL
     // sum of 6-dp-rounded ratios makes the mean order-independent.
+    // Same order-encoded MIN; lpad/||/substr behave identically, and the
+    // final `/` on BIGINTs is double division in both engines.
+    "k4_boilerplate" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix,
+        |    COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |k AS (
+        |  SELECT source, cnt,
+        |    lpad(CAST(1000000000000 - cnt AS VARCHAR), 13, '0') || prefix AS _k
+        |  FROM g),
+        |a AS (
+        |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    COUNT(*) AS n_prefixes, MIN(_k) AS _top
+        |  FROM k GROUP BY source)
+        |SELECT source, n_docs, n_prefixes,
+        |  substr(_top, 14) AS top_prefix,
+        |  1000000000000 - CAST(substr(_top, 1, 13) AS BIGINT) AS top_count,
+        |  ROUND((1000000000000 - CAST(substr(_top, 1, 13) AS BIGINT))
+        |    / n_docs, 6) AS top_share
+        |FROM a ORDER BY source""".stripMargin,
+
     "k4_source_quality" ->
       """WITH t AS (
         |  SELECT source, n_chars, string_split(text, ' ') AS w,

@@ -265,6 +265,45 @@ object ScaleCheck {
     val ab10 = time("asof bucketed 10x")(asofBucketed(10 * an))
     println(f"asof bucketed ratio: ${ab10 / ab1}%.1f at 10x " +
       f"(vs plain ${a10}%.1f s -> ${ab10}%.1f s on the same skew corpus)")
+
+    // Integer PageRank (the g4_pagerank body, fixed 3 iterations) on a
+    // synthetic graph at N and 10N edges with CONSTANT degree distribution
+    // (each node u has edges to u±1..u±4 mod n — degree 8 everywhere).
+    // Each iteration is one equi-join (ranks⋈edges on src) + one keyed
+    // aggregate (groupBy dst, map-side partials), both linear in |edges|;
+    // the iteration count is FIXED, so time should grow ~10x.
+    def ringEdges(n: Long) = {
+      val fwd = spark.range(n).select(col("id").as("src"))
+        .crossJoin(spark.range(1, 5).select(col("id").as("off")))
+        .select(col("src"), ((col("src") + col("off")) % n).as("dst"))
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    def pagerank(edges: DataFrame): DataFrame = {
+      val total = 1000000000000L
+      val e = edges.localCheckpoint(true)
+      val deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      val n = deg.count()
+      val teleport = (15L * (total / n)) / 100
+      var r = deg.select(col("node"), col("deg"), lit(total / n).as("rank"))
+      val eRen = e.select(col("src").as("_src"), col("dst").as("_dst"))
+      for (_ <- 1 to 3) {
+        val sums = r.select(col("node").as("_src"),
+            expr("rank DIV deg").as("contrib"))
+          .join(eRen, "_src")
+          .groupBy(col("_dst").as("node")).agg(sum("contrib").as("s"))
+        r = deg.join(sums, Seq("node"), "left").na.fill(0L, Seq("s"))
+          .select(col("node"), col("deg"),
+            expr(s"$teleport + (85 * s) DIV 100").as("rank"))
+      }
+      r
+    }
+    val pn = 250000L
+    time("pagerank warmup")(pagerank(ringEdges(pn)))
+    val p1 = time("pagerank 1x")(pagerank(ringEdges(pn)))
+    val p10 = time("pagerank 10x")(pagerank(ringEdges(10 * pn)))
+    println(f"pagerank ratio: ${p10 / p1}%.1f (linear = 10; 3 fixed " +
+      "iterations, each one keyed join + keyed aggregate over the edges)")
     spark.stop()
   }
 }

@@ -50,6 +50,34 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.values.sum <= total)
   }
 
+  test("g4_triangles matches driver-side brute force on the co-supply graph") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val e0 = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("a"))
+      .join(li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("b")), "ok")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triOf = adj.map { case (v, ns) =>
+      // count unordered neighbor pairs that are themselves adjacent
+      val nsSeq = ns.toSeq.sorted
+      v -> nsSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }.toLong
+    }
+    val got = GraphQueries.queries("g4_triangles")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (v, deg, tri, clus) =>
+      assert(deg == adj(v).size.toLong, s"deg($v)")
+      assert(tri == triOf(v), s"triangles($v): got $tri want ${triOf(v)}")
+      assert(clus >= 0.0 && clus <= 1.0, s"clustering($v)=$clus")
+    }
+    // every deg>=2 node is present
+    assert(got.length == adj.count(_._2.size >= 2))
+    // global identity: per-node counts triple-count each triangle
+    assert(got.map(_._3).sum == triOf.values.sum)
+    assert(got.map(_._3).sum % 3 == 0)
+  }
+
   test("k4_gram_novelty: bounds, first doc novel, novel grams partition") {
     val rows = TextQueries.queries("k4_gram_novelty")(spark, sfDir)
       .collect()

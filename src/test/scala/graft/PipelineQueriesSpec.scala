@@ -440,6 +440,29 @@ class PipelineQueriesSpec extends SparkSpec {
       == expected)
   }
 
+  test("boilerplate prefix: top-1 with tiebreak matches a driver-side recount") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).take(5).mkString(" ")))
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val byPfx = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // highest count, ties to the lexicographically smallest prefix
+      val (topPfx, topCnt) = byPfx.toSeq.minBy { case (p, c) => (-c, p) }
+      src -> (rows.length.toLong, byPfx.size.toLong, topPfx, topCnt)
+    }
+    val got = graft.analytics.TextQueries.queries("k4_boilerplate")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, (nDocs, nPfx, topPfx, topCnt)) =>
+      val (gn, gp, gtp, gtc, gshare) = got(src)
+      assert((gn, gp, gtp, gtc) == ((nDocs, nPfx, topPfx, topCnt)), s"source $src")
+      assert(math.abs(gshare - topCnt.toDouble / nDocs) < 1e-6)
+    }
+  }
+
   test("length deciles: monotone boundaries that cover exactly the promised mass") {
     val rows = graft.analytics.TextQueries.queries("k4_length_deciles")(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("boundary")))

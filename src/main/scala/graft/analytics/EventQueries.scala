@@ -250,6 +250,40 @@ object EventQueries {
             col("first_click") < col("first_purchase")).as("full_funnel"))
     }),
 
+    // E4 (EXT): windowed rate-anomaly detection — per (event_type, hour)
+    // count z-scored against its own trailing 24-hour window (the ops
+    // dashboard "is this hour weird" query). DETERMINISM: the window
+    // carries only INTEGER sums (Σcnt, Σcnt², n — exact, associative,
+    // merge-order-independent); mean and variance come from those via a
+    // fixed IEEE expression (s2/n − (s/n)², never stddev_samp, whose
+    // Welford path would drift from the oracle by ulps). Scale: one keyed
+    // aggregate collapses events to |types|×|hours| rows BEFORE the
+    // window, so the window input is calendar-bounded, not event-bounded;
+    // partitions by event_type parallelize across types.
+    "e4_anomaly_zscore" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr_start"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hr_start")
+        .rowsBetween(-24, -1)
+      hourly.select(col("event_type"), col("hr_start"), col("cnt"),
+          sum("cnt").over(w).as("_s"),
+          sum(col("cnt") * col("cnt")).over(w).as("_s2"),
+          count(lit(1)).over(w).as("_n"))
+        .filter(col("_n") >= 12)
+        .withColumn("_mean", col("_s") / col("_n"))
+        .withColumn("_var",
+          col("_s2") / col("_n") - col("_mean") * col("_mean"))
+        .select(col("event_type"), col("hr_start"), col("cnt"),
+          round(col("_mean"), 6).as("baseline_mean"),
+          when(col("_var") > 0,
+            round((col("cnt") - col("_mean")) / sqrt(col("_var")), 6))
+            .as("zscore"))
+        .orderBy("event_type", "hr_start")
+    }),
+
     // J4 (batch view): tumbling 5-minute windows — same window spec the
     // streaming path uses; batch-checked against the oracle here, replay-
     // checked in StreamingSpec.
@@ -418,6 +452,30 @@ object EventQueries {
       """SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
         |  event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
-        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // Identical integer window sums and the SAME fixed IEEE expression
+    // order for mean/var/z — `/` on integers is double division in DuckDB,
+    // matching Spark's long/long.
+    "e4_anomaly_zscore" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr_start,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hr_start, cnt,
+        |    SUM(cnt) OVER win AS s,
+        |    SUM(cnt * cnt) OVER win AS s2,
+        |    COUNT(*) OVER win AS n
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hr_start
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr_start, cnt,
+        |  ROUND(s / n, 6) AS baseline_mean,
+        |  CASE WHEN s2 / n - (s / n) * (s / n) > 0
+        |       THEN ROUND((cnt - s / n) / sqrt(s2 / n - (s / n) * (s / n)), 6)
+        |  END AS zscore
+        |FROM w WHERE n >= 12 ORDER BY event_type, hr_start""".stripMargin
   )
 }

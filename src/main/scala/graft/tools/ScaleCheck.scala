@@ -304,6 +304,55 @@ object ScaleCheck {
     val p10 = time("pagerank 10x")(pagerank(ringEdges(10 * pn)))
     println(f"pagerank ratio: ${p10 / p1}%.1f (linear = 10; 3 fixed " +
       "iterations, each one keyed join + keyed aggregate over the edges)")
+
+    // Triangle counting (the g4_triangles wedge-close body over a given
+    // UNDIRECTED pair list). Two regimes:
+    //  (a) ring graphs at N and 10N edges, constant degree 8 — wedge work
+    //      is Σ C(outdeg,2), linear in edges here; linear = 10.
+    //  (b) a STAR (one hub adjacent to everyone) at N and 10N spokes —
+    //      the adversarial case: unoriented wedge enumeration at the hub
+    //      is C(N,2) ≈ 5·10⁹ pairs at 1M spokes. The (deg,id) orientation
+    //      points every spoke→hub, the hub has ZERO out-edges, and wedge
+    //      work collapses to nothing — time must stay ~flat scan cost,
+    //      which only holds because orientation bounds out-degree.
+    def triangles(pairs: DataFrame): DataFrame = {
+      val e0 = pairs.localCheckpoint(true)
+      val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      val keyed = e0
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      val oriented = keyed.select(
+          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
+            .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+        .localCheckpoint(true)
+      val wedges = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
+        .join(oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy")), "src")
+        .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+        .agg(count(lit(1)).as("triangles"))
+    }
+    def ringPairs(n: Long) = spark.range(n).select(col("id").as("a"))
+      .crossJoin(spark.range(1, 5).select(col("id").as("off")))
+      .select(col("a"), ((col("a") + col("off")) % n).as("b"))
+    def starPairs(n: Long) = spark.range(1, n + 1)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val tn = 250000L
+    time("triangles warmup")(triangles(ringPairs(tn)))
+    val t1 = time("triangles ring 1x")(triangles(ringPairs(tn)))
+    val t10 = time("triangles ring 10x")(triangles(ringPairs(10 * tn)))
+    println(f"triangles ring ratio: ${t10 / t1}%.1f (linear = 10; constant " +
+      "degree, wedge work linear in edges)")
+    val hn = 1000000L
+    val s1t = time("triangles star 1x")(triangles(starPairs(hn)))
+    val s10t = time("triangles star 10x")(triangles(starPairs(10 * hn)))
+    println(f"triangles star ratio: ${s10t / s1t}%.1f (linear = 10; the " +
+      "10M-spoke hub would be C(10M,2)=5e13 wedges unoriented — the " +
+      "(deg,id) orientation gives the hub zero out-edges, so wedge work " +
+      "is ZERO and the time is pure scan)")
     spark.stop()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.EventQueries
+
+/** E4 rate-anomaly: driver-side brute force of the trailing-window z-score
+  * on sf0.001 — validates the window frame, the n>=12 gate, and the exact
+  * integer-sum formulation (not just rows>0 smoke).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("e4_anomaly_zscore matches a driver-side trailing-window recount") {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val want = hourly.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      sorted.indices.flatMap { i =>
+        val trail = sorted.slice(math.max(0, i - 24), i).map(_._3)
+        if (trail.length < 12) None
+        else {
+          val s = trail.sum
+          val s2 = trail.map(c => c * c).sum
+          val n = trail.length.toLong
+          val mean = s.toDouble / n
+          val vari = s2.toDouble / n - mean * mean
+          val z = if (vari > 0) Some((sorted(i)._3 - mean) / math.sqrt(vari))
+                  else None
+          Some((tpe, sorted(i)._2) -> (sorted(i)._3, mean, z))
+        }
+      }
+    }.toMap
+    val got = EventQueries.queries("e4_anomaly_zscore")(spark, sfDir)
+      .collect()
+      .map { r =>
+        (r.getString(0), r.getTimestamp(1)) ->
+          (r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      }.toMap
+    assert(got.keySet == want.keySet, "row set (frame + n>=12 gate)")
+    want.foreach { case (k, (cnt, mean, z)) =>
+      val (gc, gm, gz) = got(k)
+      assert(gc == cnt, s"$k cnt")
+      assert(math.abs(gm - mean) < 1e-6, s"$k mean")
+      (gz, z) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"$k z")
+        case (None, None)       =>
+        case other              => fail(s"$k z null mismatch: $other")
+      }
+    }
+    // the interesting rows exist: at least one |z| > 2 or the data is
+    // suspiciously flat — and the gate dropped the first 12 hours
+    assert(want.nonEmpty)
+  }
+}

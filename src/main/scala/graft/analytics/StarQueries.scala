@@ -44,6 +44,33 @@ object StarQueries {
         .limit(100)
     }),
 
+    // A9 (EXT): Z-order curve locality report — the data-layout op behind
+    // multi-dim data skipping (operators/ZOrder writes the layout; this
+    // query proves the CURVE's locality property and puts its exact bit
+    // arithmetic under the oracle): bucket lineitem rows by the top-6 bits
+    // of the (l_partkey, l_suppkey) Morton value and report each curve
+    // segment's row count and per-dim bounding box. Locality = every
+    // segment's box is narrow in BOTH dims (the spec asserts it; a
+    // single-dim sort is narrow in one). Dim bounds come from one bounded
+    // 2×2-value driver aggregate (mirrored as scalar subqueries in SQL);
+    // everything after is a pure per-row function + one keyed aggregate.
+    "a9_zorder_curve" -> ((s, d) => {
+      import graft.operators.ZOrder
+      val li = Tables.lineitem(s, d)
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val z = ZOrder.curve(Seq(
+        (col("l_partkey"), b.getLong(0), b.getLong(1)),
+        (col("l_suppkey"), b.getLong(2), b.getLong(3))))
+      li.select(col("l_partkey"), col("l_suppkey"),
+          shiftright(z, 2 * ZOrder.DimBits - 6).as("seg"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+        .orderBy("seg")
+    }),
+
     // B1: indexed-equality-shaped predicate (repo.rs:78,117).
     "b1_filter_eq" -> ((s, d) => {
       Tables.customer(s, d)
@@ -405,7 +432,36 @@ object StarQueries {
     })
   )
 
+  /** Bit-for-bit SQL mirror of ZOrder.curve for the oracle: same clamp,
+    * same floor-of-double-division quantization, same interleave term per
+    * bit — generated so the 64 shift/or terms can't drift from the Scala.
+    */
+  private val zorderOracleSql: String = {
+    val terms = (0 until graft.operators.ZOrder.DimBits).flatMap { i =>
+      Seq(s"(((qpk >> $i) & 1) << ${2 * i})",
+        s"(((qsk >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+       |         MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(floor(((GREATEST(mnp, LEAST(mxp, l_partkey)) - mnp) * 65535)
+       |      / GREATEST(1, mxp - mnp)) AS BIGINT) AS qpk,
+       |    CAST(floor(((GREATEST(mns, LEAST(mxs, l_suppkey)) - mns) * 65535)
+       |      / GREATEST(1, mxs - mns)) AS BIGINT) AS qsk
+       |  FROM lineitem CROSS JOIN b),
+       |z AS (SELECT l_partkey, l_suppkey, ($terms) >> 26 AS seg FROM q)
+       |SELECT seg, COUNT(*) AS n_rows,
+       |  MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+       |  MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+       |FROM z GROUP BY seg ORDER BY seg""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "a9_zorder_curve" -> zorderOracleSql,
+
     "a8_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '2001-06-01'

@@ -50,13 +50,25 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.values.sum <= total)
   }
 
-  test("g4_triangles matches driver-side brute force on the co-supply graph") {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
-    val e0 = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("a"))
-      .join(li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("b")), "ok")
-      .filter(col("a") < col("b")).select("a", "b").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val adj = (e0.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+  test("g4_triangles matches driver-side brute force on the co-supply backbone") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // support per unordered pair = distinct shared orders
+    val support = li.groupBy(_._1).values.flatMap { rows =>
+      val sup = rows.map(_._2).distinct.sorted
+      for (i <- sup.indices; j <- i + 1 until sup.length)
+        yield (sup(i), sup(j))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // each endpoint keeps its top-8 by (support desc, neighbor asc)
+    val cand = support.toSeq.flatMap { case ((a, b), s) =>
+      Seq((a, b, s), (b, a, s))
+    }
+    val e0 = cand.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy { case (_, n, s) => (-s, n) }.take(8)
+        .map { case (v, n, _) => (math.min(v, n), math.max(v, n)) }
+    }.toSet
+    val adj = e0.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val triOf = adj.map { case (v, ns) =>
       // count unordered neighbor pairs that are themselves adjacent

@@ -250,6 +250,34 @@ object EventQueries {
             col("first_click") < col("first_purchase")).as("full_funnel"))
     }),
 
+    // H15 (EXT): map-function suite — the §2.H "map" column: JSON →
+    // map<string,string>, constructor (map), map_concat, map_keys,
+    // try_element_at lookup (ANSI-safe: missing key → null, not error),
+    // map_contains_key, size. Row-local and shuffle-free; the oracle
+    // mirrors via DuckDB's JSON functions over the same props column.
+    // The parse projects ONCE below the (required anyway) sort, and the 5
+    // field extractions project ABOVE it — CollapseProject cannot merge
+    // across Sort, so the plan keeps a single from_json instead of
+    // re-inlining the parse per output column (PlanAudit MULTI_PARSE;
+    // explode(array(struct)) does NOT work as a barrier here — the
+    // optimizer simplifies a one-element explode back into a project).
+    "h15_map_funcs" -> ((s, d) => {
+      val m = map_concat(
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+        map(lit("type"), col("event_type")))
+      Tables.events(s, d)
+        .select(col("event_id"), m.as("m"))
+        .orderBy("event_id")
+        .select(col("event_id"),
+          size(col("m")).cast("long").as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+          try_element_at(col("m"), lit("k")).as("k_val"),
+          try_element_at(col("m"), lit("type")).as("type_val"),
+          map_contains_key(col("m"), "absent").as("has_absent"))
+    }),
+
     // E4 (EXT): windowed rate-anomaly detection — per (event_type, hour)
     // count z-scored against its own trailing 24-hour window (the ops
     // dashboard "is this hour weird" query). DETERMINISM: the window
@@ -453,6 +481,18 @@ object EventQueries {
         |  event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // JSON-function mirror of the map ops: json_keys ≙ map_keys,
+    // json_extract_string ≙ try_element_at, appended 'type' ≙ map_concat.
+    "h15_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) + 1 AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(list_append(json_keys(props), 'type')), ',')
+        |    AS keys_sorted,
+        |  json_extract_string(props, '$.k') AS k_val,
+        |  event_type AS type_val,
+        |  FALSE AS has_absent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // Identical integer window sums and the SAME fixed IEEE expression
     // order for mean/var/z — `/` on integers is double division in DuckDB,

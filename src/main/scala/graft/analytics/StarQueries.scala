@@ -71,6 +71,27 @@ object StarQueries {
         .orderBy("seg")
     }),
 
+    // D7 (EXT): unpivot/melt — the inverse of d4_pivot, completing the
+    // reshaping pair: the 4 lineitem measures melt to (metric, value)
+    // rows, then one metric-keyed aggregate. Row-local melt (4 output
+    // rows per input, no shuffle until the aggregate); sums quantize to
+    // DECIMAL so the fold is merge-order-independent and oracle-exact.
+    "d7_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("min_v"), max("value").as("max_v"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_v"))
+        .orderBy("metric")
+    }),
+
     // B1: indexed-equality-shaped predicate (repo.rs:78,117).
     "b1_filter_eq" -> ((s, d) => {
       Tables.customer(s, d)
@@ -461,6 +482,19 @@ object StarQueries {
 
   val oracle: Map[String, String] = Map(
     "a9_zorder_curve" -> zorderOracleSql,
+
+    // DuckDB UNPIVOT mirrors Spark's unpivot; both emit the source column
+    // name as the metric label.
+    "d7_unpivot" ->
+      """WITH u AS (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |             l_extendedprice, l_discount, l_tax FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME metric VALUE value)
+        |SELECT metric, COUNT(*) AS n, MIN(value) AS min_v,
+        |  MAX(value) AS max_v,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
 
     "a8_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem

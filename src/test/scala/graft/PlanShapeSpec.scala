@@ -109,6 +109,15 @@ class PlanShapeSpec extends SparkSpec {
         s"(a union-of-branches formulation re-parses per branch):\n$plan")
   }
 
+  test("h15 map suite parses props once: field projection stays above the sort") {
+    val plan = physicalPlan(
+      analytics.EventQueries.queries("h15_map_funcs")(spark, sfDir))
+    val parses = "from_json".r.findAllIn(plan).length
+    assert(parses == 1,
+      s"expected 1 from_json, saw $parses (CollapseProject crossed the " +
+        s"Sort barrier and re-inlined the parse per output column):\n$plan")
+  }
+
   test("idempotent sink anti-join broadcasts the incoming batch, never shuffles the table") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/t"

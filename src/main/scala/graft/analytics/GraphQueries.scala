@@ -154,37 +154,7 @@ object GraphQueries {
         .filter(col("rk") <= 8)
       val e0 = kept.select(least(col("v"), col("n")).as("a"),
           greatest(col("v"), col("n")).as("b"))
-        .distinct()
-        .localCheckpoint(true)
-      val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
-      // (deg, id)-orientation: src is the smaller endpoint under the total
-      // order, so out-degree is O(√m) regardless of skew.
-      val keyed = e0
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      val oriented = keyed.select(
-          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("src"), col("b").as("dst"),
-              col("da").as("ds"), col("db").as("dd")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
-              col("db").as("ds"), col("da").as("dd")))
-            .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.ds").as("ds"), col("e.dd").as("dd"))
-        .localCheckpoint(true)
-      // Wedges at the smallest corner: two out-edges of src, ends ordered
-      // by the same (deg, id) key so each unordered wedge appears once.
-      val wedges = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
-        .join(oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy")), "src")
-        .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      val tris = wedges.join(
-          oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
-        .select(col("src").as("v1"), col("x").as("v2"), col("y").as("v3"))
-      val perNode = tris.select(explode(array(col("v1"), col("v2"), col("v3"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("triangles"))
-      deg.join(perNode, Seq("v"), "left").na.fill(0L, Seq("triangles"))
+      graft.operators.GraphOps.triangleCounts(e0)
         .select(col("v").as("supplier"), col("deg").as("degree"),
           col("triangles"),
           // integer numerator/denominator, ONE double division → IEEE-

@@ -315,26 +315,9 @@ object ScaleCheck {
     //      points every spoke→hub, the hub has ZERO out-edges, and wedge
     //      work collapses to nothing — time must stay ~flat scan cost,
     //      which only holds because orientation bounds out-degree.
-    def triangles(pairs: DataFrame): DataFrame = {
-      val e0 = pairs.localCheckpoint(true)
-      val deg = e0.select(col("a").as("v")).unionAll(e0.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg")).localCheckpoint(true)
-      val keyed = e0
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      val oriented = keyed.select(
-          when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("src"), col("b").as("dst"), col("db").as("dd")))
-            .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("dd")))
-            .as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-        .localCheckpoint(true)
-      val wedges = oriented.select(col("src"), col("dst").as("x"), col("dd").as("dx"))
-        .join(oriented.select(col("src"), col("dst").as("y"), col("dd").as("dy")), "src")
-        .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
-      wedges.join(oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
-        .agg(count(lit(1)).as("triangles"))
-    }
+    def triangles(pairs: DataFrame): DataFrame =
+      graft.operators.GraphOps.triangleCounts(pairs)
+        .agg(sum("triangles").as("t3"))
     def ringPairs(n: Long) = spark.range(n).select(col("id").as("a"))
       .crossJoin(spark.range(1, 5).select(col("id").as("off")))
       .select(col("a"), ((col("a") + col("off")) % n).as("b"))

@@ -187,6 +187,32 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("triangle counts match brute-force enumeration on random graphs") {
+    val rnd = new Random(777L)
+    (1 to 10).foreach { round =>
+      val n = 4 + rnd.nextInt(20)
+      val pairs = (0 until rnd.nextInt(3 * n)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) // dups + self-loops
+      }
+      val clean = pairs.collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b))
+      }.toSet
+      val adj = clean.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val wantTri = adj.map { case (v, ns) =>
+        v -> ns.toSeq.combinations(2).count { case Seq(x, y) => adj(x)(y) }.toLong
+      }
+      val got = graft.operators.GraphOps.triangleCounts(
+          pairs.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == adj.keySet, s"round $round node set")
+      adj.foreach { case (v, ns) =>
+        assert(got(v)._1 == ns.size.toLong, s"round $round deg($v)")
+        assert(got(v)._2 == wantTri(v), s"round $round tri($v)")
+      }
+    }
+  }
+
   test("banded range join matches the naive theta join on random points/intervals") {
     import graft.operators.RangeJoin
     val rnd = new Random(777L)

@@ -250,6 +250,33 @@ object EventQueries {
             col("first_click") < col("first_purchase")).as("full_funnel"))
     }),
 
+    // J7 (EXT): retention cohort analysis — users grouped by first-seen
+    // week, activity tracked by distinct (user, week), the classic
+    // product-analytics triangle matrix. Three keyed aggregates (per-user
+    // MIN, (user,week) distinct, cohort×offset count) + one broadcastable
+    // cohort-size join; everything shuffles on user or (cohort, offset),
+    // never on pairs. Week arithmetic is integer (datediff DIV 7) and the
+    // one rate division is long/long → double, rounded — oracle-exact.
+    "j7_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val firstWk = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      val active = ev.distinct()
+      val cohortSize = firstWk.groupBy("cohort_wk")
+        .agg(count(lit(1)).as("n_cohort"))
+      active.join(firstWk, "user_id")
+        .select(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / lit(7)).cast("long")
+            .as("week_offset"))
+        .groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(cohortSize, "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+          col("n_cohort"),
+          round(col("n_active") / col("n_cohort"), 6).as("retention"))
+        .orderBy("cohort_wk", "week_offset")
+    }),
+
     // H15 (EXT): map-function suite — the §2.H "map" column: JSON →
     // map<string,string>, constructor (map), map_concat, map_keys,
     // try_element_at lookup (ANSI-safe: missing key → null, not error),
@@ -481,6 +508,28 @@ object EventQueries {
         |  event_type, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // Monday-start ISO weeks in both engines; offsets are exact multiples
+    // of 7 days so the integer division is lossless.
+    "j7_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, wk FROM ev),
+        |cs AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM fw GROUP BY 1),
+        |m AS (
+        |  SELECT fw.cohort_wk,
+        |    CAST(date_diff('day', fw.cohort_wk, act.wk) // 7 AS BIGINT)
+        |      AS week_offset,
+        |    COUNT(*) AS n_active
+        |  FROM act JOIN fw USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT m.cohort_wk, m.week_offset, m.n_active, cs.n_cohort,
+        |  ROUND(m.n_active / cs.n_cohort, 6) AS retention
+        |FROM m JOIN cs USING (cohort_wk)
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
 
     // JSON-function mirror of the map ops: json_keys ≙ map_keys,
     // json_extract_string ≙ try_element_at, appended 'type' ≙ map_concat.

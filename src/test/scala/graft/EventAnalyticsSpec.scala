@@ -9,6 +9,27 @@ import graft.analytics.EventQueries
   */
 class EventAnalyticsSpec extends SparkSpec {
 
+  test("j7_retention_cohorts: week-0 is full, rates bounded, cohorts conserve users") {
+    val rows = EventQueries.queries("j7_retention_cohorts")(spark, sfDir)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (wk, rs) =>
+      // a user is active in their own first week by definition
+      val w0 = rs.find(_._2 == 0L).getOrElse(fail(s"cohort $wk missing week 0"))
+      assert(w0._3 == w0._4 && w0._5 == 1.0, s"cohort $wk week-0 not full")
+      rs.foreach { case (_, off, active, size, rate) =>
+        assert(off >= 0 && active >= 1 && active <= size)
+        assert(rate > 0.0 && rate <= 1.0)
+      }
+    }
+    // cohort sizes partition the user universe
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.head._4).sum == users)
+  }
+
   test("e4_anomaly_zscore matches a driver-side trailing-window recount") {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))

@@ -15,7 +15,8 @@ object Explain {
       "k2_minhash_lsh", "k3_cosine_topk_fast", "i1_normalize_golden",
       "a5_idempotent_dedup", "c8_range_join", "k6_decontaminate",
       "k4_repetition_ratio", "k4_filter_cascade", "k4_doc_lm_score",
-      "k6_corpus_pipeline", "c5_asof_bucketed")
+      "k6_corpus_pipeline", "c5_asof_bucketed",
+      "g4_pagerank", "g4_triangles", "a9_zorder_curve", "e4_anomaly_zscore")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

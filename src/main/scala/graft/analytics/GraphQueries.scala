@@ -84,6 +84,13 @@ object GraphQueries {
     // ContextCleaner, no session-lifetime cache entry) so the unrolled
     // 3-iteration plan scans them from the block manager instead of
     // re-deriving the orders⋈lineitem join per iteration.
+    // Honest cost note: a checkpointed RDD loses SQL-level partitioning
+    // info, so each iteration re-EXCHANGES the edge list for its scatter
+    // join (visible in PLANS.md — Exchange over Scan ExistingRDD per
+    // round). At 3 iterations that is the right trade vs re-deriving the
+    // join; a long-running production PageRank would instead write edges
+    // once as a bucketed table on src (BucketedTables) and get
+    // exchange-free scatter joins every iteration.
     "g4_pagerank" -> ((s, d) => {
       val e = edges(s, d).localCheckpoint(true)
       val deg = e.groupBy(col("src").as("node"))

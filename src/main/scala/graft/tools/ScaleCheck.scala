@@ -323,6 +323,29 @@ object ScaleCheck {
       .select(col("a"), ((col("a") + col("off")) % n).as("b"))
     def starPairs(n: Long) = spark.range(1, n + 1)
       .select(lit(0L).as("a"), col("id").as("b"))
+    // n-gram novelty (the k4_gram_novelty body): gram explode →
+    // gram-keyed MIN → gram-keyed join back → doc-keyed count. All
+    // shuffles keyed with partial aggregation; replicas multiply gram
+    // GROUP DEPTH 10x (every gram shared by ~10 docs) — which must stay
+    // an aggregate/join-row cost, never a pair term. Linear = 10.
+    def novelty(docs: DataFrame) = {
+      val grams = Tables.fanOut(docs)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), explode(
+          graft.functions.VectorFunctions.shingles(
+            split(col("text"), " "), 3)).as("g"))
+      val firsts = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(firsts, "g").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+    }
+    time("novelty warmup")(novelty(docs1))
+    val nv1 = time("novelty 1x")(novelty(docs1))
+    val nv10 = time("novelty 10x")(novelty(docs10))
+    println(f"novelty ratio: ${nv10 / nv1}%.1f (linear = 10; replicas make " +
+      "every gram ~10x-shared — group depth, not pairs)")
+
     val tn = 250000L
     time("triangles warmup")(triangles(ringPairs(tn)))
     val t1 = time("triangles ring 1x")(triangles(ringPairs(tn)))

@@ -33,6 +33,25 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // K3 (EXT): RADIUS search — all vectors within a cosine threshold of
+    // the query, the other half of the similarity-search API (top-k
+    // bounds the result count, radius bounds the similarity). Same
+    // broadcast-one-row + codegen'd-dot scan as top-k; the threshold
+    // filter happens map-side, so the only data movement is the final
+    // (small) ordered result.
+    "k3_range_search" -> ((s, d) => {
+      import graft.functions.VectorExpressions.cosineFast
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      emb
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosineFast(col("embedding"), col("q_vec")), 6).as("sim"))
+        .filter(col("sim") >= 0.15)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // K3 via the custom codegen'd Catalyst expression (DotProductExpr):
     // same semantics and oracle as k3_cosine_topk, but the per-element
     // lambda interpretation of zip_with/aggregate is replaced by a tight
@@ -269,6 +288,22 @@ object SimilarityQueries {
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,
+
+    // Same sims derivation, threshold on the ROUNDED value (the engine
+    // filters its rounded output column), explicit rounded sort key.
+    "k3_range_search" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS sim
+        |  FROM embeddings e, q)
+        |SELECT vec_id, label, ROUND(sim, 6) AS sim
+        |FROM sims WHERE ROUND(sim, 6) >= 0.15
+        |ORDER BY ROUND(sim, 6) DESC, vec_id""".stripMargin,
 
     // Full SQL re-derivation of the SemDeDup shape: planted scaled copies
     // (REAL×REAL multiply, IEEE-identical to the engine's float math),

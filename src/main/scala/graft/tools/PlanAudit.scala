@@ -20,7 +20,8 @@ object PlanAudit {
   // the documented plan (see their scaladoc): broadcast query vectors and
   // the tiny×tiny cross join.
   private val expectedNestedLoop = Set(
-    "k3_cosine_topk", "k3_cosine_topk_fast", "k3_ann_lsh", "k3_ann_ivf",
+    "k3_cosine_topk", "k3_cosine_topk_fast", "k3_range_search",
+    "k3_ann_lsh", "k3_ann_ivf",
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")
 

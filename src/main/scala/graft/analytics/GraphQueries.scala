@@ -181,14 +181,20 @@ object GraphQueries {
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         |e AS (SELECT c AS src, p AS dst FROM e0
         |      UNION ALL SELECT p, c FROM e0)""".stripMargin
+    // CAST both the contribution sum and the recombined rank to BIGINT:
+    // DuckDB's SUM(BIGINT) yields HUGEINT and the INT128 dtype would
+    // otherwise propagate through r1..r3 and poison the driver's
+    // dtype-sensitive hash even when every value is equal (same pattern
+    // as total_tf in the inverted-index oracle).
     def iter(prev: String, cur: String): String =
       s"""s$cur AS (
-         |  SELECT e.dst AS node, SUM(r.rank // r.deg) AS s
+         |  SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
          |  FROM r$prev r JOIN e ON e.src = r.node GROUP BY 1),
          |r$cur AS (
          |  SELECT d.node, d.deg,
-         |    (15 * (1000000000000 // n.n)) // 100
-         |      + (85 * COALESCE(s$cur.s, 0)) // 100 AS rank, n.n AS n
+         |    CAST((15 * (1000000000000 // n.n)) // 100
+         |      + (85 * COALESCE(s$cur.s, 0)) // 100 AS BIGINT) AS rank,
+         |    n.n AS n
          |  FROM deg d CROSS JOIN n LEFT JOIN s$cur ON s$cur.node = d.node)"""
         .stripMargin
     Map(

@@ -217,9 +217,13 @@ object TextQueries {
         .withColumn("_r1", row_number().over(w1)).filter(col("_r1") <= 16)
         .withColumn("_r2", row_number().over(w2)).filter(col("_r2") <= 16)
         .groupBy("term")
-        .agg(transform(
+        // space-joined STRING, not ARRAY: the driver's comparator sorts
+        // pandas frames and cannot order a top-level list column, so the
+        // declared surface keeps every output column scalar (QueriesSpec
+        // asserts this invariant over the whole map).
+        .agg(array_join(transform(
           sort_array(collect_list(struct(col("_r2"), col("doc_id")))),
-          e => e.getField("doc_id")).as("postings"))
+          e => e.getField("doc_id").cast("string")), " ").as("postings"))
       stats.join(postings, Seq("term"))
         .select("term", "doc_freq", "total_tf", "postings")
         .orderBy("term")
@@ -765,7 +769,8 @@ object TextQueries {
         |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
         |  FROM tf),
         |p AS (
-        |  SELECT term, list(doc_id ORDER BY rn) AS postings
+        |  SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY rn) AS postings
         |  FROM ranked WHERE rn <= 16 GROUP BY term)
         |SELECT s.term, s.doc_freq, s.total_tf, p.postings
         |FROM stats s JOIN p USING (term) ORDER BY term""".stripMargin,

@@ -23,6 +23,25 @@ class QueriesSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle without query: $unknown")
   }
 
+  test("every declared output schema is scalar-only (driver-comparable)") {
+    // The driver's comparator sorts a pandas frame on every column; a
+    // top-level ARRAY/MAP/STRUCT column crashes that sort (it took
+    // k4_inverted_index down in round 6). Complex data belongs INSIDE a
+    // query, serialized (array_join / to_json) at the declared boundary.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sfDir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar top-level columns break the driver: $offenders")
+  }
+
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

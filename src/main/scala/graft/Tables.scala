@@ -25,18 +25,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read it as a raw nanos long
-    * (`nanosAsLong`) and truncate to a micros TimestampType — the same
-    * ns→µs truncation DuckDB applies, so oracle comparisons agree.
+  /** `events.ts` normalizes to a micros TimestampType regardless of how the
+    * producer wrote it — corpora in the wild carry all three encodings:
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+    *    `nanosAsLong` reads it as a raw long and we truncate ns→µs (the same
+    *    truncation DuckDB applies, so oracle comparisons agree);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ:
+    *    cast to TimestampType — exact under the engine's UTC session zone;
+    *  - already TimestampType: no-op.
+    * The dtype branch reads the scanned schema (parquet footer), so the
+    * loader adapts per-directory rather than assuming one producer.
     * `nanosAsLong` is GraftSession-level policy (see its scaladoc); the set
     * here only covers sessions built outside [[graft.GraftSession]] (tests).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
       // integral `div`, not `/1000`: long→double division rounds the low µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

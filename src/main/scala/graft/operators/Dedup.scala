@@ -479,16 +479,22 @@ object Dedup {
     * Centroids here are the deterministic stride-`centStride` subset of
     * the corpus (ids ≡ 0 mod centStride) — the oracle-reproducible
     * stand-in for learned centroids; swap in `IvfAnn.trainCentroids` for
-    * the k-means variant (identical downstream shape, and at 100 TB the
-    * assignment should use IvfAnn's `NearestCentroidExpr` — a zero-
-    * shuffle literal-matrix argmin — instead of this crossJoin, which is
-    * kept here because the oracle must re-derive the assignment in SQL).
+    * the k-means variant (identical downstream shape).
     *
-    * Scale shape: the centroid side is k broadcast rows, so assignment is
-    * a map-side scan (n·k codegen'd dots, no corpus shuffle); the argmax
-    * is a partial-aggregated max_by (one row per id reaches the shuffle);
-    * pairs come from the capped [[blockPairs]]; exact cosine runs on
-    * verified candidates only. No pair term outside cluster cells.
+    * Scale shape: assignment rides [[graft.functions.NearestCentroidExpr]]
+    * — the centroid matrix lives INSIDE the expression object, so the
+    * argmax is a tight k × dim primitive loop per row with ZERO shuffle
+    * and zero intermediate rows (the old `crossJoin(broadcast(cents))`
+    * materialized n·k rows and shuffled them through a groupBy/max_by —
+    * the n·k row term, not the n·k dots, is what dies first at 100 TB).
+    * Cosine argmax ≡ dot argmax against UNIT-normalized centroids (‖v‖ is
+    * constant per row), and the matrix is ordered by DESCENDING centroid
+    * id so the expression's ties-to-larger-index rule lands on the LOWEST
+    * id — the same tie the oracle's `ORDER BY cos DESC, cid` picks. The
+    * driver-side collect is bounded by k (stride subset locally; a fixed
+    * `IvfAnn.trainCentroids` k at scale). Pairs come from the capped
+    * [[blockPairs]]; exact cosine runs on verified candidates only. No
+    * pair term outside cluster cells.
     *
     * @return (id_a, id_b, cos) for same-cluster pairs with cosine ≥
     *         threshold, id_a < id_b; cos unrounded (callers round for
@@ -497,18 +503,26 @@ object Dedup {
   def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
       centStride: Int = 31, threshold: Double = 0.9,
       maxBucket: Int = 256): DataFrame = {
-    import graft.functions.VectorExpressions.cosineFast
+    import graft.functions.VectorExpressions.{cosineFast, nearestCentroid}
+    // Descending cid: NearestCentroidExpr breaks score ties to the LARGER
+    // matrix index, so the last-listed (= lowest) cid wins — matching the
+    // oracle's ORDER BY cos DESC, cid.
     val cents = emb.filter(col(idCol) % centStride === 0)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .collect()
+      .sortBy(r => -r.getLong(0))
+    val centIds: Array[Long] = cents.map(_.getLong(0))
+    val matrix: Array[Array[Double]] = cents.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n) // unit norm: dot argmax ≡ cosine argmax
+    }
     val assigned = graft.Tables.fanOut(emb)
       .select(col(idCol), col(vecCol).as("_v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_cos", cosineFast(col("_v"), col("_cv")))
-      .groupBy(col(idCol))
-      // ties (identical cosine doubles) break to the LOWEST centroid id —
-      // struct order (cos, -cid) makes that the max; the oracle's
-      // row_number ORDER BY cos DESC, cid picks the same centroid
-      .agg(max_by(col("_cid"), struct(col("_cos"), -col("_cid"))).as("_cid"))
+      .withColumn("_cid",
+        element_at(lit(centIds), nearestCentroid(col("_v"), matrix) + 1))
+      .select(col(idCol), col("_cid"))
     val pairs = blockPairs(assigned, idCol, "_cid", maxBucket)
     pairs
       .join(emb.select(col(idCol).as("id_a"), col(vecCol).as("_va")), Seq("id_a"))

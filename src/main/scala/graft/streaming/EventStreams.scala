@@ -34,6 +34,12 @@ object EventStreams {
     val stream =
       if (nanosCols.contains("ts"))
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else if (schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+        // micros-NTZ producer: cast to TimestampType — exact under the
+        // engine's UTC session zone, and keeps watermarks/windows uniform
+        // across producers (they require an instant-typed event time).
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       else raw
     if (eventTypes.isEmpty) stream
     else stream.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))

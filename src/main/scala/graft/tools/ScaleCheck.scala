@@ -182,11 +182,13 @@ object ScaleCheck {
 
     // semantic dedup in the k ∝ n regime (stride fixed => 10x centroids,
     // constant ~31-member cells — the SemDeDup recipe): in-cell verify
-    // stays linear, but ASSIGNMENT is n·k map-side dots = 100x raw FLOPs
-    // here. The measured ratio shows how much of that the scan absorbs at
-    // this size; at 100 TB, k caps at centroid-matrix memory and
-    // assignment moves to IvfAnn's NearestCentroidExpr / ANN-assignment —
-    // the documented production path.
+    // stays linear; ASSIGNMENT is n·k dots = 100x raw FLOPs here, but it
+    // now runs INSIDE NearestCentroidExpr — a per-row primitive loop over
+    // the in-expression matrix, zero shuffle, zero intermediate rows (the
+    // old crossJoin materialized and shuffled n·k ROWS, which is what
+    // actually dies at scale). The measured ratio shows the tight loop
+    // absorbing the FLOP growth; at 100 TB, k caps at centroid-matrix
+    // memory and assignment moves to IvfAnn's trained-k / ANN-assignment.
     val emb1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
     val emb10 = (0 until 10).map { i =>
       emb1.select((col("vec_id") * 10 + i).as("vec_id"), col("embedding"), col("label"))
@@ -198,8 +200,8 @@ object ScaleCheck {
     val sd1 = time("semantic dedup 1x")(sem(emb1, 31))
     val sd10 = time("semantic dedup 10x")(sem(emb10, 31))
     println(f"semantic dedup ratio: ${sd10 / sd1}%.1f (k grows with n: " +
-      "assignment dots are 100x raw — the map-side scan absorbs them " +
-      "until k hits centroid-memory, then NearestCentroidExpr/ANN assignment)")
+      "assignment dots are 100x raw, run as NearestCentroidExpr's " +
+      "in-expression loop — zero shuffle, no n*k row term)")
 
     // Dedup.clusters: synthetic edge sets at N and 10N edges with CONSTANT
     // component shape (4-node paths, diameter 3) — the regime a growing

@@ -296,13 +296,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the interval union must fold array-local, not via a window:\n$plan")
   }
 
-  test("semantic dedup: broadcast centroid assignment, no cartesian, capped pair join (k2)") {
+  test("semantic dedup: in-expression centroid assignment, no cartesian/BNLJ (k2)") {
     val plan = physicalPlan(
       analytics.SimilarityQueries.queries("k2_semantic_dedup")(spark, sfDir))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"centroid side must broadcast (map-side assignment):\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"corpus-side cartesian in semantic dedup:\n$plan")
+    assert(plan.contains("nearest_centroid"),
+      s"assignment must ride NearestCentroidExpr (no n*k row term):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus-side cartesian/BNLJ in semantic dedup:\n$plan")
   }
 
   test("doc LM score joins on the bigram key — no cartesian/BNLJ (k4)") {

@@ -307,6 +307,48 @@ object ScaleCheck {
     println(f"pagerank ratio: ${p10 / p1}%.1f (linear = 10; 3 fixed " +
       "iterations, each one keyed join + keyed aggregate over the edges)")
 
+    // Bucketed-layout PageRank (g4_pagerank_bucketed): after the ONE-TIME
+    // layout write, each iteration shuffles once (the gather) instead of
+    // three times — scatter join and rank update are satisfied by the
+    // bucketed layout (PlanShapeSpec asserts exactly 3 Exchanges for 3
+    // iterations). Iterate-phase time at 10 iterations vs the
+    // checkpointed path measures what a 50-iteration 100 TB rank pays
+    // per round; the write amortizes across runs and iterations.
+    {
+      import graft.analytics.GraphQueries
+      val dir = java.nio.file.Files.createTempDirectory("sc-pr-b").toString
+      def plainIters(edges: DataFrame, iters: Int): DataFrame = {
+        val total = 1000000000000L
+        val e = edges.localCheckpoint(true)
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+        val n = deg.count()
+        val teleport = (15L * (total / n)) / 100
+        var r = deg.select(col("node"), col("deg"), lit(total / n).as("rank"))
+        val eRen = e.select(col("src").as("_src"), col("dst").as("_dst"))
+        for (_ <- 1 to iters) {
+          val sums = r.select(col("node").as("_src"),
+              expr("rank DIV deg").as("contrib"))
+            .join(eRen, "_src")
+            .groupBy(col("_dst").as("node")).agg(sum("contrib").as("s"))
+          r = deg.join(sums, Seq("node"), "left").na.fill(0L, Seq("s"))
+            .select(col("node"), col("deg"),
+              expr(s"$teleport + (85 * s) DIV 100").as("rank"))
+        }
+        r
+      }
+      val edges = ringEdges(pn).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      GraphQueries.writePagerankLayout(spark, edges, dir)
+      println(f"pr layout write      ${(System.nanoTime() - t0) / 1e9}%7.2f s (one-time)")
+      time("pr bucketed warmup")(GraphQueries.pagerankOnLayout(spark, 10))
+      val pb = time("pr bucketed 10it")(GraphQueries.pagerankOnLayout(spark, 10))
+      time("pr plain warmup")(plainIters(edges, 10))
+      val pp = time("pr plain 10it")(plainIters(edges, 10))
+      println(f"pagerank bucketed/plain per-iteration: ${pb / pp}%.2f " +
+        "(1 shuffle/iter vs 3 — edge bytes never re-exchange)")
+    }
+
     // Triangle counting (the g4_triangles wedge-close body over a given
     // UNDIRECTED pair list). Two regimes:
     //  (a) ring graphs at N and 10N edges, constant degree 8 — wedge work

@@ -1,0 +1,73 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.analytics.LedgerQueries
+import graft.api.ApiServer
+import graft.sources.{JsonlBronzeSink, JsonlBronzeSource}
+
+/** The served surface equals the library surface: every route's payload is
+  * checked against the corresponding [[LedgerPipeline]] call on the same
+  * tables (reference parity: api/src/main.rs:32-38).
+  */
+class ApiSpec extends SparkSpec {
+
+  private def http(req: HttpRequest): HttpResponse[String] =
+    HttpClient.newHttpClient().send(req, HttpResponse.BodyHandlers.ofString())
+
+  private def get(port: Int, path: String): HttpResponse[String] =
+    http(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build())
+
+  private def post(port: Int, path: String, body: String): HttpResponse[String] =
+    http(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build())
+
+  test("all five routes serve over HTTP and equal the library calls") {
+    val tmp = Files.createTempDirectory("api").toString
+    val jsonl = s"$tmp/in"; val bronze = s"$tmp/bronze"; val silver = s"$tmp/silver"
+    JsonlBronzeSink.write(LedgerQueries.fixtureBronze(spark), jsonl)
+    val srv = new ApiServer(spark, new JsonlBronzeSource(jsonl), bronze, silver)
+    val port = srv.start()
+    try {
+      assert(get(port, "/health").body() == "OK")
+
+      val ing = post(port, "/v1/ingest",
+        s"""{"chain":"solana","wallet":"${LedgerQueries.W}","limit":100}""")
+      assert(ing.statusCode() == 200 && ing.body() == "\"Ingested 5 transactions\"")
+
+      val norm = post(port, "/v1/normalize", s"""{"wallet":"${LedgerQueries.W}"}""")
+      assert(norm.statusCode() == 200 && norm.body() == "\"Normalized 4 ledger entries\"")
+
+      // replay both POSTs: idempotent, zero new rows (repo.rs ON CONFLICT)
+      assert(post(port, "/v1/ingest",
+        s"""{"chain":"solana","wallet":"${LedgerQueries.W}","limit":100}""")
+        .body() == "\"Ingested 0 transactions\"")
+      assert(post(port, "/v1/normalize", s"""{"wallet":"${LedgerQueries.W}"}""")
+        .body() == "\"Normalized 0 ledger entries\"")
+
+      // GET payloads equal the library DataFrames, row for row, in order
+      val txs = get(port, s"/v1/transactions/${LedgerQueries.W}")
+      assert(txs.statusCode() == 200)
+      val txsLib = LedgerPipeline.transactions(spark, bronze, LedgerQueries.W)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(txs.body() == txsLib)
+
+      val led = get(port, s"/v1/ledger/${LedgerQueries.W}")
+      assert(led.statusCode() == 200)
+      val ledLib = LedgerPipeline.ledger(spark, silver, LedgerQueries.W)
+        .toJSON.collect().mkString("[", ",", "]")
+      assert(led.body() == ledLib)
+      assert(led.body().contains("\"asset_symbol\""))
+
+      // unknown wallet serves an empty array, not an error
+      assert(get(port, "/v1/ledger/NoSuchWallet").body() == "[]")
+
+      // error contract: bad JSON → 400, unknown route → 404
+      assert(post(port, "/v1/normalize", """{"nope":1}""").statusCode() == 400)
+      assert(get(port, "/v1/bogus").statusCode() == 404)
+    } finally srv.stop()
+  }
+}

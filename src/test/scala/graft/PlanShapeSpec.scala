@@ -178,6 +178,43 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed PageRank: one exchange per iteration (gather only) — scatter joins layout-satisfied") {
+    val dir = java.nio.file.Files.createTempDirectory("pr-bucketed").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so every join must honor distributions — the
+      // shape under test is the co-partitioned SMJ/SHJ, not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("c"),
+          concat(lit("S"), col("l_suppkey")).as("p"))
+        .distinct()
+      val both = edges.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(edges.select(col("p").as("src"), col("c").as("dst")))
+      val r = analytics.GraphQueries.pagerankBucketed(spark, both, dir, iterations = 3)
+      val plan = physicalPlan(r)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 3,
+        s"bucketed 3-iteration PageRank must shuffle exactly once per " +
+          s"iteration (the gather), saw $exchanges:\n$plan")
+      // and the result matches the checkpointed-path query bit-for-bit
+      val viaQuery = analytics.GraphQueries.queries("g4_pagerank")(spark, sfDir)
+        .select("node", "degree", "rank_ppt")
+      assert(r.select(col("node"), col("deg").as("degree"),
+          col("rank").as("rank_ppt"))
+        .exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(
+          r.select(col("node"), col("deg").as("degree"),
+            col("rank").as("rank_ppt"))).isEmpty,
+        "bucketed and checkpointed PageRank diverged")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_pr_edges_b")
+      spark.sql("DROP TABLE IF EXISTS graft_pr_deg_b")
+    }
+  }
+
   test("salted join stays in the shuffle regime: no broadcast of the replicated dim") {
     val plan = physicalPlan(
       analytics.PipelineQueries.queries("c6_join_salted")(spark, sfDir))

@@ -69,4 +69,37 @@ class SourcesSpec extends SparkSpec {
     val rows = new JsonlBronzeSource(dir).read(spark).collect()
     assert(rows.map(_.getAs[String]("id")).sorted.toSeq == Seq("ok1", "ok2"))
   }
+
+  test("jdbc store round-trips bronze: idempotent save, pushed by-wallet read (repo.rs parity)") {
+    import graft.sources.JdbcStore
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = Files.createTempDirectory("jdbc").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val bronze = LedgerQueries.fixtureBronze(spark)
+
+    // first save inserts all rows; replaying the SAME batch inserts none
+    assert(JdbcStore.saveIdempotent(spark, bronze, url, "transactions", "id", opts) == 5)
+    assert(JdbcStore.saveIdempotent(spark, bronze, url, "transactions", "id", opts) == 0)
+    // a batch with one genuinely new row appends exactly that row
+    val plusOne = bronze.unionByName(bronze.limit(1)
+      .withColumn("id", concat(col("id"), lit("_new"))))
+    assert(JdbcStore.saveIdempotent(spark, plusOne, url, "transactions", "id", opts) == 1)
+
+    // by-wallet ordered read equals the bronze-source contract
+    val got = JdbcStore.readByWallet(spark, url, "transactions",
+      LedgerQueries.W, Seq("timestamp", "id"), opts)
+    assert(got.count() == 6)
+    assert(got.collect().forall(_.getAs[String]("wallet_address") == LedgerQueries.W))
+    // full column round-trip, order-insensitive
+    val back = JdbcStore.read(spark, url, "transactions", opts)
+      .select(bronze.columns.map(col).toIndexedSeq: _*)
+    assert(back.exceptAll(plusOne).isEmpty && plusOne.exceptAll(back).isEmpty)
+
+    // the wallet predicate reaches the database, not a post-scan filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.toLowerCase.contains("wallet_address"),
+      s"wallet equality not pushed into the JDBC scan:\n$plan")
+  }
 }

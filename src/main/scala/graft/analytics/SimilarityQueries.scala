@@ -69,11 +69,19 @@ object SimilarityQueries {
         .limit(10)
     }),
 
-    // K3 scale path: LSH-bucketed ANN — see [[annTopK]]; rows-only check
-    // (seeded hyperplanes aren't reproducible in SQL), recall asserted in
-    // SimilaritySpec on planted clustered vectors.
-    "k3_ann_lsh" -> ((s, d) =>
-      annTopK(Tables.embeddings(s, d), queryId = 0, dim = 64, k = 10)),
+    // K3 scale path: LSH-bucketed ANN — see [[annTopK]]. The seeded
+    // hyperplane bucket ids are materialized via OracleAux; the oracle
+    // re-derives the multi-probe Hamming filter, exact cosine, and top-k
+    // from that artifact (recall additionally asserted in SimilaritySpec
+    // on planted clustered vectors).
+    "k3_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.tools.OracleAux.write(
+        emb.select(col("vec_id"),
+          hyperplaneSig(asDouble(col("embedding")), dim = 64, nPlanes = 8)
+            .as("bucket")), "k3_ann_buckets")
+      annTopK(emb, queryId = 0, dim = 64, k = 10)
+    }),
 
     // K3 scale path #2: IVF (k-means inverted file) ANN — data-adaptive
     // cells vs LSH's random halfspaces; see graft.operators.IvfAnn for the
@@ -288,6 +296,30 @@ object SimilarityQueries {
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,
+
+    // Downstream of the written hyperplane-bucket artifact
+    // (graft.tools.OracleAux): multi-probe = Hamming ≤ 2 on the bucket
+    // ids, then the exact-cosine top-k the brute-force oracle also uses.
+    "k3_ann_lsh" ->
+      """WITH b AS (SELECT vec_id, bucket
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k3_ann_buckets.parquet/*.parquet')),
+        |qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = 0),
+        |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.label, e.embedding
+        |  FROM embeddings e, b, qb
+        |  WHERE e.vec_id = b.vec_id
+        |    AND bit_count(xor(b.bucket, qb.q_bucket)) <= 2),
+        |sims AS (
+        |  SELECT c.vec_id, c.label,
+        |    list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS sim
+        |  FROM cand c, q)
+        |SELECT vec_id, label, ROUND(sim, 6) AS sim
+        |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // Same sims derivation, threshold on the ROUNDED value (the engine
     // filters its rounded output column), explicit rounded sort key.

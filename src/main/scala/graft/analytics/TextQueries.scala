@@ -603,9 +603,14 @@ object TextQueries {
 
     // K2: MinHash/LSH near-dup — banded candidates, exact-Jaccard verify;
     // see Dedup.minHashLsh scaladoc for the no-crossJoin scale argument.
-    // xxhash64 signatures aren't reproducible in DuckDB → rows-only check;
-    // planted-near-dup correctness is asserted in DedupSpec.
+    // The seeded xxhash64 signatures are the one non-SQL-derivable stage:
+    // they are materialized via OracleAux and the oracle re-derives the
+    // ENTIRE downstream (banding, bucket cap, pairing, shingle-Jaccard
+    // verify) from that artifact — see OracleAux's self-checking argument.
     "k2_minhash_lsh" -> ((s, d) => {
+      graft.tools.OracleAux.write(
+        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, k = 32), "k2_minhash_sigs")
       Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
           shingleN = 3, k = 32, bands = 8, threshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -665,8 +670,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // K2: SimHash fingerprint near-dup candidates (rows-only: xxhash64).
+    // K2: SimHash fingerprint near-dup candidates. The seeded fingerprint
+    // is materialized via OracleAux; the oracle re-derives the quarter
+    // split, bucket cap, and pairing from it.
     "k2_simhash" -> ((s, d) => {
+      graft.tools.OracleAux.write(
+        Tables.documents(s, d).select(col("doc_id"),
+          Dedup.simHash(split(col("text"), " ")).as("_fp")), "k2_simhash_fps")
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id_a", "id_b")
     }),
@@ -841,6 +851,57 @@ object TextQueries {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Independent re-derivation of everything downstream of the written
+    // MinHash signature artifact (graft.tools.OracleAux): banding = the
+    // (band, 4-slice) grouping the engine's band-key hash encodes, bucket
+    // cap 2..64 on DISTINCT members, candidate pairs id_a < id_b deduped
+    // across bands, then exact shingle-Jaccard verification at 0.4 —
+    // the same shingle SQL k2_ngram_jaccard proves equivalent.
+    "k2_minhash_lsh" ->
+      """WITH sigs AS (SELECT doc_id, _sig
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_minhash_sigs.parquet/*.parquet')),
+        |bands AS (
+        |  SELECT doc_id, r.b AS b, list_slice(_sig, r.b*4 + 1, r.b*4 + 4) AS key
+        |  FROM sigs, range(0, 8) r(b)),
+        |sized AS (SELECT b, key, COUNT(DISTINCT doc_id) AS n
+        |          FROM bands GROUP BY b, key),
+        |ok AS (SELECT b, key FROM sized WHERE n BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y USING (b, key) JOIN ok USING (b, key)
+        |  WHERE x.doc_id < y.doc_id),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3)
+        |SELECT c.id_a, c.id_b,
+        |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
+        |FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(a.s || b.s)) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Downstream of the written SimHash fingerprint artifact: 16-bit
+    // quarter pieces (mask after shift makes arithmetic-vs-logical shift
+    // moot), per-(quarter, piece) bucket cap, pairs deduped across
+    // quarters.
+    "k2_simhash" ->
+      """WITH fps AS (SELECT doc_id, _fp
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_simhash_fps.parquet/*.parquet')),
+        |q AS (
+        |  SELECT doc_id, r.q AS q, (_fp >> (r.q * 16)) & 65535 AS piece
+        |  FROM fps, range(0, 4) r(q)),
+        |sized AS (SELECT q, piece, COUNT(DISTINCT doc_id) AS n
+        |          FROM q GROUP BY q, piece),
+        |ok AS (SELECT q, piece FROM sized WHERE n BETWEEN 2 AND 64)
+        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |FROM q x JOIN q y USING (q, piece) JOIN ok USING (q, piece)
+        |WHERE x.doc_id < y.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "k2_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 /** K5: multimodal column plumbing — image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * IMAGE decode is REAL: [[ImageIoCodec]] reads PNG/JPEG/GIF/BMP headers
-  * through the JDK's `javax.imageio` (no external codec needed). AUDIO
-  * header decode is REAL for WAV/AIFF/AU via [[JavaSoundCodec]]
-  * (`javax.sound.sampled`). Only VIDEO decode remains STUBBED (the JDK
-  * ships no video codec; this container has none to install):
-  * [[decodeStub]] derives deterministic fake features from the payload
-  * bytes. Everything around the codecs —
+  * Header decode is REAL for all three modalities: [[ImageIoCodec]] reads
+  * PNG/JPEG/GIF/BMP headers through the JDK's `javax.imageio`,
+  * [[JavaSoundCodec]] reads WAV/AIFF/AU via `javax.sound.sampled`, and
+  * [[Mp4HeaderCodec]] walks ISO BMFF (MP4/MOV) container boxes directly —
+  * zero external dependencies. Frame PIXEL decode (H.264 etc.) still
+  * needs a deployment codec; [[decodeStub]] remains available as the
+  * deterministic stand-in. Everything around the codecs —
   * the schema, the typed record, the `mapPartitions` batch shape (one
   * iterator pass per partition, no per-row task overhead, the Scala
   * analogue of `mapInPandas` batches), the registry dispatch, and the
@@ -93,7 +93,8 @@ object MultimodalPipeline {
     * metadata gates (resolution filters, aspect buckets) before a GPU
     * stage does the pixel work. A payload no installed reader recognizes
     * fails loudly (corrupt media must not flow on as fake features).
-    * Audio/video stay stubbed: the JDK ships no codec for them.
+    * Audio/video route to their own codecs ([[JavaSoundCodec]],
+    * [[Mp4HeaderCodec]]).
     */
   final class ImageIoCodec extends MediaCodec {
     val modalities: Set[String] = Set("image")
@@ -163,11 +164,97 @@ object MultimodalPipeline {
     }
   }
 
-  /** Production-shape registry: real JDK image + audio header decode; only
-    * video remains stubbed (the JDK ships no video codec).
+  /** REAL video header decode for ISO BMFF containers (MP4/MOV/M4V) — a
+    * zero-dependency box walker, the same header-only unit economics as
+    * [[ImageIoCodec]]: no JDK video codec exists, but the CONTAINER
+    * metadata a corpus gate needs (duration, presentation dimensions)
+    * lives in plain big-endian boxes. Field mapping (documented like
+    * [[JavaSoundCodec]]'s): `width`/`height` = the first non-degenerate
+    * track's 16.16 presentation size from `tkhd`; `frames` = movie
+    * duration in MILLISECONDS from `mvhd` (timescale-normalized — the
+    * container does not carry a frame count without walking sample
+    * tables, which would break header-only economics; duration is the
+    * gate real pipelines filter on). Malformed/non-BMFF payloads fail
+    * loudly. Frame PIXEL data still needs a real decoder at deployment.
+    */
+  final class Mp4HeaderCodec extends MediaCodec {
+    val modalities: Set[String] = Set("video")
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def boxType(b: Array[Byte], i: Int): String =
+      new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk sibling boxes in [from, until), returning (payloadStart,
+      * payloadEnd) of the first box of `want`. Box sizes are validated so
+      * a corrupt length can't loop or read out of bounds.
+      */
+    private def findBox(b: Array[Byte], from: Int, until: Int,
+        want: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= until) {
+        val size32 = be32(b, i)
+        val (payload, end) =
+          if (size32 == 1L && i + 16 <= until) (i + 16L, i + be64(b, i + 8))
+          else if (size32 == 0L) (i + 8L, until.toLong) // box runs to EOF
+          else (i + 8L, i + size32)
+        if (end <= i || end > until || payload > end)
+          throw new IllegalArgumentException(
+            s"corrupt box size at offset $i (size=$size32)")
+        if (boxType(b, i) == want) return Some((payload.toInt, end.toInt))
+        i = end.toInt
+      }
+      None
+    }
+
+    def decode(r: MediaRecord): MediaFeatures = {
+      val b = r.payload
+      def fail(msg: String) = throw new IllegalArgumentException(
+        s"media_id=${r.media_id}: $msg (${b.length} bytes)")
+      if (b.length < 16 || !Set("ftyp", "moov", "mdat", "free", "wide", "skip")
+          .contains(boxType(b, 0)))
+        fail("payload is not an ISO BMFF container")
+      val (moovS, moovE) = findBox(b, 0, b.length, "moov")
+        .getOrElse(fail("no moov box — not a playable MP4 header"))
+      val (mvhdS, _) = findBox(b, moovS, moovE, "mvhd")
+        .getOrElse(fail("moov has no mvhd box"))
+      val (timescale, duration) = (b(mvhdS) & 0xff) match {
+        case 0 => (be32(b, mvhdS + 12), be32(b, mvhdS + 16))
+        case 1 => (be32(b, mvhdS + 20), be64(b, mvhdS + 24))
+        case v => fail(s"unknown mvhd version $v")
+      }
+      if (timescale <= 0) fail("mvhd timescale is zero")
+      // first trak whose tkhd has a non-zero 16.16 presentation size
+      // (audio tracks carry 0x0); absent any, dimensions report 0
+      val dims = Iterator.unfold(moovS) { i =>
+        findBox(b, i, moovE, "trak").map { case (s, e) => ((s, e), e) }
+      }.flatMap { case (ts, te) => findBox(b, ts, te, "tkhd") }
+        .map { case (ks, _) =>
+          val off = if ((b(ks) & 0xff) == 1) ks + 88 else ks + 76
+          ((be32(b, off) >> 16).toInt, (be32(b, off + 4) >> 16).toInt)
+        }
+        .find { case (w, h) => w > 0 && h > 0 }
+        .getOrElse((0, 0))
+      val h = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      MediaFeatures(
+        media_id = r.media_id,
+        modality = r.modality,
+        byte_len = b.length,
+        width = dims._1,
+        height = dims._2,
+        frames = (duration * 1000L / timescale).toInt, // duration_ms
+        checksum = checksum(h))
+    }
+  }
+
+  /** Production-shape registry: real header decode for all three
+    * modalities — JDK image + audio codecs, box-walker MP4 video.
     */
   val imageIoRegistry: CodecRegistry =
-    CodecRegistry(Seq(new ImageIoCodec, new JavaSoundCodec, stubCodec(Set("video"))))
+    CodecRegistry(Seq(new ImageIoCodec, new JavaSoundCodec, new Mp4HeaderCodec))
 
   /** STUB decoder ??? replacement: deterministic fake decode. A real
     * implementation would dispatch on modality to an image/audio codec;

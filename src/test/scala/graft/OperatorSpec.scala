@@ -372,12 +372,33 @@ class OperatorSpec extends SparkSpec {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
-    val videoBytes = Array[Byte](1, 2, 3)
+    // minimal valid ISO BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0))
+    def mp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+      def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        b.putInt(8 + payload.length); b.put(tp.getBytes("US-ASCII")); b.put(payload)
+        b.array()
+      }
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+          "isom".getBytes("US-ASCII"))
+      val mvhd = { // v0 payload is 100 bytes; timescale@12, duration@16
+        val p = java.nio.ByteBuffer.allocate(100)
+        p.position(12); p.putInt(timescale); p.putInt(duration)
+        box("mvhd", p.array())
+      }
+      val tkhd = { // v0 payload is 84 bytes; 16.16 width@76, height@80
+        val p = java.nio.ByteBuffer.allocate(84)
+        p.position(76); p.putInt(w << 16); p.putInt(h << 16)
+        box("tkhd", p.array())
+      }
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
     val records = Seq(
       MediaRecord(1L, "image", encode(37, 21, "png"), "{}"),
       MediaRecord(2L, "image", encode(128, 64, "jpg"), "{}"),
       MediaRecord(3L, "audio", wav(8000f, 2, 1234), "{}"),
-      MediaRecord(4L, "video", videoBytes, "{}")) // stub path
+      MediaRecord(4L, "video", mp4(320, 240, 600, 1800), "{}"))
       .toDS()
     val feats = extractFeatures(records, imageIoRegistry)
       .collect().map(f => f.media_id -> f).toMap
@@ -387,8 +408,15 @@ class OperatorSpec extends SparkSpec {
       s"JPEG header misread: ${feats(2L)}")
     assert(feats(3L).width == 8000 && feats(3L).height == 2 && feats(3L).frames == 1234,
       s"WAV header misread (width=rate, height=channels, frames=samples): ${feats(3L)}")
-    assert(feats(4L) == decodeStub(MediaRecord(4L, "video", videoBytes, "{}")),
-      "video must stay on the stub path")
+    assert(feats(4L).width == 320 && feats(4L).height == 240 && feats(4L).frames == 3000,
+      s"MP4 header misread (width/height=tkhd 16.16, frames=duration_ms): ${feats(4L)}")
+    // corrupt video bytes must fail the task loudly, like image/audio
+    val badVideo = Seq(MediaRecord(8L, "video", Array[Byte](1, 2, 3), "{}")).toDS()
+    val vex = intercept[org.apache.spark.SparkException] {
+      extractFeatures(badVideo, imageIoRegistry).collect()
+    }
+    assert(vex.getMessage.contains("ISO BMFF") ||
+      Option(vex.getCause).exists(_.getMessage.contains("ISO BMFF")))
     // downstream plumbing works unchanged on really-decoded features
     val resized = resize(extractFeatures(records, imageIoRegistry), 64, 64)
       .collect().map(f => f.media_id -> f).toMap

@@ -29,13 +29,21 @@ class QueriesSpec extends SparkSpec {
     // k4_inverted_index down in round 6). Complex data belongs INSIDE a
     // query, serialized (array_join / to_json) at the declared boundary.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    // Per-query Try: a single query that throws during CONSTRUCTION must
+    // not mask the scalar-schema invariant for every other query — report
+    // construction failures as their own offender class instead.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        fn(spark, sfDir).schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType] ||
-            f.dataType.isInstanceOf[MapType] ||
-            f.dataType.isInstanceOf[StructType] =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
+        scala.util.Try(fn(spark, sfDir)) match {
+          case scala.util.Success(df) =>
+            df.schema.fields.collect {
+              case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+                s"$name.${f.name}: ${f.dataType.simpleString}"
+            }
+          case scala.util.Failure(e) =>
+            Seq(s"$name: CONSTRUCTION FAILED: ${e.getMessage.take(200)}")
         }
     }
     assert(offenders.isEmpty,

@@ -88,28 +88,51 @@ object SimilarityQueries {
     // training/probing scale design. trainSampleMod = 4 trains Lloyd's on a
     // deterministic quarter-sample of the corpus — the 100 TB configuration
     // (train on ~1e6 sampled vectors, assign everything once), so the
-    // DECLARED query exercises the plan that actually ships. Rows-only
-    // check (seeded k-means is not SQL-reproducible); recall with sampled
-    // training asserted in SimilaritySpec.
-    "k3_ann_ivf" -> ((s, d) =>
-      graft.operators.IvfAnn.ivfTopK(Tables.embeddings(s, d),
-        "vec_id", "embedding", queryId = 0, dim = 64, k = 10, iters = 3,
-        carryCols = Seq("label"), trainSampleMod = 4)),
+    // DECLARED query exercises the plan that actually ships. The TRAINED
+    // centroids (the seeded-k-means axiom) are materialized via OracleAux;
+    // the oracle re-derives cell assignment (argmax of dot − ‖c‖²/2, ties
+    // to the larger cell — NearestCentroidExpr's rule), probe selection
+    // (4 nearest cells, ties to the smaller — the stable sort's rule),
+    // and the exact-cosine top-k. Recall with sampled training asserted
+    // in SimilaritySpec.
+    "k3_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = graft.operators.IvfAnn.trainCentroids(emb, "embedding",
+        "vec_id", dim = 64, nLists = 16, iters = 3, trainSampleMod = 4)
+      import s.implicits._
+      graft.tools.OracleAux.write(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid"), "k3_ivf_centroids")
+      graft.operators.IvfAnn.ivfTopKWith(emb, "vec_id", "embedding",
+        queryId = 0, k = 10, nProbe = 4, centroids = cents,
+        carryCols = Seq("label"))
+    }),
 
     // K3 batch retrieval: many query vectors answered in ONE bucket
     // equi-join pass — the shape a 100 TB retrieval pipeline actually runs
-    // (per-query broadcast scans do not batch). Rows-only check (seeded
-    // planes); SimilaritySpec asserts per-query parity with [[annTopK]].
-    "k3_ann_batch" -> ((s, d) =>
-      annTopKBatch(Tables.embeddings(s, d), col("vec_id") < 8, dim = 64, k = 10)
-        .orderBy("query_id", "rn")),
+    // (per-query broadcast scans do not batch). Bucket ids materialized
+    // via OracleAux; the oracle re-derives the XOR-mask multi-probe (≡
+    // Hamming ≤ 2 on 8-plane signatures), cosine, and per-query ranking.
+    // SimilaritySpec additionally asserts per-query parity with
+    // [[annTopK]].
+    "k3_ann_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.tools.OracleAux.write(
+        emb.select(col("vec_id"),
+          hyperplaneSig(asDouble(col("embedding")), dim = 64, nPlanes = 8)
+            .as("bucket")), "k3_ann_batch_buckets")
+      annTopKBatch(emb, col("vec_id") < 8, dim = 64, k = 10)
+        .orderBy("query_id", "rn")
+    }),
 
     // K2 embedding near-dup: hyperplane-LSH buckets → in-bucket exact
     // cosine ≥ 0.9. The corpus embeddings are uniform-random (no cos≥0.9
     // pairs exist), so the query plants ground truth: 20 scaled copies
     // (cosine exactly 1, same LSH bucket by construction) that the finder
-    // MUST return — self-validating rows-only check, detailed recall in
-    // DedupSpec.
+    // MUST return. Bucket ids for the planted-union corpus materialized
+    // via OracleAux; the oracle re-derives bucket grouping, the 2..256
+    // cap, in-bucket pairing, and the exact-cosine ≥ 0.9 verify. Detailed
+    // recall additionally in DedupSpec.
     "k2_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // negative ids cannot collide with corpus vec_ids at any scale factor
@@ -117,7 +140,12 @@ object SimilarityQueries {
         .select((-(col("vec_id") + 1)).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
           col("label"))
-      Dedup.embeddingNearDup(emb.unionByName(planted), "embedding", "vec_id",
+      val corpus = emb.unionByName(planted)
+      graft.tools.OracleAux.write(
+        corpus.select(col("vec_id"),
+          hyperplaneSig(asDouble(col("embedding")), dim = 64, nPlanes = 12)
+            .as("bucket")), "k2_neardup_buckets")
+      Dedup.embeddingNearDup(corpus, "embedding", "vec_id",
           dim = 64, nPlanes = 12, threshold = 0.9)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
@@ -320,6 +348,108 @@ object SimilarityQueries {
         |  FROM cand c, q)
         |SELECT vec_id, label, ROUND(sim, 6) AS sim
         |FROM sims ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Downstream of the written trained-centroid artifact: assignment =
+    // argmax of dot − ‖c‖²/2 with ties to the LARGER cell (the
+    // NearestCentroidExpr rule), probes = 4 cheapest cells with ties to
+    // the SMALLER (stable sort), then exact cosine top-k over the probed
+    // cells.
+    "k3_ann_ivf" ->
+      """WITH c AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k3_ivf_centroids.parquet/*.parquet')),
+        |e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings WHERE len(embedding) = 64),
+        |scored AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM e, c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |q AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+        |probes AS (SELECT cell FROM (
+        |    SELECT c.cell,
+        |      list_sum(list_transform(c.centroid, x -> x * x)) / 2.0
+        |      - list_sum(list_transform(range(1, 65), i -> q.q_vec[i] * c.centroid[i]))
+        |      AS cost
+        |    FROM c, q)
+        |  ORDER BY cost ASC, cell ASC LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, e.label, e.v
+        |  FROM e JOIN asg USING (vec_id) JOIN probes USING (cell)),
+        |sims AS (
+        |  SELECT vec_id, label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * q.q_vec[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.q_vec, x -> x * x)))), 6) AS sim
+        |  FROM cand, q)
+        |SELECT vec_id, label, sim FROM sims
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Downstream of the written bucket artifact: the engine's XOR-mask
+    // multi-probe enumerates exactly the Hamming ≤ 2 ball over 8-plane
+    // signatures, so the candidate condition is one bit_count; ranking is
+    // the same rounded-sim window the engine runs.
+    "k3_ann_batch" ->
+      """WITH b AS (SELECT vec_id, bucket
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k3_ann_batch_buckets.parquet/*.parquet')),
+        |qs AS (SELECT vec_id AS query_id, bucket AS q_bucket FROM b WHERE vec_id < 8),
+        |qv AS (SELECT vec_id AS query_id, embedding AS q_vec
+        |       FROM embeddings WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT q.query_id, e.vec_id, e.label, e.embedding, v.q_vec
+        |  FROM qs q
+        |  JOIN b ON bit_count(xor(b.bucket, q.q_bucket)) <= 2
+        |  JOIN embeddings e ON e.vec_id = b.vec_id
+        |  JOIN qv v ON v.query_id = q.query_id),
+        |sims AS (
+        |  SELECT query_id, vec_id, label,
+        |    ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(q_vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |    AS sim
+        |  FROM cand)
+        |SELECT query_id, vec_id, label, sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
+        |FROM sims QUALIFY rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
+
+    // Downstream of the written planted-union bucket artifact: bucket
+    // grouping (FULL 12-plane signature equality), the 2..256 bucket cap,
+    // in-bucket pairs id_a < id_b, exact cosine ≥ 0.9 on the planted-union
+    // embeddings.
+    "k2_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT -(vec_id + 1) AS vec_id,
+        |    list_transform(embedding, x -> x * CAST(1.001 AS REAL)) AS embedding
+        |  FROM embeddings WHERE vec_id < 20),
+        |b AS (SELECT vec_id, bucket
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_neardup_buckets.parquet/*.parquet')),
+        |sized AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+        |ok AS (SELECT bucket FROM sized WHERE n BETWEEN 2 AND 256),
+        |cand AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM b x JOIN b y USING (bucket) JOIN ok USING (bucket)
+        |  WHERE x.vec_id < y.vec_id),
+        |cos AS (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS cos
+        |  FROM cand c JOIN base a ON a.vec_id = c.id_a
+        |              JOIN base e ON e.vec_id = c.id_b)
+        |SELECT id_a, id_b, ROUND(cos, 6) AS cos
+        |FROM cos WHERE cos >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Same sims derivation, threshold on the ROUNDED value (the engine
     // filters its rounded output column), explicit rounded sort key.

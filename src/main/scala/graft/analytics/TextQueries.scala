@@ -592,10 +592,15 @@ object TextQueries {
     }),
 
     // K1/K2 cascade: full near-dup removal — LSH pairs → transitive
-    // clusters → keep lowest id per cluster. Rows-only check (candidates
-    // come from seeded MinHash, not SQL-expressible); the corpus contains
-    // planted near-dups and DedupSpec asserts the cascade removes them.
+    // clusters → keep lowest id per cluster. The seeded MinHash signature
+    // stage is materialized via OracleAux; the oracle re-derives banding,
+    // pairing, Jaccard-0.5 verification, the recursive-CTE transitive
+    // closure, and min-label survivor selection. Planted-near-dup removal
+    // additionally asserted in DedupSpec.
     "k2_dedup_cascade" -> ((s, d) => {
+      graft.tools.OracleAux.write(
+        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, k = 32), "k2_cascade_sigs")
       Dedup.dedupNearDups(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -851,6 +856,46 @@ object TextQueries {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The full cascade downstream of the written signature artifact:
+    // banded pairs at Jaccard ≥ 0.5, recursive-CTE transitive closure,
+    // keep each component's min id (docs without shingles are singletons
+    // and survive via the LEFT JOIN).
+    "k2_dedup_cascade" ->
+      """WITH RECURSIVE sigs AS (SELECT doc_id, _sig
+        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_cascade_sigs.parquet/*.parquet')),
+        |bands AS (
+        |  SELECT doc_id, r.b AS b, list_slice(_sig, r.b*4 + 1, r.b*4 + 4) AS key
+        |  FROM sigs, range(0, 8) r(b)),
+        |sized AS (SELECT b, key, COUNT(DISTINCT doc_id) AS n
+        |          FROM bands GROUP BY b, key),
+        |ok AS (SELECT b, key FROM sized WHERE n BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y USING (b, key) JOIN ok USING (b, key)
+        |  WHERE x.doc_id < y.doc_id),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |edges AS (
+        |  SELECT c.id_a AS src, c.id_b AS dst
+        |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(x.s || y.s)) >= 0.5),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |WHERE COALESCE(c.cluster, d.doc_id) = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Independent re-derivation of everything downstream of the written
     // MinHash signature artifact (graft.tools.OracleAux): banding = the

@@ -169,11 +169,21 @@ object IvfAnn {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
       dim: Int, k: Int, nLists: Int = 16, nProbe: Int = 4,
       iters: Int = 5, seed: Long = 42L,
-      carryCols: Seq[String] = Nil, trainSampleMod: Int = 1): DataFrame = {
-    val centroids = trainCentroids(emb, vecCol, idCol, dim, nLists, iters, seed,
-      trainSampleMod)
-    val tagged = index(emb, vecCol, centroids)
+      carryCols: Seq[String] = Nil, trainSampleMod: Int = 1): DataFrame =
+    ivfTopKWith(emb, idCol, vecCol, queryId, k, nProbe,
+      trainCentroids(emb, vecCol, idCol, dim, nLists, iters, seed,
+        trainSampleMod),
+      carryCols)
 
+  /** [[ivfTopK]] over ALREADY-trained centroids — the deployment split
+    * (train once, query many) and the hook callers use to materialize the
+    * trained quantizer (e.g. as an oracle artifact).
+    */
+  def ivfTopKWith(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nProbe: Int,
+      centroids: Array[Array[Double]],
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val tagged = index(emb, vecCol, centroids)
     // one-row collect of the query vector — the same driver cost as the
     // broadcast-query-vector pattern, used to pick the probe cells
     val q = tagged.filter(col(idCol) === queryId)

@@ -79,6 +79,44 @@ object EventStreams {
     }
   }
 
+  /** J1 (live-connector variant): subscribe to a SOCKET feeding JSONL
+    * events — the closest zero-dependency stand-in for the reference's
+    * intended gRPC subscription (`adapters/src/solana_grpc.rs:8-24`, a
+    * stub there too): a long-lived connection pushing one JSON event per
+    * line. Schema is explicit (no inference on a stream), `ts` arrives as
+    * epoch micros and normalizes to the same TimestampType the file
+    * replay produces, and corrupt lines yield null ids that are dropped —
+    * the reference's per-item error-skip (`solana.rs:51-53`). Every
+    * downstream transform ([[tumblingCounts]], [[streamingDedup]],
+    * [[runningPosition]], [[exactlyOnceSink]]) composes unchanged,
+    * because Structured Streaming separates source from plan — swapping
+    * in a real gRPC source is a source-side change only.
+    *
+    * Scale note: a single socket is a single-receiver source (Spark's
+    * socket source is test/dev grade); at production rates the same
+    * schema+parse stage sits on a partitioned source (Kafka/Kinesis) and
+    * the plan below it is IDENTICAL.
+    */
+  def subscribeSocket(spark: SparkSession, host: String, port: Int,
+      eventTypes: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // epoch micros on the wire
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val parsed = spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(from_json(col("value"), schema).as("e"))
+      .select(col("e.event_id"), timestamp_micros(col("e.ts")).as("ts"),
+        col("e.user_id"), col("e.event_type"), col("e.value"), col("e.props"))
+      .filter(col("event_id").isNotNull) // corrupt lines skip, not fail
+    if (eventTypes.isEmpty) parsed
+    else parsed.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))
+  }
+
   /** J2: exactly-once sink — checkpointed foreachBatch with an idempotent
     * by-key merge (the `ON CONFLICT (id) DO NOTHING` semantics,
     * repo.rs:26,56). Batch replays after failure re-merge harmlessly.

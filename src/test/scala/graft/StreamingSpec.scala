@@ -383,4 +383,50 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
       "index must hold both docs' signatures after the healed replay")
   }
+
+  test("J1: socket subscription parses JSONL events, skips corrupt lines, filters types") {
+    // live-connector stand-in: a local server pushes JSON lines the way a
+    // gRPC subscription would push protobuf events
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val lines = Seq(
+      """{"event_id": 1, "ts": 1704067200000000, "user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"}""",
+      """this line is not json and must be skipped""",
+      """{"event_id": 2, "ts": 1704067260000000, "user_id": 8, "event_type": "purchase", "value": 9.0, "props": "{}"}""",
+      """{"event_id": 3, "ts": 1704067320000000, "user_id": 7, "event_type": "view", "value": 0.5, "props": "{}"}""")
+    val feeder = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // keep the connection open until the query is done reading; the
+      // socket source treats EOF as stream end
+      Thread.sleep(30000)
+      sock.close()
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val stream = EventStreams.subscribeSocket(spark,
+      java.net.InetAddress.getLoopbackAddress.getHostAddress,
+      server.getLocalPort, eventTypes = Seq("click", "purchase"))
+    val q = stream.writeStream.format("memory").queryName("socket_events")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        n = spark.table("socket_events").count()
+      }
+      val got = spark.table("socket_events")
+        .select("event_id", "user_id", "event_type", "value")
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, 7L, "click", 1.5), (2L, 8L, "purchase", 9.0)),
+        s"socket stream parsed wrong rows: $got")
+      val tsVals = spark.table("socket_events")
+        .select("ts").as[java.sql.Timestamp].collect().map(_.getTime).sorted
+      assert(tsVals.head == 1704067200000L,
+        "epoch-micros ts must normalize to the file replay's TimestampType")
+    } finally { q.stop(); server.close() }
+  }
 }

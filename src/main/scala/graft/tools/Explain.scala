@@ -9,6 +9,7 @@ import graft.SparkEntry
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    OracleAux.enabled = false // plan-only: never clobber oracle artifacts
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "c6_join_inner", "a8_scan_project", "e1_running_sum", "f3_topk",
@@ -16,7 +17,9 @@ object Explain {
       "a5_idempotent_dedup", "c8_range_join", "k6_decontaminate",
       "k4_repetition_ratio", "k4_filter_cascade", "k4_doc_lm_score",
       "k6_corpus_pipeline", "c5_asof_bucketed",
-      "g4_pagerank", "g4_triangles", "a9_zorder_curve", "e4_anomaly_zscore")
+      "g4_pagerank", "g4_pagerank_bucketed", "g4_triangles",
+      "a9_zorder_curve", "e4_anomaly_zscore", "k2_semantic_dedup",
+      "k3_ann_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

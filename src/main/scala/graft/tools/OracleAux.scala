@@ -26,6 +26,14 @@ import org.apache.spark.sql.DataFrame
 object OracleAux {
   val Root = "/tmp/graft_oracle_aux"
 
+  /** Plan-only dev tools (Explain, PlanAudit, QueryBench) construct the
+    * declared queries without participating in a Verify→compare cycle;
+    * they set this false so their construction-time writes cannot clobber
+    * the artifacts a concurrent/pending oracle comparison reads (the
+    * fixed paths are single-slot by design — see class doc).
+    */
+  @volatile var enabled: Boolean = true
+
   def path(name: String): String = s"$Root/$name.parquet"
 
   /** Write `df` as the aux artifact `name`; returns the path. One file —
@@ -34,7 +42,7 @@ object OracleAux {
     */
   def write(df: DataFrame, name: String): String = {
     val p = path(name)
-    df.coalesce(1).write.mode("overwrite").parquet(p)
+    if (enabled) df.coalesce(1).write.mode("overwrite").parquet(p)
     p
   }
 }

@@ -26,6 +26,7 @@ object PlanAudit {
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")
 
   def main(args: Array[String]): Unit = {
+    OracleAux.enabled = false // plan-only: never clobber oracle artifacts
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate("plan-audit", 8)
     var unexpected = 0

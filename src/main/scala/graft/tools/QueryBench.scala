@@ -11,6 +11,7 @@ import graft.{GraftSession, SparkEntry}
   */
 object QueryBench {
   def main(args: Array[String]): Unit = {
+    OracleAux.enabled = false // timing-only: never clobber oracle artifacts
     val name = args.headOption.getOrElse("i1_normalize_events")
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 4

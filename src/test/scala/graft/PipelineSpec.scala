@@ -46,4 +46,30 @@ class PipelineSpec extends SparkSpec {
     assert(pf.exists(_.contains("_bucket")),
       s"no _bucket partition filter in scan:\n$plan")
   }
+
+  test("jdbc-backed pipeline: same flow, same values, database tables (repo.rs deployment shape)") {
+    import graft.sources.JdbcLedgerPipeline
+    val tmp = Files.createTempDirectory("jpipe").toString
+    val jsonl = s"$tmp/in"
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    JsonlBronzeSink.write(LedgerQueries.fixtureBronze(spark), jsonl)
+    val source = new JsonlBronzeSource(jsonl)
+    val w = LedgerQueries.W
+
+    assert(JdbcLedgerPipeline.ingest(spark, source, w, 100, url, opts) == 5)
+    assert(JdbcLedgerPipeline.normalize(spark, url, w, opts) == 4)
+    // replay both steps: ON CONFLICT DO NOTHING semantics over JDBC
+    assert(JdbcLedgerPipeline.ingest(spark, source, w, 100, url, opts) == 0)
+    assert(JdbcLedgerPipeline.normalize(spark, url, w, opts) == 0)
+
+    assert(JdbcLedgerPipeline.transactions(spark, url, w, opts).count() == 5)
+    // values equal the parquet pipeline's golden ledger, in the same order
+    val entries = JdbcLedgerPipeline.ledger(spark, url, w, opts)
+      .select("transaction_id", "asset_symbol", "amount").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(entries == Seq(
+      ("tx1", "SOL", -0.5), ("tx2", "MintA", 2.5),
+      ("tx2", "MintB", 3.0), ("tx5", "MintD", 4.0)))
+  }
 }

@@ -117,6 +117,37 @@ object EventStreams {
     else parsed.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))
   }
 
+  /** J4+ (EXT): STREAM-STREAM interval join — attribute each purchase to
+    * the clicks the same user made within a lookback interval before it
+    * (the classic attribution/enrichment join two live streams need; a
+    * stream-static join cannot express it because BOTH sides keep
+    * arriving). Both sides are watermarked and the join condition bounds
+    * event-time distance, so Spark provably expires join state: a
+    * buffered click can only match purchases within `lookback`, and once
+    * the watermark passes that horizon the row is dropped from state —
+    * bounded memory at any rate, the non-negotiable property at 100 TB/
+    * day. Equality on `user_id` keys the state store, so matching is
+    * hash-lookup per user, never cross-stream scans.
+    *
+    * @return one row per (purchase, matching click): purchase identity
+    *         columns + `click_ts`/`click_value`
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+      lookback: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+        col("click_ts") <= col("purchase_ts"))
+      .drop("c_user_id")
+  }
+
   /** J2: exactly-once sink — checkpointed foreachBatch with an idempotent
     * by-key merge (the `ON CONFLICT (id) DO NOTHING` semantics,
     * repo.rs:26,56). Batch replays after failure re-merge harmlessly.

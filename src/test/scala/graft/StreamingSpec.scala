@@ -384,6 +384,40 @@ class StreamingSpec extends SparkSpec {
       "index must hold both docs' signatures after the healed replay")
   }
 
+  test("J4+: stream-stream interval join attributes purchases to in-window clicks only") {
+    implicit val sc = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Double)]
+    val purchasesIn = MemoryStream[(Long, Long, Timestamp, Double)]
+    val clicks = clicksIn.toDF().toDF("user_id", "ts", "value")
+    val purchases = purchasesIn.toDF().toDF("event_id", "user_id", "ts", "value")
+    val joined = EventStreams.purchaseAttribution(purchases, clicks,
+      lookback = "10 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attribution")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: click at t=0 and t=500 before a purchase at t=600
+      //   → t=500 is in the 10-min lookback, t=0 is not
+      // user 2: click AFTER its purchase → no match
+      clicksIn.addData((1L, ts(0), 1.0), (1L, ts(500), 2.0), (2L, ts(700), 3.0))
+      purchasesIn.addData((10L, 1L, ts(600), 9.0), (20L, 2L, ts(650), 8.0))
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .select("purchase_id", "user_id", "click_ts", "click_value")
+        .as[(Long, Long, Timestamp, Double)].collect()
+        .map { case (p, u, t, v) => (p, u, t.getTime / 1000, v) }.toSet
+      assert(got == Set((10L, 1L, 500L, 2.0)),
+        s"only the in-window same-user click may attribute: $got")
+      // a second purchase by user 1 inside the window of the SAME click
+      // still matches (stream-stream state holds the click until the
+      // watermark passes its horizon)
+      purchasesIn.addData((11L, 1L, ts(800), 7.0))
+      q.processAllAvailable()
+      val got2 = spark.table("attribution")
+        .select("purchase_id").as[Long].collect().toSet
+      assert(got2 == Set(10L, 11L), s"buffered click must re-match: $got2")
+    } finally q.stop()
+  }
+
   test("J1: socket subscription parses JSONL events, skips corrupt lines, filters types") {
     // live-connector stand-in: a local server pushes JSON lines the way a
     // gRPC subscription would push protobuf events

@@ -210,7 +210,20 @@ object MultimodalPipeline {
       None
     }
 
-    def decode(r: MediaRecord): MediaFeatures = {
+    def decode(r: MediaRecord): MediaFeatures =
+      // A truncated payload can cut a structurally-valid box short; any
+      // resulting out-of-range read is the same corrupt-container class
+      // as a bad box size — one loud, typed failure, never a raw index
+      // error escaping into the task.
+      try decodeChecked(r)
+      catch {
+        case _: IndexOutOfBoundsException =>
+          throw new IllegalArgumentException(
+            s"media_id=${r.media_id}: truncated ISO BMFF payload " +
+              s"(${r.payload.length} bytes)")
+      }
+
+    private def decodeChecked(r: MediaRecord): MediaFeatures = {
       val b = r.payload
       def fail(msg: String) = throw new IllegalArgumentException(
         s"media_id=${r.media_id}: $msg (${b.length} bytes)")

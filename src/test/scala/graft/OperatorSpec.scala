@@ -417,6 +417,28 @@ class OperatorSpec extends SparkSpec {
     }
     assert(vex.getMessage.contains("ISO BMFF") ||
       Option(vex.getCause).exists(_.getMessage.contains("ISO BMFF")))
+
+    // fuzz the box walker: random garbage and bit-mutated valid files must
+    // either decode or throw the TYPED corrupt-container error — never a
+    // raw index error and never loop (driver-side, bounded by test time)
+    val codec = new Mp4HeaderCodec
+    val rnd = new scala.util.Random(7)
+    val valid = mp4(320, 240, 600, 1800)
+    (1 to 300).foreach { i =>
+      val payload =
+        if (i % 3 == 0) { // truncation of a valid file
+          valid.take(1 + rnd.nextInt(valid.length))
+        } else if (i % 3 == 1) { // byte mutation of a valid file
+          val m = valid.clone()
+          m(rnd.nextInt(m.length)) = rnd.nextInt().toByte
+          m
+        } else { // pure noise
+          val m = new Array[Byte](rnd.nextInt(200))
+          rnd.nextBytes(m); m
+        }
+      try codec.decode(MediaRecord(100L + i, "video", payload, "{}"))
+      catch { case _: IllegalArgumentException => () } // the ONLY allowed failure
+    }
     // downstream plumbing works unchanged on really-decoded features
     val resized = resize(extractFeatures(records, imageIoRegistry), 64, 64)
       .collect().map(f => f.media_id -> f).toMap

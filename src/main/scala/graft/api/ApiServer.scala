@@ -114,10 +114,21 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
 
   /** One wallet's rows as a JSON array — `toJSON` reuses Spark's own
     * row→JSON codegen (consistent types/encodings with the JSONL sink).
+    * A table that has never been written serves `[]`, not an error: the
+    * reference's migrations create its tables empty, so a fresh
+    * deployment's GETs return empty lists (repo.rs reads over empty
+    * tables) — path-missing here is the same "nothing ingested yet"
+    * state.
     */
-  private def respondRows(ex: HttpExchange, df: DataFrame): Unit =
-    respond(ex, 200,
-      df.toJSON.collect().mkString("[", ",", "]"), "application/json")
+  private def respondRows(ex: HttpExchange, df: => DataFrame): Unit = {
+    val body =
+      try df.toJSON.collect().mkString("[", ",", "]")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => "[]"
+      }
+    respond(ex, 200, body, "application/json")
+  }
 
   private def respond(ex: HttpExchange, status: Int, body: String,
       contentType: String): Unit = {

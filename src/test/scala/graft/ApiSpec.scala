@@ -34,6 +34,11 @@ class ApiSpec extends SparkSpec {
     try {
       assert(get(port, "/health").body() == "OK")
 
+      // a fresh deployment (nothing ingested, tables never written) serves
+      // empty lists, matching the reference's empty-migrated-tables state
+      assert(get(port, s"/v1/transactions/${LedgerQueries.W}").body() == "[]")
+      assert(get(port, s"/v1/ledger/${LedgerQueries.W}").body() == "[]")
+
       val ing = post(port, "/v1/ingest",
         s"""{"chain":"solana","wallet":"${LedgerQueries.W}","limit":100}""")
       assert(ing.statusCode() == 200 && ing.body() == "\"Ingested 5 transactions\"")

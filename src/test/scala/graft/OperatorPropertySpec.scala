@@ -364,4 +364,34 @@ class OperatorPropertySpec extends SparkSpec {
       .orderBy("event_id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 0L)), got.toString)
   }
+
+  test("jdbc idempotent save matches a first-writer-wins model over random overlapping batches") {
+    import graft.sources.JdbcStore
+    val dir = java.nio.file.Files.createTempDirectory("jdbcprop").toString
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val rnd = new Random(77L)
+    // model: key -> value of the FIRST batch row that claimed it (within a
+    // batch, saveIdempotent dropDuplicates picks an arbitrary-but-single
+    // row, so the model only pins keys whose in-batch value is unambiguous)
+    var model = Map.empty[String, Long]
+    var inserted = 0L
+    (1 to 6).foreach { round =>
+      val rows = (0 until 1 + rnd.nextInt(12)).map { _ =>
+        (s"k${rnd.nextInt(20)}", rnd.nextInt(1000).toLong)
+      }
+      // keep one row per key inside the batch so the model is deterministic
+      val batch = rows.groupBy(_._1).map(_._2.head).toSeq
+      val n = JdbcStore.saveIdempotent(spark,
+        batch.toDF("id", "v"), url, "props", "id", opts)
+      val fresh = batch.filterNot { case (k, _) => model.contains(k) }
+      assert(n == fresh.size, s"round $round: inserted $n, expected ${fresh.size}")
+      model ++= fresh
+      inserted += n
+    }
+    val back = JdbcStore.read(spark, url, "props", opts)
+      .as[(String, Long)].collect().toMap
+    assert(back == model, s"table diverged from first-writer-wins model")
+    assert(back.size.toLong == inserted)
+  }
 }

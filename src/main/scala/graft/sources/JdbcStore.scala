@@ -61,8 +61,9 @@ object JdbcStore {
       table: String, keyCol: String,
       options: Map[String, String] = Map.empty): Long = {
     val deduped = batch.dropDuplicates(keyCol)
+    val existed = tableExists(url, table)
     val fresh =
-      if (!tableExists(url, table)) deduped
+      if (!existed) deduped
       else {
         val existingKeys = spark.read
           .format("jdbc").option("url", url).option("dbtable", table)
@@ -77,7 +78,9 @@ object JdbcStore {
     // can't observe the table mid-mutation
     val pinned = fresh.localCheckpoint(true)
     val n = pinned.count()
-    if (n > 0)
+    // an empty FIRST batch still creates the table (the migrations/init-db
+    // use case); empty appends to an existing table stay no-ops
+    if (n > 0 || !existed)
       pinned.write.mode(SaveMode.Append)
         .option("createTableColumnTypes", varcharTypes(batch))
         .options(options)

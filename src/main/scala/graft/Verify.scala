@@ -36,9 +36,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {SF} → this run's sf basename: oracle-aux artifact reads always
+    // point at the artifacts THIS run's queries wrote, even if another
+    // run at a different SF lands before the DuckDB comparison executes.
+    val sfName = new java.io.File(sfDir).getName
     val json = only.fold(SparkEntry.oracleSql)(n =>
         SparkEntry.oracleSql.view.filterKeys(n).toMap)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.tools.OracleAux.SfToken, sfName))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -79,7 +79,7 @@ object SimilarityQueries {
       graft.tools.OracleAux.write(
         emb.select(col("vec_id"),
           hyperplaneSig(asDouble(col("embedding")), dim = 64, nPlanes = 8)
-            .as("bucket")), "k3_ann_buckets")
+            .as("bucket")), "k3_ann_buckets", d)
       annTopK(emb, queryId = 0, dim = 64, k = 10)
     }),
 
@@ -102,7 +102,7 @@ object SimilarityQueries {
       import s.implicits._
       graft.tools.OracleAux.write(
         cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-          .toDF("cell", "centroid"), "k3_ivf_centroids")
+          .toDF("cell", "centroid"), "k3_ivf_centroids", d)
       graft.operators.IvfAnn.ivfTopKWith(emb, "vec_id", "embedding",
         queryId = 0, k = 10, nProbe = 4, centroids = cents,
         carryCols = Seq("label"))
@@ -120,7 +120,7 @@ object SimilarityQueries {
       graft.tools.OracleAux.write(
         emb.select(col("vec_id"),
           hyperplaneSig(asDouble(col("embedding")), dim = 64, nPlanes = 8)
-            .as("bucket")), "k3_ann_batch_buckets")
+            .as("bucket")), "k3_ann_batch_buckets", d)
       annTopKBatch(emb, col("vec_id") < 8, dim = 64, k = 10)
         .orderBy("query_id", "rn")
     }),
@@ -144,7 +144,7 @@ object SimilarityQueries {
       graft.tools.OracleAux.write(
         corpus.select(col("vec_id"),
           hyperplaneSig(asDouble(col("embedding")), dim = 64, nPlanes = 12)
-            .as("bucket")), "k2_neardup_buckets")
+            .as("bucket")), "k2_neardup_buckets", d)
       Dedup.embeddingNearDup(corpus, "embedding", "vec_id",
           dim = 64, nPlanes = 12, threshold = 0.9)
         .withColumn("cos", round(col("cos"), 6))
@@ -330,7 +330,7 @@ object SimilarityQueries {
     // ids, then the exact-cosine top-k the brute-force oracle also uses.
     "k3_ann_lsh" ->
       """WITH b AS (SELECT vec_id, bucket
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k3_ann_buckets.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ann_buckets.parquet/*.parquet')),
         |qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = 0),
         |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
         |cand AS (
@@ -356,7 +356,7 @@ object SimilarityQueries {
     // cells.
     "k3_ann_ivf" ->
       """WITH c AS (SELECT cell, centroid
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k3_ivf_centroids.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivf_centroids.parquet/*.parquet')),
         |e AS (SELECT vec_id, label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings WHERE len(embedding) = 64),
@@ -395,7 +395,7 @@ object SimilarityQueries {
     // the same rounded-sim window the engine runs.
     "k3_ann_batch" ->
       """WITH b AS (SELECT vec_id, bucket
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k3_ann_batch_buckets.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ann_batch_buckets.parquet/*.parquet')),
         |qs AS (SELECT vec_id AS query_id, bucket AS q_bucket FROM b WHERE vec_id < 8),
         |qv AS (SELECT vec_id AS query_id, embedding AS q_vec
         |       FROM embeddings WHERE vec_id < 8),
@@ -431,7 +431,7 @@ object SimilarityQueries {
         |    list_transform(embedding, x -> x * CAST(1.001 AS REAL)) AS embedding
         |  FROM embeddings WHERE vec_id < 20),
         |b AS (SELECT vec_id, bucket
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_neardup_buckets.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k2_neardup_buckets.parquet/*.parquet')),
         |sized AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
         |ok AS (SELECT bucket FROM sized WHERE n BETWEEN 2 AND 256),
         |cand AS (

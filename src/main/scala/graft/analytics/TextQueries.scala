@@ -600,7 +600,7 @@ object TextQueries {
     "k2_dedup_cascade" -> ((s, d) => {
       graft.tools.OracleAux.write(
         Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 32), "k2_cascade_sigs")
+          shingleN = 3, k = 32), "k2_cascade_sigs", d)
       Dedup.dedupNearDups(Tables.documents(s, d), "text", "doc_id")
         .select("doc_id", "lang")
         .orderBy("doc_id")
@@ -615,7 +615,7 @@ object TextQueries {
     "k2_minhash_lsh" -> ((s, d) => {
       graft.tools.OracleAux.write(
         Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 32), "k2_minhash_sigs")
+          shingleN = 3, k = 32), "k2_minhash_sigs", d)
       Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
           shingleN = 3, k = 32, bands = 8, threshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
@@ -681,7 +681,7 @@ object TextQueries {
     "k2_simhash" -> ((s, d) => {
       graft.tools.OracleAux.write(
         Tables.documents(s, d).select(col("doc_id"),
-          Dedup.simHash(split(col("text"), " ")).as("_fp")), "k2_simhash_fps")
+          Dedup.simHash(split(col("text"), " ")).as("_fp")), "k2_simhash_fps", d)
       Dedup.simHashCandidates(Tables.documents(s, d), "text", "doc_id")
         .orderBy("id_a", "id_b")
     }),
@@ -863,7 +863,7 @@ object TextQueries {
     // and survive via the LEFT JOIN).
     "k2_dedup_cascade" ->
       """WITH RECURSIVE sigs AS (SELECT doc_id, _sig
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_cascade_sigs.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k2_cascade_sigs.parquet/*.parquet')),
         |bands AS (
         |  SELECT doc_id, r.b AS b, list_slice(_sig, r.b*4 + 1, r.b*4 + 4) AS key
         |  FROM sigs, range(0, 8) r(b)),
@@ -905,7 +905,7 @@ object TextQueries {
     // the same shingle SQL k2_ngram_jaccard proves equivalent.
     "k2_minhash_lsh" ->
       """WITH sigs AS (SELECT doc_id, _sig
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_minhash_sigs.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k2_minhash_sigs.parquet/*.parquet')),
         |bands AS (
         |  SELECT doc_id, r.b AS b, list_slice(_sig, r.b*4 + 1, r.b*4 + 4) AS key
         |  FROM sigs, range(0, 8) r(b)),
@@ -936,7 +936,7 @@ object TextQueries {
     // quarters.
     "k2_simhash" ->
       """WITH fps AS (SELECT doc_id, _fp
-        |  FROM read_parquet('/tmp/graft_oracle_aux/k2_simhash_fps.parquet/*.parquet')),
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k2_simhash_fps.parquet/*.parquet')),
         |q AS (
         |  SELECT doc_id, r.q AS q, (_fp >> (r.q * 16)) & 65535 AS piece
         |  FROM fps, range(0, 4) r(q)),

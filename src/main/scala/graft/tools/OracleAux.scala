@@ -18,30 +18,37 @@ import org.apache.spark.sql.DataFrame
   * fail — the axiom is self-checking against the result, only its seeded
   * internals go unaudited.
   *
-  * Fixed absolute paths, overwritten per run: the oracle SQL is a static
-  * string, so the path cannot be parameterized; Verify-then-compare always
-  * runs back-to-back on one sfDir, so the artifact the oracle reads is the
-  * one the queries just wrote.
+  * Artifacts are keyed by SCALE-FACTOR DIRECTORY (one subdir per sfDir
+  * basename): a Bench run at sf0.1 between a Verify at sf0.01 and its
+  * DuckDB comparison must not overwrite the artifacts that comparison
+  * reads. The oracle SQL strings carry a literal `{SF}` placeholder that
+  * [[graft.Verify]] substitutes with its sfDir basename when dumping
+  * `oracle_sql.json` — so the dumped SQL always points at the artifacts
+  * written by the same run's queries.
   */
 object OracleAux {
   val Root = "/tmp/graft_oracle_aux"
 
+  /** The placeholder Verify substitutes in dumped oracle SQL. */
+  val SfToken = "{SF}"
+
   /** Plan-only dev tools (Explain, PlanAudit, QueryBench) construct the
     * declared queries without participating in a Verify→compare cycle;
     * they set this false so their construction-time writes cannot clobber
-    * the artifacts a concurrent/pending oracle comparison reads (the
-    * fixed paths are single-slot by design — see class doc).
+    * the artifacts a pending oracle comparison reads.
     */
   @volatile var enabled: Boolean = true
 
-  def path(name: String): String = s"$Root/$name.parquet"
+  def path(name: String, sfDir: String): String =
+    s"$Root/${new java.io.File(sfDir).getName}/$name.parquet"
 
-  /** Write `df` as the aux artifact `name`; returns the path. One file —
-    * these are signature tables of the LOCAL corpus (small); production
-    * indexes are written partitioned next to the corpus instead.
+  /** Write `df` as the aux artifact `name` for the given sfDir; returns
+    * the path. One file — these are signature tables of the LOCAL corpus
+    * (small); production indexes are written partitioned next to the
+    * corpus instead.
     */
-  def write(df: DataFrame, name: String): String = {
-    val p = path(name)
+  def write(df: DataFrame, name: String, sfDir: String): String = {
+    val p = path(name, sfDir)
     if (enabled) df.coalesce(1).write.mode("overwrite").parquet(p)
     p
   }

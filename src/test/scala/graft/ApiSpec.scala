@@ -73,6 +73,20 @@ class ApiSpec extends SparkSpec {
       // error contract: bad JSON → 400, unknown route → 404
       assert(post(port, "/v1/normalize", """{"nope":1}""").statusCode() == 400)
       assert(get(port, "/v1/bogus").statusCode() == 404)
+
+      // concurrent GETs over the shared session: all must serve the same
+      // correct payload (bounded pool, driver-side Spark actions in
+      // parallel — the serving model's thread-safety contract)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val bodies = Await.result(
+        Future.sequence((1 to 8).map(_ => Future {
+          get(port, s"/v1/ledger/${LedgerQueries.W}").body()
+        })), 120.seconds)
+      assert(bodies.forall(_ == ledLib),
+        "concurrent GETs diverged from the library payload")
     } finally srv.stop()
   }
 }

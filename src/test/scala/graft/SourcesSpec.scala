@@ -101,5 +101,19 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") &&
       plan.toLowerCase.contains("wallet_address"),
       s"wallet equality not pushed into the JDBC scan:\n$plan")
+
+    // partition-parallel read: the bulk re-processing path at scale —
+    // Spark's stride options pass through and split the scan into
+    // independent range queries, one task each, same data
+    val par = JdbcStore.read(spark, url, "transactions", opts ++ Map(
+      "partitionColumn" -> "timestamp",
+      "lowerBound" -> "0", "upperBound" -> "2000000000",
+      "numPartitions" -> "4"))
+    assert(par.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC range partitions, got ${par.rdd.getNumPartitions}")
+    assert(par.count() == 6)
+    val seq = par.select(bronze.columns.map(col).toIndexedSeq: _*)
+    assert(seq.exceptAll(plusOne).isEmpty && plusOne.exceptAll(seq).isEmpty,
+      "partition-parallel read must return the same rows")
   }
 }

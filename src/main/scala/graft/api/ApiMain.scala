@@ -9,6 +9,7 @@ import graft.sources.{BronzeSource, JsonlBronzeSource, ParquetBronzeSource}
   *
   * Usage: runMain graft.api.ApiMain <bronzeDir> <silverDir>
   *          [port=3000] [sourceDir] [sourceFormat=jsonl|parquet]
+  *          [tablesDir]   — enables `GET /v1/query/:name` over that dir
   *
   * `sourceDir` backs `POST /v1/ingest` (the fetch-history source); when
   * omitted, ingest serves 500 and the read routes still work — the
@@ -36,7 +37,8 @@ object ApiMain {
       }
     val spark = GraftSession.getOrCreate("graft-api",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
-    val srv = new ApiServer(spark, source, bronze, silver, port)
+    val srv = new ApiServer(spark, source, bronze, silver, port,
+      tablesDir = if (args.length > 5) Some(args(5)) else None)
     val bound = srv.start()
     println(s"graft api listening on 127.0.0.1:$bound") // main.rs:41 parity
     sys.addShutdownHook { srv.stop(); spark.stop() }

@@ -20,6 +20,9 @@ import graft.sources.BronzeSource
   *   - `POST /v1/normalize`            → bronze → silver ledger
   *   - `GET  /v1/transactions/:wallet` → bronze rows, oldest-first, JSON
   *   - `GET  /v1/ledger/:wallet`       → ledger entries, JSON
+  *   - `GET  /v1/query/:name`          → any declared `SparkEntry`
+  *     analytics query over the configured `tablesDir` (beyond-parity:
+  *     the whole operator surface served by name, row-capped)
   *
   * Built on the JDK's `com.sun.net.httpserver` (zero added dependencies)
   * over [[graft.LedgerPipeline]] — every route IS the corresponding library
@@ -37,7 +40,8 @@ import graft.sources.BronzeSource
   */
 final class ApiServer(spark: SparkSession, source: BronzeSource,
     bronzePath: String, silverPath: String, port: Int = 0,
-    ingestLimit: Int = 50) {
+    ingestLimit: Int = 50, tablesDir: Option[String] = None,
+    queryRowCap: Int = 1000) {
 
   @volatile private var server: HttpServer = _
 
@@ -81,6 +85,21 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
           respondRows(ex, LedgerPipeline.transactions(spark, bronzePath, wallet))
         case ("GET", Wallet("ledger", wallet)) =>
           respondRows(ex, LedgerPipeline.ledger(spark, silverPath, wallet))
+        case ("GET", Wallet("query", name)) =>
+          // beyond reference parity: the ENTIRE declared analytics
+          // surface served by name over the configured star-schema dir.
+          // Row-capped: an HTTP response is a result page, not an export
+          // path (exports go through the library/CLI sinks).
+          (tablesDir, graft.SparkEntry.queries.get(name)) match {
+            case (Some(dir), Some(fn)) =>
+              respondRows(ex, fn(spark, dir).limit(queryRowCap))
+            case (None, _) =>
+              respond(ex, 404, """{"error":"no tablesDir configured"}""",
+                "application/json")
+            case (_, None) =>
+              respond(ex, 404, s"""{"error":"unknown query: $name"}""",
+                "application/json")
+          }
         case _ =>
           respond(ex, 404, """{"error":"not found"}""", "application/json")
       }

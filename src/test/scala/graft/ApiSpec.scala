@@ -29,7 +29,8 @@ class ApiSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("api").toString
     val jsonl = s"$tmp/in"; val bronze = s"$tmp/bronze"; val silver = s"$tmp/silver"
     JsonlBronzeSink.write(LedgerQueries.fixtureBronze(spark), jsonl)
-    val srv = new ApiServer(spark, new JsonlBronzeSource(jsonl), bronze, silver)
+    val srv = new ApiServer(spark, new JsonlBronzeSource(jsonl), bronze, silver,
+      tablesDir = Some(sfDir))
     val port = srv.start()
     try {
       assert(get(port, "/health").body() == "OK")
@@ -73,6 +74,14 @@ class ApiSpec extends SparkSpec {
       // error contract: bad JSON → 400, unknown route → 404
       assert(post(port, "/v1/normalize", """{"nope":1}""").statusCode() == 400)
       assert(get(port, "/v1/bogus").statusCode() == 404)
+
+      // the full analytics surface is servable by name (beyond parity)
+      val q = get(port, "/v1/query/d2_count")
+      assert(q.statusCode() == 200)
+      val qLib = SparkEntry.queries("d2_count")(spark, sfDir)
+        .limit(1000).toJSON.collect().mkString("[", ",", "]")
+      assert(q.body() == qLib, "served query payload must equal the library query")
+      assert(get(port, "/v1/query/not_a_query").statusCode() == 404)
 
       // concurrent GETs over the shared session: all must serve the same
       // correct payload (bounded pool, driver-side Spark actions in

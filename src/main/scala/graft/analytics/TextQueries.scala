@@ -606,6 +606,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // K2+: the same cascade with the QUALITY-AWARE survivor rule — keep
+    // each cluster's longest member (ties → lowest id), the CCNet-style
+    // canonical selection a production corpus pipeline runs instead of
+    // keep-lowest-id. Same signature artifact; the oracle adds the
+    // per-cluster ranking.
+    "k2_dedup_keep_best" -> ((s, d) => {
+      graft.tools.OracleAux.write(
+        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
+          shingleN = 3, k = 32), "k2_keepbest_sigs", d)
+      Dedup.dedupNearDupsKeepBest(Tables.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // K2: MinHash/LSH near-dup — banded candidates, exact-Jaccard verify;
     // see Dedup.minHashLsh scaladoc for the no-crossJoin scale argument.
     // The seeded xxhash64 signatures are the one non-SQL-derivable stage:
@@ -896,6 +910,50 @@ object TextQueries {
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         |WHERE COALESCE(c.cluster, d.doc_id) = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same components from the keep-best signature artifact; survivor =
+    // longest member per cluster, ties to the lower id.
+    "k2_dedup_keep_best" ->
+      """WITH RECURSIVE sigs AS (SELECT doc_id, _sig
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k2_keepbest_sigs.parquet/*.parquet')),
+        |bands AS (
+        |  SELECT doc_id, r.b AS b, list_slice(_sig, r.b*4 + 1, r.b*4 + 4) AS key
+        |  FROM sigs, range(0, 8) r(b)),
+        |sized AS (SELECT b, key, COUNT(DISTINCT doc_id) AS n
+        |          FROM bands GROUP BY b, key),
+        |ok AS (SELECT b, key FROM sized WHERE n BETWEEN 2 AND 64),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bands x JOIN bands y USING (b, key) JOIN ok USING (b, key)
+        |  WHERE x.doc_id < y.doc_id),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |edges AS (
+        |  SELECT c.id_a AS src, c.id_b AS dst
+        |  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b
+        |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |        / len(list_distinct(x.s || y.s)) >= 0.5),
+        |sym AS (SELECT src, dst FROM edges
+        |        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+        |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, d.lang, COALESCE(c.cluster, d.doc_id) AS cluster,
+        |    len(string_split(d.text, ' ')) AS ntok
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY ntok DESC, doc_id) AS rn
+        |  FROM lab) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Independent re-derivation of everything downstream of the written
     // MinHash signature artifact (graft.tools.OracleAux): banding = the

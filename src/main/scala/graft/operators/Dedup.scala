@@ -387,6 +387,32 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** QUALITY-AWARE canonical selection — the survivor rule real corpus
+    * pipelines use (CCNet-style): within each near-dup cluster keep the
+    * member with the MOST tokens (ties → lowest id), not the lowest id.
+    * Lowest-id keeps whichever copy was crawled first; longest keeps the
+    * least-truncated copy — the one you actually want to train on.
+    *
+    * Scale shape: identical to [[dedupNearDups]] up to the labels, then
+    * ONE window partitioned by cluster (partition size = cluster size,
+    * bounded by the near-dup cap chain) picks the survivor — no extra
+    * pair term, one keyed shuffle on the cluster label.
+    */
+  def dedupNearDupsKeepBest(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minHashLsh(docs, textCol, idCol, threshold = threshold)
+    val labels = clusters(docs.select(col(idCol)), idCol, pairs)
+    val w = Window.partitionBy("cluster")
+      .orderBy(desc("_ntok"), col(idCol))
+    docs
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("_ntok", size(split(col(textCol), " ")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("cluster", "_ntok", "_rn")
+  }
+
   /** Embedding-cosine near-dup: random-hyperplane LSH bucket join, exact
     * cosine verify within buckets. Hyperplanes are seeded-deterministic.
     */

@@ -244,6 +244,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("dedupNearDupsKeepBest keeps the LONGEST cluster member, not the lowest id") {
+    // doc 2 is the near-dup with extra trailing tokens — longest in its
+    // cluster, higher id than 0/1: the quality rule must pick IT
+    val longer = docs.withColumn("text",
+      when($"doc_id" === 2L, concat($"text", lit(" with extra trailing context tokens")))
+        .otherwise($"text"))
+    val kept = Dedup.dedupNearDupsKeepBest(longer, "text", "doc_id", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L),
+      s"longest member (2) must survive its cluster, got $kept")
+    // equal lengths fall back to the lowest id — matches dedupNearDups
+    val tie = Dedup.dedupNearDupsKeepBest(docs.filter($"doc_id" <= 1), "text", "doc_id",
+      threshold = 0.4).select("doc_id").as[Long].collect().toSet
+    assert(tie == Set(0L))
+  }
+
   test("cascade removes the corpus's planted near-dups but keeps the bulk") {
     val total = Tables.documents(spark, sfDir).count()
     val kept = Dedup.dedupNearDups(

@@ -45,9 +45,24 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
 
   @volatile private var server: HttpServer = _
 
+  /** Serializes `/v1/query` request handling: a handful of declared
+    * queries write fixed-location layout artifacts as part of their plan
+    * (OracleAux signature tables — disabled below — and the bucketed-
+    * PageRank catalog tables), so two concurrent GETs constructing the
+    * same query could race on those overwrites and serve wrong results.
+    * An HTTP result page is not a throughput path; one-at-a-time is the
+    * correct contract (the reference serves one materialized Vec per
+    * request too, repo.rs:73-149).
+    */
+  private val queryLock = new Object
+
   /** Start and return the bound port (`port = 0` picks an ephemeral one). */
   def start(): Int = synchronized {
     require(server == null, "already started")
+    // Serving-only process: query construction must never clobber the
+    // oracle artifacts a pending Verify→DuckDB comparison reads (the same
+    // rule Explain/PlanAudit/QueryBench apply).
+    graft.tools.OracleAux.enabled = false
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     // small fixed pool: requests run Spark driver-side actions, and the
@@ -71,8 +86,13 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
         case ("POST", "/v1/ingest") =>
           val body = JsonMethods.parse(readBody(ex))
           val wallet = strField(body, "wallet")
+          // clamp BOTH sides: negative/zero and BigInt-overflow limits are
+          // rejected, not wrapped past the "hardcoded limit for API
+          // safety" contract (main.rs:74-76)
           val limit = body \ "limit" match {
-            case JInt(n) => math.min(n.toInt, ingestLimit)
+            case JInt(n) if n <= 0 =>
+              throw new IllegalArgumentException(s"limit must be positive: $n")
+            case JInt(n) => n.min(BigInt(ingestLimit)).toInt
             case _       => ingestLimit
           }
           val n = LedgerPipeline.ingest(spark, source, wallet, limit, bronzePath)
@@ -92,12 +112,14 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
           // path (exports go through the library/CLI sinks).
           (tablesDir, graft.SparkEntry.queries.get(name)) match {
             case (Some(dir), Some(fn)) =>
-              respondRows(ex, fn(spark, dir).limit(queryRowCap))
+              queryLock.synchronized {
+                respondRows(ex, fn(spark, dir).limit(queryRowCap))
+              }
             case (None, _) =>
               respond(ex, 404, """{"error":"no tablesDir configured"}""",
                 "application/json")
             case (_, None) =>
-              respond(ex, 404, s"""{"error":"unknown query: $name"}""",
+              respond(ex, 404, errorJson(s"unknown query: $name"),
                 "application/json")
           }
         case _ =>
@@ -105,7 +127,7 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
       }
     } catch {
       case e: IllegalArgumentException =>
-        respond(ex, 400, s"""{"error":"${e.getMessage}"}""", "application/json")
+        respond(ex, 400, errorJson(e.getMessage), "application/json")
       case e: Throwable =>
         // the reference logs and 500s (main.rs:77-80); same here
         System.err.println(s"[api] $method $path failed: ${e.getMessage}")
@@ -121,6 +143,15 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
         case _                                       => None
       }
   }
+
+  /** Error payload with the message SERIALIZED, not interpolated — parser
+    * errors echo request bodies and URL paths decode percent-encoded
+    * quotes, so raw interpolation would emit invalid JSON and let a caller
+    * inject response-body structure.
+    */
+  private def errorJson(msg: String): String =
+    JsonMethods.compact(JsonMethods.render(
+      org.json4s.JObject("error" -> JString(if (msg == null) "" else msg))))
 
   private def strField(jv: org.json4s.JValue, name: String): String =
     jv \ name match {

@@ -61,7 +61,7 @@ object JdbcStore {
       table: String, keyCol: String,
       options: Map[String, String] = Map.empty): Long = {
     val deduped = batch.dropDuplicates(keyCol)
-    val existed = tableExists(url, table)
+    val existed = tableExists(url, table, options)
     val fresh =
       if (!existed) deduped
       else {
@@ -106,8 +106,17 @@ object JdbcStore {
       .filter(col("wallet_address") === wallet)
       .orderBy(orderCols.map(col): _*)
 
-  private def tableExists(url: String, table: String): Boolean = {
-    val conn = DriverManager.getConnection(url)
+  /** Existence probe honors the same credentials/driver the Spark JDBC
+    * calls get via `options` — a URL without embedded credentials (the
+    * normal Postgres deployment shape: user/password in options) must
+    * probe with them, and a driver named only in options must be loaded
+    * before DriverManager can route the URL.
+    */
+  private def tableExists(url: String, table: String,
+      options: Map[String, String]): Boolean = {
+    options.get("driver").foreach(Class.forName)
+    val conn = DriverManager.getConnection(url,
+      props(options.view.filterKeys(Set("user", "password")).toMap))
     try {
       // unquoted identifiers are case-normalized by the database; probe
       // both the given and upper-cased spellings

@@ -75,6 +75,20 @@ class ApiSpec extends SparkSpec {
       assert(post(port, "/v1/normalize", """{"nope":1}""").statusCode() == 400)
       assert(get(port, "/v1/bogus").statusCode() == 404)
 
+      // limit clamp: non-positive and Int-overflowing limits are rejected,
+      // not wrapped past the ingest cap
+      assert(post(port, "/v1/ingest",
+        s"""{"wallet":"${LedgerQueries.W}","limit":-3}""").statusCode() == 400)
+      assert(post(port, "/v1/ingest",
+        s"""{"wallet":"${LedgerQueries.W}","limit":4294967296}""")
+        .body() == "\"Ingested 0 transactions\"") // clamps to cap, already ingested
+
+      // error bodies stay valid JSON even when the input carries quotes
+      val inj = get(port, "/v1/query/x%22y")
+      assert(inj.statusCode() == 404)
+      assert(org.json4s.jackson.JsonMethods.parse(inj.body()) \ "error" ==
+        org.json4s.JString("unknown query: x\"y"))
+
       // the full analytics surface is servable by name (beyond parity)
       val q = get(port, "/v1/query/d2_count")
       assert(q.statusCode() == 200)
@@ -96,6 +110,11 @@ class ApiSpec extends SparkSpec {
         })), 120.seconds)
       assert(bodies.forall(_ == ledLib),
         "concurrent GETs diverged from the library payload")
-    } finally srv.stop()
+    } finally {
+      srv.stop()
+      // start() disables OracleAux writes for the serving process; this
+      // JVM goes on to run other specs, so restore the default
+      graft.tools.OracleAux.enabled = true
+    }
   }
 }

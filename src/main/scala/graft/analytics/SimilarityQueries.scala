@@ -153,18 +153,30 @@ object SimilarityQueries {
 
     // K2 semantic dedup (SemDeDup shape): nearest-centroid clustering →
     // capped within-cluster exact cosine ≥ 0.9. Same planted ground truth
-    // as k2_embedding_neardup (scaled copies, cosine ≈ 1), but FULLY
-    // ORACLED: centroids are the deterministic stride-31 id subset, the
-    // planted scaling is float×float (IEEE, bit-identical in DuckDB), and
-    // cosine reuses the k3_cosine_topk double formulation the oracle
-    // already matches bit-for-bit.
+    // as k2_embedding_neardup (scaled copies, cosine ≈ 1; unit-normalized
+    // centroids make assignment scale-invariant, so each copy lands with
+    // its original by construction). Centroids are FIXED-k seeded k-means
+    // (IvfAnn.trainCentroids — the 100 TB configuration: the only driver-
+    // side term is k × dim doubles, constant in corpus size), materialized
+    // via OracleAux exactly like k3_ann_ivf; the oracle re-derives
+    // assignment (argmax of dot − ‖c‖²/2, ties to the larger cell — the
+    // NearestCentroidExpr rule), the 2..256 bucket cap, in-cell pairing,
+    // and the exact-cosine ≥ 0.9 verify from that artifact.
     "k2_semantic_dedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val planted = emb.filter(col("vec_id") < 20)
         .select((-(col("vec_id") + 1)).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.001f)).as("embedding"),
           col("label"))
-      Dedup.semanticDedup(emb.unionByName(planted), "embedding", "vec_id")
+      val corpus = emb.unionByName(planted)
+      val cents = Dedup.unitCentroids(
+        graft.operators.IvfAnn.trainCentroids(corpus, "embedding", "vec_id",
+          dim = 64, nLists = 16, iters = 3, trainSampleMod = 4))
+      import s.implicits._
+      graft.tools.OracleAux.write(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid"), "k2_sem_centroids", d)
+      Dedup.semanticDedup(corpus, "embedding", "vec_id", cents)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -472,6 +484,10 @@ object SimilarityQueries {
     // stride-31 centroids, argmax-by-cosine assignment (row_number with
     // the engine's tie-break), capped same-cluster pairs, exact cosine in
     // the proven double formulation.
+    // Downstream of the written trained-centroid artifact (the k3_ann_ivf
+    // pattern): assignment = argmax of dot − ‖c‖²/2 with ties to the
+    // LARGER cell (the NearestCentroidExpr rule), then the 2..256 bucket
+    // cap, in-cell pairing, and exact-cosine verify.
     "k2_semantic_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, embedding FROM embeddings
@@ -479,22 +495,22 @@ object SimilarityQueries {
         |  SELECT -(vec_id + 1) AS vec_id,
         |    list_transform(embedding, x -> x * CAST(1.001 AS REAL)) AS embedding
         |  FROM embeddings WHERE vec_id < 20),
-        |c AS (SELECT vec_id AS cid, embedding AS cv FROM base WHERE vec_id % 31 = 0),
-        |sims AS (
-        |  SELECT b.vec_id, c.cid,
-        |    list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-        |    AS cos
-        |  FROM base b, c),
-        |asg AS (SELECT vec_id, cid FROM (
-        |    SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-        |    FROM sims) WHERE rn = 1),
-        |ok AS (SELECT cid FROM asg GROUP BY cid HAVING COUNT(*) BETWEEN 2 AND 256),
+        |c AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k2_sem_centroids.parquet/*.parquet')),
+        |ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM base WHERE len(embedding) = 64),
+        |scored AS (
+        |  SELECT ev.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM ev, c),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |ok AS (SELECT cell FROM asg GROUP BY cell HAVING COUNT(*) BETWEEN 2 AND 256),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |      FROM asg a JOIN asg b USING (cid) JOIN ok USING (cid)
+        |      FROM asg a JOIN asg b USING (cell) JOIN ok USING (cell)
         |      WHERE a.vec_id < b.vec_id),
         |pc AS (SELECT p.id_a, p.id_b,
         |    list_sum(list_transform(range(1, len(x.embedding) + 1),

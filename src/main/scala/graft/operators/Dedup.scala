@@ -502,10 +502,14 @@ object Dedup {
     * style cells give semantically coherent candidate sets, LSH gives
     * probabilistic ones.
     *
-    * Centroids here are the deterministic stride-`centStride` subset of
-    * the corpus (ids ≡ 0 mod centStride) — the oracle-reproducible
-    * stand-in for learned centroids; swap in `IvfAnn.trainCentroids` for
-    * the k-means variant (identical downstream shape).
+    * Centroids are supplied by the caller — normally the FIXED-k output
+    * of `IvfAnn.trainCentroids` run through [[unitCentroids]] (the
+    * declared `k2_semantic_dedup` query materializes that matrix via
+    * OracleAux and the oracle re-derives assignment from the artifact,
+    * the exact pattern proven for `k3_ann_ivf`). Fixed k means the ONLY
+    * driver-side term is k × dim doubles — constant in corpus size, the
+    * 100 TB requirement. (Earlier rounds defaulted to a stride-id subset
+    * of the corpus, whose collected size grew ∝ n; retired.)
     *
     * Scale shape: assignment rides [[graft.functions.NearestCentroidExpr]]
     * — the centroid matrix lives INSIDE the expression object, so the
@@ -513,41 +517,45 @@ object Dedup {
     * and zero intermediate rows (the old `crossJoin(broadcast(cents))`
     * materialized n·k rows and shuffled them through a groupBy/max_by —
     * the n·k row term, not the n·k dots, is what dies first at 100 TB).
-    * Cosine argmax ≡ dot argmax against UNIT-normalized centroids (‖v‖ is
-    * constant per row), and the matrix is ordered by DESCENDING centroid
-    * id so the expression's ties-to-larger-index rule lands on the LOWEST
-    * id — the same tie the oracle's `ORDER BY cos DESC, cid` picks. The
-    * driver-side collect is bounded by k (stride subset locally; a fixed
-    * `IvfAnn.trainCentroids` k at scale). Pairs come from the capped
-    * [[blockPairs]]; exact cosine runs on verified candidates only. No
-    * pair term outside cluster cells.
+    * With [[unitCentroids]]-normalized centroids the expression's
+    * `v·c − ‖c‖²/2` argmax equals the COSINE argmax (‖v‖ is constant per
+    * row, ‖c‖ ≡ 1), so assignment is scale-invariant in `v` — scaled
+    * copies of a vector land in the same cell by construction. Ties break
+    * to the LARGER matrix index (the oracle's `ORDER BY s DESC, cell
+    * DESC`). Pairs come from the capped [[blockPairs]]; exact cosine runs
+    * on verified candidates only. No pair term outside cluster cells.
     *
+    * Wrong-dimension vectors are EXCLUDED (the `IvfAnn.index` rule): a
+    * truncated dot would otherwise assign them a plausible cell.
+    *
+    * @param centroids unit-normalized matrix, normally
+    *                  `unitCentroids(IvfAnn.trainCentroids(...))`
     * @return (id_a, id_b, cos) for same-cluster pairs with cosine ≥
     *         threshold, id_a < id_b; cos unrounded (callers round for
     *         display)
     */
+  /** Unit-normalize a trained centroid matrix for [[semanticDedup]],
+    * DROPPING zero-norm rows: a zero centroid cannot be a meaningful
+    * cosine argmax, but left in the matrix it scores `v·0 − 0 = 0` while
+    * unit centroids score `dot − 0.5` — i.e. it would capture every
+    * vector whose best cosine is < 0.5, diverging from any cosine-ranked
+    * oracle (where a zero centroid's cosine is NaN and never wins).
+    */
+  def unitCentroids(raw: Array[Array[Double]]): Array[Array[Double]] =
+    raw.flatMap { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) None else Some(v.map(_ / n))
+    }
+
   def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
-      centStride: Int = 31, threshold: Double = 0.9,
+      centroids: Array[Array[Double]], threshold: Double = 0.9,
       maxBucket: Int = 256): DataFrame = {
     import graft.functions.VectorExpressions.{cosineFast, nearestCentroid}
-    // Descending cid: NearestCentroidExpr breaks score ties to the LARGER
-    // matrix index, so the last-listed (= lowest) cid wins — matching the
-    // oracle's ORDER BY cos DESC, cid.
-    val cents = emb.filter(col(idCol) % centStride === 0)
-      .select(col(idCol).cast("long").as("_cid"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .collect()
-      .sortBy(r => -r.getLong(0))
-    val centIds: Array[Long] = cents.map(_.getLong(0))
-    val matrix: Array[Array[Double]] = cents.map { r =>
-      val v = r.getSeq[Double](1).toArray
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) v else v.map(_ / n) // unit norm: dot argmax ≡ cosine argmax
-    }
+    val dim = centroids.head.length
     val assigned = graft.Tables.fanOut(emb)
-      .select(col(idCol), col(vecCol).as("_v"))
-      .withColumn("_cid",
-        element_at(lit(centIds), nearestCentroid(col("_v"), matrix) + 1))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .filter(size(col("_v")) === dim)
+      .withColumn("_cid", nearestCentroid(col("_v"), centroids))
       .select(col(idCol), col("_cid"))
     val pairs = blockPairs(assigned, idCol, "_cid", maxBucket)
     pairs

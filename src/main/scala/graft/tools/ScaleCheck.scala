@@ -180,28 +180,30 @@ object ScaleCheck {
     println(f"span removal ratio: ${sr10 / sr1}%.1f (linear = 10; the " +
       "10x replicas make nearly every position removed — worst case)")
 
-    // semantic dedup in the k ∝ n regime (stride fixed => 10x centroids,
-    // constant ~31-member cells — the SemDeDup recipe): in-cell verify
-    // stays linear; ASSIGNMENT is n·k dots = 100x raw FLOPs here, but it
-    // now runs INSIDE NearestCentroidExpr — a per-row primitive loop over
-    // the in-expression matrix, zero shuffle, zero intermediate rows (the
-    // old crossJoin materialized and shuffled n·k ROWS, which is what
-    // actually dies at scale). The measured ratio shows the tight loop
-    // absorbing the FLOP growth; at 100 TB, k caps at centroid-matrix
-    // memory and assignment moves to IvfAnn's trained-k / ANN-assignment.
+    // semantic dedup in the FIXED-k regime (the 100 TB configuration, and
+    // since round 9 the default: trained centroids, k constant in corpus
+    // size): the only driver-side term is k × dim doubles, assignment is
+    // n·k dots inside NearestCentroidExpr (per-row primitive loop, zero
+    // shuffle, zero intermediate rows), and in-cell verify is capped —
+    // so 10x corpus should cost ~10x, i.e. LINEAR. The centroid matrix
+    // is trained ONCE on the 1x corpus and reused for 10x, exactly how
+    // an incremental production pipeline amortizes training.
     val emb1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
     val emb10 = (0 until 10).map { i =>
       emb1.select((col("vec_id") * 10 + i).as("vec_id"), col("embedding"), col("label"))
     }.reduce(_ unionAll _).localCheckpoint(true)
     println(s"embeddings 1x=${emb1.count()} 10x=${emb10.count()}")
-    def sem(emb: DataFrame, stride: Int) =
-      Dedup.semanticDedup(emb, "embedding", "vec_id", centStride = stride)
-    time("semantic dedup warmup")(sem(emb1, 31))
-    val sd1 = time("semantic dedup 1x")(sem(emb1, 31))
-    val sd10 = time("semantic dedup 10x")(sem(emb10, 31))
-    println(f"semantic dedup ratio: ${sd10 / sd1}%.1f (k grows with n: " +
-      "assignment dots are 100x raw, run as NearestCentroidExpr's " +
-      "in-expression loop — zero shuffle, no n*k row term)")
+    val semCents = Dedup.unitCentroids(
+      graft.operators.IvfAnn.trainCentroids(emb1, "embedding", "vec_id",
+        dim = 64, nLists = 16, iters = 3, trainSampleMod = 4))
+    def sem(emb: DataFrame) =
+      Dedup.semanticDedup(emb, "embedding", "vec_id", semCents)
+    time("semantic dedup warmup")(sem(emb1))
+    val sd1 = time("semantic dedup 1x")(sem(emb1))
+    val sd10 = time("semantic dedup 10x")(sem(emb10))
+    println(f"semantic dedup ratio: ${sd10 / sd1}%.1f (fixed trained k: " +
+      "linear = 10; assignment is NearestCentroidExpr's in-expression " +
+      "loop — zero shuffle, no n*k row term, constant driver memory)")
 
     // Dedup.clusters: synthetic edge sets at N and 10N edges with CONSTANT
     // component shape (4-node paths, diameter 3) — the regime a growing

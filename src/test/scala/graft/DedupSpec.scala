@@ -210,22 +210,31 @@ class DedupSpec extends SparkSpec {
   test("semanticDedup pairs only high-cosine members of the same centroid cell") {
     // two loose clusters around orthogonal centroids (members 30° off
     // centre: cos 0.866 to their centroid, 0.5 to each other — below the
-    // 0.9 verify threshold) plus one planted identical pair inside A
+    // 0.9 verify threshold) plus one planted identical pair inside A.
+    // A scaled copy (id 4 = 3 × id 3) must land in the same cell: unit
+    // centroids make assignment scale-invariant.
     val c30 = math.cos(math.Pi / 6).toFloat; val s30 = math.sin(math.Pi / 6).toFloat
     val emb = Seq(
-      0L  -> Array(1f, 0f, 0f, 0f),     // centroid A (stride-31 id)
-      1L  -> Array(c30, s30, 0f, 0f),   // A, +30°
-      2L  -> Array(c30, s30, 0f, 0f),   // A, planted dup of 1
-      3L  -> Array(c30, -s30, 0f, 0f),  // A, -30°
-      31L -> Array(0f, 1f, 0f, 0f),     // centroid B
-      32L -> Array(s30, c30, 0f, 0f),   // B, 60° from x = 30° from B
-      33L -> Array(-s30, c30, 0f, 0f)   // B, 120° from x
+      0L  -> Array(1f, 0f, 0f, 0f),            // A axis
+      1L  -> Array(c30, s30, 0f, 0f),          // A, +30°
+      2L  -> Array(c30, s30, 0f, 0f),          // A, planted dup of 1
+      3L  -> Array(c30, -s30, 0f, 0f),         // A, -30°
+      4L  -> Array(3 * c30, -3 * s30, 0f, 0f), // A, scaled copy of 3
+      32L -> Array(s30, c30, 0f, 0f),          // B, 30° from y
+      33L -> Array(-s30, c30, 0f, 0f)          // B, 120° from x
     ).map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
-    val out = Dedup.semanticDedup(emb, "embedding", "vec_id")
+    // unitCentroids drops the zero-norm row (it would otherwise capture
+    // every vector with best cosine < 0.5) and normalizes the rest
+    val cents = Dedup.unitCentroids(Array(
+      Array(2.0, 0.0, 0.0, 0.0), Array(0.0, 0.5, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 0.0)))
+    assert(cents.length == 2 && math.abs(cents(0)(0) - 1.0) < 1e-12)
+    val out = Dedup.semanticDedup(emb, "embedding", "vec_id", cents)
       .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSeq
-    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)),
-      s"only the planted identical pair may verify, got $out")
-    assert(math.abs(out.head._3 - 1.0) < 1e-9)
+      .sortBy(p => (p._1, p._2))
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L), (3L, 4L)),
+      s"only the planted identical/scaled pairs may verify, got $out")
+    assert(out.forall(p => math.abs(p._3 - 1.0) < 1e-6))
   }
 
   test("clusters: min-label propagation closes transitive chains") {

@@ -191,10 +191,23 @@ object StarQueries {
 
     // D4: approx_count_distinct (HLL++) — approximate by design, so no
     // DuckDB oracle (its approx sketch differs); rows-only check.
+    // Bounds-checking oracle for the approximate operator: the HLL++
+    // ESTIMATE is merge-order-dependent within its error band, so the
+    // declared output is the per-group GUARANTEE VERDICT — |est − exact|
+    // ≤ 3·rsd·exact — alongside the exact count. The oracle emits the
+    // exact count and literal TRUE: if the sketch ever drifted outside
+    // its published band, the verdict flips and the hash gate goes red.
+    // (The raw estimate stays exercised: the verdict is computed FROM it
+    // in the same plan.)
     "d4_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("_est"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("_est") - col("exact_nd")) <=
+            col("exact_nd") * lit(0.15)).as("within_rsd"))
         .orderBy("l_returnflag")
     }),
 
@@ -549,6 +562,14 @@ object StarQueries {
     "d4_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
         |  COUNT(DISTINCT l_suppkey) AS nd_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // The sketch side is non-SQL (HLL++), so the oracle checks the
+    // GUARANTEE: exact distinct count plus the literal verdict the
+    // engine's |est − exact| ≤ 3·rsd·exact test must produce.
+    "d4_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd,
+        |  TRUE AS within_rsd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d5_cost_basis" ->

@@ -258,22 +258,36 @@ object TextQueries {
 
     // the FIXED-MEMORY path to top terms when the key space is too big
     // for exact groupBy (5-grams, URLs): state caps at 256 counters per
-    // partial, the shuffle carries ≤256 entries per partition, and the
-    // one-pass guarantee (est ∈ [f − N/256, f]) is asserted against exact
-    // counts in ScalaTest. Rows-only by design: sketch estimates are
-    // merge-order-dependent within the error band, like approx_distinct.
+    // partial, the shuffle carries ≤256 entries per partition. Sketch
+    // ESTIMATES are merge-order-dependent within the error band, so the
+    // declared output is the Misra–Gries GUARANTEE VERDICT per TRUE heavy
+    // hitter (exact count f with f·256 > N): `in_sketch` (the sketch must
+    // retain every such token) and `est_in_band` (est ∈ [f − N/256, f]).
+    // The oracle re-derives the exact heavy hitters and emits literal
+    // TRUEs — a sketch that dropped a guaranteed key or drifted outside
+    // its band flips a verdict and fails the hash gate. The raw sketch
+    // stays exercised: both verdicts are computed FROM its kept entries.
     "k4_heavy_hitters" -> ((s, d) => {
       import s.implicits._
-      val agg = new graft.functions.HeavyHittersAggregator(256).toColumn
-      Tables.fanOut(Tables.documents(s, d))
+      val toks = Tables.fanOut(Tables.documents(s, d))
         .select(explode(tokens(col("text"))).as("tok"))
-        .as[String]
-        .select(agg)
-        .flatMap(_.take(20).zipWithIndex.map { case ((w, c), i) =>
-          (i + 1, w, c)
-        })
-        .toDF("rank", "word", "est_count")
-        .orderBy("rank")
+      val agg = new graft.functions.HeavyHittersAggregator(256).toColumn
+      // the full kept set: bounded by the 256-counter capacity, so this
+      // driver-side read is constant-size at any corpus scale
+      val sketch = toks.as[String].select(agg).head()
+      val n = toks.count()
+      val sketchDf = sketch.toSeq.toDF("word", "est")
+      toks.groupBy(col("tok").as("word"))
+        .agg(count(lit(1)).as("exact_count"))
+        .filter(col("exact_count") * 256 > lit(n))
+        .join(broadcast(sketchDf), Seq("word"), "left")
+        .select(col("word"), col("exact_count"),
+          col("est").isNotNull.as("in_sketch"),
+          coalesce(
+            col("est") <= col("exact_count") &&
+              col("est") >= col("exact_count") - lit(n / 256.0),
+            lit(false)).as("est_in_band"))
+        .orderBy(col("exact_count").desc, col("word"))
     }),
 
     // K4/I3: the SAME Misra–Gries aggregator in its EXACT regime — keyed
@@ -822,6 +836,18 @@ object TextQueries {
         |    AS DOUBLE) / COUNT(*), 6) AS novelty
         |FROM g0 JOIN f USING (g)
         |GROUP BY g0.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Sketch-regime Misra–Gries: the oracle re-derives the TRUE heavy
+    // hitters (f·256 > N, exact arithmetic — no division semantics to
+    // match) and emits the literal verdicts the MG guarantee promises.
+    "k4_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM toks),
+        |counts AS (SELECT word, COUNT(*) AS exact_count FROM toks GROUP BY 1)
+        |SELECT word, exact_count, TRUE AS in_sketch, TRUE AS est_in_band
+        |FROM counts, n WHERE exact_count * 256 > n.n
+        |ORDER BY exact_count DESC, word""".stripMargin,
 
     // Exact-regime Misra–Gries: first-char cardinality < capacity, so the
     // sketch degenerates to an exact count and plain SQL reproduces it.

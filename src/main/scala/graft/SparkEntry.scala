@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.analytics.{EventQueries, GraphQueries, LedgerQueries, PipelineQueries, SimilarityQueries, StarQueries, TextQueries}
+import graft.analytics.{EventQueries, GraphQueries, LedgerQueries, PipelineQueries, SimilarityQueries, StarQueries, StreamingReplay, TextQueries}
 import graft.operators.MultimodalPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,6 +29,7 @@ object SparkEntry {
       SimilarityQueries.queries ++
       PipelineQueries.queries ++
       GraphQueries.queries ++
+      StreamingReplay.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         // K5 typed pipeline: binary payload → batch feature extraction
         // (stubbed decode — deterministic, so oracled despite running
@@ -100,6 +101,7 @@ object SparkEntry {
       SimilarityQueries.oracle ++
       PipelineQueries.oracle ++
       GraphQueries.oracle ++
+      StreamingReplay.oracle ++
       Map(
         "k5_media_features" ->
           s"""$mediaCte

@@ -1,0 +1,217 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** J1/J2/J3/J5 under the CORRECTNESS gate: deterministic batch-replay
+  * formulations of the streaming operators.
+  *
+  * The reference's streaming surface is a slot-ordered subscription
+  * (`/root/reference/adapters/src/solana_grpc.rs:8-24`) feeding idempotent
+  * sinks (`repo.rs:26,56`); Structured Streaming separates source from
+  * plan, so each declared query below replays the `events` table through
+  * the REAL streaming operator (file-stream source, one staged file per
+  * micro-batch, delivery order pinned by modification time) and returns
+  * the final materialized result as a batch DataFrame. Every rule a
+  * result depends on — batch membership, watermark advance, append-mode
+  * emission — is a deterministic function of the data, so a DuckDB oracle
+  * re-derives it exactly (the watermark boundary conventions are pinned
+  * by WatermarkProbeSpec: a window emits once `end <= wm`; a late row
+  * drops iff its window has already emitted).
+  *
+  * Scale notes: these queries exist to put the streaming path under the
+  * oracle, but the shapes are the production ones — the sink merge is
+  * keyed and idempotent (at-least-once upstream → exactly-once table),
+  * windowed state is watermark-bounded, and `mapGroupsWithState` keeps
+  * one struct per key. The staging writes are test harness, not engine.
+  */
+object StreamingReplay {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Stage `df` as `n` single-file micro-batch inputs: file i holds rows
+    * with `batchOf = i`, and strictly increasing modification times pin
+    * FileStreamSource's (modTime, path) delivery order so
+    * `maxFilesPerTrigger=1` replays exactly batch 0, 1, …, n−1.
+    */
+  private[graft] def stageBatches(df: DataFrame, batchOf: Column, n: Int): String = {
+    val spark = df.sparkSession
+    val dir = tempDir("graft_replay_in")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis()
+    (0 until n).foreach { i =>
+      val stage = new Path(root, s"_stage$i")
+      df.filter(batchOf === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = fs.globStatus(new Path(stage, "part-*.parquet")).head.getPath
+      val dest = new Path(root, f"b$i%03d.parquet")
+      fs.rename(part, dest)
+      fs.delete(stage, true)
+      fs.setTimes(dest, base + 2000L * (i + 1), -1)
+    }
+    dir
+  }
+
+  /** Run `streamed` to completion into a memory sink and return the sink
+    * table. Fresh checkpoint per call: each invocation replays the whole
+    * input deterministically.
+    */
+  private def memoryQuery(spark: SparkSession, streamed: DataFrame,
+      mode: String, name: String): DataFrame = {
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", tempDir("graft_replay_ck"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // J1: the subscription source end-to-end — EventStreams.subscribe
+    // (schema/nanos detection, ts normalization, pushed event-type
+    // filter) over a 2-file replay directory (the testdata table is a
+    // single parquet FILE; a streaming source subscribes to a
+    // directory), drained through a sink. Any batch split yields the
+    // same final set, so the oracle is the plain filtered table.
+    "j1_subscribe_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val in = stageBatches(ev, pmod(col("event_id"), lit(2)).cast("int"), 2)
+      val stream = EventStreams.subscribe(s, in, Seq("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "value")
+      memoryQuery(s, stream, "append", "graft_j1_replay")
+        .orderBy("event_id")
+    }),
+
+    // J2: exactly-once sink under FULL-STREAM REPLAY — the events table
+    // streams through exactlyOnceSink in 3 micro-batches, then the WHOLE
+    // stream replays from a fresh checkpoint against the same table (the
+    // at-least-once upstream a recovering subscription produces). The
+    // final table must hold each key exactly once — the reference's
+    // ON CONFLICT (id) DO NOTHING semantics (repo.rs:26,56). A broken
+    // merge would double the row count and fail the gate.
+    "j2_exactly_once_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val in = stageBatches(ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
+      val table = tempDir("graft_replay_tbl") + "/t"
+      val schema = s.read.parquet(in).schema
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = EventStreams.exactlyOnceSink(
+          src, table, tempDir("graft_replay_ck"), "event_id")
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce(); runOnce()
+      s.read.parquet(table).orderBy("event_id")
+    }),
+
+    // J3: watermarked late-data drop — 4 micro-batches keyed by
+    // event_id % 4, so every batch spans the full time range and batches
+    // 1..3 arrive mostly "late" vs the watermark batch 0 established.
+    // The emitted result is a pure function of (batch membership,
+    // per-batch running-max event time, the end<=wm conventions pinned
+    // in WatermarkProbeSpec), all of which the oracle re-derives.
+    // `value` streams as DECIMAL so windowed sums are exact under any
+    // state-merge order.
+    "j3_late_drop_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("value"), col("event_id"))
+      val in = stageBatches(ev, pmod(col("event_id"), lit(4)).cast("int"), 4)
+      val schema = s.read.parquet(in).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val agg = EventStreams.tumblingCounts(src, "5 minutes", "30 minutes")
+      memoryQuery(s, agg, "append", "graft_j3_replay")
+        .select(col("w_start"), col("event_type"), col("cnt"),
+          col("sum_val").cast("double").as("sum_val"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // J5: stateful running position — mapGroupsWithState folds per-user
+    // positions across 3 micro-batches (update-mode emissions land in the
+    // memory sink once per touched key per batch; the final state per
+    // user is the row with the highest n_events). Values fold as CENTS
+    // (integral doubles sum exactly in any arrival order), so the final
+    // position is deterministic and the oracle is a plain grouped sum.
+    "j5_running_position_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("double").as("value"))
+      val in = stageBatches(ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
+      val schema = s.read.parquet(in).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .select(col("user_id"), col("value"))
+        .as[EventStreams.PositionEvent]
+      val updates = memoryQuery(s, EventStreams.runningPosition(src).toDF(),
+        "update", "graft_j5_replay")
+      updates.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("position"))).as("_s"))
+        .select(col("user_id"),
+          (col("_s.position") / 100.0).as("position"),
+          col("_s.n_events").as("n_events"))
+        .orderBy("user_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "j1_subscribe_replay" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin,
+
+    "j2_exactly_once_replay" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // Re-derivation of the streaming semantics: batch b = event_id % 4;
+    // the watermark FILTERING batch b is max(ts over batches ≤ b−2) −
+    // 30 min (LAG-2: batch b's offsets are planned before batch b−1's
+    // event-time stats fold into the watermark — pinned empirically in
+    // WatermarkProbeSpec; NULL for b < 2 = no watermark yet); a row
+    // survives iff its 5-minute window has not already emitted (window
+    // end > wm); a window emits iff its end ≤ the FINAL watermark
+    // (global max ts − 30 min, reached on the trailing no-data batches).
+    "j3_late_drop_replay" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS value,
+        |    CAST(event_id % 4 AS INTEGER) AS b
+        |  FROM events),
+        |bmax AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
+        |wm AS (
+        |  SELECT e.*,
+        |    (SELECT MAX(mx) - INTERVAL '30 minutes' FROM bmax WHERE bmax.b <= e.b - 2) AS w
+        |  FROM e),
+        |fin AS (SELECT MAX(ts) - INTERVAL '30 minutes' AS wf FROM e),
+        |kept AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, value
+        |  FROM wm
+        |  WHERE w IS NULL OR time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' > w)
+        |SELECT w_start, event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(value) AS DOUBLE) AS sum_val
+        |FROM kept, fin
+        |WHERE w_start + INTERVAL '5 minutes' <= wf
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // Cents-exact running position: the decimal cast matches the stream's
+    // fold input, the sum is exact, and the final /100 is the same IEEE
+    // double division on both sides.
+    "j5_running_position_replay" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS DOUBLE) / 100.0 AS position,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

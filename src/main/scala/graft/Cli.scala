@@ -44,14 +44,11 @@ object Cli {
     args.head match {
       case "init-db" =>
         val url = opts.getOrElse("db", sys.error("init-db requires --db"))
-        // empty writes create the tables with the engine schemas — the
-        // migrations step (init.sql) without a migrations runner
-        JdbcStore.saveIdempotent(spark,
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            graft.model.Schemas.bronze), url, "transactions", "id", jdbcOpts)
-        JdbcStore.saveIdempotent(spark,
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-            graft.model.Schemas.silver), url, "ledger_entries", "id", jdbcOpts)
+        // versioned, recorded, replay-safe — sqlx::migrate! parity
+        // (main.rs:70-78): unapplied steps run in order, applied ones
+        // are skipped via the graft_migrations log
+        println("Running migrations...") // main.rs:72 parity
+        Migrations.migrate(spark, url, jdbcOpts)
         println("Database initialized successfully.") // main.rs:75 parity
 
       case "ingest" =>

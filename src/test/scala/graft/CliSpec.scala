@@ -59,5 +59,64 @@ class CliSpec extends SparkSpec {
       "--db", url) ++ driver)
     assert(JdbcStore.read(spark, url, "transactions", opts).count() == 5)
     assert(JdbcStore.read(spark, url, "ledger_entries", opts).count() == 4)
+
+    // re-running init-db (= migrate) against the migrated DB is a no-op
+    assert(graft.sources.Migrations.migrate(spark, url, opts).isEmpty)
+  }
+
+  test("migrations: staged apply, recorded history, replayable wallet backfill, drift detection") {
+    import graft.sources.Migrations
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("mig").toString
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+    // stage 1: apply ONLY init — silver exists in its pre-wallet shape
+    assert(Migrations.migrate(spark, url, opts, upTo = Some(20251219000000L))
+      == Seq(20251219000000L))
+    assert(!JdbcStore.read(spark, url, "ledger_entries", opts)
+      .columns.contains("wallet_address"))
+
+    // populate the pre-migration database: bronze rows + wallet-LESS
+    // silver rows (the state a deployed reference DB was in before
+    // 20251219010000 shipped)
+    val bronze = LedgerQueries.fixtureBronze(spark)
+    JdbcStore.saveIdempotent(spark, bronze, url, "transactions", "id", opts)
+    val entries = graft.normalize.ChainNormalizers.normalizeAll(bronze)
+    JdbcStore.saveIdempotent(spark, entries.drop("wallet_address"),
+      url, "ledger_entries", "id", opts)
+
+    // stage 2: the recorded step is skipped, the backfill step applies
+    assert(Migrations.migrate(spark, url, opts) == Seq(20251219010000L))
+    val migrated = JdbcStore.read(spark, url, "ledger_entries", opts)
+      .select("transaction_id", "wallet_address")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = entries.select("transaction_id", "wallet_address")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(migrated == expected, "backfill must equal the normalizer's wallet column")
+    assert(migrated.forall(_._2 == LedgerQueries.W))
+
+    // idempotent + fully recorded
+    assert(Migrations.migrate(spark, url, opts).isEmpty)
+    val log = JdbcStore.read(spark, url, Migrations.LogTable, opts)
+      .select("version").collect().map(_.getLong(0)).toSet
+    assert(log == Set(20251219000000L, 20251219010000L))
+
+    // appends against the migrated schema keep working (NOT NULL wallet)
+    assert(JdbcStore.saveIdempotent(spark, entries, url,
+      "ledger_entries", "id", opts) == 0) // same ids: replay no-op
+
+    // drift: a recorded version whose registered description changed (or
+    // vanished) fails loudly — the sqlx altered-migration contract
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"UPDATE ${Migrations.LogTable} SET description = 'tampered' " +
+          "WHERE version = 20251219000000")
+      finally st.close()
+    } finally conn.close()
+    val err = intercept[RuntimeException](Migrations.migrate(spark, url, opts))
+    assert(err.getMessage.contains("drifted"))
   }
 }

@@ -127,6 +127,70 @@ object GraphQueries {
     r
   }
 
+  /** The 50-iteration production iterate: per-iteration DURABLE spill.
+    *
+    * [[pagerankOnLayout]] unrolls all iterations into one lazy plan — the
+    * right call at 3–10 iterations, but at 50 the plan depth (and the
+    * optimizer time that grows with it) becomes its own bottleneck, and a
+    * mid-run executor loss recomputes the whole chain. Here every
+    * iteration materializes its ranks back into the bucketed layout
+    * (alternating between two table names, so storage is bounded at two
+    * rank generations) and the next iteration starts from a fresh 4-node
+    * plan. Costs and wins:
+    *   - still exactly ONE Exchange per iteration (PlanShapeSpec asserts
+    *     it): the scatter join reads ranks and edges join-ready from
+    *     buckets, the gather shuffles, the rank update meets the gather's
+    *     partitioning, and the bucketed WRITE needs no shuffle (each task
+    *     hashes rows into its bucket files);
+    *   - constant plan size and lineage depth regardless of iteration
+    *     count — per-iteration cost stays FLAT at 50 iterations
+    *     (ScaleCheck measures it);
+    *   - every iteration is a durable restart point: a killed 50-iteration
+    *     run resumes from the last written generation instead of from
+    *     iteration 0 (`startIteration`) — the property that matters when
+    *     one iteration at 100 TB takes tens of minutes.
+    * Same integer-mass recurrence as `g4_pagerank`, bit-identical results
+    * (GraphQueriesSpec asserts equality with [[pagerankOnLayout]]).
+    */
+  def pagerankIterateDurable(s: SparkSession, dir: String, iterations: Int,
+      startIteration: Int = 0): DataFrame = {
+    import graft.operators.BucketedTables
+    val nB = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val degB = BucketedTables.readBucketed(s, "graft_pr_deg_b")
+    val n = degB.count() // one bounded driver Long (as in g4_pagerank)
+    val teleport = (15L * (Total / n)) / 100
+    def gen(i: Int) = if (i % 2 == 0) "graft_pr_ranks_even" else "graft_pr_ranks_odd"
+    if (startIteration == 0)
+      BucketedTables.writeBucketed(
+        degB.select(col("node"), col("deg"), lit(Total / n).as("rank")),
+        gen(0), s"$dir/${gen(0)}", "node", nB)
+    for (i <- (startIteration + 1) to iterations)
+      BucketedTables.writeBucketed(
+        durableRankStep(s, gen(i - 1), teleport),
+        gen(i), s"$dir/${gen(i)}", "node", nB)
+    BucketedTables.readBucketed(s, gen(iterations))
+  }
+
+  /** One [[pagerankIterateDurable]] iteration as a lazy plan (exposed so
+    * PlanShapeSpec can assert its single-Exchange shape directly).
+    */
+  private[graft] def durableRankStep(s: SparkSession, fromTable: String,
+      teleport: Long): DataFrame = {
+    import graft.operators.BucketedTables
+    val eB = BucketedTables.readBucketed(s, "graft_pr_edges_b")
+      .select(col("src").as("_src"), col("dst").as("_dst"))
+    val degB = BucketedTables.readBucketed(s, "graft_pr_deg_b")
+    val sums = BucketedTables.readBucketed(s, fromTable)
+      .select(col("node").as("_src"), expr("rank DIV deg").as("contrib"))
+      .join(eB, "_src")
+      .groupBy(col("_dst").as("node"))
+      .agg(sum("contrib").as("s"))
+    degB.join(sums, Seq("node"), "left")
+      .na.fill(0L, Seq("s"))
+      .select(col("node"), col("deg"),
+        expr(s"$teleport + (85 * s) DIV 100").as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     // G4: degree centrality — distinct counterparties per node, both graph
     // sides in one result. The groupBy is the only shuffle past the edge
@@ -199,6 +263,20 @@ object GraphQueries {
     "g4_pagerank_bucketed" -> ((s, d) => {
       val dir = java.nio.file.Files.createTempDirectory("graft-pr-b").toString
       pagerankBucketed(s, edges(s, d), dir, iterations = 3)
+        .select(col("node"), substring(col("node"), 1, 1).as("side"),
+          col("deg").as("degree"), col("rank").as("rank_ppt"))
+        .orderBy("node")
+    }),
+
+    // G4: the DURABLE per-iteration spill shape ([[pagerankIterateDurable]])
+    // — the plan a 50-iteration 100 TB rank runs (constant plan depth,
+    // restartable generations, still 1 Exchange/iteration). Identical
+    // recurrence, same oracle derivation; declared at 3 iterations so the
+    // production path sits under the DuckDB hash gate, not just ScalaTest.
+    "g4_pagerank_durable" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pr-d").toString
+      writePagerankLayout(s, edges(s, d), dir)
+      pagerankIterateDurable(s, dir, iterations = 3)
         .select(col("node"), substring(col("node"), 1, 1).as("side"),
           col("deg").as("degree"), col("rank").as("rank_ppt"))
         .orderBy("node")
@@ -303,6 +381,20 @@ object GraphQueries {
 
       // identical math over the bucketed layout — same oracle derivation
       "g4_pagerank_bucketed" ->
+        s"""WITH $edgesCte,
+           |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n FROM deg),
+           |r0 AS (SELECT node, deg, 1000000000000 // n AS rank, n
+           |       FROM deg CROSS JOIN n),
+           |${iter("0", "1")},
+           |${iter("1", "2")},
+           |${iter("2", "3")}
+           |SELECT node, substr(node, 1, 1) AS side, deg AS degree,
+           |  rank AS rank_ppt
+           |FROM r3 ORDER BY node""".stripMargin,
+
+      // identical math again over the durable spill path — same oracle
+      "g4_pagerank_durable" ->
         s"""WITH $edgesCte,
            |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
            |n AS (SELECT COUNT(*) AS n FROM deg),

@@ -99,18 +99,46 @@ object EventStreams {
     */
   def subscribeSocket(spark: SparkSession, host: String, port: Int,
       eventTypes: Seq[String] = Nil): DataFrame = {
+    val parsed = spark.readStream
+      .format("socket").option("host", host).option("port", port).load()
+      .select(from_json(col("value"), wireSchema).as("e"))
+      .select(col("e.event_id"), timestamp_micros(col("e.ts")).as("ts"),
+        col("e.user_id"), col("e.event_type"), col("e.value"), col("e.props"))
+      .filter(col("event_id").isNotNull) // corrupt lines skip, not fail
+    if (eventTypes.isEmpty) parsed
+    else parsed.filter(col("event_type").isin(eventTypes.map(lit(_)): _*))
+  }
+
+  /** Wire schema both live connectors parse: epoch-micros `ts`, JSONL rows. */
+  private val wireSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType), // epoch micros on the wire
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
+  }
+
+  /** J1/A2 (resumable live connector): subscribe to an append-only JSONL
+    * event log through the [[graft.sources.SlotLogSource]] DataSource V2
+    * micro-batch source — the slot-cursor subscription contract of the
+    * reference's intended Yellowstone gRPC feed
+    * (`adapters/src/solana_grpc.rs:8-24`, `README.md:3`): the source's
+    * cursor is checkpointed with the query, so kill-and-restart resumes at
+    * exactly the first unprocessed event — nothing lost, nothing
+    * re-delivered (StreamingSpec proves it). Each row keeps its `slot`
+    * (monotone source cursor) alongside the decoded event; corrupt lines
+    * decode to null ids and are dropped per-row (`solana.rs:51-53`), never
+    * failing the stream.
+    */
+  def subscribeSlotLog(spark: SparkSession, logPath: String,
+      eventTypes: Seq[String] = Nil): DataFrame = {
     val parsed = spark.readStream
-      .format("socket").option("host", host).option("port", port).load()
-      .select(from_json(col("value"), schema).as("e"))
-      .select(col("e.event_id"), timestamp_micros(col("e.ts")).as("ts"),
+      .format("slotlog").option("path", logPath).load()
+      .select(col("slot"), from_json(col("value"), wireSchema).as("e"))
+      .select(col("slot"), col("e.event_id"), timestamp_micros(col("e.ts")).as("ts"),
         col("e.user_id"), col("e.event_type"), col("e.value"), col("e.props"))
       .filter(col("event_id").isNotNull) // corrupt lines skip, not fail
     if (eventTypes.isEmpty) parsed

@@ -353,6 +353,29 @@ object ScaleCheck {
         "in block-manager memory and its shuffles are local disk, while the " +
         "bucketed scan re-reads parquet; at cluster scale the saved term is " +
         "the per-iteration network exchange of the full edge list)")
+
+      // 50-iteration proof on the DURABLE iterate (the shape a long rank
+      // actually runs): per-iteration spill keeps plan depth and lineage
+      // CONSTANT, so per-iteration cost must stay flat from 10 to 50
+      // iterations — the claim that matters at 100 TB, where the unrolled
+      // plan's optimizer time and recompute-on-failure both grow with the
+      // iteration count. Exactly 1 Exchange per iteration either way
+      // (PlanShapeSpec-asserted).
+      def timeDurable(what: String, iters: Int): Double = {
+        val t = System.nanoTime()
+        GraphQueries.pagerankIterateDurable(spark, dir, iters)
+        val sec = (System.nanoTime() - t) / 1e9
+        println(f"$what%-20s $sec%7.2f s")
+        sec
+      }
+      timeDurable("pr durable warmup", 5)
+      val d10 = timeDurable("pr durable 10it", 10)
+      val d50 = timeDurable("pr durable 50it", 50)
+      println(f"pr durable per-iteration at 50 vs 10: ${(d50 / 50) / (d10 / 10)}%.2f " +
+        "(flat = 1.0; constant plan depth — every iteration reads the " +
+        "previous generation's bucketed table and shuffles once)")
+      Seq("graft_pr_ranks_even", "graft_pr_ranks_odd")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 
     // Triangle counting (the g4_triangles wedge-close body over a given

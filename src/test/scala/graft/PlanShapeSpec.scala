@@ -215,6 +215,98 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("durable PageRank iterate: one exchange per step, bit-equal to the unrolled iterate, resumable mid-run") {
+    val dir = java.nio.file.Files.createTempDirectory("pr-durable").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("c"),
+          concat(lit("S"), col("l_suppkey")).as("p"))
+        .distinct()
+      val both = edges.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(edges.select(col("p").as("src"), col("c").as("dst")))
+      analytics.GraphQueries.writePagerankLayout(spark, both, dir)
+      def key(df: DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val unrolled3 = key(analytics.GraphQueries.pagerankOnLayout(spark, 3))
+      val durable3 = key(analytics.GraphQueries.pagerankIterateDurable(spark, dir, 3))
+      assert(durable3 == unrolled3,
+        "per-iteration durable spill must not change the rank recurrence")
+      // kill-and-resume: run 2 iterations, then resume 2→3 from the
+      // written generation — must land on the same ranks
+      analytics.GraphQueries.pagerankIterateDurable(spark, dir, 2)
+      val resumed3 = key(analytics.GraphQueries.pagerankIterateDurable(
+        spark, dir, 3, startIteration = 2))
+      assert(resumed3 == unrolled3,
+        "resuming from a durable generation must equal the straight run")
+      // the step plan: exactly ONE Exchange (the gather) — scatter join,
+      // rank update, and the bucketed write are layout-satisfied
+      val step = analytics.GraphQueries.durableRankStep(
+        spark, "graft_pr_ranks_even", teleport = 1L)
+      val plan = physicalPlan(step)
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"a durable iteration must shuffle exactly once (the gather), saw $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      Seq("graft_pr_edges_b", "graft_pr_deg_b",
+        "graft_pr_ranks_even", "graft_pr_ranks_odd")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("AQE skew-join splits byte-skew once thresholds are met — and why c6_join_salted still salts by hand") {
+    // Evidence for the manual salt in c6_join_salted, not habit: AQE's
+    // OptimizeSkewedJoin is a BYTE-threshold mechanism on shuffle-join
+    // stages. A partition is split only when its map-output size exceeds
+    // max(skewedPartitionThresholdInBytes [256 MB default],
+    //     skewedPartitionFactor × median). Consequences at scale:
+    //   (a) a hot key whose cost is COMPUTE (wide rows exploded later, an
+    //       expensive verify) but whose bytes sit under the threshold gets
+    //       no relief — the salt spreads it regardless;
+    //   (b) AQE acts at runtime per query; the salt is a deterministic
+    //       plan property you can assert, bucket, and reason about.
+    // Both halves demonstrated on the same synthetic skew (90% of fact
+    // rows on one key):
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = skewConfs.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val fact = spark.range(150000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 5000).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(5000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      def joined = fact.join(dim, "k").select(col("k"), col("payload"), col("attr"))
+      // (1) default thresholds: the hot partition is a few MB — two orders
+      // of magnitude under 256 MB, so AQE leaves the straggler whole
+      val p1 = finalPlan(joined)
+      assert(p1.contains("SortMergeJoin") || p1.contains("ShuffledHashJoin"),
+        s"skew evidence needs the shuffle-join regime:\n$p1")
+      assert(!p1.contains("skew=true"),
+        s"under default byte thresholds this corpus must NOT trigger a split:\n$p1")
+      // (2) thresholds at this corpus's scale: AQE now splits the hot
+      // partition — the mechanism is real, it just keys on bytes
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      val p2 = finalPlan(joined)
+      assert(p2.contains("skew=true"),
+        s"lowered thresholds must split the hot partition:\n$p2")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join stays in the shuffle regime: no broadcast of the replicated dim") {
     val plan = physicalPlan(
       analytics.PipelineQueries.queries("c6_join_salted")(spark, sfDir))

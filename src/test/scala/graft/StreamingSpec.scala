@@ -418,6 +418,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("A2/J1: slotlog kill-and-restart resumes from the checkpointed cursor — nothing lost, nothing re-delivered") {
+    val tmp = Files.createTempDirectory("slotlog").toString
+    val log = s"$tmp/events.jsonl"
+    def append(ids: Range, withCorrupt: Boolean = false): Unit = {
+      val w = new java.io.FileWriter(log, true)
+      try {
+        ids.foreach { i =>
+          w.write(s"""{"event_id": $i, "ts": ${1704067200000000L + i * 1000000L}, """ +
+            s""""user_id": ${i % 5}, "event_type": "click", "value": 1.0, "props": "{}"}""" + "\n")
+        }
+        if (withCorrupt) w.write("this line is not json and must be skipped\n")
+      } finally w.close()
+    }
+    append(1 to 50)
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // PLAIN file sink on purpose: it does not dedupe rows, so if the source
+    // re-delivered any range after restart the duplicates would be visible.
+    def runOnce(): Unit = {
+      val q = EventStreams.subscribeSlotLog(spark, log)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 50)
+    append(51 to 100, withCorrupt = true)
+    runOnce() // NEW query instance, same checkpoint: must resume after event 50
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect()
+    assert(ids.length == 100, s"resume lost or re-delivered rows: ${ids.length}")
+    assert(ids.toSet == (1 to 100).map(_.toLong).toSet,
+      "every event must appear exactly once across the restart")
+    val slots = spark.read.parquet(out).orderBy("event_id")
+      .select("slot").as[Long].collect()
+    assert(slots.distinct.length == 100 && slots.sliding(2).forall(p => p(0) < p(1)),
+      "slot cursors must be unique and monotone in event order across the restart")
+  }
+
+  test("A2: a torn (unterminated) tail line is invisible until its newline lands") {
+    val tmp = Files.createTempDirectory("slotlog-torn").toString
+    val log = s"$tmp/feed.jsonl"
+    def write(s: String): Unit = {
+      val w = new java.io.FileWriter(log, true)
+      try w.write(s) finally w.close()
+    }
+    write("alpha\nbet") // "bet" is a producer's half-written record
+    val q = spark.readStream.format("slotlog").option("path", log).load()
+      .writeStream.format("memory").queryName("torn")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("torn").select("value").as[String].collect().toSeq
+        == Seq("alpha"), "a torn tail line must not be served")
+      write("a\n") // the record completes: now it must arrive, intact
+      q.processAllAvailable()
+      assert(spark.table("torn").orderBy("slot").select("value").as[String]
+        .collect().toSeq == Seq("alpha", "beta"),
+        "the completed record must arrive whole, never as fragments")
+    } finally q.stop()
+  }
+
   test("J1: socket subscription parses JSONL events, skips corrupt lines, filters types") {
     // live-connector stand-in: a local server pushes JSON lines the way a
     // gRPC subscription would push protobuf events

@@ -17,7 +17,8 @@ object Explain {
       "a5_idempotent_dedup", "c8_range_join", "k6_decontaminate",
       "k4_repetition_ratio", "k4_filter_cascade", "k4_doc_lm_score",
       "k6_corpus_pipeline", "c5_asof_bucketed",
-      "g4_pagerank", "g4_pagerank_bucketed", "g4_triangles",
+      "g4_pagerank", "g4_pagerank_bucketed", "g4_pagerank_durable",
+      "g4_triangles",
       "a9_zorder_curve", "e4_anomaly_zscore", "k2_semantic_dedup",
       "k3_ann_ivf")
     val spark = SparkSession.builder()

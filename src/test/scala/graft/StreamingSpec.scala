@@ -456,6 +456,35 @@ class StreamingSpec extends SparkSpec {
       "slot cursors must be unique and monotone in event order across the restart")
   }
 
+  test("A2×J2: an at-least-once producer's re-sent records collapse in the idempotent sink") {
+    // the full reference pipeline shape: a live feed that re-delivers
+    // after a producer crash (Yellowstone re-sends from its last slot)
+    // into the ON-CONFLICT-DO-NOTHING sink — the table must stay
+    // exactly-once even though the LOG genuinely contains duplicates
+    val tmp = Files.createTempDirectory("slotlog-alo").toString
+    val log = s"$tmp/feed.jsonl"
+    def append(ids: Seq[Int]): Unit = {
+      val w = new java.io.FileWriter(log, true)
+      try ids.foreach { i =>
+        w.write(s"""{"event_id": $i, "ts": ${1704067200000000L + i * 1000000L}, """ +
+          s""""user_id": ${i % 3}, "event_type": "click", "value": 1.0, "props": "{}"}""" + "\n")
+      } finally w.close()
+    }
+    append(1 to 20)
+    append(15 to 20) // producer crash: re-sends its unacked tail
+    append(21 to 25)
+    val q = EventStreams.exactlyOnceSink(
+      EventStreams.subscribeSlotLog(spark, log).drop("slot"),
+      s"$tmp/table", s"$tmp/ckpt", "event_id")
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$tmp/table")
+        .select("event_id").as[Long].collect()
+      assert(ids.length == 25 && ids.toSet == (1 to 25).map(_.toLong).toSet,
+        s"duplicated wire records must collapse at the sink: ${ids.sorted.toSeq}")
+    } finally q.stop()
+  }
+
   test("A2: a torn (unterminated) tail line is invisible until its newline lands") {
     val tmp = Files.createTempDirectory("slotlog-torn").toString
     val log = s"$tmp/feed.jsonl"

@@ -54,9 +54,9 @@ object Cli {
       case "ingest" =>
         val wallet = opts.getOrElse("wallet", sys.error("ingest requires --wallet"))
         val limit = opts.getOrElse("limit", "10").toInt // main.rs default 10
-        val source = bronzeSource(
+        val source = ingestor(
           opts.getOrElse("source", sys.error("ingest requires --source")),
-          opts.getOrElse("format", "jsonl"))
+          opts.getOrElse("format", "jsonl"), opts.get("x-token"))
         val history = source.fetchHistory(spark, wallet, limit)
         opts.get("db") match {
           case Some(url) => // DB first (main.rs:101-105)
@@ -94,12 +94,18 @@ object Cli {
     }
   }
 
-  private def bronzeSource(dir: String, format: String): BronzeSource =
-    format match {
-      case "jsonl"   => new JsonlBronzeSource(dir)
-      case "parquet" => new ParquetBronzeSource(dir)
-      case "csv"     => new CsvBronzeSource(dir)
-      case "orc"     => new OrcBronzeSource(dir)
+  /** An `http(s)://` source is the live JSON-RPC node (solana.rs:23-28,
+    * `--x-token` per the gRPC adapter's auth surface); anything else is a
+    * file-backed bronze directory in the named format.
+    */
+  private def ingestor(src: String, format: String, xToken: Option[String]): ChainIngestor =
+    if (src.startsWith("http://") || src.startsWith("https://"))
+      new RpcChainIngestor(src, xToken)
+    else format match {
+      case "jsonl"   => new JsonlBronzeSource(src)
+      case "parquet" => new ParquetBronzeSource(src)
+      case "csv"     => new CsvBronzeSource(src)
+      case "orc"     => new OrcBronzeSource(src)
       case other     => sys.error(s"unknown source format: $other")
     }
 

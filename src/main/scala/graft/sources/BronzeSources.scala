@@ -15,7 +15,18 @@ import graft.model.Schemas
   * reads where corrupt records yield null rows that downstream meta-guards
   * drop (SURVEY.md §2.A1).
   */
-trait BronzeSource {
+trait ChainIngestor {
+
+  /** Full history for one wallet, at most `limit` rows, as a bronze
+    * DataFrame — the `fetch_history` contract
+    * (`core/src/models.rs:46-49`). Implemented by every file-backed
+    * [[BronzeSource]] (scan-shaped) and by the wire client
+    * [[RpcChainIngestor]] (distributed RPC fan-out).
+    */
+  def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame
+}
+
+trait BronzeSource extends ChainIngestor {
 
   /** Whole-table bronze read (schema [[Schemas.bronze]]). */
   def read(spark: SparkSession): DataFrame
@@ -24,7 +35,7 @@ trait BronzeSource {
     * the `fetch_history` contract. Final: one definition of the contract,
     * shared by every format; sources only supply [[read]].
     */
-  final def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
+  final override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame =
     read(spark)
       .filter(col("wallet_address") === wallet)
       .orderBy("timestamp")

@@ -221,6 +221,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // K6: context-window chunking with overlap — the RAG / pretraining
+    // prep step the packed-blocks op doesn't cover: each document's token
+    // stream is cut into 128-token windows every 96 tokens, so every
+    // window boundary re-appears with 32 tokens of lead context in the
+    // next window. Pure map-side fan-out (sequence + posexplode — chunks
+    // of a doc never leave its partition, no shuffle before the
+    // presentation sort), and each chunk ships as the md5 of its joined
+    // tokens, so bytes-per-chunk stay constant no matter the window size —
+    // at 100 TB the output is ~n_tokens/stride fixed-width rows, not a
+    // re-materialized overlapping copy of the corpus.
+    "k6_chunk_overlap" -> ((s, d) => {
+      val win = 128L
+      val stride = 96L
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .select(col("doc_id"), col("t"), col("n"),
+          posexplode(sequence(lit(0L), col("n") - 1, lit(stride))))
+        .select(col("doc_id"), col("t"),
+          col("pos").cast("long").as("chunk_idx"),
+          col("col").as("start_tok"),
+          least(lit(win), col("n") - col("col")).as("chunk_len"))
+        .withColumn("chunk_hash", md5(concat_ws(" ",
+          slice(col("t"), (col("start_tok") + 1).cast("int"),
+            col("chunk_len").cast("int")))))
+        .select("doc_id", "chunk_idx", "start_tok", "chunk_len", "chunk_hash")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // K6: deterministic corpus shuffle + sharding — shard = first hex char
     // of the row hash (16 shards, shuffle-free assignment), position within
     // shard = rank by the remaining hash. Windows are per-shard, so the op
@@ -575,6 +605,27 @@ object PipelineQueries {
         |  CAST((cum - 1) // 512 AS BIGINT) AS last_block,
         |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_blocks
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Spark's sequence(0, n-1, 96) and DuckDB's range(0, n, 96) generate
+    // the same start set for n >= 1 (both sides see n >= 1: split of a
+    // non-null text yields at least ['']); list slicing is 1-based
+    // inclusive on both.
+    "k6_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, t, n, UNNEST(range(0, n, 96)) AS start_tok
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(start_tok // 96 AS BIGINT) AS chunk_idx,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(LEAST(128, n - start_tok) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(
+        |    t[start_tok + 1 : start_tok + LEAST(128, n - start_tok)], ' '))
+        |    AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "k6_shard_shuffle" ->
       """WITH t AS (

@@ -33,6 +33,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = GraftSession.getOrCreate("graft-bench", cpus.toInt)
+    // timing-only: the seeded-signature queries write oracle-aux parquet
+    // artifacts at construction for a pending Verify->DuckDB comparison;
+    // a bench rep is not such a run, and the write is verification
+    // plumbing, not query work (same contract as QueryBench/PlanAudit)
+    graft.tools.OracleAux.enabled = false
     val load0 = loadavg()
 
     // untimed warmup: the first timed query otherwise absorbs session

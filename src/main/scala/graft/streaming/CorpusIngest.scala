@@ -47,14 +47,22 @@ object CorpusIngest {
       checkpoint: String,
       textCol: String,
       idCol: String,
-      threshold: Double = 0.5): StreamingQuery =
-    docs.writeStream
+      threshold: Double = 0.5,
+      observeAs: Option[String] = None): StreamingQuery = {
+    // optional feed-health stage: per-micro-batch row/null counters ride
+    // the batch (CollectMetrics — no second pass) and surface through
+    // PipelineMetrics.MetricsListener
+    val fed = observeAs.fold(docs)(name =>
+      graft.operators.PipelineMetrics.streamingStage(docs, name,
+        graft.operators.PipelineMetrics.standardMetrics(Seq(textCol), None)))
+    fed.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, corpusPath, indexPath, textCol, idCol, threshold): Unit
       }
       .start()
+  }
 
   /** One micro-batch of the ingest — also the BATCH entry point (backfill
     * jobs call this directly with the same semantics the stream gets).
@@ -92,9 +100,16 @@ object CorpusIngest {
       idCol: String,
       threshold: Double = 0.5): Long =
     IdempotentSink.withTableLock(batch.sparkSession, s"$indexPath/_ingest") {
-      val spark = batch.sparkSession
+      // Pin the incoming batch once: the stages below (exact dedup, bloom
+      // probe, near-dup, index anti-join) each act on it, and re-running
+      // the source subtree per action would re-scan the feed — and, when
+      // the stream is observed (dedupingSink observeAs), multiply the
+      // CollectMetrics counters by the action count. One materialization,
+      // blocks released at scope exit.
+      IdempotentSink.withPinned(batch) { b =>
+      val spark = b.sparkSession
       val digestsPath = s"$indexPath/_digests"
-      val withinExact = Dedup.exactRows(batch, textCol, idCol)
+      val withinExact = Dedup.exactRows(b, textCol, idCol)
       // Cross-batch exact dedup vs everything already accepted, any
       // length. expectedItems from the parquet footer count (metadata
       // read); undersizing would only raise the verify traffic.
@@ -137,6 +152,7 @@ object CorpusIngest {
             sha2(col(textCol).cast("string"), 256).as("digest")),
           digestsPath, idCol)
         n
+      }
       }
     }
 

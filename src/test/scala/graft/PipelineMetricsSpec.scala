@@ -82,6 +82,34 @@ class PipelineMetricsSpec extends SparkSpec {
     }
   }
 
+  test("deduping corpus ingest reports feed health per micro-batch when observed") {
+    implicit val sc = spark.sqlContext
+    val tmp = Files.createTempDirectory("pmi").toString
+    val in = MemoryStream[(String, String)]
+    val listener = new PipelineMetrics.MetricsListener()
+    spark.streams.addListener(listener)
+    val q = graft.streaming.CorpusIngest.dedupingSink(
+      in.toDF().toDF("doc_id", "text"),
+      s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt",
+      textCol = "text", idCol = "doc_id",
+      observeAs = Some("corpus_feed"))
+    try {
+      in.addData(("a", "the quick brown fox jumps over the lazy dog again"),
+        ("b", null.asInstanceOf[String]))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.latest("corpus_feed").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = listener.latest("corpus_feed").get
+      assert(m.getAs[Long]("rows") == 2L)
+      assert(m.getAs[Long]("nulls_text") == 1L,
+        "a dead upstream field shows up as a null spike in the same batch")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("collect() gathers several stages from one action") {
     val docs = Seq(("d1", 3L), ("d2", 0L), ("d3", 7L)).toDF("doc", "toks")
     val (s1, o1) = PipelineMetrics.stage(docs, "in", Seq(count(lit(1)).as("rows")))

@@ -51,6 +51,61 @@ final class JsonlBronzeSource(path: String) extends BronzeSource {
     spark.read.schema(Schemas.bronze).json(path).filter(col("id").isNotNull)
 }
 
+/** A3+ quarantine read: the PERMISSIVE drop upgraded to drop-AND-RETAIN.
+  *
+  * The reference (and [[JsonlBronzeSource]]) log-and-skip corrupt input
+  * (`solana.rs:51-53`); at 100 TB "skip" silently deletes data — an
+  * upstream format drift can shed a percent of the feed for days before
+  * anyone notices. This read splits one JSONL scan into (good bronze
+  * rows, quarantined raw lines): lines go through `from_json` with a
+  * corrupt-record capture column (NOT the reader-level
+  * `columnNameOfCorruptRecord`, whose corrupt-only projections Spark
+  * disallows without a cache), so both branches are plain projections of
+  * the same text scan — no cache, no second parse, and the quarantine
+  * frame carries the VERBATIM line for later replay.
+  *
+  * Replay contract: fix upstream, then feed the quarantine parquet's
+  * `raw_line` back through this same reader (or any JSONL path) — ids are
+  * row-content-derived everywhere in the engine, so re-admitted rows
+  * compose with the idempotent sinks.
+  */
+object QuarantinedJsonl {
+
+  /** (good rows in [[Schemas.bronze]], quarantine: raw_line + file). */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val schema = Schemas.bronze.fields.foldLeft(new StructType())(_ add _)
+      .add("_corrupt", StringType)
+    val lines = spark.read.text(path)
+      .select(col("value"), input_file_name().as("src_file"))
+    val parsed = lines.select(
+      from_json(col("value"), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+      ).as("r"), col("value"), col("src_file"))
+    // a line parses as "good" only if it bound the required identity
+    // fields; a syntactically-valid-but-wrong-shape line (e.g. a JSON
+    // array, or an object missing id) quarantines too
+    val ok = col("r").isNotNull &&
+      col("r._corrupt").isNull && col("r.id").isNotNull
+    val good = parsed.filter(ok)
+      .select(Schemas.bronze.fieldNames.map(f => col(s"r.$f")).toSeq: _*)
+    val quarantine = parsed.filter(!ok)
+      .select(col("value").as("raw_line"), col("src_file"))
+    (good, quarantine)
+  }
+
+  /** One-call ingest split: good rows returned, quarantine appended as
+    * parquet at `quarantinePath` (append: quarantine accretes across
+    * ingest runs; dedup happens at replay through the keyed sinks).
+    */
+  def readAndQuarantine(spark: SparkSession, path: String,
+      quarantinePath: String): DataFrame = {
+    val (good, bad) = read(spark, path)
+    bad.write.mode("append").parquet(quarantinePath)
+    good
+  }
+}
+
 /** Parquet bronze source — the engine-native table layout. At scale the
   * table is written bucketed by wallet so this prunes instead of scanning.
   */

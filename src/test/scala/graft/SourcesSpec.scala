@@ -70,6 +70,42 @@ class SourcesSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("id")).sorted.toSeq == Seq("ok1", "ok2"))
   }
 
+  test("quarantine read splits good rows from corrupt lines and replays them") {
+    import graft.sources.QuarantinedJsonl
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("quar").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val f2 = new java.io.PrintWriter(s"$dir/in/part-0.json")
+    f2.println("""{"id": "ok1", "user_id": "u", "wallet_address": "w", "timestamp": 1, "tx_hash": "h", "chain": "solana", "raw_metadata": "{}"}""")
+    f2.println("""not json at all""")
+    f2.println("""{"no_id_field": true}""")
+    f2.println("""{"id": "ok2", "user_id": "u", "wallet_address": "w", "timestamp": "NOT A NUMBER", "tx_hash": "h2", "chain": "solana", "raw_metadata": "{}"}""")
+    f2.println("""{"id": "ok3", "user_id": "u", "wallet_address": "w", "timestamp": 3, "tx_hash": "h3", "chain": "solana", "raw_metadata": "{}"}""")
+    f2.close()
+
+    val good = QuarantinedJsonl.readAndQuarantine(spark, s"$dir/in", s"$dir/q")
+    assert(good.collect().map(_.getAs[String]("id")).sorted.toSeq == Seq("ok1", "ok3"),
+      "good = parseable AND well-shaped (bad-typed field quarantines too)")
+
+    val q = spark.read.parquet(s"$dir/q")
+    assert(q.count() == 3, "every rejected line is retained verbatim")
+    assert(q.columns.toSet == Set("raw_line", "src_file"))
+    assert(q.filter(col("raw_line") === "not json at all").count() == 1)
+
+    // replay: upstream fixed the dtype drift -> re-read quarantine lines
+    val fixedDir = s"$dir/fixed"
+    new java.io.File(fixedDir).mkdirs()
+    val fw = new java.io.PrintWriter(s"$fixedDir/part-0.json")
+    q.collect().map(_.getAs[String]("raw_line")).foreach { l =>
+      fw.println(l.replace("\"NOT A NUMBER\"", "2"))
+    }
+    fw.close()
+    val (replayed, stillBad) = QuarantinedJsonl.read(spark, fixedDir)
+    assert(replayed.collect().map(_.getAs[String]("id")).toSeq == Seq("ok2"),
+      "fixed line re-admits; the rest stay quarantined")
+    assert(stillBad.count() == 2)
+  }
+
   test("jdbc store round-trips bronze: idempotent save, pushed by-wallet read (repo.rs parity)") {
     import graft.sources.JdbcStore
     import org.apache.spark.sql.functions.{col, concat, lit}

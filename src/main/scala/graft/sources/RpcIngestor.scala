@@ -69,7 +69,15 @@ final class RpcChainIngestor(
     */
   override def fetchHistory(spark: SparkSession, wallet: String, limit: Int): DataFrame = {
     require(limit >= 0, "limit must be non-negative")
-    val sigs = fetchSignatures(wallet, limit)
+    fetchBySignatures(spark, wallet, fetchSignatures(wallet, limit))
+  }
+
+  /** Detail-fetch a known signature list as bronze rows — the executor
+    * fan-out half, exposed separately so [[RpcPoller]] can cut the list
+    * at its cursor BEFORE paying any per-signature round-trips.
+    */
+  private[sources] def fetchBySignatures(
+      spark: SparkSession, wallet: String, sigs: Seq[String]): DataFrame = {
     // Locals only in the closure: the ingestor itself never ships to
     // executors (HttpClient is not serializable and must be per-JVM).
     val (ep, tok, tmo, w) = (endpoint, xToken, timeoutMs, wallet)
@@ -92,7 +100,8 @@ final class RpcChainIngestor(
     * older) while keeping each response — and driver memory — bounded by
     * `min(pageSize, limit)`, not by wallet history length.
     */
-  private def fetchSignatures(wallet: String, limit: Int): Seq[String] = {
+  private[sources] def fetchSignatures(
+      wallet: String, limit: Int, stopAt: Option[String] = None): Seq[String] = {
     val client = newClient(timeoutMs)
     val acc = Seq.newBuilder[String]
     var got = 0
@@ -111,11 +120,15 @@ final class RpcChainIngestor(
         case other => sys.error(
           s"getSignaturesForAddress: expected array, got ${JsonMethods.compact(JsonMethods.render(other))}")
       }
-      acc ++= page
-      got += page.size
+      // resume walk: stop as soon as the caller's known-newest signature
+      // appears — everything at and after it is already landed
+      val cut = stopAt.map(page.indexOf).filter(_ >= 0)
+      val kept = cut.fold(page)(page.take)
+      acc ++= kept
+      got += kept.size
       cursor = page.lastOption
       // short page = history exhausted (RPC contract)
-      done = got >= limit || page.size < want
+      done = cut.isDefined || got >= limit || page.size < want
     }
     acc.result()
   }

@@ -1,11 +1,6 @@
 package graft
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicInteger
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.json4s.{JArray, JInt, JNothing, JObject, JString, JValue}
+import org.json4s.JInt
 import org.json4s.jackson.JsonMethods
 
 import graft.sources.RpcChainIngestor
@@ -21,80 +16,8 @@ class RpcIngestSpec extends SparkSpec {
 
   private val W = "WaLLetAddr1111111111111111111111"
 
-  /** Stub node: `total` signatures `sig000..sigNNN` (newest-first, like the
-    * real RPC); `getTransaction` returns blockTime = 1700000000 + index,
-    * except signatures in `rpcError` (JSON-RPC error object), `notFound`
-    * (result: null — node pruned the tx) or `http500`.
-    */
-  private final class StubNode(
-      total: Int,
-      rpcError: Set[String] = Set.empty,
-      notFound: Set[String] = Set.empty,
-      http500: Set[String] = Set.empty) {
-
-    val sigCalls = new AtomicInteger(0)
-    val txCalls = new AtomicInteger(0)
-    @volatile var lastToken: Option[String] = None
-    private val sigs = (0 until total).map(i => f"sig$i%03d") // sig000 newest
-
-    private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (ex: HttpExchange) => handle(ex))
-    server.start()
-    val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/"
-    def stop(): Unit = server.stop(0)
-
-    private def handle(ex: HttpExchange): Unit = {
-      val req = JsonMethods.parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-      lastToken = Option(ex.getRequestHeaders.getFirst("x-token"))
-      val JString(method) = req \ "method": @unchecked
-      val JArray(params) = req \ "params": @unchecked
-      method match {
-        case "getSignaturesForAddress" =>
-          sigCalls.incrementAndGet()
-          val opts = params(1)
-          val limit = (opts \ "limit") match { case JInt(i) => i.toInt; case _ => 1000 }
-          val from = (opts \ "before") match {
-            case JString(b) => sigs.indexOf(b) + 1 // strictly older than cursor
-            case _ => 0
-          }
-          val page = sigs.slice(from, from + limit)
-            .map(s => JObject("signature" -> JString(s), "slot" -> JInt(from + 1)))
-          respond(ex, 200, result(JArray(page.toList)))
-        case "getTransaction" =>
-          txCalls.incrementAndGet()
-          val JString(sig) = params.head: @unchecked
-          if (http500(sig)) respond(ex, 500, """{"oops":true}""")
-          else if (rpcError(sig))
-            respond(ex, 200, """{"jsonrpc":"2.0","id":1,"error":{"code":-32005,"message":"node is behind"}}""")
-          else if (notFound(sig))
-            respond(ex, 200, """{"jsonrpc":"2.0","id":1,"result":null}""")
-          else {
-            val idx = sigs.indexOf(sig)
-            respond(ex, 200, result(JObject(
-              "slot" -> JInt(idx + 1),
-              "blockTime" -> JInt(1700000000 + idx),
-              "transaction" -> JObject("signatures" -> JArray(List(JString(sig)))),
-              "meta" -> JObject("err" -> JNothing, "fee" -> JInt(5000)))))
-          }
-        case other => respond(ex, 400, s"""{"error":"unknown method $other"}""")
-      }
-    }
-
-    private def result(r: JValue): String =
-      JsonMethods.compact(JsonMethods.render(JObject(
-        "jsonrpc" -> JString("2.0"), "id" -> JInt(1), "result" -> r)))
-
-    private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(code, bytes.length)
-      ex.getResponseBody.write(bytes)
-      ex.close()
-    }
-  }
-
   test("fetchHistory pulls signatures then details and lands bronze rows") {
-    val node = new StubNode(total = 7)
+    val node = new RpcStubNode(total = 7)
     try {
       val rows = new RpcChainIngestor(node.endpoint, fetchPartitions = 2)
         .fetchHistory(spark, W, limit = 5).collect()
@@ -103,7 +26,7 @@ class RpcIngestSpec extends SparkSpec {
       assert(bySig.keySet == Set("sig000", "sig001", "sig002", "sig003", "sig004"),
         "newest `limit` signatures, reference take-from-front semantics")
       val r2 = bySig("sig002")
-      assert(r2.getAs[Long]("timestamp") == 1700000002L, "timestamp = blockTime")
+      assert(r2.getAs[Long]("timestamp") == 1700000004L, "timestamp = blockTime")
       assert(r2.getAs[String]("chain") == "solana")
       assert(r2.getAs[String]("user_id") == "00000000-0000-0000-0000-000000000000")
       val meta = JsonMethods.parse(r2.getAs[String]("raw_metadata"))
@@ -114,7 +37,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("per-signature failures are skipped, never fatal (solana.rs:51-53)") {
-    val node = new StubNode(total = 6,
+    val node = new RpcStubNode(total = 6,
       rpcError = Set("sig001"), notFound = Set("sig003"), http500 = Set("sig004"))
     try {
       val rows = new RpcChainIngestor(node.endpoint)
@@ -126,7 +49,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("signature list paginates with the before cursor; pages stay bounded") {
-    val node = new StubNode(total = 10)
+    val node = new RpcStubNode(total = 10)
     try {
       val rows = new RpcChainIngestor(node.endpoint, pageSize = 3)
         .fetchHistory(spark, W, limit = 8).collect()
@@ -136,7 +59,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("history shorter than limit terminates on the short page") {
-    val node = new StubNode(total = 4)
+    val node = new RpcStubNode(total = 4)
     try {
       val rows = new RpcChainIngestor(node.endpoint, pageSize = 10)
         .fetchHistory(spark, W, limit = 100).collect()
@@ -147,7 +70,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("limit 0 returns an empty bronze frame without any RPC call") {
-    val node = new StubNode(total = 4)
+    val node = new RpcStubNode(total = 4)
     try {
       val df = new RpcChainIngestor(node.endpoint).fetchHistory(spark, W, 0)
       assert(df.count() == 0)
@@ -157,7 +80,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("re-ingest is id-stable: deterministic ids make the sink idempotent") {
-    val node = new StubNode(total = 3)
+    val node = new RpcStubNode(total = 3)
     try {
       val ing = new RpcChainIngestor(node.endpoint)
       def ids() = ing.fetchHistory(spark, W, 3).collect()
@@ -167,7 +90,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("x-token rides every request (solana_grpc.rs:9-14 auth surface)") {
-    val node = new StubNode(total = 2)
+    val node = new RpcStubNode(total = 2)
     try {
       new RpcChainIngestor(node.endpoint, xToken = Some("sekrit"))
         .fetchHistory(spark, W, 2).collect()
@@ -176,7 +99,7 @@ class RpcIngestSpec extends SparkSpec {
   }
 
   test("a broken signature-list call IS fatal (reference `?` semantics)") {
-    val node = new StubNode(total = 2)
+    val node = new RpcStubNode(total = 2)
     node.stop() // connection refused
     intercept[Exception] {
       new RpcChainIngestor(node.endpoint, timeoutMs = 500)

@@ -243,23 +243,24 @@ object GraphQueries {
     // The vertex count n is ONE bounded driver action (a single Long —
     // GraphX's numVertices does the same) folded to a literal: the teleport
     // term is a per-query constant, and inlining it removes a one-row
-    // broadcast join per iteration from the plan. Edges and degrees are
-    // eagerly localCheckpoint'ed (the Dedup.clusters pattern — freed by the
-    // ContextCleaner, no session-lifetime cache entry) so the unrolled
-    // 3-iteration plan scans them from the block manager instead of
-    // re-deriving the orders⋈lineitem join per iteration.
-    // Honest cost note: a checkpointed RDD loses SQL-level partitioning
-    // info, so each iteration re-EXCHANGES the edge list for its scatter
-    // join (visible in PLANS.md — Exchange over Scan ExistingRDD per
-    // round). At 3 iterations that is the right trade vs re-deriving the
-    // join; the long-running production shape is `g4_pagerank_bucketed`
-    // ([[pagerankBucketed]]) — edges written once bucketed on src, one
-    // shuffle per iteration instead of three.
+    // broadcast join per iteration from the plan.
+    // Physical shape (the AD-HOC co-partitioning story, vs the WRITTEN
+    // layout of `g4_pagerank_bucketed`): edges are repartitioned by src
+    // ONCE and persist()ed — unlike a localCheckpoint (whose RDD-backed
+    // plan loses SQL partitioning info and forced a re-Exchange of the
+    // edge list every iteration in earlier rounds), an InMemoryRelation
+    // PRESERVES outputPartitioning through planning, and degrees derive
+    // from the same cached partitioning exchange-free. Each iteration
+    // then pays exactly the gather shuffle (groupBy dst); the scatter
+    // join and the rank update are partition-satisfied from cache. Same
+    // within-job co-location the bucketed twin gets across jobs —
+    // without a layout write, at the price of a session-lifetime cache
+    // entry (released by the ContextCleaner when the plan is dropped).
     "g4_pagerank" -> ((s, d) => {
-      val e = edges(s, d).localCheckpoint(true)
+      val e = edges(s, d).repartition(col("src")).persist()
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .persist()
       val n = deg.count()
       val teleport = (15L * (Total / n)) / 100
       var r = deg.select(col("node"), col("deg"),

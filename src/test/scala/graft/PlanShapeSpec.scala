@@ -178,6 +178,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** Shuffle nodes in the QUERY's own plan: descends AQE wrappers, stops
+    * at InMemoryTableScan (a cached subtree's internal shuffles were paid
+    * once at materialization, not per consumer).
+    */
+  private def shuffleCount(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      shuffleCount(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      shuffleCount(q.plan)
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      1 + s.children.map(shuffleCount).sum
+    case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 0
+    case other => other.children.map(shuffleCount).sum
+  }
+
+  test("plain PageRank: cached co-partitioning leaves only the gather + presentation exchanges") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r = analytics.GraphQueries.queries("g4_pagerank")(spark, sfDir)
+      val n = shuffleCount(r.queryExecution.executedPlan)
+      // budget: 3 gather shuffles (groupBy dst, one per iteration) + the
+      // final presentation orderBy's rangepartitioning. The scatter join
+      // and rank-update join must be satisfied by the persisted
+      // repartition(src) — InMemoryRelation preserves outputPartitioning
+      // where the old localCheckpoint shape lost it (3 shuffles/iter).
+      assert(n <= 4,
+        s"persist-shaped plain PageRank must not re-exchange the edge " +
+          s"list per iteration, saw $n shuffles:\n${physicalPlan(r)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("bucketed PageRank: one exchange per iteration (gather only) — scatter joins layout-satisfied") {
     val dir = java.nio.file.Files.createTempDirectory("pr-bucketed").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -20,7 +20,7 @@ object Explain {
       "g4_pagerank", "g4_pagerank_bucketed", "g4_pagerank_durable",
       "g4_triangles",
       "a9_zorder_curve", "e4_anomaly_zscore", "k2_semantic_dedup",
-      "k3_ann_ivf")
+      "k3_ann_ivf", "k6_chunk_overlap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -463,6 +463,33 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("chunk overlap: windows tile every document with exact stride/overlap") {
+    val rows = q("k6_chunk_overlap").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val nTokens = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == nTokens.keySet, "every non-null doc chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val n = nTokens(doc)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.length == math.ceil(n / 96.0).toLong,
+        s"doc $doc: ${sorted.length} chunks for $n tokens at stride 96")
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("start_tok") == 96L * i, "starts advance by the stride")
+        assert(c.getAs[Long]("chunk_len") == math.min(128L, n - 96L * i),
+          "window length = min(win, remaining)")
+      }
+      // coverage: consecutive windows overlap by win - stride = 32 tokens
+      // (or tail-truncated), so the last token of every doc is inside the
+      // final window
+      val last = sorted.last
+      assert(last.getAs[Long]("start_tok") + last.getAs[Long]("chunk_len") == n,
+        "final window ends exactly at the document's last token")
+    }
+  }
+
   test("length deciles: monotone boundaries that cover exactly the promised mass") {
     val rows = graft.analytics.TextQueries.queries("k4_length_deciles")(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("boundary")))

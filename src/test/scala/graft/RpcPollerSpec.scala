@@ -67,6 +67,31 @@ class RpcPollerSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("randomized differential: cursor-walk over random feed growth never loses or duplicates") {
+    val rnd = new scala.util.Random(4096L)
+    (1 to 5).foreach { round =>
+      val node = new RpcStubNode(total = 1 + rnd.nextInt(6))
+      val table = Files.createTempDirectory(s"pollp$round").toString + "/bronze"
+      try {
+        // random page size exercises multi-page walks and stopAt cuts
+        val ing = new RpcChainIngestor(node.endpoint, pageSize = 1 + rnd.nextInt(4))
+        val poller = new RpcPoller(ing, table, W, pageLimit = 1000)
+        var expected = 0L
+        (1 to 4).foreach { _ =>
+          if (rnd.nextBoolean()) node.grow(rnd.nextInt(5))
+          poller.pollOnce(spark)
+        }
+        poller.pollOnce(spark) // drain whatever the last grow added
+        val landed = spark.read.parquet(table)
+        val sigs = landed.select("tx_hash").collect().map(_.getString(0)).toSet
+        val model = node.allSigs.toSet // the feed's truth
+        assert(sigs == model,
+          s"round $round: table ${sigs.size} signatures vs feed ${model.size}")
+        assert(landed.count() == sigs.size, s"round $round: duplicate rows")
+      } finally node.stop()
+    }
+  }
+
   test("run() executes the loop; landed total accumulates across rounds") {
     val node = new RpcStubNode(total = 2)
     val table = Files.createTempDirectory("poll4").toString + "/bronze"

@@ -31,6 +31,9 @@ final class RpcStubNode(
     (0 until total).map(i => f"sig$i%03d").toVector
   private val grown = new AtomicInteger(0)
 
+  /** Current feed content, newest-first (test model truth). */
+  def allSigs: Seq[String] = sigs
+
   /** Prepend `n` strictly newer transactions to the feed. */
   def grow(n: Int): Seq[String] = synchronized {
     val fresh = (0 until n).map(_ => f"new${grown.getAndIncrement()}%04d").reverse

@@ -101,36 +101,43 @@ final class RpcChainIngestor(
     * `min(pageSize, limit)`, not by wallet history length.
     */
   private[sources] def fetchSignatures(
-      wallet: String, limit: Int, stopAt: Option[String] = None): Seq[String] = {
-    val client = newClient(timeoutMs)
-    val acc = Seq.newBuilder[String]
-    var got = 0
-    var cursor: Option[String] = None
-    var done = limit == 0
-    while (!done) {
-      val want = math.min(pageSize, limit - got)
-      val opts = JObject(
-        "limit" -> JInt(want) ::
-          cursor.map(c => "before" -> (JString(c): JValue)).toList: _*)
-      val result = call(client, endpoint, xToken, timeoutMs,
-        "getSignaturesForAddress", JArray(List(JString(wallet), opts)))
-      val page = result match {
-        case JArray(items) => items.flatMap(i => str(i, "signature"))
-        case JNull | JNothing => Nil
-        case other => sys.error(
-          s"getSignaturesForAddress: expected array, got ${JsonMethods.compact(JsonMethods.render(other))}")
+      wallet: String, limit: Int, stopAt: Option[String] = None): Seq[String] =
+    signatureWalk(newClient(timeoutMs), endpoint, xToken, timeoutMs,
+      pageSize, wallet, limit, stopAt)
+
+  /** Multi-wallet history fan-out — the production indexer shape: a
+    * tracked-wallet universe of thousands is partitioned across
+    * executors and each task runs its wallets' ENTIRE fetch (signature
+    * walk + detail fetches) locally. Unlike [[fetchHistory]], the driver
+    * never touches a signature — ingestion throughput scales with
+    * `fetchPartitions` (and ultimately the node's rate limit), not with
+    * driver round-trips. Per-wallet error semantics match the reference
+    * per item; a wallet whose SIGNATURE walk fails is skipped loudly
+    * (stderr) rather than failing the thousands of others — at fleet
+    * scale one dead account must not stall the feed.
+    */
+  def fetchHistoryMany(
+      spark: SparkSession, wallets: Seq[String], limitPerWallet: Int): DataFrame = {
+    require(limitPerWallet >= 0, "limitPerWallet must be non-negative")
+    val (ep, tok, tmo, ps) = (endpoint, xToken, timeoutMs, pageSize)
+    import spark.implicits._
+    val parts = math.max(1, math.min(fetchPartitions, wallets.size))
+    spark.createDataset(wallets)
+      .repartition(parts)
+      .mapPartitions { it =>
+        val client = newClient(tmo)
+        it.flatMap { w =>
+          val sigs =
+            try signatureWalk(client, ep, tok, tmo, ps, w, limitPerWallet, None)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"Failed to list signatures for $w: ${e.getMessage}")
+                Nil
+            }
+          sigs.flatMap(sig => fetchOne(client, ep, tok, tmo, w, sig))
+        }
       }
-      // resume walk: stop as soon as the caller's known-newest signature
-      // appears — everything at and after it is already landed
-      val cut = stopAt.map(page.indexOf).filter(_ >= 0)
-      val kept = cut.fold(page)(page.take)
-      acc ++= kept
-      got += kept.size
-      cursor = page.lastOption
-      // short page = history exhausted (RPC contract)
-      done = cut.isDefined || got >= limit || page.size < want
-    }
-    acc.result()
+      .toDF().select(Schemas.bronze.fieldNames.map(col(_)).toSeq: _*)
   }
 }
 
@@ -169,6 +176,49 @@ object RpcChainIngestor {
         System.err.println(s"Failed to fetch tx $sig: ${e.getMessage}")
         None
     }
+
+  /** The `before`-cursor signature walk (see [[RpcChainIngestor.fetchSignatures]]
+    * for the contract) as a static helper so executor tasks can run it
+    * with their own per-partition client.
+    */
+  private[sources] def signatureWalk(
+      client: HttpClient,
+      endpoint: String,
+      xToken: Option[String],
+      timeoutMs: Long,
+      pageSize: Int,
+      wallet: String,
+      limit: Int,
+      stopAt: Option[String]): Seq[String] = {
+    val acc = Seq.newBuilder[String]
+    var got = 0
+    var cursor: Option[String] = None
+    var done = limit == 0
+    while (!done) {
+      val want = math.min(pageSize, limit - got)
+      val opts = JObject(
+        "limit" -> JInt(want) ::
+          cursor.map(c => "before" -> (JString(c): JValue)).toList: _*)
+      val result = call(client, endpoint, xToken, timeoutMs,
+        "getSignaturesForAddress", JArray(List(JString(wallet), opts)))
+      val page = result match {
+        case JArray(items) => items.flatMap(i => str(i, "signature"))
+        case JNull | JNothing => Nil
+        case other => sys.error(
+          s"getSignaturesForAddress: expected array, got ${JsonMethods.compact(JsonMethods.render(other))}")
+      }
+      // resume walk: stop as soon as the caller's known-newest signature
+      // appears — everything at and after it is already landed
+      val cut = stopAt.map(page.indexOf).filter(_ >= 0)
+      val kept = cut.fold(page)(page.take)
+      acc ++= kept
+      got += kept.size
+      cursor = page.lastOption
+      // short page = history exhausted (RPC contract)
+      done = cut.isDefined || got >= limit || page.size < want
+    }
+    acc.result()
+  }
 
   /** One JSON-RPC 2.0 call; throws on transport or JSON-RPC error (the
     * caller decides skip-vs-fatal, mirroring the reference's `?` on the

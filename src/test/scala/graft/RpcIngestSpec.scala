@@ -98,6 +98,24 @@ class RpcIngestSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("multi-wallet fan-out fetches every wallet's feed; one dead wallet never stalls the fleet") {
+    val node = new RpcStubNode(total = 0,
+      perWallet = Map("w1" -> 3, "w2" -> 5, "w3" -> 2, "w4" -> 0))
+    try {
+      val rows = new RpcChainIngestor(node.endpoint, fetchPartitions = 2, pageSize = 2)
+        .fetchHistoryMany(spark, Seq("w1", "w2", "w3", "w4", "wGhost"), limitPerWallet = 4)
+        .collect()
+      val byWallet = rows.groupBy(_.getAs[String]("wallet_address")).view.mapValues(_.length).toMap
+      assert(byWallet == Map("w1" -> 3, "w2" -> 4, "w3" -> 2),
+        "per-wallet limit respected; empty and unknown wallets contribute nothing")
+      assert(rows.map(_.getAs[String]("tx_hash")).distinct.length == rows.length)
+      assert(rows.filter(_.getAs[String]("wallet_address") == "w2")
+        .map(_.getAs[String]("tx_hash")).toSet ==
+        Set("w2-sig000", "w2-sig001", "w2-sig002", "w2-sig003"),
+        "each wallet's NEWEST limitPerWallet signatures land")
+    } finally node.stop()
+  }
+
   test("a broken signature-list call IS fatal (reference `?` semantics)") {
     val node = new RpcStubNode(total = 2)
     node.stop() // connection refused

@@ -21,30 +21,44 @@ final class RpcStubNode(
     total: Int,
     rpcError: Set[String] = Set.empty,
     notFound: Set[String] = Set.empty,
-    http500: Set[String] = Set.empty) {
+    http500: Set[String] = Set.empty,
+    perWallet: Map[String, Int] = Map.empty) {
 
   val sigCalls = new AtomicInteger(0)
   val txCalls = new AtomicInteger(0)
   @volatile var lastToken: Option[String] = None
-  // newest-first; grow() prepends
-  @volatile private var sigs: Vector[String] =
-    (0 until total).map(i => f"sig$i%03d").toVector
+  // newest-first; grow() prepends. With `perWallet`, each wallet gets an
+  // independent feed (`<wallet>-sigNNN`); otherwise one shared feed
+  // serves whatever wallet is asked (the single-wallet tests).
+  @volatile private var feeds: Map[String, Vector[String]] =
+    if (perWallet.isEmpty) Map("" -> (0 until total).map(i => f"sig$i%03d").toVector)
+    else perWallet.map { case (w, n) =>
+      w -> (0 until n).map(i => f"$w-sig$i%03d").toVector
+    }
   private val grown = new AtomicInteger(0)
 
-  /** Current feed content, newest-first (test model truth). */
-  def allSigs: Seq[String] = sigs
+  private def feedKey(wallet: String): String = if (perWallet.isEmpty) "" else wallet
+  private def feedFor(wallet: String): Vector[String] =
+    feeds.getOrElse(feedKey(wallet), Vector.empty)
 
-  /** Prepend `n` strictly newer transactions to the feed. */
+  /** Current (shared-feed) content, newest-first (test model truth). */
+  def allSigs: Seq[String] = feeds("")
+
+  /** Prepend `n` strictly newer transactions to the shared feed. */
   def grow(n: Int): Seq[String] = synchronized {
     val fresh = (0 until n).map(_ => f"new${grown.getAndIncrement()}%04d").reverse
-    sigs = fresh.toVector ++ sigs
+    feeds = feeds.updated("", fresh.toVector ++ feeds(""))
     fresh
   }
 
   /** blockTime: stable per signature — 1700000000 + position from the
-    * OLDEST end, so newer signatures always carry larger stamps.
+    * OLDEST end of its feed, so newer signatures always carry larger
+    * stamps.
     */
-  private def blockTime(sig: String): Int = 1700000000 + (sigs.size - 1 - sigs.indexOf(sig))
+  private def blockTime(sig: String): Int = {
+    val feed = feeds.values.find(_.contains(sig)).getOrElse(Vector(sig))
+    1700000000 + (feed.size - 1 - feed.indexOf(sig))
+  }
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -60,7 +74,8 @@ final class RpcStubNode(
     method match {
       case "getSignaturesForAddress" =>
         sigCalls.incrementAndGet()
-        val snapshot = sigs
+        val JString(wallet) = params.head: @unchecked
+        val snapshot = feedFor(wallet)
         val opts = params(1)
         val limit = (opts \ "limit") match { case JInt(i) => i.toInt; case _ => 1000 }
         val from = (opts \ "before") match {
@@ -80,7 +95,7 @@ final class RpcStubNode(
           respond(ex, 200, """{"jsonrpc":"2.0","id":1,"result":null}""")
         else
           respond(ex, 200, result(JObject(
-            "slot" -> JInt(sigs.indexOf(sig) + 1),
+            "slot" -> JInt(blockTime(sig) - 1700000000 + 1),
             "blockTime" -> JInt(blockTime(sig)),
             "transaction" -> JObject("signatures" -> JArray(List(JString(sig)))),
             "meta" -> JObject("err" -> JNothing, "fee" -> JInt(5000)))))

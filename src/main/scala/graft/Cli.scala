@@ -57,7 +57,13 @@ object Cli {
         val source = ingestor(
           opts.getOrElse("source", sys.error("ingest requires --source")),
           opts.getOrElse("format", "jsonl"), opts.get("x-token"))
-        val history = source.fetchHistory(spark, wallet, limit)
+        // --wallet accepts a comma-separated list; against a live RPC
+        // source the whole fleet fans out across executors in one pass
+        val history = (source, wallet.split(',').toSeq.filter(_.nonEmpty)) match {
+          case (rpc: RpcChainIngestor, ws) if ws.length > 1 =>
+            rpc.fetchHistoryMany(spark, ws, limit)
+          case _ => source.fetchHistory(spark, wallet, limit)
+        }
         opts.get("db") match {
           case Some(url) => // DB first (main.rs:101-105)
             val n = JdbcStore.saveIdempotent(spark, history, url,

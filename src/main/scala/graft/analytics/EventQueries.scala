@@ -315,6 +315,35 @@ object EventQueries {
     // aggregate collapses events to |types|×|hours| rows BEFORE the
     // window, so the window input is calendar-bounded, not event-bounded;
     // partitions by event_type parallelize across types.
+    // E5: batch sessionization by inactivity gap — the event-analytics
+    // twin of the streaming session window (j4_session_window): a new
+    // session starts after >30 min of per-user silence. Two windows over
+    // ONE per-user ordering (lag + running sum share the (user_id ×
+    // ts,event_id) sort, so the plan pays one Exchange + one sort), then
+    // a session-keyed aggregate. Gap arithmetic in exact MICROSECONDS
+    // (unix_micros ≡ DuckDB epoch_us) — second-truncation would move
+    // boundary events across sessions relative to the oracle. Per-user
+    // partitions bound every sort; no global order anywhere.
+    "e5_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("_gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("_new",
+          when(col("_gap_us").isNull || col("_gap_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum("_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / lit(1000000L)).cast("long").as("duration_s"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     "e4_anomaly_zscore" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = Tables.events(s, d)
@@ -546,6 +575,28 @@ object EventQueries {
     // Identical integer window sums and the SAME fixed IEEE expression
     // order for mean/var/z — `/` on integers is double division in DuckDB,
     // matching Spark's long/long.
+    "e5_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+        |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT)
+        |    AS duration_s
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
     "e4_anomaly_zscore" ->
       """WITH h AS (
         |  SELECT event_type,

@@ -59,6 +59,18 @@ object Cli {
           opts.getOrElse("format", "jsonl"), opts.get("x-token"))
         // --wallet accepts a comma-separated list; against a live RPC
         // source the whole fleet fans out across executors in one pass
+        // --poll N (live RPC source only): run the exactly-once poll loop
+        // N rounds into --output instead of a one-shot fetch
+        (source, opts.get("poll")) match {
+          case (rpc: RpcChainIngestor, Some(rounds)) =>
+            val table = opts.getOrElse("output", "bronze_transactions")
+            val n = new RpcPoller(rpc, table, wallet, pageLimit = limit)
+              .run(spark, rounds.toInt,
+                opts.getOrElse("poll-interval-ms", "1000").toLong)
+            println(s"Polled ${rounds.toInt} rounds; $n new transactions at $table.")
+            return
+          case _ => ()
+        }
         val history = (source, wallet.split(',').toSeq.filter(_.nonEmpty)) match {
           case (rpc: RpcChainIngestor, ws) if ws.length > 1 =>
             rpc.fetchHistoryMany(spark, ws, limit)

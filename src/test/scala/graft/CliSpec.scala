@@ -119,4 +119,23 @@ class CliSpec extends SparkSpec {
     val err = intercept[RuntimeException](Migrations.migrate(spark, url, opts))
     assert(err.getMessage.contains("drifted"))
   }
+  test("live mode: ingest --source http --poll runs the exactly-once poll loop") {
+    val node = new RpcStubNode(total = 4)
+    val tmp = Files.createTempDirectory("clipoll").toString
+    try {
+      Cli.run(spark, Seq("ingest", "--wallet", "Wp",
+        "--source", node.endpoint, "--poll", "2",
+        "--poll-interval-ms", "0", "--limit", "100",
+        "--output", s"$tmp/bronze"))
+      assert(spark.read.parquet(s"$tmp/bronze").count() == 4)
+      node.grow(2)
+      Cli.run(spark, Seq("ingest", "--wallet", "Wp",
+        "--source", node.endpoint, "--poll", "1",
+        "--poll-interval-ms", "0", "--limit", "100",
+        "--output", s"$tmp/bronze"))
+      val t = spark.read.parquet(s"$tmp/bronze")
+      assert(t.count() == 6, "second invocation resumes from the on-disk cursor")
+      assert(t.select("id").distinct().count() == 6)
+    } finally node.stop()
+  }
 }

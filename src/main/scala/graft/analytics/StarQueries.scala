@@ -54,6 +54,29 @@ object StarQueries {
     // single-dim sort is narrow in one). Dim bounds come from one bounded
     // 2×2-value driver aggregate (mirrored as scalar subqueries in SQL);
     // everything after is a pure per-row function + one keyed aggregate.
+    // A10: small-file compaction under the content gate — the OPTIMIZE-
+    // style maintenance op every streaming ingest needs (micro-batches
+    // leave a file per trigger; scan cost grows with file count, not
+    // bytes). The query fragments a copy of documents into 16 files,
+    // runs the crash-safe swap compaction (coalesce — narrowing only,
+    // never a shuffle), PROVES the file count dropped, and returns the
+    // compacted table's full content for the DuckDB hash compare — the
+    // oracle never saw the rewrite, so a match proves byte-level content
+    // preservation through the swap.
+    "a10_compact_preserve" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-compact").toString + "/docs"
+      Tables.documents(s, d).repartition(16)
+        .write.mode("overwrite").parquet(dir)
+      val (before, after) =
+        graft.operators.Compactor.compact(s, dir, targetBytes = Long.MaxValue / 4)
+      require(after < before, s"compaction must narrow files ($before -> $after)")
+      s.read.parquet(dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -495,6 +518,12 @@ object StarQueries {
 
   val oracle: Map[String, String] = Map(
     "a9_zorder_curve" -> zorderOracleSql,
+
+    // content identity through the compaction rewrite: the oracle reads
+    // the ORIGINAL table, the query returns the compacted copy
+    "a10_compact_preserve" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // DuckDB UNPIVOT mirrors Spark's unpivot; both emit the source column
     // name as the metric label.

@@ -99,6 +99,29 @@ object StarQueries {
     // rows, then one metric-keyed aggregate. Row-local melt (4 output
     // rows per input, no shuffle until the aggregate); sums quantize to
     // DECIMAL so the fold is merge-order-independent and oracle-exact.
+    // D8: observed stage metrics under the oracle — the CollectMetrics
+    // path itself (operators/PipelineMetrics) proven value-exact: the
+    // health counters ride a noop action on the documents scan (computed
+    // INSIDE the job, map-side partials, no second pass), and the
+    // returned one-row frame must hash-match DuckDB's independent
+    // aggregation of the same table. A drifting metrics implementation —
+    // missed rows, double-counted partials — fails the gate.
+    "d8_observe_metrics" -> ((s, d) => {
+      import graft.operators.PipelineMetrics
+      val (observed, obs) = PipelineMetrics.stage(
+        Tables.documents(s, d), "d8_gate",
+        Seq(count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls_text"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars")))
+      observed.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("nulls_text").asInstanceOf[Long],
+        m("min_chars").asInstanceOf[Long], m("max_chars").asInstanceOf[Long]))
+        .toDF("n_rows", "nulls_text", "min_chars", "max_chars")
+    }),
+
     "d7_unpivot" -> ((s, d) => {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity",
@@ -527,6 +550,14 @@ object StarQueries {
 
     // DuckDB UNPIVOT mirrors Spark's unpivot; both emit the source column
     // name as the metric label.
+    "d8_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nulls_text,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents""".stripMargin,
+
     "d7_unpivot" ->
       """WITH u AS (
         |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -21,7 +21,10 @@ import graft.operators.IdempotentSink
   * (newest signature seen) is purely the EFFICIENCY state: it turns the
   * steady-state poll into "page until the cursor appears", the same
   * until-known-slot walk a Yellowstone resume performs. It persists as a
-  * one-line file next to the table, and `resume` restores it.
+  * one-line LOCAL file next to the table (java.nio atomic move; a
+  * cluster whose table lives in HDFS/S3 keeps the cursor in the job's
+  * checkpoint volume instead — and since the cursor is never
+  * load-bearing for correctness, skipping it entirely only re-fetches).
   *
   * At scale the poller is one driver-side loop per wallet feed; the
   * detail fetches inside [[RpcChainIngestor.fetchHistory]] still fan out

@@ -106,6 +106,36 @@ class SourcesSpec extends SparkSpec {
     assert(stillBad.count() == 2)
   }
 
+  test("quarantine differential: good set equals the PERMISSIVE reader's on random corruption") {
+    import graft.sources.QuarantinedJsonl
+    val rnd = new scala.util.Random(777L)
+    (1 to 5).foreach { round =>
+      val dir = Files.createTempDirectory(s"quarp$round").toString
+      new java.io.File(s"$dir/in").mkdirs()
+      val pw = new java.io.PrintWriter(s"$dir/in/part-0.json")
+      var goodIds = Set.empty[String]
+      (0 until 20).foreach { i =>
+        rnd.nextInt(4) match {
+          case 0 => pw.println(s"garbage line $i ${rnd.nextInt()}")
+          case 1 => pw.println(s"""{"wrong_shape": $i}""")
+          case _ =>
+            goodIds += s"ok$i"
+            pw.println(s"""{"id": "ok$i", "user_id": "u", "wallet_address": "w", "timestamp": $i, "tx_hash": "h$i", "chain": "solana", "raw_metadata": "{}"}""")
+        }
+      }
+      pw.close()
+      val (good, bad) = QuarantinedJsonl.read(spark, s"$dir/in")
+      val ids = good.collect().map(_.getAs[String]("id")).toSet
+      assert(ids == goodIds, s"round $round: quarantine reader's good set")
+      // the permissive drop-path reader admits exactly the same rows —
+      // quarantine adds retention, never changes admission
+      val permissive = new JsonlBronzeSource(s"$dir/in").read(spark)
+        .collect().map(_.getAs[String]("id")).toSet
+      assert(ids == permissive, s"round $round: admission parity with the drop path")
+      assert(bad.count() == 20 - goodIds.size, s"round $round: retention is total")
+    }
+  }
+
   test("jdbc store round-trips bronze: idempotent save, pushed by-wallet read (repo.rs parity)") {
     import graft.sources.JdbcStore
     import org.apache.spark.sql.functions.{col, concat, lit}

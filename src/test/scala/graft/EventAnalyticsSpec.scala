@@ -30,6 +30,34 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(byCohort.values.map(_.head._4).sum == users)
   }
 
+  test("e5_sessionize matches a driver-side fold over the per-user event streams") {
+    val got = EventQueries.queries("e5_sessionize")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_s")))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // independent reference: sort each user's micro-stamps, fold with a
+    // 30-minute gap rule
+    val byUser = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = byUser.toSeq.flatMap { case (u, evs) =>
+      val stamps = evs.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = stamps.tail.foldLeft(List(List(stamps.head))) {
+        case (acc @ cur :: rest, t) =>
+          if (t - cur.head > 1800L * 1000000L) List(t) :: acc
+          else (t :: cur) :: rest
+        case (Nil, t) => List(List(t))
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, (i + 1).toLong, s.length.toLong, (s.last - s.head) / 1000000L)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, "sessionize must equal the driver-side gap fold")
+  }
+
   test("e4_anomaly_zscore matches a driver-side trailing-window recount") {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))

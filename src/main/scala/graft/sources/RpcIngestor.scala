@@ -180,6 +180,19 @@ object RpcChainIngestor {
   /** The `before`-cursor signature walk (see [[RpcChainIngestor.fetchSignatures]]
     * for the contract) as a static helper so executor tasks can run it
     * with their own per-partition client.
+    *
+    * Two walk modes with DIFFERENT termination contracts:
+    *   - bootstrap (`stopAt = None`): take the `limit` newest signatures —
+    *     the reference's `fetch_history` contract (solana.rs:30).
+    *   - resume (`stopAt = Some(cursor)`): page until the known-newest
+    *     signature appears or history is exhausted. `limit` does NOT
+    *     terminate a resume: a burst larger than one round's page budget
+    *     must still be walked to the cursor, because the caller advances
+    *     its cursor to the head of what we return — stopping short and
+    *     advancing anyway would silently skip the unfetched gap forever
+    *     (the idempotent sink can only dedup rows that are fetched).
+    *     The walk is bounded by the gap size, which is bounded by wallet
+    *     history — the same bound the reference's one-shot list accepts.
     */
   private[sources] def signatureWalk(
       client: HttpClient,
@@ -193,17 +206,22 @@ object RpcChainIngestor {
     val acc = Seq.newBuilder[String]
     var got = 0
     var cursor: Option[String] = None
-    var done = limit == 0
+    var done = limit == 0 && stopAt.isEmpty
     while (!done) {
-      val want = math.min(pageSize, limit - got)
+      val want =
+        if (stopAt.isDefined) pageSize else math.min(pageSize, limit - got)
       val opts = JObject(
         "limit" -> JInt(want) ::
           cursor.map(c => "before" -> (JString(c): JValue)).toList: _*)
       val result = call(client, endpoint, xToken, timeoutMs,
         "getSignaturesForAddress", JArray(List(JString(wallet), opts)))
-      val page = result match {
-        case JArray(items) => items.flatMap(i => str(i, "signature"))
-        case JNull | JNothing => Nil
+      // rawCount tracks the RESPONSE size: history-exhausted detection must
+      // see the page the node sent, not the page minus malformed items —
+      // a full page whose entries lack `signature` fields is still a full
+      // page, and ending the walk on it would silently truncate history.
+      val (rawCount, page) = result match {
+        case JArray(items) => (items.size, items.flatMap(i => str(i, "signature")))
+        case JNull | JNothing => (0, Nil)
         case other => sys.error(
           s"getSignaturesForAddress: expected array, got ${JsonMethods.compact(JsonMethods.render(other))}")
       }
@@ -214,8 +232,10 @@ object RpcChainIngestor {
       acc ++= kept
       got += kept.size
       cursor = page.lastOption
-      // short page = history exhausted (RPC contract)
-      done = cut.isDefined || got >= limit || page.size < want
+      done = cut.isDefined ||                      // resume: cursor reached
+        (stopAt.isEmpty && got >= limit) ||        // bootstrap: limit filled
+        rawCount < want ||                         // short RAW page = history exhausted
+        (rawCount > 0 && page.isEmpty)             // no signature to page `before` from
     }
     acc.result()
   }

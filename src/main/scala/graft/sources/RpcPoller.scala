@@ -40,12 +40,18 @@ final class RpcPoller(
   private val cursorPath = java.nio.file.Paths.get(s"$tablePath._cursor_$wallet")
   private var cursor: Option[String] = loadCursor()
 
-  /** One poll round: walk the signature list newest-first until the
-    * cursor appears (bounded by `pageLimit` — a feed that outruns a
-    * round catches up next round), detail-fetch only the fresh prefix,
-    * append exactly-once, advance the cursor. Returns rows actually
-    * landed (0 for an idle feed OR a replayed window — idle-detection
-    * belongs to the caller's schedule, not correctness).
+  /** One poll round: walk the signature list newest-first UNTIL THE
+    * CURSOR APPEARS (or history is exhausted — `pageLimit` bounds only
+    * the cursor-less bootstrap walk), detail-fetch only the fresh
+    * prefix, append exactly-once, advance the cursor. A burst larger
+    * than `pageLimit` is therefore walked in full before the cursor
+    * advances: the resume walk in [[RpcChainIngestor.signatureWalk]]
+    * never terminates on the page budget, because advancing the cursor
+    * past signatures that were never fetched would lose them forever —
+    * the idempotent sink dedups re-fetches, it cannot conjure rows that
+    * were skipped. Returns rows actually landed (0 for an idle feed OR
+    * a replayed window — idle-detection belongs to the caller's
+    * schedule, not correctness).
     */
   def pollOnce(spark: SparkSession): Long = {
     val fresh = ingestor.fetchSignatures(wallet, pageLimit, stopAt = cursor)

@@ -116,6 +116,35 @@ class RpcIngestSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("a full page with malformed entries does NOT end the walk early") {
+    // history-exhausted detection must use the RAW response size: a full
+    // page whose malformed items were dropped is still a full page
+    val node = new RpcStubNode(total = 6,
+      malformedSig = Set("sig001", "sig002"))
+    try {
+      val rows = new RpcChainIngestor(node.endpoint, pageSize = 3)
+        .fetchHistory(spark, W, limit = 6).collect()
+      assert(rows.map(_.getAs[String]("tx_hash")).sorted.toSeq ==
+        Seq("sig000", "sig003", "sig004", "sig005"),
+        "the page after the malformed-heavy one is still walked")
+      assert(node.sigCalls.get() >= 2, "walk continued past the garbled page")
+    } finally node.stop()
+  }
+
+  test("a page of only malformed entries terminates (no before-cursor to advance)") {
+    val node = new RpcStubNode(total = 4,
+      malformedSig = Set("sig000", "sig001"))
+    try {
+      // pageSize 2: first page is entirely malformed -> no signature to
+      // page `before` from; the walk must stop rather than re-request the
+      // same page forever
+      val rows = new RpcChainIngestor(node.endpoint, pageSize = 2)
+        .fetchHistory(spark, W, limit = 4).collect()
+      assert(rows.isEmpty)
+      assert(node.sigCalls.get() == 1)
+    } finally node.stop()
+  }
+
   test("a broken signature-list call IS fatal (reference `?` semantics)") {
     val node = new RpcStubNode(total = 2)
     node.stop() // connection refused

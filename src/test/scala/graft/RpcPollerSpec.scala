@@ -92,6 +92,59 @@ class RpcPollerSpec extends SparkSpec {
     }
   }
 
+  test("a burst larger than pageLimit is fully fetched, never skipped past") {
+    // The failure mode under test: more new signatures arrive between
+    // polls than one round's page budget. The resume walk must keep
+    // paging until the cursor appears — terminating on the budget and
+    // then advancing the cursor would orphan the unfetched gap forever.
+    val node = new RpcStubNode(total = 3)
+    val table = Files.createTempDirectory("pollburst").toString + "/bronze"
+    try {
+      val poller = new RpcPoller(
+        new RpcChainIngestor(node.endpoint, pageSize = 2), table, W, pageLimit = 4)
+      assert(poller.pollOnce(spark) == 3)
+      node.grow(11) // burst of 11 >> pageLimit 4
+      assert(poller.pollOnce(spark) == 11,
+        "the whole burst lands in one round; no gap is skipped")
+      val t = spark.read.parquet(table)
+      assert(t.count() == 14)
+      assert(t.select("tx_hash").collect().map(_.getString(0)).toSet ==
+        node.allSigs.toSet)
+      node.grow(2)
+      assert(poller.pollOnce(spark) == 2, "steady state resumes normally after the burst")
+    } finally node.stop()
+  }
+
+  test("randomized differential under a TINY page budget: bursts never lose rows") {
+    val rnd = new scala.util.Random(8192L)
+    (1 to 4).foreach { round =>
+      val node = new RpcStubNode(total = 1 + rnd.nextInt(4))
+      val table = Files.createTempDirectory(s"pollb$round").toString + "/bronze"
+      try {
+        // pageLimit 2 with growth up to 7 per poll: most rounds exceed
+        // the budget, exercising the resume-past-limit path every time
+        val ing = new RpcChainIngestor(node.endpoint, pageSize = 1 + rnd.nextInt(3))
+        val poller = new RpcPoller(ing, table, W, pageLimit = 2)
+        poller.pollOnce(spark) // bootstrap: newest pageLimit of the initial feed
+        (1 to 4).foreach { _ =>
+          if (rnd.nextBoolean()) node.grow(rnd.nextInt(8))
+          poller.pollOnce(spark)
+        }
+        poller.pollOnce(spark)
+        val landed = spark.read.parquet(table)
+        val sigs = landed.select("tx_hash").collect().map(_.getString(0)).toSet
+        // bootstrap keeps only the newest pageLimit of the INITIAL feed;
+        // everything that arrived after the first poll must be present
+        val initial = node.allSigs.filter(_.startsWith("sig")).toSet
+        val grownSigs = node.allSigs.filterNot(_.startsWith("sig")).toSet
+        assert(grownSigs.subsetOf(sigs),
+          s"round $round: grown signatures lost: ${grownSigs -- sigs}")
+        assert(sigs.subsetOf(initial ++ grownSigs), s"round $round: phantom rows")
+        assert(landed.count() == sigs.size, s"round $round: duplicate rows")
+      } finally node.stop()
+    }
+  }
+
   test("run() executes the loop; landed total accumulates across rounds") {
     val node = new RpcStubNode(total = 2)
     val table = Files.createTempDirectory("poll4").toString + "/bronze"

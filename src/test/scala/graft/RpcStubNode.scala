@@ -22,7 +22,9 @@ final class RpcStubNode(
     rpcError: Set[String] = Set.empty,
     notFound: Set[String] = Set.empty,
     http500: Set[String] = Set.empty,
-    perWallet: Map[String, Int] = Map.empty) {
+    perWallet: Map[String, Int] = Map.empty,
+    malformedSig: Set[String] = Set.empty, // emitted WITHOUT a signature field
+    sigError: Set[String] = Set.empty) {   // wallets whose signature LIST call 500s
 
   val sigCalls = new AtomicInteger(0)
   val txCalls = new AtomicInteger(0)
@@ -51,6 +53,16 @@ final class RpcStubNode(
     fresh
   }
 
+  /** Per-wallet feed truth (perWallet mode). */
+  def walletSigs(w: String): Seq[String] = feedFor(w)
+
+  /** Prepend `n` strictly newer transactions to wallet `w`'s feed. */
+  def growWallet(w: String, n: Int): Seq[String] = synchronized {
+    val fresh = (0 until n).map(_ => f"$w-new${grown.getAndIncrement()}%04d").reverse
+    feeds = feeds.updated(feedKey(w), fresh.toVector ++ feedFor(w))
+    fresh
+  }
+
   /** blockTime: stable per signature — 1700000000 + position from the
     * OLDEST end of its feed, so newer signatures always carry larger
     * stamps.
@@ -75,6 +87,7 @@ final class RpcStubNode(
       case "getSignaturesForAddress" =>
         sigCalls.incrementAndGet()
         val JString(wallet) = params.head: @unchecked
+        if (sigError(wallet)) { respond(ex, 500, """{"oops":true}"""); return }
         val snapshot = feedFor(wallet)
         val opts = params(1)
         val limit = (opts \ "limit") match { case JInt(i) => i.toInt; case _ => 1000 }
@@ -82,8 +95,10 @@ final class RpcStubNode(
           case JString(b) => snapshot.indexOf(b) + 1 // strictly older than cursor
           case _ => 0
         }
-        val page = snapshot.slice(from, from + limit)
-          .map(s => JObject("signature" -> JString(s), "slot" -> JInt(from + 1)))
+        val page = snapshot.slice(from, from + limit).map { s =>
+          if (malformedSig(s)) JObject("memo" -> JString(s"garbled $s"), "slot" -> JInt(from + 1))
+          else JObject("signature" -> JString(s), "slot" -> JInt(from + 1))
+        }
         respond(ex, 200, result(JArray(page.toList)))
       case "getTransaction" =>
         txCalls.incrementAndGet()

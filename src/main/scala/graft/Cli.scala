@@ -64,9 +64,18 @@ object Cli {
         (source, opts.get("poll")) match {
           case (rpc: RpcChainIngestor, Some(rounds)) =>
             val table = opts.getOrElse("output", "bronze_transactions")
-            val n = new RpcPoller(rpc, table, wallet, pageLimit = limit)
-              .run(spark, rounds.toInt,
-                opts.getOrElse("poll-interval-ms", "1000").toLong)
+            val interval = opts.getOrElse("poll-interval-ms", "1000").toLong
+            // a comma-separated --wallet list polls as a FLEET (one keyed
+            // append per round serving every wallet), never as a single
+            // bogus comma-joined address
+            val ws = wallet.split(',').toSeq.filter(_.nonEmpty)
+            val n =
+              if (ws.length > 1)
+                new RpcFleetPoller(rpc, table, ws, pageLimit = limit)
+                  .run(spark, rounds.toInt, interval)
+              else
+                new RpcPoller(rpc, table, wallet, pageLimit = limit)
+                  .run(spark, rounds.toInt, interval)
             println(s"Polled ${rounds.toInt} rounds; $n new transactions at $table.")
             return
           case _ => ()

@@ -116,6 +116,53 @@ final class RpcChainIngestor(
     * (stderr) rather than failing the thousands of others — at fleet
     * scale one dead account must not stall the feed.
     */
+  /** Fleet RESUME fetch — the steady-state half of [[fetchHistoryMany]]:
+    * each wallet walks its signature list until its own cursor appears
+    * (or `pageLimit` on a cursor-less bootstrap), then detail-fetches
+    * only the fresh prefix — all on the executor that owns the wallet.
+    * Returns bronze columns plus `_cursor_sig`: the wallet's new cursor
+    * candidate (the newest fresh signature, constant across that
+    * wallet's rows), so the caller can advance its cursor table from the
+    * same batch without a second network pass. A wallet whose signature
+    * walk fails is skipped loudly (stderr) — at fleet scale one dead
+    * account must not stall the round; its cursor simply doesn't
+    * advance, so the next round retries it.
+    *
+    * The cursor map ships as a broadcast: one copy per executor, not per
+    * task — at 10⁴ tracked wallets the map is ~1 MB of strings, far
+    * under broadcast thresholds.
+    */
+  private[sources] def fetchSince(
+      spark: SparkSession,
+      cursors: Map[String, String],
+      wallets: Seq[String],
+      pageLimit: Int): DataFrame = {
+    require(pageLimit >= 0, "pageLimit must be non-negative")
+    val (ep, tok, tmo, ps) = (endpoint, xToken, timeoutMs, pageSize)
+    import spark.implicits._
+    val curB = spark.sparkContext.broadcast(cursors)
+    val parts = math.max(1, math.min(fetchPartitions, wallets.size))
+    spark.createDataset(wallets)
+      .repartition(parts)
+      .mapPartitions { it =>
+        val client = newClient(tmo)
+        it.flatMap { w =>
+          val sigs =
+            try signatureWalk(client, ep, tok, tmo, ps, w, pageLimit, curB.value.get(w))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"Failed to list signatures for $w: ${e.getMessage}")
+                Nil
+            }
+          val head = sigs.headOption.getOrElse("")
+          sigs.flatMap(sig => fetchOne(client, ep, tok, tmo, w, sig).map(t => (t, head)))
+        }
+      }
+      .toDF("tx", "_cursor_sig")
+      .select(col("tx.*"), col("_cursor_sig"))
+      .select((Schemas.bronze.fieldNames.toSeq :+ "_cursor_sig").map(col(_)): _*)
+  }
+
   def fetchHistoryMany(
       spark: SparkSession, wallets: Seq[String], limitPerWallet: Int): DataFrame = {
     require(limitPerWallet >= 0, "limitPerWallet must be non-negative")

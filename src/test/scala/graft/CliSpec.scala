@@ -138,4 +138,25 @@ class CliSpec extends SparkSpec {
       assert(t.select("id").distinct().count() == 6)
     } finally node.stop()
   }
+
+  test("live mode: --poll with a comma-separated --wallet list polls as a fleet") {
+    val node = new RpcStubNode(total = 0, perWallet = Map("wa" -> 3, "wb" -> 2))
+    val tmp = Files.createTempDirectory("clifleet").toString
+    try {
+      Cli.run(spark, Seq("ingest", "--wallet", "wa,wb",
+        "--source", node.endpoint, "--poll", "1",
+        "--poll-interval-ms", "0", "--limit", "100",
+        "--output", s"$tmp/bronze"))
+      val t = spark.read.parquet(s"$tmp/bronze")
+      assert(t.count() == 5, "every wallet in the list is polled, not one comma-joined address")
+      assert(t.select("wallet_address").distinct().count() == 2)
+      node.growWallet("wb", 2)
+      Cli.run(spark, Seq("ingest", "--wallet", "wa,wb",
+        "--source", node.endpoint, "--poll", "1",
+        "--poll-interval-ms", "0", "--limit", "100",
+        "--output", s"$tmp/bronze"))
+      assert(spark.read.parquet(s"$tmp/bronze").count() == 7,
+        "re-invocation resumes from the persisted per-wallet cursor table")
+    } finally node.stop()
+  }
 }

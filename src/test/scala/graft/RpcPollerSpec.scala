@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{RpcChainIngestor, RpcPoller}
+import graft.sources.{RpcChainIngestor, RpcFleetPoller, RpcPoller}
 
 /** A2 live-ingest loop: poll → cursor-cut → exactly-once append. The
   * correctness claim under test is that NOTHING depends on the cursor —
@@ -143,6 +143,54 @@ class RpcPollerSpec extends SparkSpec {
         assert(landed.count() == sigs.size, s"round $round: duplicate rows")
       } finally node.stop()
     }
+  }
+
+  test("fleet poll: per-wallet cursors, one dead feed skips loudly, zero duplicates") {
+    val node = new RpcStubNode(total = 0,
+      perWallet = Map("w1" -> 3, "w2" -> 2, "w3" -> 4),
+      sigError = Set("w3")) // w3's signature-list call 500s every time
+    val table = Files.createTempDirectory("fleet").toString + "/bronze"
+    try {
+      val fleet = new RpcFleetPoller(
+        new RpcChainIngestor(node.endpoint, fetchPartitions = 2, pageSize = 2),
+        table, Seq("w1", "w2", "w3"), pageLimit = 10)
+      assert(fleet.pollOnce(spark) == 5, "w1+w2 land; dead w3 skips without stalling the fleet")
+      assert(fleet.currentCursors(spark) ==
+        Map("w1" -> "w1-sig000", "w2" -> "w2-sig000"),
+        "cursors advance only for wallets that landed rows")
+
+      // steady state: per-wallet growth, one of them a burst > pageLimit
+      node.growWallet("w1", 3)
+      node.growWallet("w2", 11)
+      assert(fleet.pollOnce(spark) == 14,
+        "the whole fleet's fresh rows land in one keyed append; the burst walks past pageLimit")
+
+      node.txCalls.set(0)
+      assert(fleet.pollOnce(spark) == 0, "idle fleet: no detail fetches")
+      assert(node.txCalls.get() == 0, "cursor cut happens before any getTransaction")
+
+      val t = spark.read.parquet(table)
+      val want = (node.walletSigs("w1") ++ node.walletSigs("w2")).toSet
+      assert(t.select("tx_hash").collect().map(_.getString(0)).toSet == want)
+      assert(t.count() == want.size, "no duplicate rows across rounds")
+
+      // a restarted (new) instance resumes from the persisted cursor table
+      val restarted = new RpcFleetPoller(
+        new RpcChainIngestor(node.endpoint, pageSize = 2), table, Seq("w1", "w2", "w3"))
+      node.growWallet("w2", 1)
+      assert(restarted.pollOnce(spark) == 1)
+
+      // a lost cursor table degrades to re-fetch, never to duplicates
+      val fs = new java.io.File(s"$table._cursors")
+      assert(fs.exists())
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+      }
+      rmrf(fs)
+      assert(restarted.pollOnce(spark) == 0,
+        "blind re-fetch is dropped by the keyed append")
+      assert(spark.read.parquet(table).count() == want.size + 1)
+    } finally node.stop()
   }
 
   test("run() executes the loop; landed total accumulates across rounds") {

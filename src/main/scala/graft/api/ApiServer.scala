@@ -169,15 +169,37 @@ final class ApiServer(spark: SparkSession, source: BronzeSource,
     * deployment's GETs return empty lists (repo.rs reads over empty
     * tables) — path-missing here is the same "nothing ingested yet"
     * state.
+    *
+    * STREAMED, not collected: rows flow through `toLocalIterator` into a
+    * chunked HTTP response, so driver memory holds one partition at a
+    * time, never the whole result — the row cap on `/v1/query` stays a
+    * politeness default rather than a memory-safety requirement, and a
+    * config raising it cannot OOM the driver. (Plan resolution errors
+    * surface before the first byte is written; a mid-stream task failure
+    * can only truncate the stream, which chunked encoding reports to the
+    * client as an aborted transfer, not a valid short array.)
     */
   private def respondRows(ex: HttpExchange, df: => DataFrame): Unit = {
-    val body =
-      try df.toJSON.collect().mkString("[", ",", "]")
+    val it =
+      try df.toJSON.toLocalIterator()
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => "[]"
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          respond(ex, 200, "[]", "application/json")
+          return
       }
-    respond(ex, 200, body, "application/json")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, 0L) // 0 = chunked transfer encoding
+    val out = ex.getResponseBody
+    out.write('[')
+    var firstRow = true
+    while (it.hasNext) {
+      if (!firstRow) out.write(',')
+      firstRow = false
+      out.write(it.next().getBytes(StandardCharsets.UTF_8))
+    }
+    out.write(']')
+    out.close()
   }
 
   private def respond(ex: HttpExchange, status: Int, body: String,

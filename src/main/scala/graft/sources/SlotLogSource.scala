@@ -43,11 +43,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *     across restarts, usable downstream exactly like a Yellowstone slot
   *     (ordering, provenance, resume bookkeeping).
   *
-  * Scale note: this connector is the single-subscription contract (one gRPC
-  * stream ≙ one log). At production rates the same raw-feed schema and the
-  * same downstream plan sit on a partitioned source (Kafka/Kinesis); only
-  * `planInputPartitions` changes. A batch's bytes are materialized in one
-  * reader (micro-batch-sized by arrival rate, not by corpus size).
+  * Scale design: a micro-batch's byte range SPLITS across readers. A
+  * large batch (slow trigger or a burst on a fast feed) is planned as up
+  * to `maxPartitions` line-aligned sub-ranges of at most
+  * `maxBytesPerPartition` bytes each (`.option(...)`, defaults 32 ×
+  * 16 MiB), so no single task funnels the whole batch; within a task the
+  * reader STREAMS lines through a fixed 64 KiB buffer instead of
+  * materializing the range — peak heap per task is one buffer plus the
+  * longest line, independent of batch size. Offsets stay line-aligned by
+  * construction (split candidates snap forward to the next newline), so
+  * every sub-range parses whole lines with no carry between readers.
+  * The single-file log is the single-subscription contract (one gRPC
+  * stream ≙ one log); at production rates the same raw-feed schema and
+  * downstream plan sit on a partitioned source (Kafka/Kinesis) — only
+  * the range-planning below changes.
   */
 class SlotLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "slotlog"
@@ -56,7 +65,12 @@ class SlotLogSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new SlotLogTable(properties.get("path"))
+    new SlotLogTable(
+      properties.get("path"),
+      SlotLogSource.longProp(properties, "maxBytesPerPartition",
+        SlotLogSource.DefaultMaxBytesPerPartition),
+      SlotLogSource.longProp(properties, "maxPartitions",
+        SlotLogSource.DefaultMaxPartitions).toInt)
 }
 
 object SlotLogSource {
@@ -64,9 +78,27 @@ object SlotLogSource {
   val schema: StructType = StructType(Seq(
     StructField("slot", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** Per-reader byte budget: micro-batches smaller than this stay a
+    * single task (the common steady-state trigger).
+    */
+  val DefaultMaxBytesPerPartition: Long = 16L * 1024 * 1024
+  val DefaultMaxPartitions: Long = 32L
+
+  private def longProp(props: java.util.Map[String, String], name: String,
+      dflt: Long): Long = {
+    val v = props.get(name)
+    if (v == null) dflt
+    else {
+      val n = v.toLong
+      require(n > 0, s"slotlog option $name must be positive, got $n")
+      n
+    }
+  }
 }
 
-private[sources] class SlotLogTable(path: String) extends Table with SupportsRead {
+private[sources] class SlotLogTable(path: String, maxBytesPerPartition: Long,
+    maxPartitions: Int) extends Table with SupportsRead {
   require(path != null && path.nonEmpty, "slotlog requires .option(\"path\", <event log file>)")
   override def name(): String = s"slotlog($path)"
   override def schema(): StructType = SlotLogSource.schema
@@ -77,7 +109,7 @@ private[sources] class SlotLogTable(path: String) extends Table with SupportsRea
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = SlotLogSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SlotLogMicroBatchStream(path)
+          new SlotLogMicroBatchStream(path, maxBytesPerPartition, maxPartitions)
       }
     }
 }
@@ -87,7 +119,8 @@ private[sources] case class SlotOffset(pos: Long) extends Offset {
   override def json: String = pos.toString
 }
 
-private[sources] class SlotLogMicroBatchStream(path: String) extends MicroBatchStream {
+private[sources] class SlotLogMicroBatchStream(path: String,
+    maxBytesPerPartition: Long, maxPartitions: Int) extends MicroBatchStream {
   // Incremental newline scan: `scannedTo` is how far we've looked,
   // `lastComplete` the byte after the last '\n' seen. Both are poll-side
   // caches only — restart correctness comes from the checkpointed offset,
@@ -136,10 +169,58 @@ private[sources] class SlotLogMicroBatchStream(path: String) extends MicroBatchS
   override def initialOffset(): Offset = SlotOffset(0L)
   override def deserializeOffset(json: String): Offset = SlotOffset(json.trim.toLong)
 
+  /** Split the batch's byte range into line-aligned sub-ranges: candidate
+    * cut points at equal byte strides, each snapped FORWARD to the byte
+    * after the next newline (one seek + a short scan per cut — driver
+    * cost is O(partitions), not O(bytes)). Snapping can collapse cuts on
+    * long lines; collapsed cuts merge into their neighbor rather than
+    * emitting empty ranges.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SlotOffset].pos
     val e = end.asInstanceOf[SlotOffset].pos
-    if (e <= s) Array.empty else Array(SlotLogRange(path, s, e))
+    if (e <= s) return Array.empty
+    val n = math.min(maxPartitions.toLong,
+      (e - s + maxBytesPerPartition - 1) / maxBytesPerPartition).toInt
+    if (n <= 1) return Array(SlotLogRange(path, s, e))
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val bounds = Array.newBuilder[Long]
+      bounds += s
+      var prev = s
+      var i = 1
+      while (i < n) {
+        val candidate = math.max(s + (e - s) * i / n, prev)
+        val snapped = nextLineBoundary(raf, candidate, e)
+        if (snapped > prev && snapped < e) { bounds += snapped; prev = snapped }
+        i += 1
+      }
+      bounds += e
+      bounds.result().sliding(2).collect {
+        case Array(a, b) if b > a => SlotLogRange(path, a, b)
+      }.toArray
+    } finally raf.close()
+  }
+
+  /** Byte position after the first '\n' at or after `from` (capped at
+    * `limit`). `from` may sit mid-line; the return is always a complete-
+    * line boundary because the batch range itself ends on one.
+    */
+  private def nextLineBoundary(raf: RandomAccessFile, from: Long, limit: Long): Long = {
+    raf.seek(from)
+    val buf = new Array[Byte](8 * 1024)
+    var pos = from
+    while (pos < limit) {
+      val n = raf.read(buf, 0, math.min(buf.length.toLong, limit - pos).toInt)
+      if (n <= 0) return limit
+      var i = 0
+      while (i < n) {
+        if (buf(i) == '\n') return pos + i + 1
+        i += 1
+      }
+      pos += n
+    }
+    limit
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new SlotLogReaderFactory
@@ -154,35 +235,61 @@ private[sources] class SlotLogReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SlotLogRange]
     new PartitionReader[InternalRow] {
-      // Both offsets are complete-line boundaries, so the range parses into
-      // whole lines with no carry between partitions.
-      private val bytes: Array[Byte] = {
-        val raf = new RandomAccessFile(p.path, "r")
-        try {
-          raf.seek(p.start)
-          val b = new Array[Byte]((p.end - p.start).toInt)
-          raf.readFully(b)
-          b
-        } finally raf.close()
-      }
-      private var cursor = 0
+      // Streaming line reader: a fixed chunk buffer + a carry for lines
+      // spanning chunk boundaries. Peak heap = one chunk + the longest
+      // line, regardless of range size. Both range ends are complete-line
+      // boundaries, so the range parses into whole lines exactly.
+      private val raf = new RandomAccessFile(p.path, "r")
+      raf.seek(p.start)
+      private var remaining = p.end - p.start
+      private val buf = new Array[Byte](64 * 1024)
+      private var bufPos = 0
+      private var bufLen = 0
+      private var filePos = p.start // byte offset of buf(bufPos)
       private var row: InternalRow = _
 
+      private def fill(): Boolean = {
+        if (remaining <= 0) return false
+        val n = raf.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        if (n <= 0) { remaining = 0; false }
+        else { bufLen = n; bufPos = 0; remaining -= n; true }
+      }
+
       override def next(): Boolean = {
-        if (cursor >= bytes.length) false
-        else {
-          val lineStart = cursor
-          while (cursor < bytes.length && bytes(cursor) != '\n') cursor += 1
-          val lineEnd = cursor // exclusive; bytes(cursor) == '\n' by offset contract
-          cursor += 1
-          row = InternalRow(
-            p.start + lineStart,
-            UTF8String.fromBytes(bytes, lineStart, lineEnd - lineStart))
-          true
+        if (bufPos >= bufLen && !fill()) return false
+        val lineStart = filePos
+        var carry: java.io.ByteArrayOutputStream = null
+        while (true) {
+          var i = bufPos
+          while (i < bufLen && buf(i) != '\n') i += 1
+          if (i < bufLen) { // newline inside the buffered chunk
+            val segLen = i - bufPos
+            val utf =
+              if (carry == null)
+                UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, bufPos, i))
+              else {
+                carry.write(buf, bufPos, segLen)
+                UTF8String.fromBytes(carry.toByteArray)
+              }
+            filePos += segLen + 1
+            bufPos = i + 1
+            row = InternalRow(lineStart, utf)
+            return true
+          }
+          // line continues past this chunk: stash and refill
+          if (carry == null) carry = new java.io.ByteArrayOutputStream()
+          carry.write(buf, bufPos, bufLen - bufPos)
+          filePos += bufLen - bufPos
+          bufPos = bufLen
+          if (!fill())
+            throw new IllegalStateException(
+              s"slotlog range [${p.start},${p.end}) of ${p.path} did not end on a " +
+                "line boundary — offsets must come from planInputPartitions")
         }
+        false // unreachable
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = raf.close()
     }
   }
 }

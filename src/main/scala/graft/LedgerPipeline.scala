@@ -92,6 +92,50 @@ object LedgerPipeline {
       .drop("_bucket")
       .orderBy("transaction_id", "asset_symbol")
 
+  /** Fill the ledger's `fiat_value` design slot — the column the
+    * reference models but never populates (`LedgerEntry.fiat_value`,
+    * `core/src/models.rs:43`, always `None`): each entry is valued at
+    * the most recent price quote at or before its transaction time,
+    * `fiat_value = amount × price`.
+    *
+    * Inputs: `entries` in the silver schema (no event time of its own —
+    * the reference's `LedgerEntry` carries none either), `bronze` for
+    * the C4 lineage join that recovers each entry's transaction
+    * timestamp, and `prices` as `(asset_symbol, price_ts, price)` quote
+    * rows (unix seconds).
+    *
+    * Physical shape: the lineage join is keyed on `transaction_id`
+    * (both sides shuffle-partitioned once); the price lookup is
+    * [[graft.operators.AsOfJoin.bucketed]] — the skew-hardened union+
+    * window form, because a price feed is the canonical hot-key input
+    * (ONE asset can dominate the ledger; week-wide time buckets with
+    * carried-in boundary quotes keep that key parallel instead of
+    * sorting it in a single window task). Entries whose asset has no
+    * quote at or before their time keep a null `fiat_value` — the
+    * honest "unpriced" state, matching the reference's unfilled slot.
+    */
+  def enrichFiat(entries: DataFrame, bronze: DataFrame, prices: DataFrame,
+      bucketWidth: Long = 7L * 24 * 3600): DataFrame = {
+    // Pinned (eager localCheckpoint) because AsOfJoin.bucketed references
+    // its left side twice by construction (the bucket universe + the
+    // union; see its "Cost, honestly" note). Unpinned, that re-evaluates
+    // this subtree — including the normalizer's from_json, the dominant
+    // cost — once more (PlanAudit flagged the MULTI_PARSE). Pinning
+    // materializes the timed entries once; the second reference is a
+    // cached-block scan. The blocks release when the returned plan is
+    // dropped (ContextCleaner).
+    val timed = entries.drop("fiat_value")
+      .join(bronze.select(col("id").as("transaction_id"), col("timestamp")),
+        Seq("transaction_id"))
+      .localCheckpoint(true)
+    graft.operators.AsOfJoin.bucketed(
+        timed, prices.select(col("asset_symbol"), col("price_ts"), col("price")),
+        "asset_symbol", "timestamp", "price_ts", Seq("price"), bucketWidth)
+      .withColumn("fiat_value", col("amount") * col("price"))
+      .select("id", "transaction_id", "user_id", "wallet_address",
+        "asset_symbol", "amount", "entry_type", "fiat_value")
+  }
+
   /** Typed view of [[ledger]] — the compile-time-checked `Dataset` surface
     * mirroring the reference's `Vec<LedgerEntry>` response
     * (`core/src/models.rs:33-44`).

@@ -201,6 +201,27 @@ object LedgerQueries {
         .agg(count(lit(1)).as("n_entries"),
           sum(round(col("amount") * 1e9).cast("long")).as("position_lamports"))
         .orderBy("wallet_address", "asset_symbol")
+    }),
+
+    // C5 end-to-end: the ledger pipeline's fiat enrichment — bronze →
+    // normalize → as-of price join filling the reference's always-None
+    // `fiat_value` slot (models.rs:43) via LedgerPipeline.enrichFiat.
+    // The price feed is click-quotes keyed to ONE asset (SOL), i.e. the
+    // hot-key regime the bucketed as-of exists for. Amounts and prices
+    // are deterministic doubles (exact integer lamports / one IEEE
+    // multiply), so the oracle hash-matches bit-for-bit.
+    "c5_ledger_fiat_enrich" -> ((s, d) => {
+      val bronze = eventsAsBronze(s, d)
+      val silver = SolanaNormalizer.normalize(bronze)
+      val prices = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .groupBy(unix_timestamp(col("ts")).as("price_ts"))
+        .agg(max("value").as("price"))
+        .select(lit("SOL").as("asset_symbol"), col("price_ts"), col("price"))
+      graft.LedgerPipeline.enrichFiat(silver, bronze, prices)
+        .select("transaction_id", "wallet_address", "asset_symbol",
+          "amount", "fiat_value")
+        .orderBy("transaction_id", "asset_symbol")
     })
   )
 
@@ -332,6 +353,27 @@ object LedgerQueries {
         |FROM events
         |WHERE ABS(FLOOR(value * 1e9) / 1e9) > 0.000001
         |GROUP BY 1, 2
-        |ORDER BY wallet_address, asset_symbol""".stripMargin
+        |ORDER BY wallet_address, asset_symbol""".stripMargin,
+
+    // re-derives the whole enrichment independently: the events→entry
+    // envelope semantics (as i1_normalize_events), the click-quote feed,
+    // and the at-or-before price via DuckDB's native ASOF LEFT JOIN
+    "c5_ledger_fiat_enrich" ->
+      """WITH entries AS (
+        |  SELECT 'tx' || CAST(event_id AS VARCHAR) AS transaction_id,
+        |    'W' || CAST(user_id AS VARCHAR) AS wallet_address,
+        |    'SOL' AS asset_symbol,
+        |    -FLOOR(value * 1e9) / 1e9 AS amount,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+        |  FROM events
+        |  WHERE ABS(FLOOR(value * 1e9) / 1e9) > 0.000001),
+        |prices AS (
+        |  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS pt,
+        |    MAX(value) AS price
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT e.transaction_id, e.wallet_address, e.asset_symbol, e.amount,
+        |  e.amount * p.price AS fiat_value
+        |FROM entries e ASOF LEFT JOIN prices p ON e.t >= p.pt
+        |ORDER BY e.transaction_id, e.asset_symbol""".stripMargin
   )
 }

@@ -89,21 +89,45 @@ final class RpcFleetPoller(
   /** Current persisted cursor table (test/observability surface). */
   def currentCursors(spark: SparkSession): Map[String, String] = loadCursors(spark)
 
+  /** Cursors are efficiency state, so ANY unreadable table — missing
+    * (fresh deployment), empty or partial (a writer died mid-swap) —
+    * degrades to "bootstrap every wallet", never to a crashed poller:
+    * the keyed append dedups whatever the blind round re-fetches.
+    */
   private def loadCursors(spark: SparkSession): Map[String, String] =
     try
       spark.read.parquet(cursorsPath)
         .select("wallet", "cursor").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
     catch {
-      case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" =>
-        Map.empty // fresh deployment: every wallet bootstraps
+      case e: AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        Map.empty
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"Cursor table $cursorsPath unreadable (${e.getMessage}); re-bootstrapping fleet")
+        Map.empty
     }
 
+  /** Atomic-swap write (the [[graft.operators.Compactor]] pattern): the
+    * merged map lands in a fresh temp dir, then replaces the live table
+    * with two renames. A crash leaves either the old table, the new one,
+    * or none — never a half-written directory a reader could trust.
+    */
   private def saveCursors(spark: SparkSession, merged: Map[String, String]): Unit = {
     import spark.implicits._
-    // One tiny file; overwrite is safe because this round already holds
-    // the old map in memory, and a crash mid-write only costs a re-fetch.
+    val p = new org.apache.hadoop.fs.Path(cursorsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      cursorsPath + s".swap-${java.util.UUID.randomUUID}")
     merged.toSeq.toDF("wallet", "cursor")
-      .coalesce(1).write.mode("overwrite").parquet(cursorsPath)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(
+      cursorsPath + s".old-${java.util.UUID.randomUUID}")
+    if (fs.exists(p) && !fs.rename(p, old))
+      sys.error(s"could not retire old cursor table $p")
+    if (!fs.rename(tmp, p)) sys.error(s"could not publish cursor table $p")
+    fs.delete(old, true)
   }
 }

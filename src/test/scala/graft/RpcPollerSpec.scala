@@ -190,6 +190,16 @@ class RpcPollerSpec extends SparkSpec {
       assert(restarted.pollOnce(spark) == 0,
         "blind re-fetch is dropped by the keyed append")
       assert(spark.read.parquet(table).count() == want.size + 1)
+
+      // a writer that died mid-swap leaves an EMPTY cursor dir: the next
+      // round must degrade to bootstrap (dedup'd), never crash
+      val cursDir = new java.io.File(s"$table._cursors")
+      assert(cursDir.exists(), "previous poll republished the cursor table")
+      Option(cursDir.listFiles()).foreach(_.foreach(rmrf))
+      assert(cursDir.listFiles().isEmpty)
+      assert(restarted.pollOnce(spark) == 0,
+        "an unreadable (empty) cursor table re-bootstraps, rows still dedup")
+      assert(spark.read.parquet(table).count() == want.size + 1)
     } finally node.stop()
   }
 

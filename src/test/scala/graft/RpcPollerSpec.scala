@@ -203,6 +203,38 @@ class RpcPollerSpec extends SparkSpec {
     } finally node.stop()
   }
 
+  test("randomized fleet differential: bursts and dead feeds never lose or duplicate") {
+    val rnd = new scala.util.Random(16384L)
+    (1 to 3).foreach { round =>
+      val wallets = (1 to 4).map(i => s"fw$i")
+      val node = new RpcStubNode(total = 0,
+        perWallet = wallets.map(_ -> (1 + rnd.nextInt(3))).toMap)
+      val table = Files.createTempDirectory(s"fleetp$round").toString + "/bronze"
+      try {
+        val fleet = new RpcFleetPoller(
+          new RpcChainIngestor(node.endpoint, fetchPartitions = 2,
+            pageSize = 1 + rnd.nextInt(3)),
+          table, wallets, pageLimit = 1000)
+        fleet.pollOnce(spark) // bootstrap all wallets
+        (1 to 3).foreach { _ =>
+          wallets.foreach { w =>
+            if (rnd.nextBoolean()) node.growWallet(w, rnd.nextInt(6))
+          }
+          fleet.pollOnce(spark)
+        }
+        fleet.pollOnce(spark) // drain the last growth
+        val landed = spark.read.parquet(table)
+        val sigs = landed.select("tx_hash").collect().map(_.getString(0)).toSet
+        val model = wallets.flatMap(node.walletSigs).toSet
+        assert(sigs == model,
+          s"round $round: table ${sigs.size} vs feeds ${model.size}: " +
+            s"missing ${model -- sigs}, phantom ${sigs -- model}")
+        assert(landed.count() == sigs.size, s"round $round: duplicate rows")
+        assert(landed.select("wallet_address", "tx_hash").distinct().count() == sigs.size)
+      } finally node.stop()
+    }
+  }
+
   test("run() executes the loop; landed total accumulates across rounds") {
     val node = new RpcStubNode(total = 2)
     val table = Files.createTempDirectory("poll4").toString + "/bronze"

@@ -123,6 +123,55 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(got.count(_.isEmpty) == 2, "both bad items skip individually")
   }
 
+  test("full live path: gRPC frames -> slotlog -> parsed subscription -> exactly-once sink, across a relay restart") {
+    // the complete intended Yellowstone shape, wire to table: a server
+    // pushes framed protobuf slot updates; a relay appends payloads to
+    // the slotlog; the engine's parsed subscription feeds the idempotent
+    // sink. The relay dies mid-feed and a SECOND session re-sends an
+    // overlapping window (at-least-once wire) — the table must hold each
+    // event exactly once, with corrupt payloads skipped per-row.
+    val tmp = java.nio.file.Files.createTempDirectory("grpc-e2e").toString
+    val log = s"$tmp/feed.jsonl"
+    def push(ids: Seq[Int], extra: Seq[String] = Nil): Unit = {
+      val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+      val pusher = new Thread(() => {
+        val sck = server.accept()
+        val out = sck.getOutputStream
+        ids.foreach { i =>
+          ProtoWire.writeSlotUpdate(out, 2000L + i,
+            s"""{"event_id": $i, "ts": ${1704067200000000L + i * 1000000L}, """ +
+              s""""user_id": ${i % 3}, "event_type": "click", "value": 1.0, "props": "{}"}""")
+        }
+        extra.foreach(e => ProtoWire.writeSlotUpdate(out, 9999L, e))
+        out.flush(); sck.close()
+      })
+      pusher.start()
+      val sock = new java.net.Socket(java.net.InetAddress.getLoopbackAddress, server.getLocalPort)
+      val w = new java.io.FileWriter(log, true)
+      try
+        ProtoWire.readSlotUpdates(sock.getInputStream).flatten.foreach { case (_, payload) =>
+          w.write(payload + "\n")
+        }
+      finally { w.close(); sock.close(); server.close() }
+      pusher.join()
+    }
+    push(1 to 12)
+    push(9 to 18, extra = Seq("not json at all")) // overlap re-send + garbage
+
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val table = s"$tmp/table"
+    val q = graft.streaming.EventStreams.exactlyOnceSink(
+      graft.streaming.EventStreams.subscribeSlotLog(spark, log).drop("slot"),
+      table, s"$tmp/ckpt", "event_id")
+    try {
+      q.processAllAvailable()
+      val ids = spark.read.parquet(table).select("event_id").as[Long].collect()
+      assert(ids.length == 18 && ids.toSet == (1 to 18).map(_.toLong).toSet,
+        s"wire overlap must collapse to exactly-once, garbage must skip: ${ids.sorted.toSeq}")
+    } finally q.stop()
+  }
+
   test("bridge to the engine's ingestion path: frames over a socket land in a slotlog, stream-readable") {
     // a stand-in Yellowstone session: server pushes gRPC-framed slot
     // updates over TCP; the client side relays (slot, payload) into the

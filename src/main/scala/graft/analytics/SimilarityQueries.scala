@@ -32,6 +32,13 @@ object SimilarityQueries {
   private def memoCentroids(s: SparkSession, d: String, tag: String)(
       train: => Array[Array[Double]]): Array[Array[Double]] =
     centroidMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$tag", train)
+
+  private val pqMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private def pqCodebookMemo(s: SparkSession, d: String)(
+      train: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    pqMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", train)
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -122,6 +129,31 @@ object SimilarityQueries {
           .toDF("cell", "centroid"), "k3_ivf_centroids", d)
       graft.operators.IvfAnn.ivfTopKWith(emb, "vec_id", "embedding",
         queryId = 0, k = 10, nProbe = 4, centroids = cents,
+        carryCols = Seq("label"))
+    }),
+
+    // K3 scale path #3: product quantization with asymmetric distance
+    // (PQ/ADC — Jégou et al. 2011, the memory leg of IVF-PQ): 64 floats
+    // compress to 8 codes, the corpus-wide pass is 8 table lookups + 7
+    // adds per vector, and only the 50-deep shortlist sees exact cosine.
+    // The per-subspace codebooks (seeded deterministic Lloyd's, memoized
+    // like the IVF centroids) are materialized via OracleAux; the oracle
+    // re-derives per-subspace code assignment (the NearestCentroidExpr
+    // argmax rule per 8-dim slice), the ADC lookup tables from the query
+    // vector, the explicit 8-term score sum (fixed addition order on both
+    // engines), the shortlist cut, and the exact-cosine rerank.
+    "k3_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = pqCodebookMemo(s, d)(
+        graft.operators.PqAnn.trainCodebooks(emb, "embedding", "vec_id",
+          dim = 64, m = 8, k = 16, iters = 3, trainSampleMod = 4))
+      import s.implicits._
+      graft.tools.OracleAux.write(
+        cbs.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+        }.toSeq.toDF("sub", "cell", "centroid"), "k3_pq_codebooks", d)
+      graft.operators.PqAnn.adcTopK(emb, "vec_id", "embedding",
+        queryId = 0, k = 10, codebooks = cbs, shortlist = 50,
         carryCols = Seq("label"))
     }),
 
@@ -353,6 +385,48 @@ object SimilarityQueries {
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,
+
+    // Downstream of the written per-subspace codebook artifact: the oracle
+    // re-derives PQ encoding (argmax of dot − ‖c‖²/2 per 8-dim slice, ties
+    // to the larger code), the ADC tables from the query's own slices, the
+    // 8-term score in one fixed left-to-right addition order (bit-equal to
+    // the engine's reduce), the 50-deep shortlist, and the exact rerank.
+    "k3_ann_pq" ->
+      """WITH cb AS (SELECT sub, cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_pq_codebooks.parquet/*.parquet')),
+        |e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings WHERE len(embedding) = 64),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id, cb.sub, cb.cell,
+        |    list_sum(list_transform(range(1, 9), i -> v[cb.sub * 8 + i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM e, cb),
+        |codes AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT vec_id, sub, cell,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY s DESC, cell DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |vals AS (
+        |  SELECT codes.vec_id, codes.sub,
+        |    list_sum(list_transform(range(1, 9), i -> q.qv[codes.sub * 8 + i] * cb.centroid[i])) AS t
+        |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.cell, q),
+        |adc AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN sub = 0 THEN t END) + MAX(CASE WHEN sub = 1 THEN t END)
+        |    + MAX(CASE WHEN sub = 2 THEN t END) + MAX(CASE WHEN sub = 3 THEN t END)
+        |    + MAX(CASE WHEN sub = 4 THEN t END) + MAX(CASE WHEN sub = 5 THEN t END)
+        |    + MAX(CASE WHEN sub = 6 THEN t END) + MAX(CASE WHEN sub = 7 THEN t END) AS score
+        |  FROM vals GROUP BY vec_id),
+        |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 50),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * q.qv[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+        |  FROM e JOIN short USING (vec_id), q)
+        |SELECT vec_id, label, sim FROM sims
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // Downstream of the written hyperplane-bucket artifact
     // (graft.tools.OracleAux): multi-probe = Hamming ≤ 2 on the bucket

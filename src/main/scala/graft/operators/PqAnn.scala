@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.cosineFast
+import graft.functions.VectorFunctions.asDouble
+
+/** Product quantization (PQ) with asymmetric distance computation (ADC) —
+  * the third leg of the K3 similarity-search scale path beside
+  * hyperplane-LSH and IVF, and the one that attacks the MEMORY term: a
+  * `dim`-float vector compresses to `m` byte-sized codes (64 floats →
+  * 8 codes here, 32× smaller), and a query scores the ENTIRE compressed
+  * corpus through m table lookups per vector instead of dim multiplies
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011 — the IVF-PQ construction every billion-vector ANN system
+  * builds on).
+  *
+  * Construction:
+  *  - TRAIN: the vector space splits into `m` orthogonal subspaces of
+  *    `dim/m` dims; each subspace trains its own `k`-centroid codebook via
+  *    the SAME seeded deterministic Lloyd's the IVF quantizer uses
+  *    ([[IvfAnn.trainCentroids]] on the sliced column — per-subspace seeds,
+  *    hash-sampled training set). Driver state: m × k × (dim/m) doubles =
+  *    dim × k — constant in corpus size.
+  *  - ENCODE: per subspace, a native [[graft.functions.NearestCentroidExpr]]
+  *    argmin assigns the code (codegen-friendly primitive loop; ties to the
+  *    larger code, the expression's documented rule). One scan, zero
+  *    shuffle; codes are plain INT columns a layout would store as bytes.
+  *  - ADC SCORE: the driver builds the m×k lookup tables
+  *    `t_j[c] = ⟨q_sub_j, codebook_j[c]⟩` (dim multiplies TOTAL, once per
+  *    query) and ships them as literal arrays; each corpus vector's
+  *    approximate inner product is `Σ_j t_j[code_j]` — m `element_at`s and
+  *    m−1 adds per row, no vector arithmetic at all. Shortlist =
+  *    TakeOrdered over that score.
+  *  - RERANK: exact cosine on the shortlist only (broadcast one-row query,
+  *    the [[IvfAnn.probeTopK]] pattern), so the final top-k is
+  *    full-precision while the corpus-wide pass touched only codes.
+  *
+  * At 100 TB the corpus-wide pass reads m bytes + an id per vector rather
+  * than dim floats — the difference between scanning 100 TB and scanning
+  * ~3 TB — and composes with the IVF layout (probe cells first, ADC within
+  * them). Recall follows the shortlist width: exact for neighbours whose
+  * quantized score survives the cut; `shortlist` is the knob.
+  */
+object PqAnn {
+
+  /** Per-subspace codebooks: `codebooks(j)(c)` = centroid `c` of subspace
+    * `j`. Deterministic (seeded per subspace), trained on a hash-sampled
+    * subset like the IVF quantizer.
+    */
+  def trainCodebooks(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 3,
+      trainSampleMod: Int = 1): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = emb.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as(vecCol))
+      IvfAnn.trainCentroids(sub, vecCol, idCol, dsub, k, iters,
+        seed = 42L + j, trainSampleMod = trainSampleMod)
+    }.toArray
+  }
+
+  /** Tag each corpus vector with its m PQ codes (`_c0.._c{m-1}` INT
+    * columns) plus the double vector `_v`. Wrong-dimension vectors are
+    * excluded (the IVF `size = dim` rule).
+    */
+  def encode(emb: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val dim = m * dsub
+    val base = graft.Tables.fanOut(emb)
+      .withColumn("_v", asDouble(col(vecCol)))
+      .filter(size(col("_v")) === dim)
+    (0 until m).foldLeft(base) { (df, j) =>
+      df.withColumn(s"_c$j",
+        graft.functions.VectorExpressions.nearestCentroid(
+          slice(col("_v"), j * dsub + 1, dsub), codebooks(j)))
+    }
+  }
+
+  /** Approximate top-k for the corpus vector with id `queryId`: ADC
+    * shortlist over the codes, exact-cosine rerank of the shortlist.
+    * `carryCols` ride through to the output like the IVF path's.
+    */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, codebooks: Array[Array[Array[Double]]],
+      shortlist: Int = 50, carryCols: Seq[String] = Nil): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val coded = encode(emb, vecCol, codebooks)
+    // one-row collect of the query vector — same bounded driver cost as
+    // the IVF probe selection / broadcast-query patterns
+    val q = coded.filter(col(idCol) === queryId)
+      .select(col("_v")).head().getSeq[Double](0).toArray
+    // ADC tables: t_j[c] = <q_sub_j, codebook_j[c]> — sequential index
+    // order, the same IEEE summation the oracle's list_sum performs
+    val tables: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < dsub) { s += q(j * dsub + i) * c(i); i += 1 }
+        s
+      }.toSeq
+    }
+    val score = (0 until m)
+      .map(j => element_at(typedLit(tables(j)), col(s"_c$j") + 1))
+      .reduce(_ + _)
+    val short = coded.withColumn("_adc", score)
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(shortlist)
+    val session = emb.sparkSession
+    import session.implicits._
+    val qRow = broadcast(Seq(Tuple1(q.toSeq)).toDF("_q_vec"))
+    short
+      .crossJoin(qRow)
+      .select(col(idCol) +: carryCols.map(col) :+
+        round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"): _*)
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

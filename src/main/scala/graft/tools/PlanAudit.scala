@@ -22,6 +22,7 @@ object PlanAudit {
   private val expectedNestedLoop = Set(
     "k3_cosine_topk", "k3_cosine_topk_fast", "k3_range_search",
     "k3_ann_lsh", "k3_ann_ivf",
+    "k3_ann_pq", // broadcast ONE-ROW query vector for the shortlist rerank
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")
 

@@ -51,6 +51,50 @@ class SimilaritySpec extends SparkSpec {
     assert(topIds("k3_cosine_topk_fast") == topIds("k3_cosine_topk"))
   }
 
+  test("PQ/ADC on planted clusters: shortlist carries the true near neighbours to the rerank") {
+    val dim = 64
+    val rnd = new scala.util.Random(23L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = (1L to 10L).map(i => (i, unit(base.map(_ + 0.12 * rnd.nextGaussian())), 1))
+    val far = (11L to 510L).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian())), 0))
+    val emb = ((0L, unit(base), 1) +: (near ++ far)).toDF("vec_id", "embedding", "label")
+    val cbs = graft.operators.PqAnn.trainCodebooks(
+      emb, "embedding", "vec_id", dim = dim, m = 8, k = 16, iters = 3)
+    assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
+    val got = graft.operators.PqAnn.adcTopK(emb, "vec_id", "embedding",
+        queryId = 0, k = 11, codebooks = cbs, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (0L to 10L).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.8, s"PQ shortlist dropped the planted cluster: got $got, recall $recall")
+  }
+
+  test("PQ encode: one code column per subspace, codes in [0, k); wrong-dim rows excluded") {
+    val emb = Seq(
+      (0L, Seq.fill(64)(0.5f), 0),
+      (1L, Seq.fill(64)(-0.25f), 0),
+      (2L, Seq.fill(63)(1.0f), 0) // wrong dimension: must drop
+    ).toDF("vec_id", "embedding", "label")
+    val cbs = graft.operators.PqAnn.trainCodebooks(
+      emb, "embedding", "vec_id", dim = 64, m = 8, k = 4, iters = 1)
+    val coded = graft.operators.PqAnn.encode(emb, "embedding", cbs)
+    assert(coded.count() == 2, "the 63-dim row must be excluded, not mis-encoded")
+    val codeCols = (0 until 8).map(j => s"_c$j")
+    codeCols.foreach { c =>
+      val vals = coded.select(c).as[Int].collect()
+      assert(vals.forall(v => v >= 0 && v < 4), s"$c out of code range: ${vals.toSeq}")
+    }
+  }
+
+  test("PQ self-retrieval on the corpus: the query survives its own shortlist") {
+    val got = topIds("k3_ann_pq")
+    assert(got.contains(0L), "the query vector must retrieve itself (cos 1 after rerank)")
+  }
+
   test("IVF ANN on planted clusters: finds the true near neighbours") {
     val dim = 64
     val rnd = new scala.util.Random(11L)

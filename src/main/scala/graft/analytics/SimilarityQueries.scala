@@ -285,6 +285,26 @@ object SimilarityQueries {
           length(col("record.payload")).as("payload_len"),
           round(l2Norm(asDouble(col("record.embedding"))), 6).as("vec_norm"))
         .orderBy("doc_id")
+    }),
+
+    // K5: image near-dup via perceptual hash — dHash over the (stubbed)
+    // 8×9 luma grid, 4×16-bit banded LSH, exact XOR-popcount verify.
+    // Hashing is one single-pass native projection; candidates are a
+    // (band,key) equi-join — never all-pairs. The oracle re-derives
+    // EVERYTHING (striped grid cells from the code points, the 64
+    // adjacent-luma bits, the two 32-bit packs, band keys, the bucket
+    // join, Hamming ≤ 10) — see [[graft.operators.PerceptualHash]] for
+    // the real-pixel path and why the hash rides as two unsigned halves.
+    "k5_phash_neardup" -> ((s, d) => {
+      import graft.operators.PerceptualHash
+      val images = Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 0) // the corpus's image modality
+        .withColumn("_g", PerceptualHash.surrogateGrid(col("text")))
+        .select(col("doc_id"),
+          PerceptualHash.dHashHalf(col("_g"), 32).as("h_hi"),
+          PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
+      PerceptualHash.nearDupPairs(images, "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -633,6 +653,54 @@ object SimilarityQueries {
         |  ROUND(sqrt(list_sum(list_transform(e.embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS vec_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Full re-derivation of the perceptual-hash pipeline, no aux axiom:
+    // striped surrogate grid cells from the payload's code points, dHash
+    // bits from adjacent-luma comparisons, 32-bit packs, 16-bit band
+    // keys, the banded candidate join, and the exact Hamming verify.
+    // Kept in overflow-free BIGINT throughout (DuckDB raises on signed
+    // overflow where the JVM wraps).
+    "k5_phash_neardup" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT media_id, list_transform(range(0, 72), j ->
+        |    CAST(COALESCE(list_sum(list_transform(range(1, len(text) + 1),
+        |      p -> CASE WHEN (p - 1) % 72 = j
+        |                THEN unicode(text[CAST(p AS INTEGER)]) ELSE 0 END)), 0)
+        |      % 256 AS INTEGER)) AS gr
+        |  FROM img),
+        |h AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN gr[CAST((k//8)*9 + (k%8) + 2 AS INTEGER)]
+        |              > gr[CAST((k//8)*9 + (k%8) + 1 AS INTEGER)]
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN gr[CAST((k//8)*9 + (k%8) + 2 AS INTEGER)]
+        |              > gr[CAST((k//8)*9 + (k%8) + 1 AS INTEGER)]
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_hi
+        |  FROM g),
+        |bands AS (
+        |  SELECT media_id, h_hi, h_lo, b.band,
+        |    CASE b.band WHEN 0 THEN h_lo & 65535
+        |                WHEN 1 THEN (h_lo >> 16) & 65535
+        |                WHEN 2 THEN h_hi & 65535
+        |                ELSE (h_hi >> 16) & 65535 END AS bkey
+        |  FROM h, UNNEST([0, 1, 2, 3]) AS b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+        |    a.h_hi AS hi_a, a.h_lo AS lo_a, c.h_hi AS hi_b, c.h_lo AS lo_b
+        |  FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+        |                           AND a.media_id < c.media_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -547,6 +547,45 @@ case class BloomMightContainExpr(child: Expression, bits: Seq[Byte])
     copy(child = newChild)
 }
 
+/** Striped luma-surrogate grid for the perceptual-hash pipeline
+  * ([[graft.operators.PerceptualHash]]): cell j (0..71) is the sum of the
+  * Unicode code points at positions ≡ j (mod 72), mod 256 — one pass over
+  * the string, O(len), instead of the 72 × O(len) passes the higher-order
+  * `transform(sequence(0,71), …)` formulation would cost. Striping makes
+  * the surrogate LOCALITY-PRESERVING (an edit of Δ code points perturbs
+  * exactly the Δ cells its positions stripe into, so near-identical
+  * payloads land at small Hamming distance) while every cell still mixes
+  * ~len/72 code points, keeping non-duplicate grids uncorrelated.
+  */
+case class StripedGrayGridExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "striped_gray_grid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    val cells = new Array[Int](72)
+    var i = 0
+    var p = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cells(p % 72) += cp
+      p += 1
+      i += Character.charCount(cp)
+    }
+    var j = 0
+    while (j < 72) { cells(j) %= 256; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API over the codegen'd expressions. */
 object VectorExpressions {
 
@@ -598,6 +637,10 @@ object VectorExpressions {
     */
   def repetitionStats(tokens: Column): Column =
     GraftSqlBridge.column(RepetitionStatsExpr(GraftSqlBridge.expression(tokens)))
+
+  /** Single-pass striped 72-cell luma-surrogate grid of a string column. */
+  def stripedGrayGrid(text: Column): Column =
+    GraftSqlBridge.column(StripedGrayGridExpr(GraftSqlBridge.expression(text)))
 
   /** Codegen'd Bloom membership probe of a string column against a
     * serialized `org.apache.spark.util.sketch.BloomFilter`.

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K5: perceptual-hash near-duplicate detection for image corpora —
+  * difference hash (dHash) + banded Hamming LSH.
+  *
+  * The algorithm is the standard image-dedup recipe: downsample to a 9×8
+  * luma grid, emit one bit per horizontally-adjacent pair (does brightness
+  * rise left→right?), pack the 64 bits, and find near-duplicates by banding
+  * the hash into 4×16-bit keys — two images within Hamming distance 3 are
+  * GUARANTEED to share at least one intact band (pigeonhole: ≤ 3 flipped
+  * bits cannot touch all 4 bands), and distances up to the verify threshold
+  * are found with high probability. Candidate verification is an exact
+  * popcount on the XOR — so like the MinHash family in [[Dedup]], the
+  * expensive pairwise term only ever runs inside shared buckets, never
+  * all-pairs.
+  *
+  * Scale design: hashing is a per-row projection inside whole-stage codegen
+  * (no UDF, no shuffle); banding explodes each row into exactly 4; the
+  * candidate join is a shuffle equi-join on (band, key). At 16-bit bands a
+  * corpus of n images generates ~4·n²/2¹⁶ random candidate pairs — at 10⁸+
+  * images widen the band (24/32-bit slices of a 128-bit pHash) to keep the
+  * bucket term linear, exactly as LSH band math dictates; the pair cap
+  * machinery in [[Dedup.blockPairs]] composes if a pathological corpus
+  * (e.g. monochrome frames, all hash 0) needs a stop-loss.
+  *
+  * The hash is represented as two non-negative 32-bit halves (`h_hi`,
+  * `h_lo`) rather than one signed 64-bit value so every derived quantity
+  * (band keys, XOR popcounts) stays inside overflow-free BIGINT arithmetic
+  * on BOTH engines of the correctness gate — DuckDB raises on signed
+  * overflow where the JVM wraps, so a 1L<<63 packing could never be
+  * oracled exactly.
+  *
+  * Pixel decode is the deployment-stubbed step (no image rasters in this
+  * container — same boundary as [[MultimodalPipeline]]): the REAL pixel
+  * path ([[grayGrid]] box-average luma + [[dHash64]]) is exercised on
+  * genuinely encoded images in PerceptualHashSpec via `javax.imageio`,
+  * while the declared corpus query derives a locality-preserving 72-cell
+  * grid from the payload's code points ([[surrogateGrid]]) so the DuckDB
+  * oracle re-derives every step — grid, bits, packing, banding, candidate
+  * join, Hamming verify — from first principles, and the corpus's real
+  * near-duplicate variants surface at genuinely small Hamming distances.
+  *
+  * Reference scope: the reference pipeline carries no media processing
+  * (its `documents` are text rows); this operator is part of the mandated
+  * EXT training-data surface (multimodal dedup).
+  */
+object PerceptualHash {
+
+  /** Difference hash over a row-major 8-row × 9-column luma grid
+    * (values 0..255): bit k (row r = k/8, col c = k%8) is set iff
+    * gray(r, c+1) > gray(r, c). Returns (hi, lo): bits 32..63 and 0..31,
+    * both in [0, 2³²) — see the class doc for why the halves stay split.
+    */
+  def dHash64(gray: Array[Int]): (Long, Long) = {
+    require(gray.length == 72, s"dHash grid must be 8x9=72 luma values, got ${gray.length}")
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      val i = (k / 8) * 9 + (k % 8)
+      if (gray(i + 1) > gray(i)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
+  /** REAL pixel path: box-average an image down to the 9×8 luma grid
+    * (integer Rec.601 luma, truncating division — bit-deterministic on
+    * any JVM). Works on anything `javax.imageio` decodes (PNG/JPEG/GIF/
+    * BMP); images smaller than 9×8 are handled by the max(1) cell clamp.
+    */
+  def grayGrid(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w > 0 && h > 0, "empty image")
+    val out = new Array[Int](72)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        val y0 = r * h / 8
+        val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(r * 9 + c) = (sum / n).toInt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Deterministic, LOCALITY-PRESERVING pixel surrogate for the stubbed
+    * decode: the striped luma grid of
+    * [[graft.functions.StripedGrayGridExpr]] — cell j sums the code
+    * points at positions ≡ j (mod 72), mod 256, in one native pass.
+    * Identical payloads → identical grids (Hamming 0), and a payload edit
+    * of Δ code points perturbs only the Δ cells it stripes into (Hamming
+    * ≤ ~2Δ) — so the surrogate exhibits the SAME near-dup geometry a real
+    * luma downsample gives nearly-identical images, which is what lets
+    * the declared query demonstrate genuine Hamming-near retrieval on the
+    * text corpus rather than only exact collisions.
+    */
+  def surrogateGrid(text: Column): Column =
+    graft.functions.VectorExpressions.stripedGrayGrid(text)
+
+  /** One half of the packed dHash from a 72-cell grid column: `k0 = 0`
+    * for bits 0..31 (`h_lo`), `k0 = 32` for 32..63 (`h_hi`). Pure
+    * builtin expression tree (getItem/when/sum) over the grid — no UDF.
+    */
+  def dHashHalf(grid: Column, k0: Int): Column =
+    (k0 until k0 + 32).map { k =>
+      val i = (k / 8) * 9 + (k % 8)
+      when(grid.getItem(i + 1) > grid.getItem(i), lit(1L << (k - k0))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Banded Hamming near-dup pairs over a hashed corpus: `df` must carry
+    * (`idCol`, `h_hi`, `h_lo`). Each row emits 4 16-bit band keys; pairs
+    * sharing any (band, key) bucket are candidates; exact XOR-popcount
+    * keeps those within `maxHamming`. Output: (id_a, id_b, hamming),
+    * id_a < id_b, one row per pair however many bands matched.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("pid"), col("h_hi"), col("h_lo"))
+      .withColumn("band", explode(array(lit(0), lit(1), lit(2), lit(3))))
+      .withColumn("bkey",
+        when(col("band") === 0, col("h_lo").bitwiseAND(lit(65535L)))
+          .when(col("band") === 1, shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)))
+          .when(col("band") === 2, col("h_hi").bitwiseAND(lit(65535L)))
+          .otherwise(shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
+    val a = banded.select(col("pid").as("id_a"), col("band"), col("bkey"),
+      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
+    val b = banded.select(col("pid").as("id_b"), col("band"), col("bkey"),
+      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -287,6 +287,39 @@ object SimilarityQueries {
         .orderBy("doc_id")
     }),
 
+    // K3: Johnson–Lindenstrauss random projection 64 → 16 dims — the
+    // dimensionality-reduction leg of the embedding pipeline (see
+    // [[graft.operators.RandomProjection]] for the scale rationale). The
+    // query reports per-vector distance preservation against the broadcast
+    // query vector: d_proj/d_orig lands in the JL ε-band. The md5-seeded
+    // ±1 matrix is re-derived by the oracle from first principles (no aux
+    // axiom); the difference vector is lambda-bound once per row so the
+    // 16 + 2 dot products do not re-inline the zip_with build (the
+    // projection-collapse gotcha in .claude/skills/verify).
+    "k3_random_projection" -> ((s, d) => {
+      import graft.functions.VectorExpressions.dotFast
+      val signs = graft.operators.RandomProjection.rademacher(64, 16)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val diff = zip_with(asDouble(col("embedding")), asDouble(col("q_vec")), (a, b) => a - b)
+      val metrics = element_at(
+        transform(array(diff), dv =>
+          element_at(
+            transform(array(graft.operators.RandomProjection.project(dv, signs)), y =>
+              struct(
+                sqrt(dotFast(dv, dv)).as("d_orig"),
+                (sqrt(dotFast(y, y)) / 4.0d).as("d_proj"))),
+            1)),
+        1)
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(metrics.getField("d_orig"), 6).as("d_orig"),
+          round(metrics.getField("d_proj"), 6).as("d_proj"),
+          round(metrics.getField("d_proj") / metrics.getField("d_orig"), 6).as("ratio"))
+        .orderBy("vec_id")
+    }),
+
     // K5: image near-dup via perceptual hash — dHash over the (stubbed)
     // 8×9 luma grid, 4×16-bit banded LSH, exact XOR-popcount verify.
     // Hashing is one single-pass native projection; candidates are a
@@ -654,6 +687,34 @@ object SimilarityQueries {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS vec_norm
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Full re-derivation of the JL projection, no aux axiom: the ±1 matrix
+    // comes from the same md5 coin ('rp:i,j' first hex char < '8'), the
+    // difference vector, the 16 left-to-right projection sums, both norms,
+    // and the ratio — all recomputed from the base table. Fold order
+    // matches the engine's dotFast accumulation (i ascending), so the
+    // doubles agree bit-for-bit before the 6-dp round.
+    "k3_random_projection" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT vec_id, label, embedding AS v FROM embeddings WHERE vec_id <> 0),
+        |d AS (SELECT vec_id, label,
+        |  list_transform(range(1, 65), i ->
+        |    CAST(v[CAST(i AS INTEGER)] AS DOUBLE) - CAST(qv[CAST(i AS INTEGER)] AS DOUBLE)) AS dv
+        |  FROM e, q),
+        |p AS (SELECT vec_id, label, dv, list_transform(range(0, 16), j ->
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      dv[CAST(i + 1 AS INTEGER)] *
+        |      (CASE WHEN md5('rp:' || i || ',' || j)[1] < '8' THEN 1.0 ELSE -1.0 END)))) AS y
+        |  FROM d),
+        |m AS (SELECT vec_id, label,
+        |  sqrt(list_sum(list_transform(dv, x -> x * x))) AS d_orig_raw,
+        |  sqrt(list_sum(list_transform(y, x -> x * x))) / 4 AS d_proj_raw
+        |  FROM p)
+        |SELECT vec_id, label,
+        |  ROUND(d_orig_raw, 6) AS d_orig,
+        |  ROUND(d_proj_raw, 6) AS d_proj,
+        |  ROUND(d_proj_raw / d_orig_raw, 6) AS ratio
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     // Full re-derivation of the perceptual-hash pipeline, no aux axiom:
     // striped surrogate grid cells from the payload's code points, dHash

@@ -431,6 +431,44 @@ object PipelineQueries {
         .limit(20)
     }),
 
+    // K6: exact per-stratum quota sampling — balanced eval/calibration set
+    // construction: per language, keep EXACTLY min(quota, n) docs, chosen
+    // by smallest md5 pick-hash (deterministic, reshuffle-invariant, no
+    // sampling state; unlike the RATE-based mixture samplers above, the
+    // quota is exact, not expected). Shape: one shuffle on lang + a
+    // per-group sorted row_number truncated at the quota — strata are
+    // processed in parallel, and a stratum's work is sort-bounded, not
+    // corpus-bounded. For quotas that scale WITH the stratum (e.g. 10%
+    // exact), the same pick-hash becomes a per-stratum threshold select
+    // (two tiny aggregates), so the operator's key — a total per-stratum
+    // hash order — is the scale path too.
+    "k6_stratified_sample" -> ((s, d) => {
+      val quota = 40
+      val ranked = Tables.documents(s, d)
+        .withColumn("_pick", md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+        .withColumn("pick_rank",
+          row_number().over(Window.partitionBy("lang").orderBy("_pick")))
+      ranked.where(col("pick_rank") <= quota)
+        .select(col("lang"), col("pick_rank"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "pick_rank")
+    }),
+
+    // K6: DSIR-style importance sampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling", simplified to
+    // unigram LMs): every document is scored by the mean log-likelihood
+    // ratio of its tokens under a TARGET unigram LM (here: the corpus's
+    // English subset) vs the RAW-corpus LM, add-1 smoothed over the union
+    // vocabulary; `kept` marks docs more target-like than raw. Shape: one
+    // tokenize → vocab-sized count aggregate (map-side combined; vocab ≪
+    // corpus) → one-row totals broadcast → token⋈LM equi-join → per-doc
+    // aggregate. Determinism: each per-word log-ratio is quantized to
+    // DECIMAL(12,6) BEFORE the per-doc sum (the docLmScore trick), so
+    // partial-aggregation order cannot move the result, and `kept`
+    // compares the EXACT decimal sum against zero.
+    "k6_importance_sample" -> ((s, d) =>
+      importanceSample(Tables.documents(s, d), targetLang = "en")
+        .orderBy("doc_id")),
+
     // K4+: model-based quality scoring — each document scored by the mean
     // log conditional probability of its bigrams under the corpus's own
     // bigram LM (the in-engine analogue of perplexity filtering: low
@@ -490,6 +528,36 @@ object PipelineQueries {
     * evidence measures exactly the shipped plan) — see the `k4_doc_lm_score`
     * entry's scaladoc above for the full scale analysis.
     */
+  /** DSIR-lite importance scorer — see the `k6_importance_sample` entry
+    * for the shape and determinism contract. Target LM = `targetLang`
+    * docs; raw LM = the whole corpus; both add-1 smoothed over the union
+    * vocab so every token has a finite ratio.
+    */
+  def importanceSample(docs: DataFrame, targetLang: String): DataFrame = {
+    val tok = Tables.fanOut(docs)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val counts = tok.groupBy("w").agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_tgt"))
+    val totals = counts.agg(
+      count(lit(1)).as("v"),
+      sum("c_all").as("tok_all"),
+      sum("c_tgt").as("tok_tgt"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .withColumn("lr6",
+        round(
+          log((col("c_tgt") + 1).cast("double") / (col("tok_tgt") + col("v")).cast("double")) -
+            log((col("c_all") + 1).cast("double") / (col("tok_all") + col("v")).cast("double")),
+          6).cast(DecimalType(12, 6)))
+      .select("w", "lr6")
+    tok.join(lm, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr6").as("_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_sum").cast("double") / col("n_tokens"), 6).as("avg_logratio"),
+        (col("_sum") > 0).as("kept"))
+  }
+
   def docLmScore(docs: DataFrame): DataFrame = {
     val bg = Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -510,6 +578,37 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "k6_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents)
+        |SELECT lang, CAST(rn AS INTEGER) AS pick_rank, doc_id, n_chars
+        |FROM r WHERE rn <= 40 ORDER BY lang, pick_rank""".stripMargin,
+
+    // Same LM construction, same fold discipline as the engine: add-1
+    // smoothed unigram ratios quantized to DECIMAL(12,6) per WORD, exact
+    // decimal per-doc sum, `kept` on the exact sum's sign.
+    "k6_importance_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT w, COUNT(*) AS c_all,
+        |          SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+        |        FROM tok GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS v, SUM(c_all) AS tok_all, SUM(c_tgt) AS tok_tgt FROM cnt),
+        |lm AS (SELECT w,
+        |  CAST(ROUND(
+        |    ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(tok_tgt + v AS DOUBLE)) -
+        |    ln(CAST(c_all + 1 AS DOUBLE) / CAST(tok_all + v AS DOUBLE)), 6)
+        |    AS DECIMAL(12, 6)) AS lr6
+        |  FROM cnt, tot),
+        |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lr6) AS s
+        |       FROM tok t JOIN lm l ON t.w = l.w GROUP BY t.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logratio,
+        |  s > 0 AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "k6_split_train_test" ->
       """SELECT CASE WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '29'
         |            THEN 'valid' ELSE 'train' END AS split,

@@ -469,6 +469,27 @@ object PipelineQueries {
       importanceSample(Tables.documents(s, d), targetLang = "en")
         .orderBy("doc_id")),
 
+    // K4+: cross-split interpolated perplexity — the production shape of a
+    // model-based quality filter: EVAL docs (doc_id % 4 = 0, the same
+    // held-out split k6_decontaminate uses) scored under an LM trained
+    // ONLY on the train split, so unseen bigrams and OOV words actually
+    // occur and must be handled (k4_doc_lm_score's same-corpus MLE never
+    // meets either). Jelinek–Mercer interpolation λ = 0.5 between the
+    // bigram conditional and an add-1 unigram with a reserved OOV slot
+    // keeps every position finite. Shape: three vocab-bounded LM
+    // aggregates (map-side combined) left-joined onto the eval bigrams,
+    // one per-doc aggregate — corpus-scan-shaped, no pair terms.
+    // Determinism: per-position log is quantized to DECIMAL(12,6) before
+    // the per-doc sum (exact decimal fold); ppl is exp of the ROUNDED
+    // mean, so both engines exponentiate the identical double.
+    "k4_cross_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      crossPerplexity(
+          train = docs.filter(col("doc_id") % 4 =!= 0),
+          eval_ = docs.filter(col("doc_id") % 4 === 0))
+        .orderBy("doc_id")
+    }),
+
     // K4+: model-based quality scoring — each document scored by the mean
     // log conditional probability of its bigrams under the corpus's own
     // bigram LM (the in-engine analogue of perplexity filtering: low
@@ -528,6 +549,52 @@ object PipelineQueries {
     * evidence measures exactly the shipped plan) — see the `k4_doc_lm_score`
     * entry's scaladoc above for the full scale analysis.
     */
+  /** Cross-split interpolated perplexity — see the `k4_cross_perplexity`
+    * entry for the shape and determinism contract. Per eval-doc bigram
+    * position (w1, w2):
+    * p = 0.5·p_bi(w2|w1) + 0.5·p_uni(w2), with
+    * p_bi = c(w1,w2)/c(w1·) (0 when the context or pair is unseen) and
+    * p_uni = (c(w2)+1)/(N+V+1) (the +1 in the denominator reserves mass
+    * for OOV, whose probability is 1/(N+V+1)).
+    */
+  def crossPerplexity(train: DataFrame, eval_ : DataFrame): DataFrame = {
+    def bigrams(df: DataFrame) = Tables.fanOut(df)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2)) END")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val trainBg = bigrams(train)
+    val biLm = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bi"))
+    val ctxLm = trainBg.groupBy("w1").agg(count(lit(1)).as("c_ctx"))
+    val uniTok = Tables.fanOut(train)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val uniLm = uniTok.groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val totals = uniLm.agg(
+      sum("c_uni").as("n_tok"), count(lit(1)).as("v"))
+    val scored = bigrams(eval_)
+      .join(biLm, Seq("w1", "w2"), "left")
+      .join(ctxLm, Seq("w1"), "left")
+      .join(uniLm.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      // parenthesization is part of the oracle contract: each term is
+      // 0.5 × (ratio), both ratios divided BEFORE the halving, then one
+      // IEEE add — the SQL mirrors the identical operation order
+      .withColumn("_p",
+        (lit(0.5) * when(col("c_ctx").isNotNull && col("c_bi").isNotNull,
+            col("c_bi").cast("double") / col("c_ctx").cast("double"))
+          .otherwise(lit(0.0))) +
+        (lit(0.5) * ((coalesce(col("c_uni"), lit(0L)) + 1).cast("double") /
+          (col("n_tok") + col("v") + 1).cast("double"))))
+      .withColumn("_logp6", round(log(col("_p")), 6).cast(DecimalType(12, 6)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("_logp6").as("_sum"))
+      .withColumn("avg_logp",
+        round(col("_sum").cast("double") / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        round(exp(-col("avg_logp")), 6).as("ppl"))
+  }
+
   /** DSIR-lite importance scorer — see the `k6_importance_sample` entry
     * for the shape and determinism contract. Target LM = `targetLang`
     * docs; raw LM = the whole corpus; both add-1 smoothed over the union
@@ -845,6 +912,45 @@ object PipelineQueries {
 
     // Mirrors the engine's decimal quantization: ln(p) rounded to 6 dp,
     // cast DECIMAL(12,6), summed exactly, then one final division+round.
+    // Mirrors the engine's exact operation order: both interpolation
+    // ratios divide BEFORE the exact 0.5 halving, one IEEE add, ln
+    // quantized to DECIMAL(12,6) per position, exact decimal per-doc sum,
+    // ppl = exp of the ROUNDED mean.
+    "k4_cross_perplexity" ->
+      """WITH tr AS (SELECT text FROM documents WHERE doc_id % 4 <> 0),
+        |trt AS (SELECT string_split(text, ' ') AS a FROM tr),
+        |trb AS (SELECT a[i] AS w1, a[i + 1] AS w2
+        |        FROM trt, UNNEST(generate_series(1, len(a) - 1)) AS s(i)
+        |        WHERE len(a) >= 2),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c_bi FROM trb GROUP BY w1, w2),
+        |ctx AS (SELECT w1, COUNT(*) AS c_ctx FROM trb GROUP BY w1),
+        |unit AS (SELECT unnest(string_split(text, ' ')) AS w FROM tr),
+        |uni AS (SELECT w, COUNT(*) AS c_uni FROM unit GROUP BY w),
+        |tot AS (SELECT SUM(c_uni) AS n_tok, COUNT(*) AS v FROM uni),
+        |evt AS (SELECT doc_id, string_split(text, ' ') AS a
+        |        FROM documents WHERE doc_id % 4 = 0),
+        |evb AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |        FROM evt, UNNEST(generate_series(1, len(a) - 1)) AS s(i)
+        |        WHERE len(a) >= 2),
+        |p AS (SELECT e.doc_id,
+        |    (0.5 * CASE WHEN c.c_ctx IS NOT NULL AND b.c_bi IS NOT NULL
+        |                THEN CAST(b.c_bi AS DOUBLE) / CAST(c.c_ctx AS DOUBLE)
+        |                ELSE 0.0 END)
+        |  + (0.5 * (CAST(COALESCE(u.c_uni, 0) + 1 AS DOUBLE)
+        |            / CAST(t.n_tok + t.v + 1 AS DOUBLE))) AS pr
+        |  FROM evb e
+        |  LEFT JOIN bi b ON e.w1 = b.w1 AND e.w2 = b.w2
+        |  LEFT JOIN ctx c ON e.w1 = c.w1
+        |  LEFT JOIN uni u ON e.w2 = u.w
+        |  CROSS JOIN tot t),
+        |q AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |        SUM(CAST(ROUND(ln(pr), 6) AS DECIMAL(12, 6))) AS s
+        |      FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logp,
+        |  ROUND(exp(-ROUND(CAST(s AS DOUBLE) / n_bigrams, 6)), 6) AS ppl
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     "k4_doc_lm_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
         |b AS (

@@ -79,6 +79,33 @@ class PipelineQueriesSpec extends SparkSpec {
       s"target mean $meanEn must exceed raw mean $meanRest")
   }
 
+  test("cross perplexity: OOV stays finite, in-distribution text scores far lower") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b a b a b"), (2L, "a b a c a b a c"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (10L, "a b a b a b"), // pure in-distribution bigrams
+      (11L, "x y z w q r") // every word and bigram unseen → OOV floor only
+    ).toDF("doc_id", "text")
+    val out = PipelineQueries.crossPerplexity(train, eval_)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_logp"), r.getAs[Double]("ppl"))).toMap
+    // interpolation keeps the all-OOV doc finite (the property MLE lacks)
+    assert(!out(11L)._1.isNaN && !out(11L)._1.isInfinite)
+    assert(out(10L)._2 < out(11L)._2 / 5,
+      s"in-distribution ppl ${out(10L)._2} must be far below OOV ppl ${out(11L)._2}")
+    // ppl is exp(−avg) of the rounded mean; avg of probabilities < 1 is < 0
+    out.values.foreach { case (avg, ppl) =>
+      assert(avg < 0 && ppl > 1)
+      assert(math.abs(ppl - math.exp(-avg)) < 1e-4)
+    }
+    // corpus query: every eval-split doc with ≥ 2 tokens is scored
+    val rows = q("k4_cross_perplexity").collect()
+    val evalDocs = graft.Tables.documents(spark, sfDir)
+      .where("doc_id % 4 = 0 AND size(split(text, ' ')) >= 2").count()
+    assert(rows.length.toLong === evalDocs)
+  }
+
   test("train/test split partitions the corpus and both splits are populated") {
     val rows = q("k6_split_train_test").collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum

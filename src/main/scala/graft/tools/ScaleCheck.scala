@@ -472,6 +472,94 @@ object ScaleCheck {
         "into ~MB/4MiB line-aligned ranges; steady-state small batches " +
         "stay single-reader by the byte budget)")
     }
+
+    // perceptual-hash near-dup: docs at 1x and 10x. replicateDocs appends
+    // a distinct suffix per replica, which the striped grid localizes to
+    // a few cells — so every replica group is a PLANTED phash near-dup
+    // cluster: 10x input carries ~45x the true pairs (C(10,2) per doc)
+    // on top of the n²/2^16 random bucket term. Superlinear OUTPUT is the
+    // corpus's doing; the candidate path stays banded (never all-pairs).
+    {
+      import graft.operators.PerceptualHash
+      def phash(docs: DataFrame) = {
+        val images = docs
+          .withColumn("_g", PerceptualHash.surrogateGrid(col("text")))
+          .select(col("doc_id"),
+            PerceptualHash.dHashHalf(col("_g"), 32).as("h_hi"),
+            PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
+        PerceptualHash.nearDupPairs(images, "doc_id", maxHamming = 10)
+      }
+      time("phash warmup")(phash(docs1))
+      val ph1 = time("phash neardup 1x")(phash(docs1))
+      val ph10 = time("phash neardup 10x")(phash(docs10))
+      println(f"phash neardup ratio: ${ph10 / ph1}%.1f (linear = 10; " +
+        "replicas are planted near-dups, so 10x carries ~45x true pairs; " +
+        "at >=1e8 images widen the bands per LSH math)")
+    }
+
+    // JL random projection: pure per-row map over embeddings — must be
+    // ~linear with zero shuffle term.
+    {
+      def replicateEmb(df: DataFrame, times: Int): DataFrame =
+        (0 until times).map(i =>
+          df.withColumn("vec_id", col("vec_id") * times + i))
+          .reduce(_ unionAll _)
+      val emb1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+      val emb10 = replicateEmb(emb1, 10).localCheckpoint(true)
+      val signs = graft.operators.RandomProjection.rademacher(64, 16)
+      def proj(e: DataFrame) = e.select(col("vec_id"),
+        graft.operators.RandomProjection.project(
+          graft.functions.VectorFunctions.asDouble(col("embedding")), signs).as("y"))
+      println(s"embeddings 1x=${emb1.count()} 10x=${emb10.count()}")
+      time("projection warmup")(proj(emb1))
+      val rp1 = time("projection 1x")(proj(emb1))
+      val rp10 = time("projection 10x")(proj(emb10))
+      println(f"projection ratio: ${rp10 / rp1}%.1f (linear = 10; " +
+        "matrix is codegen literals, no join/state)")
+    }
+
+    // DSIR importance sampling + cross perplexity: vocab-bounded LM
+    // aggregates + token equi-join — replicas reuse the same vocabulary
+    // (plus one replica token each), so the LM side stays ~constant and
+    // the cost is the token-scan term. Linear = 10.
+    {
+      def imp(docs: DataFrame) =
+        graft.analytics.PipelineQueries.importanceSample(docs, "en")
+      time("importance warmup")(imp(docs1))
+      val i1 = time("importance 1x")(imp(docs1))
+      val i10 = time("importance 10x")(imp(docs10))
+      println(f"importance ratio: ${i10 / i1}%.1f (linear = 10; vocab " +
+        "grows only by replica markers)")
+
+      def ppl(docs: DataFrame) =
+        graft.analytics.PipelineQueries.crossPerplexity(
+          docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0))
+      time("perplexity warmup")(ppl(docs1))
+      val x1 = time("perplexity 1x")(ppl(docs1))
+      val x10 = time("perplexity 10x")(ppl(docs10))
+      println(f"perplexity ratio: ${x10 / x1}%.1f (linear = 10; three " +
+        "vocab-bounded LMs + eval-bigram equi-join)")
+    }
+
+    // stratified quota sampling: 5 strata, 10x rows per stratum — the
+    // per-stratum sort is the only superlinear term (n log n within a
+    // stratum); quota output is constant.
+    {
+      def strat(docs: DataFrame) = {
+        import org.apache.spark.sql.expressions.Window
+        docs.withColumn("_pick",
+            md5(concat(lit("strat:"), col("doc_id").cast("string"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("lang").orderBy("_pick")))
+          .where(col("rn") <= 40)
+          .select("lang", "doc_id")
+      }
+      time("stratified warmup")(strat(docs1))
+      val st1 = time("stratified 1x")(strat(docs1))
+      val st10 = time("stratified 10x")(strat(docs10))
+      println(f"stratified ratio: ${st10 / st1}%.1f (n log n within " +
+        "strata; for quota ∝ stratum use the pick-hash threshold select)")
+    }
     spark.stop()
   }
 }

@@ -157,6 +157,38 @@ object SimilarityQueries {
         carryCols = Seq("label"))
     }),
 
+    // K3 scale path #4: IVF-ADC — the COMPOSED construction (Jégou et al.
+    // §V / FAISS `IVFx,PQy`): coarse k-means cells bound the fraction of
+    // the corpus a query touches (nProbe/nLists of the data, partition
+    // pruning under the written layout), PQ codes bound the bytes per
+    // touched vector (m lookups, no vector arithmetic), and only the
+    // shortlist sees exact cosine — the two scale levers multiplied, the
+    // shape every billion-vector retrieval system deploys. Coarse
+    // centroids AND per-subspace codebooks are materialized via OracleAux;
+    // the oracle re-derives cell assignment + probe selection (the
+    // k3_ann_ivf rules), in-cell PQ encoding + ADC scoring (the k3_ann_pq
+    // rules), the shortlist cut, and the exact rerank.
+    "k3_ann_ivf_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = memoCentroids(s, d, "ivf")(
+        graft.operators.IvfAnn.trainCentroids(emb, "embedding",
+          "vec_id", dim = 64, nLists = 16, iters = 3, trainSampleMod = 4))
+      val cbs = pqCodebookMemo(s, d)(
+        graft.operators.PqAnn.trainCodebooks(emb, "embedding", "vec_id",
+          dim = 64, m = 8, k = 16, iters = 3, trainSampleMod = 4))
+      import s.implicits._
+      graft.tools.OracleAux.write(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid"), "k3_ivfpq_centroids", d)
+      graft.tools.OracleAux.write(
+        cbs.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+        }.toSeq.toDF("sub", "cell", "centroid"), "k3_ivfpq_codebooks", d)
+      graft.operators.PqAnn.ivfAdcTopK(emb, "vec_id", "embedding",
+        queryId = 0, k = 10, centroids = cents, codebooks = cbs,
+        nProbe = 4, shortlist = 50, carryCols = Seq("label"))
+    }),
+
     // K3 batch retrieval: many query vectors answered in ONE bucket
     // equi-join pass — the shape a 100 TB retrieval pipeline actually runs
     // (per-query broadcast scans do not batch). Bucket ids materialized
@@ -456,6 +488,69 @@ object SimilarityQueries {
         |    list_sum(list_transform(range(1, 9), i -> v[cb.sub * 8 + i] * centroid[i]))
         |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
         |  FROM e, cb),
+        |codes AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT vec_id, sub, cell,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY s DESC, cell DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |vals AS (
+        |  SELECT codes.vec_id, codes.sub,
+        |    list_sum(list_transform(range(1, 9), i -> q.qv[codes.sub * 8 + i] * cb.centroid[i])) AS t
+        |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.cell, q),
+        |adc AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN sub = 0 THEN t END) + MAX(CASE WHEN sub = 1 THEN t END)
+        |    + MAX(CASE WHEN sub = 2 THEN t END) + MAX(CASE WHEN sub = 3 THEN t END)
+        |    + MAX(CASE WHEN sub = 4 THEN t END) + MAX(CASE WHEN sub = 5 THEN t END)
+        |    + MAX(CASE WHEN sub = 6 THEN t END) + MAX(CASE WHEN sub = 7 THEN t END) AS score
+        |  FROM vals GROUP BY vec_id),
+        |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 50),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * q.qv[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+        |  FROM e JOIN short USING (vec_id), q)
+        |SELECT vec_id, label, sim FROM sims
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Downstream of BOTH written artifacts (coarse centroids + per-subspace
+    // codebooks): the oracle re-derives coarse assignment and probe
+    // selection exactly as k3_ann_ivf does, then runs the k3_ann_pq
+    // code-assignment / ADC / shortlist / rerank pipeline over ONLY the
+    // probed cells' vectors.
+    "k3_ann_ivf_pq" ->
+      """WITH cc AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivfpq_centroids.parquet/*.parquet')),
+        |cb AS (SELECT sub, cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivfpq_codebooks.parquet/*.parquet')),
+        |e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings WHERE len(embedding) = 64),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cscored AS (
+        |  SELECT e.vec_id, cc.cell,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM e, cc),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |    FROM cscored) WHERE rn = 1),
+        |probes AS (SELECT cell FROM (
+        |    SELECT cc.cell,
+        |      list_sum(list_transform(cc.centroid, x -> x * x)) / 2.0
+        |      - list_sum(list_transform(range(1, 65), i -> q.qv[i] * cc.centroid[i]))
+        |      AS cost
+        |    FROM cc, q)
+        |  ORDER BY cost ASC, cell ASC LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, e.label, e.v
+        |  FROM e JOIN asg USING (vec_id) JOIN probes USING (cell)),
+        |scored AS (
+        |  SELECT cand.vec_id, cb.sub, cb.cell,
+        |    list_sum(list_transform(range(1, 9), i -> v[cb.sub * 8 + i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM cand, cb),
         |codes AS (SELECT vec_id, sub, cell FROM (
         |    SELECT vec_id, sub, cell,
         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY s DESC, cell DESC) AS rn

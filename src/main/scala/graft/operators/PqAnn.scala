@@ -88,15 +88,27 @@ object PqAnn {
       k: Int, codebooks: Array[Array[Array[Double]]],
       shortlist: Int = 50, carryCols: Seq[String] = Nil): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val m = codebooks.length
-    val dsub = codebooks.head.head.length
     val coded = encode(emb, vecCol, codebooks)
     // one-row collect of the query vector — same bounded driver cost as
     // the IVF probe selection / broadcast-query patterns
     val q = coded.filter(col(idCol) === queryId)
       .select(col("_v")).head().getSeq[Double](0).toArray
-    // ADC tables: t_j[c] = <q_sub_j, codebook_j[c]> — sequential index
-    // order, the same IEEE summation the oracle's list_sum performs
+    val short = coded.withColumn("_adc", adcScore(q, codebooks))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(shortlist)
+    rerank(short, idCol, q, k, carryCols)
+  }
+
+  /** The ADC score column `Σ_j t_j[code_j]` for query `q` over `_c*` code
+    * columns: the driver precomputes the m×k lookup tables
+    * `t_j[c] = ⟨q_sub_j, codebook_j[c]⟩` (sequential index order — the same
+    * IEEE summation the oracle's list_sum performs) and ships them as
+    * literals, so the per-row cost is m `element_at`s and m−1 adds.
+    */
+  private def adcScore(q: Array[Double],
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
     val tables: Array[Seq[Double]] = codebooks.zipWithIndex.map { case (cb, j) =>
       cb.map { c =>
         var s = 0.0
@@ -105,13 +117,18 @@ object PqAnn {
         s
       }.toSeq
     }
-    val score = (0 until m)
+    (0 until m)
       .map(j => element_at(typedLit(tables(j)), col(s"_c$j") + 1))
       .reduce(_ + _)
-    val short = coded.withColumn("_adc", score)
-      .orderBy(col("_adc").desc, col(idCol))
-      .limit(shortlist)
-    val session = emb.sparkSession
+  }
+
+  /** Exact-cosine rerank of an ADC shortlist (broadcast one-row query —
+    * the [[IvfAnn.probeTopK]] pattern): full-precision final top-k while
+    * only `shortlist` vectors ever see real arithmetic.
+    */
+  private def rerank(short: DataFrame, idCol: String, q: Array[Double],
+      k: Int, carryCols: Seq[String]): DataFrame = {
+    val session = short.sparkSession
     import session.implicits._
     val qRow = broadcast(Seq(Tuple1(q.toSeq)).toDF("_q_vec"))
     short
@@ -120,5 +137,40 @@ object PqAnn {
         round(cosineFast(col("_v"), col("_q_vec")), 6).as("sim"): _*)
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** IVF-ADC — the composed construction Jégou et al. §V actually deploy
+    * (and FAISS ships as `IVFx,PQy` with `by_residual=false`): a coarse
+    * k-means quantizer partitions the corpus into cells, the query probes
+    * only the `nProbe` nearest cells, and WITHIN the probed cells the
+    * scoring is PQ/ADC over codes — so at 100 TB a query touches
+    * `nProbe/nLists` of the corpus AND reads only m bytes per touched
+    * vector (with the [[IvfAnn.writeIndex]] hive layout, the cell filter
+    * is partition pruning at the scan: directories never opened, codes
+    * never decoded). Exact cosine runs on the `shortlist` only.
+    *
+    * Cell assignment uses the raw-vector codebooks (not residuals): codes
+    * stay valid across cells, one codebook set serves the whole corpus,
+    * and the oracle can re-derive every step from the two written
+    * artifacts (coarse centroids + per-subspace codebooks).
+    */
+  def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, shortlist: Int = 50,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val coded = encode(emb, vecCol, codebooks)
+      .withColumn("_list",
+        graft.functions.VectorExpressions.nearestCentroid(col("_v"), centroids))
+    val q = coded.filter(col(idCol) === queryId)
+      .select(col("_v")).head().getSeq[Double](0).toArray
+    val probes = IvfAnn.nearestProbes(q, centroids, nProbe)
+    val short = coded
+      .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("_adc", adcScore(q, codebooks))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(shortlist)
+    rerank(short, idCol, q, k, carryCols)
   }
 }

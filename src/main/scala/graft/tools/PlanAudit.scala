@@ -23,6 +23,10 @@ object PlanAudit {
     "k3_cosine_topk", "k3_cosine_topk_fast", "k3_range_search",
     "k3_ann_lsh", "k3_ann_ivf",
     "k3_ann_pq", // broadcast ONE-ROW query vector for the shortlist rerank
+    "k3_ann_ivf_pq", // same one-row rerank broadcast as k3_ann_pq
+    "k3_random_projection", // broadcast ONE-ROW original query vector
+    "k4_cross_perplexity", // broadcast one-row LM total-mass aggregates
+    "k6_importance_sample", // broadcast one-row target/proposal totals
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")
 

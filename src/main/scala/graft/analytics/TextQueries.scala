@@ -312,6 +312,45 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // K4/I3: Count-Min sketch point-frequency estimates — the OTHER
+    // mergeable frequency sketch beside Misra–Gries (over-counting
+    // counters vs under-counting kept keys; see CountMinAggregator's
+    // scaladoc for the duality). Because CM merge is pointwise addition,
+    // the final sketch — and therefore every estimate — is IDENTICAL
+    // under any partitioning or merge order, so the declared output is
+    // the per-key guarantee verdict over the exact top-20 tokens:
+    // `est_ge_exact` (collisions only ever ADD — est ≥ f always) and
+    // `est_in_band` (est ≤ f + εN with ε = e/width, the CM accuracy
+    // bound; seeds fixed, so the realized error is a deterministic corpus
+    // property the hash gate can check). The sketch itself is a constant
+    // depth×width = 4×1024 longs per shuffle partial and on the driver —
+    // the 100 TB shape; only the 20 probe keys are ever read exactly.
+    "k4_countmin" -> ((s, d) => {
+      import s.implicits._
+      val depth = 4
+      val width = 1024
+      val toks = Tables.fanOut(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+      val agg = new graft.functions.CountMinAggregator(depth, width).toColumn
+      val sketch = toks.as[String].select(agg).head().toIndexedSeq
+      val n = toks.count()
+      val band = math.ceil(math.E / width * n).toLong
+      // top-20 exact probe keys: a bounded driver read at any corpus scale
+      val top = toks.groupBy(col("tok").as("word"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("word"))
+        .limit(20)
+        .collect()
+      top.toSeq.map { r =>
+        val w = r.getString(0)
+        val c = r.getLong(1)
+        val est = graft.functions.CountMinAggregator.estimate(
+          sketch, w, depth, width)
+        (w, c, est >= c, est <= c + band)
+      }.toDF("word", "exact_count", "est_ge_exact", "est_in_band")
+        .orderBy(col("exact_count").desc, col("word"))
+    }),
+
     // K4: per-language document-length percentiles (exact interpolated
     // percentile, matching DuckDB quantile_cont bit-for-bit on integers).
     // Flattened to one scalar column per quantile — array-typed output
@@ -848,6 +887,19 @@ object TextQueries {
         |SELECT word, exact_count, TRUE AS in_sketch, TRUE AS est_in_band
         |FROM counts, n WHERE exact_count * 256 > n.n
         |ORDER BY exact_count DESC, word""".stripMargin,
+
+    // Count-Min guarantee verdict: est ≥ f always (collisions only add)
+    // and est ≤ f + εN with fixed seeds — deterministic per corpus, so the
+    // oracle emits literal TRUEs over the exact top-20; any sketch
+    // under-count or out-of-band drift flips a verdict and fails the gate.
+    "k4_countmin" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (SELECT word, COUNT(*) AS exact_count FROM toks GROUP BY 1),
+        |top AS (SELECT word, exact_count FROM counts
+        |        ORDER BY exact_count DESC, word LIMIT 20)
+        |SELECT word, exact_count, TRUE AS est_ge_exact, TRUE AS est_in_band
+        |FROM top ORDER BY exact_count DESC, word""".stripMargin,
 
     // Exact-regime Misra–Gries: first-char cardinality < capacity, so the
     // sketch degenerates to an exact count and plain SQL reproduces it.

@@ -61,4 +61,49 @@ class HeavyHittersSpec extends SparkSpec {
     assert(rows.head.getString(0) == exactTop,
       s"top hitter=${rows.head.getString(0)} exact top=$exactTop")
   }
+
+  test("Count-Min: est >= f for EVERY key, band holds for hitters, merge-order invariant") {
+    import graft.functions.CountMinAggregator
+    val rnd = new Random(7L)
+    val depth = 4
+    val width = 256
+    val planted = (1 to 6).map(i => s"hot$i")
+    val stream = rnd.shuffle(
+      planted.flatMap(w => Seq.fill(700)(w)) ++
+        (1 to 4000).map(_ => s"cold${rnd.nextInt(1500)}"))
+    val n = stream.length.toLong
+    val exact: Map[String, Long] =
+      stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+
+    def sketchOf(parts: Int): IndexedSeq[Long] =
+      stream.toDS().repartition(parts)
+        .select(new CountMinAggregator(depth, width).toColumn)
+        .head().toIndexedSeq
+
+    val sk16 = sketchOf(16)
+    // pointwise-add merge ⇒ the sketch is IDENTICAL at any parallelism
+    assert(sk16 == sketchOf(3),
+      "CM sketch must be merge-order/partitioning invariant")
+    assert(sk16.sum == n * depth, "each row must hold total mass N")
+
+    exact.foreach { case (k, f) =>
+      val est = CountMinAggregator.estimate(sk16, k, depth, width)
+      assert(est >= f, s"$k undercounted: est=$est < f=$f — impossible for CM")
+    }
+    val band = math.ceil(math.E / width * n).toLong
+    planted.foreach { k =>
+      val est = CountMinAggregator.estimate(sk16, k, depth, width)
+      assert(est <= exact(k) + band,
+        s"$k drifted outside the εN band: est=$est f=${exact(k)} band=$band")
+    }
+  }
+
+  test("declared k4_countmin query: both verdict columns all-true on the corpus") {
+    val rows = SparkEntry.queries("k4_countmin")(spark, sfDir).collect()
+    assert(rows.length == 20, "top-20 probe keys expected")
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} under-counted")
+      assert(r.getBoolean(3), s"${r.getString(0)} outside the εN band")
+    }
+  }
 }

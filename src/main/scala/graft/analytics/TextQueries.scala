@@ -704,6 +704,34 @@ object TextQueries {
         .orderBy("id_a")
     }),
 
+    // K2: EXACT set-similarity join via prefix filtering (PPJoin family)
+    // — provably COMPLETE near-dup pairs at shingle-Jaccard ≥ 0.6, no
+    // banding luck involved (the complement of k2_minhash_lsh; see
+    // Dedup.prefixFilterJoin for the lemma and the no-global-row_number
+    // scale design). The similarity unit is 3-gram shingles (raw token
+    // SETS are non-discriminative on this small-vocabulary corpus — 56%
+    // of all doc pairs share 60% of their tokens; shingle sets leave only
+    // the true near-dups). Planted near-dups (each 50th doc truncated to
+    // its first 80% of tokens, negative id) guarantee qualifying pairs
+    // exist at every scale; the oracle is the BRUTE-FORCE all-pairs
+    // Jaccard over the same planted-union corpus — exactness means the
+    // lossless candidate generation must reproduce the quadratic
+    // reference identically, which is precisely what the hash gate proves.
+    "k2_prefix_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            ceil(lit(0.8) * size(split(col("text"), " "))).cast("int")),
+            " ").as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(planted)
+        .filter(size(split(col("text"), " ")) >= 3)
+      Dedup.prefixFilterJoinSets(corpus,
+          shingles(split(col("text"), " "), 3), "doc_id", threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // K2/K4: rolling-hash content-defined chunk candidates. ORACLED: with
     // B = 257 and mask = 0x3F, the Karp-Rabin boundary test (h & 0x3F) == 0
     // reduces to (sum of the last 32 bytes) % 64 == 0 — 257 ≡ 1 (mod 64),
@@ -1096,6 +1124,29 @@ object TextQueries {
         |        / len(list_distinct(a.s || b.s)), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin,
+
+    // BRUTE-FORCE all-pairs Jaccard over the planted-union corpus: the
+    // engine's prefix-filtered join is EXACT (lossless candidates), so it
+    // must reproduce the quadratic reference result row-for-row — that
+    // completeness claim is what this oracle checks. (The oracle may go
+    // quadratic at gate scale; the ENGINE never does.)
+    "k2_prefix_join" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (SELECT -(doc_id + 1) AS doc_id,
+        |         list_slice(w, 1, CAST(ceil(0.8 * len(w)) AS BIGINT)) AS w
+        |       FROM w0 WHERE doc_id % 50 = 0),
+        |u AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |      FROM (SELECT * FROM w0 UNION ALL SELECT * FROM pl) z
+        |      WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM u a JOIN u b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // Independent re-derivation of content-defined chunking: the boundary
     // test degenerates to a windowed byte-sum mod 64 (257 ≡ 1 mod 64), the

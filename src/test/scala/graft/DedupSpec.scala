@@ -47,6 +47,50 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("prefix-filter join equals brute-force all-pairs Jaccard — lossless candidates") {
+    // randomized corpus with planted near-dups: PPJoin's exactness claim
+    // is that it reproduces the quadratic reference EXACTLY
+    val rnd = new scala.util.Random(41L)
+    val vocab = (1 to 200).map(i => s"w$i")
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = base.filter(_._1 % 7 == 0).map { case (i, t) =>
+      val w = t.split(" ")
+      (1000L + i, w.take(math.ceil(w.length * 0.85).toInt).mkString(" "))
+    }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val t = 0.6
+
+    val got = Dedup.prefixFilterJoin(corpus, "text", "doc_id", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val sets = (base ++ planted).map { case (i, txt) =>
+      (i, txt.split(" ").toSet)
+    }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      ov = (sa & sb).size
+      if ov.toDouble / (sa.size + sb.size - ov) >= t
+    } yield (ia, ib)).toSet
+
+    assert(want.nonEmpty, "planted near-dups must qualify")
+    assert(got == want,
+      s"prefix join must equal brute force: missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("prefix-filter join: jaccard values are exact, identical pair scores 1.0") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d x"),
+      (4L, "p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.prefixFilterJoin(corpus, "text", "doc_id", 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(math.abs(out((1L, 3L)) - 4.0 / 6.0) < 1e-12)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash candidates: exact copies and reordered bags of words pair; unrelated do not") {
     // SimHash is order-invariant over the token bag, and the 4×16-bit band
     // scheme guarantees recall for fingerprints within hamming distance 3 —

@@ -22,7 +22,8 @@ object Explain {
       "a9_zorder_curve", "e4_anomaly_zscore", "k2_semantic_dedup",
       "k3_ann_ivf", "k6_chunk_overlap",
       "k3_ann_pq", "k5_phash_neardup", "k3_random_projection",
-      "k6_importance_sample", "k4_cross_perplexity", "k6_stratified_sample")
+      "k6_importance_sample", "k4_cross_perplexity", "k6_stratified_sample",
+      "k3_ann_ivf_pq", "k2_prefix_join", "k4_countmin")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -560,6 +560,46 @@ object ScaleCheck {
       println(f"stratified ratio: ${st10 / st1}%.1f (n log n within " +
         "strata; for quota ∝ stratum use the pick-hash threshold select)")
     }
+
+    // EXACT prefix-filtered set-similarity join: replicas append a
+    // distinct trailing token, so each replica group is a planted
+    // near-dup cluster at shingle-Jaccard ≈ 1 — output pairs grow ~C(k,2)
+    // per doc on top of natural pairs, while the CANDIDATE path stays
+    // prefix-bounded (rarest-first blocks + length + positional filters,
+    // never all-pairs). 4x input carrying ~6x true pairs near ratio 4-6
+    // is the healthy shape; quadratic (16) would mean the filters died.
+    {
+      def ppj(docs: DataFrame) =
+        Dedup.prefixFilterJoinSets(
+          docs.filter(size(split(col("text"), " ")) >= 3),
+          graft.functions.VectorFunctions.shingles(
+            split(col("text"), " "), 3), "doc_id", threshold = 0.6)
+      time("prefix join warmup")(ppj(docs1))
+      val p1 = time("prefix join 1x")(ppj(docs1))
+      val p4 = time("prefix join 4x")(ppj(docs4))
+      println(f"prefix join ratio: ${p4 / p1}%.1f (linear-in-work = 4-6; " +
+        "replicas are planted near-dup clusters)")
+    }
+
+    // Count-Min sketch: one pass, constant 4x1024-long state per partial —
+    // time must be ~linear in tokens with ZERO growth in shuffle bytes
+    // (the sketch is the same 32 KiB at any corpus size).
+    {
+      import spark.implicits._
+      def cm(docs: DataFrame): DataFrame = {
+        val toks = Tables.fanOut(docs)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val sk = toks.as[String]
+          .select(new graft.functions.CountMinAggregator(4, 1024).toColumn)
+          .head()
+        Seq(sk.sum).toDF("mass")
+      }
+      time("countmin warmup")(cm(docs1))
+      val c1x = time("countmin 1x")(cm(docs1))
+      val c10x = time("countmin 10x")(cm(docs10))
+      println(f"countmin ratio: ${c10x / c1x}%.1f (linear = 10; sketch " +
+        "state constant at 32 KiB per partial regardless of scale)")
+    }
     spark.stop()
   }
 }

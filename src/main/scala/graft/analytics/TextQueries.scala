@@ -732,6 +732,30 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K2 (EXT): the INCREMENTAL form of the exact prefix-filtered join —
+    // an incoming batch (each 50th doc truncated to 80% of its tokens,
+    // negative id) deduped against the full corpus, completing the
+    // batch-vs-corpus family (minhash-against, bloom-against) with a
+    // provably-complete member. The rarest-first order is computed over
+    // the UNION of both sides (one total order or the lemma breaks);
+    // oracle = brute-force batch × corpus Jaccard.
+    "k2_prefix_join_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 50 === 0)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            ceil(lit(0.8) * size(split(col("text"), " "))).cast("int")),
+            " ").as("text"))
+        .filter(size(split(col("text"), " ")) >= 3)
+      val corpus = docs.select("doc_id", "text")
+        .filter(size(split(col("text"), " ")) >= 3)
+      def sh = shingles(split(col("text"), " "), 3)
+      Dedup.prefixFilterJoinSetsAgainst(batch, sh, corpus, sh,
+          "doc_id", threshold = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_l", "id_r")
+    }),
+
     // K2/K4: rolling-hash content-defined chunk candidates. ORACLED: with
     // B = 257 and mask = 0x3F, the Karp-Rabin boundary test (h & 0x3F) == 0
     // reduces to (sum of the last 32 bytes) % 64 == 0 — 257 ≡ 1 (mod 64),
@@ -1147,6 +1171,29 @@ object TextQueries {
         |  FROM u a JOIN u b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
         |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force batch × corpus Jaccard — the cross-corpus exactness
+    // reference for the incremental prefix-filtered join.
+    "k2_prefix_join_against" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT -(doc_id + 1) AS doc_id,
+        |        list_slice(w, 1, CAST(ceil(0.8 * len(w)) AS BIGINT)) AS w
+        |      FROM w0 WHERE doc_id % 50 = 0),
+        |sb AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM b WHERE len(w) >= 3),
+        |sc AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM w0 WHERE len(w) >= 3),
+        |pairs AS (
+        |  SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+        |    CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+        |      / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))) AS j
+        |  FROM sb l, sc r)
+        |SELECT id_l, id_r, ROUND(j, 6) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY id_l, id_r""".stripMargin,
 
     // Independent re-derivation of content-defined chunking: the boundary
     // test degenerates to a windowed byte-sum mod 64 (257 ≡ 1 mod 64), the

@@ -223,43 +223,9 @@ object Dedup {
   def prefixFilterJoinSets(docs: DataFrame, setCol: Column, idCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    // elements are FINGERPRINTED to 64-bit hashes up front: every join key,
-    // sort key, and intersect below runs on longs instead of strings —
-    // measured ~2.5× on the verification stage, identical results absent
-    // 64-bit collisions (the k2_rolling_chunks equivalence); a collision
-    // at 1e9 distinct elements has probability ~3e-2 per CORPUS (birthday
-    // bound), and the df-ordering correctness needs only SOME total order.
-    // materialized ONCE (localCheckpoint, not CacheManager-registered):
-    // the hashed-set relation feeds four plan branches (df aggregate,
-    // ordering, both verification sides) — without the cut each branch
-    // re-runs scan + set-build + hashing, ~40% of query time at sf0.1.
-    val toks = graft.Tables.fanOut(docs)
-      .select(col(idCol).as("_id"),
-        array_distinct(transform(setCol, x => xxhash64(x))).as("_toks"))
-      .filter(size(col("_toks")) >= 1)
-      .localCheckpoint(true)
-
-    val df = toks.select(explode(col("_toks")).as("_tok"))
-      .groupBy("_tok").agg(count(lit(1)).as("_df"))
-
-    // per-doc tokens sorted rarest-first: join df, sort (df, tok) structs
-    val ordered = toks
-      .select(col("_id"), size(col("_toks")).as("_n"),
-        explode(col("_toks")).as("_tok"))
-      .join(df, "_tok")
-      .groupBy("_id", "_n")
-      .agg(sort_array(collect_list(struct(col("_df"), col("_tok"))))
-        .as("_sorted"))
-
-    // prefix length p = n − ⌈t·n⌉ + 1; emit (prefix token, id, n, 1-based
-    // position) — the position feeds the PPJoin positional filter below
-    val prefixes = ordered
-      .withColumn("_p",
-        (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int"))
-      .select(col("_id"), col("_n"),
-        posexplode(slice(col("_sorted"), lit(1), col("_p"))))
-      .select(col("_id"), col("_n"), (col("pos") + 1).as("_rn"),
-        col("col._tok").as("_tok"))
+    val toks = hashedSets(docs, setCol, idCol)
+    val df = elementDf(toks)
+    val prefixes = prefixRelation(toks, df, threshold)
 
     // lossless candidates: shared prefix token + length filter + the
     // POSITIONAL filter (PPJoin proper, Xiao et al. WWW'08 §3): a match
@@ -267,27 +233,119 @@ object Dedup {
     // 1 + min(|a|−i, |b|−j), which must reach the minimum overlap
     // α = ⌈t/(1+t)·(|a|+|b|)⌉ required for J ≥ t — measured 2.8× fewer
     // pairs reaching verification, zero false negatives by construction.
-    val minOv = ceil(lit(threshold / (1 + threshold)) *
-      (col("_na") + col("_nb")))
     val candidates = prefixes.select(col("_tok"),
         col("_id").as("id_a"), col("_n").as("_na"), col("_rn").as("_ra"))
       .join(prefixes.select(col("_tok"), col("_id").as("id_b"),
         col("_n").as("_nb"), col("_rn").as("_rb")), Seq("_tok"))
-      .filter(col("id_a") < col("id_b") &&
-        lit(threshold) * col("_na") <= col("_nb") &&
-        lit(threshold) * col("_nb") <= col("_na") &&
-        least(col("_na") - col("_ra"), col("_nb") - col("_rb")) + 1 >= minOv)
+      .filter(col("id_a") < col("id_b") && candidateFilter(threshold))
       .select("id_a", "id_b").distinct()
 
+    verifyJaccard(candidates, toks, toks, "id_a", "id_b", threshold)
+  }
+
+  /** Cross-corpus [[prefixFilterJoinSets]] — the INCREMENTAL form every
+    * other dedup family also ships ([[minHashLshAgainst]],
+    * [[bloomDedupAgainst]]): all (left, right) pairs across two corpora
+    * with Jaccard ≥ `threshold`, provably complete. The global
+    * rarest-first order is computed over the UNION of both sides' elements
+    * — both prefix relations must be cut under ONE total order or the
+    * lemma does not hold across corpora.
+    *
+    * @return (id_l, id_r, jaccard), one row per qualifying cross pair
+    */
+  def prefixFilterJoinSetsAgainst(left: DataFrame, leftSet: Column,
+      right: DataFrame, rightSet: Column, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val lt = hashedSets(left, leftSet, idCol)
+    val rt = hashedSets(right, rightSet, idCol)
+    val df = elementDf(lt.unionAll(rt))
+    val lp = prefixRelation(lt, df, threshold)
+    val rp = prefixRelation(rt, df, threshold)
+
+    val candidates = lp.select(col("_tok"),
+        col("_id").as("id_l"), col("_n").as("_na"), col("_rn").as("_ra"))
+      .join(rp.select(col("_tok"), col("_id").as("id_r"),
+        col("_n").as("_nb"), col("_rn").as("_rb")), Seq("_tok"))
+      .filter(candidateFilter(threshold))
+      .select("id_l", "id_r").distinct()
+
+    verifyJaccard(candidates, lt, rt, "id_l", "id_r", threshold)
+  }
+
+  /** Per-doc element sets FINGERPRINTED to 64-bit hashes up front: every
+    * join key, sort key, and intersect downstream runs on longs instead of
+    * strings — measured ~2.5× on the verification stage, identical results
+    * absent 64-bit collisions (the k2_rolling_chunks equivalence); a
+    * collision at 1e9 distinct elements has probability ~3e-2 per CORPUS
+    * (birthday bound), and the ordering correctness needs only SOME total
+    * order. Materialized ONCE (localCheckpoint, not CacheManager-
+    * registered): the relation feeds several plan branches (df aggregate,
+    * ordering, verification sides) — without the cut each branch re-runs
+    * scan + set-build + hashing, ~40% of query time at sf0.1.
+    */
+  private def hashedSets(docs: DataFrame, setCol: Column,
+      idCol: String): DataFrame =
+    graft.Tables.fanOut(docs)
+      .select(col(idCol).as("_id"),
+        array_distinct(transform(setCol, x => xxhash64(x))).as("_toks"))
+      .filter(size(col("_toks")) >= 1)
+      .localCheckpoint(true)
+
+  /** Document frequency per element hash — the vocab-sized aggregate that
+    * defines the rarest-first global order.
+    */
+  private def elementDf(toks: DataFrame): DataFrame =
+    toks.select(explode(col("_toks")).as("_tok"))
+      .groupBy("_tok").agg(count(lit(1)).as("_df"))
+
+  /** (_id, _n, _rn, _tok): each doc's prefix elements with their 1-based
+    * position under the (df, element) order — p = n − ⌈t·n⌉ + 1 elements
+    * per doc. The order lives as a SORT KEY on structs, never a global
+    * row_number (a single-partition window would serialize the vocabulary
+    * at corpus scale).
+    */
+  private def prefixRelation(toks: DataFrame, df: DataFrame,
+      threshold: Double): DataFrame =
+    toks
+      .select(col("_id"), size(col("_toks")).as("_n"),
+        explode(col("_toks")).as("_tok"))
+      .join(df, "_tok")
+      .groupBy("_id", "_n")
+      .agg(sort_array(collect_list(struct(col("_df"), col("_tok"))))
+        .as("_sorted"))
+      .withColumn("_p",
+        (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int"))
+      .select(col("_id"), col("_n"),
+        posexplode(slice(col("_sorted"), lit(1), col("_p"))))
+      .select(col("_id"), col("_n"), (col("pos") + 1).as("_rn"),
+        col("col._tok").as("_tok"))
+
+  /** Length filter (t·|a| ≤ |b| ∧ t·|b| ≤ |a|) + positional overlap upper
+    * bound ≥ α — over the candidate join's (_na, _ra, _nb, _rb) columns.
+    */
+  private def candidateFilter(threshold: Double): Column = {
+    val minOv = ceil(lit(threshold / (1 + threshold)) *
+      (col("_na") + col("_nb")))
+    lit(threshold) * col("_na") <= col("_nb") &&
+      lit(threshold) * col("_nb") <= col("_na") &&
+      least(col("_na") - col("_ra"), col("_nb") - col("_rb")) + 1 >= minOv
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: join the hashed sets
+    * back by id (arrays only ever shuffle here), keep pairs ≥ threshold.
+    */
+  private def verifyJaccard(candidates: DataFrame, aToks: DataFrame,
+      bToks: DataFrame, aId: String, bId: String,
+      threshold: Double): DataFrame =
     candidates
-      .join(toks.select(col("_id").as("id_a"), col("_toks").as("_ta")), Seq("id_a"))
-      .join(toks.select(col("_id").as("id_b"), col("_toks").as("_tb")), Seq("id_b"))
+      .join(aToks.select(col("_id").as(aId), col("_toks").as("_ta")), Seq(aId))
+      .join(bToks.select(col("_id").as(bId), col("_toks").as("_tb")), Seq(bId))
       .withColumn("_ov", size(array_intersect(col("_ta"), col("_tb"))))
       .withColumn("jaccard", col("_ov").cast("double") /
         (size(col("_ta")) + size(col("_tb")) - col("_ov")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      .select(col(aId), col(bId), col("jaccard"))
 
   /** Capped CROSS-CORPUS blocking pairs: for each block key, every
     * (left id, right id) combination — left and right being different

@@ -91,6 +91,36 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("cross-corpus prefix-filter join equals brute-force batch x corpus Jaccard") {
+    val rnd = new scala.util.Random(43L)
+    val vocab = (1 to 150).map(i => s"v$i")
+    val corpus = (0L until 50L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // batch: truncated copies of some corpus docs + one novel doc
+    val batch = corpus.filter(_._1 % 6 == 0).map { case (i, t) =>
+      val w = t.split(" ")
+      (500L + i, w.take(math.ceil(w.length * 0.85).toInt).mkString(" "))
+    } :+ (999L, "zz yy xx ww vv uu tt ss")
+    val t = 0.6
+    import org.apache.spark.sql.functions.{array_distinct, split, col}
+    val got = Dedup.prefixFilterJoinSetsAgainst(
+        batch.toDF("doc_id", "text"), array_distinct(split(col("text"), " ")),
+        corpus.toDF("doc_id", "text"), array_distinct(split(col("text"), " ")),
+        "doc_id", t)
+      .select("id_l", "id_r").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (il, tl) <- batch; (ir, tr) <- corpus
+      sl = tl.split(" ").toSet; sr = tr.split(" ").toSet
+      ov = (sl & sr).size
+      if ov.toDouble / (sl.size + sr.size - ov) >= t
+    } yield (il, ir)).toSet
+    assert(want.nonEmpty, "planted truncations must qualify")
+    assert(got == want,
+      s"cross prefix join must equal brute force: missing=${want -- got} extra=${got -- want}")
+    assert(!got.exists(_._1 == 999L), "the novel doc must not pair")
+  }
+
   test("simhash candidates: exact copies and reordered bags of words pair; unrelated do not") {
     // SimHash is order-invariant over the token bag, and the 4×16-bit band
     // scheme guarantees recall for fingerprints within hamming distance 3 —

@@ -165,6 +165,19 @@ object PqAnn {
         graft.functions.VectorExpressions.nearestCentroid(col("_v"), centroids))
     val q = coded.filter(col(idCol) === queryId)
       .select(col("_v")).head().getSeq[Double](0).toArray
+    adcProbeTopK(coded, idCol, q, centroids, codebooks, k, nProbe,
+      shortlist, carryCols)
+  }
+
+  /** ADC shortlist + exact rerank over an ALREADY cell-tagged + encoded
+    * corpus (`_v`, `_c*`, `_list` columns — in memory or read back from a
+    * [[writeIvfAdcIndex]] layout, where the probe filter becomes partition
+    * pruning at the scan).
+    */
+  def adcProbeTopK(coded: DataFrame, idCol: String, q: Array[Double],
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      shortlist: Int = 50, carryCols: Seq[String] = Nil): DataFrame = {
     val probes = IvfAnn.nearestProbes(q, centroids, nProbe)
     val short = coded
       .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
@@ -173,4 +186,24 @@ object PqAnn {
       .limit(shortlist)
     rerank(short, idCol, q, k, carryCols)
   }
+
+  /** The DEPLOYMENT layout of IVF-ADC: hive-partitioned by coarse cell
+    * (the [[IvfAnn.writeIndex]] pattern) with the PQ CODES stored as
+    * columns next to the full vector. A probe reads `nProbe` directories;
+    * within them the ADC scan touches only the m code columns + the id
+    * (columnar projection — the vector column `_v` is read ONLY for the
+    * shortlist rerank rows), which is the two-lever construction at rest:
+    * directories bound rows touched, code columns bound bytes per row.
+    * The float source column is dropped (`_v` carries the values; storing
+    * both would triple the layout's vector bytes).
+    */
+  def writeIvfAdcIndex(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    encode(emb, vecCol, codebooks)
+      .withColumn("_list",
+        graft.functions.VectorExpressions.nearestCentroid(col("_v"), centroids))
+      .drop(vecCol)
+      .repartition(col("_list"))
+      .write.partitionBy("_list").mode("overwrite").parquet(path)
 }

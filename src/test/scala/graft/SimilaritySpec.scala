@@ -120,6 +120,31 @@ class SimilaritySpec extends SparkSpec {
       s"IVF-ADC dropped the planted cluster: got $got, recall $recall")
   }
 
+  test("IVF-ADC written partitioned layout returns identical results to the in-memory path") {
+    import graft.operators.{IvfAnn, PqAnn}
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = 64
+    val cents = IvfAnn.trainCentroids(emb, "embedding", "vec_id", dim, nLists = 8)
+    val cbs = PqAnn.trainCodebooks(emb, "embedding", "vec_id", dim, m = 8, k = 16)
+    val coded = PqAnn.encode(emb, "embedding", cbs)
+      .withColumn("_list",
+        graft.functions.VectorExpressions.nearestCentroid($"_v", cents))
+    val q = coded.filter($"vec_id" === 0L)
+      .select("_v").head().getSeq[Double](0).toArray
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString + "/idx"
+    PqAnn.writeIvfAdcIndex(emb, "embedding", cents, cbs, dir)
+    val fromDisk = spark.read.parquet(dir)
+
+    val mem = PqAnn.adcProbeTopK(coded, "vec_id", q, cents, cbs,
+        k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val disk = PqAnn.adcProbeTopK(fromDisk, "vec_id", q, cents, cbs,
+        k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(disk == mem, s"partitioned ADC layout diverged:\nmem  $mem\ndisk $disk")
+  }
+
   test("IVF-ADC restricts scoring to the probed cells (subset of IVF candidates)") {
     val got = topIds("k3_ann_ivf_pq")
     assert(got.contains(0L), "the query vector must retrieve itself")

@@ -351,6 +351,56 @@ object TextQueries {
         .orderBy(col("exact_count").desc, col("word"))
     }),
 
+    // K4/I3 (EXT): the INCREMENTALLY MAINTAINED Count-Min sketch — the
+    // corpus arrives as three batches folded into a versioned on-disk
+    // state (plus one deliberate REPLAY of batch 1, which the batch-id
+    // guard must no-op), and history is never re-scanned. Because CM
+    // merge is pointwise addition, the folded sketch must equal the
+    // one-shot sketch of the whole corpus EXACTLY — `fold_exact` asserts
+    // that equality per row, and the estimate verdicts are computed FROM
+    // the folded sketch, so any double-count (replay bug) or drift flips
+    // a boolean under the hash gate.
+    "k4_countmin_incremental" -> ((s, d) => {
+      import s.implicits._
+      val depth = 4
+      val width = 1024
+      val docs = Tables.documents(s, d)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_cm_state").toString
+      def batchToks(b: Int) =
+        Tables.fanOut(docs.filter(pmod(col("doc_id"), lit(3)) === b))
+          .select(explode(tokens(col("text"))).as("tok"))
+      (0 until 3).foreach { b =>
+        graft.operators.SketchMaintenance.update(s, statePath,
+          batchToks(b), col("tok"), depth, width, batchId = Some(b.toLong))
+      }
+      // replay batch 2 (same batchId): must be a committed-state no-op
+      val folded = graft.operators.SketchMaintenance.update(s, statePath,
+        batchToks(2), col("tok"), depth, width, batchId = Some(2L))
+      val toks = Tables.fanOut(docs)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val oneShot = toks.as[String]
+        .select(new graft.functions.CountMinAggregator(depth, width).toColumn)
+        .head().toArray
+      val n = toks.count()
+      val band = math.ceil(math.E / width * n).toLong
+      val top = toks.groupBy(col("tok").as("word"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("word"))
+        .limit(20)
+        .collect()
+      val foldExact = java.util.Arrays.equals(folded, oneShot)
+      top.toSeq.map { r =>
+        val w = r.getString(0)
+        val c = r.getLong(1)
+        val est = graft.functions.CountMinAggregator.estimate(
+          folded.toIndexedSeq, w, depth, width)
+        (w, c, est >= c, est <= c + band, foldExact)
+      }.toDF("word", "exact_count", "est_ge_exact", "est_in_band",
+          "fold_exact")
+        .orderBy(col("exact_count").desc, col("word"))
+    }),
+
     // K4: per-language document-length percentiles (exact interpolated
     // percentile, matching DuckDB quantile_cont bit-for-bit on integers).
     // Flattened to one scalar column per quantile — array-typed output
@@ -951,6 +1001,20 @@ object TextQueries {
         |top AS (SELECT word, exact_count FROM counts
         |        ORDER BY exact_count DESC, word LIMIT 20)
         |SELECT word, exact_count, TRUE AS est_ge_exact, TRUE AS est_in_band
+        |FROM top ORDER BY exact_count DESC, word""".stripMargin,
+
+    // Incrementally-maintained CM: same guarantee verdict as k4_countmin
+    // plus fold_exact (folded state must equal the one-shot sketch
+    // bit-for-bit — CM merge is pointwise addition) — all literal TRUEs;
+    // a replay double-count or any drift flips a row.
+    "k4_countmin_incremental" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |counts AS (SELECT word, COUNT(*) AS exact_count FROM toks GROUP BY 1),
+        |top AS (SELECT word, exact_count FROM counts
+        |        ORDER BY exact_count DESC, word LIMIT 20)
+        |SELECT word, exact_count, TRUE AS est_ge_exact, TRUE AS est_in_band,
+        |  TRUE AS fold_exact
         |FROM top ORDER BY exact_count DESC, word""".stripMargin,
 
     // Exact-regime Misra–Gries: first-char cardinality < capacity, so the

@@ -344,6 +344,39 @@ object EventQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // E6 (EXT): sequential PATTERN detection inside a scoped window —
+    // MATCH_RECOGNIZE-lite: count completed view → click → purchase
+    // conversions per (user, day), via an explicit 3-state automaton
+    // folded over the day's time-ordered event types (state int =
+    // conversions·10 + phase; greedy restart on completion). Day scoping
+    // rather than the 30-min e5 gap because this corpus's inactivity
+    // sessions are 1-4 events — too short to ever complete a 3-step
+    // pattern; the automaton is the point and is scope-agnostic. The fold
+    // is a codegen'd `aggregate` higher-order function over an array
+    // built by one keyed aggregate — no per-event regex, no self-join;
+    // the oracle runs the IDENTICAL integer automaton through DuckDB's
+    // list_reduce, so both engines execute the same machine.
+    "e6_session_pattern" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            col("event_type").as("y")))).as("_evs"))
+        .withColumn("_st", aggregate(
+          transform(col("_evs"), x => x.getField("y")), lit(0),
+          (st, c) =>
+            when(c === "view" && st % 10 === 0, st + 1)
+              .when(c === "click" && st % 10 === 1, st + 1)
+              .when(c === "purchase" && st % 10 === 2, st + 8)
+              .otherwise(st)))
+        .withColumn("n_conversions", (col("_st") / 10).cast("long"))
+        .filter(col("n_conversions") >= 1)
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("n_conversions"))
+        .orderBy("user_id", "day")
+    }),
+
     "e4_anomaly_zscore" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = Tables.events(s, d)
@@ -596,6 +629,31 @@ object EventQueries {
         |    AS duration_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // The IDENTICAL integer automaton via list_reduce (first list element
+    // is the accumulator seed, hence the prepended 0 over the int-mapped
+    // event codes): v→1, c→2, p→3; transitions as in the engine lambda.
+    "e6_session_pattern" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |           WHEN 'purchase' THEN 3 ELSE 0 END
+        |         ORDER BY ts, event_id) AS codes
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT user_id, day, n_events,
+        |    list_reduce(list_prepend(0, codes), (st, c) ->
+        |      CASE WHEN c = 1 AND st % 10 = 0 THEN st + 1
+        |           WHEN c = 2 AND st % 10 = 1 THEN st + 1
+        |           WHEN c = 3 AND st % 10 = 2 THEN st + 8
+        |           ELSE st END) AS st
+        |  FROM seqs)
+        |SELECT user_id, day, n_events,
+        |  CAST(st // 10 AS BIGINT) AS n_conversions
+        |FROM f WHERE st // 10 >= 1
+        |ORDER BY user_id, day""".stripMargin,
 
     "e4_anomaly_zscore" ->
       """WITH h AS (

@@ -58,6 +58,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == want, "sessionize must equal the driver-side gap fold")
   }
 
+  test("e6_session_pattern matches a driver-side automaton over per-(user, day) streams") {
+    val got = EventQueries.queries("e6_session_pattern")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("day").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_conversions")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.nonEmpty, "corpus must contain v->c->p conversions")
+
+    // independent reference: group by (user, utc day), time-order, then
+    // the 3-state machine over each day's type sequence
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(e => (e._1, math.floorDiv(e._3, 86400L * 1000000L)))
+    val want = rows.toSeq.flatMap { case ((u, day), evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._2))
+      var phase = 0; var conv = 0
+      sorted.map(_._4).foreach {
+        case "view" if phase == 0 => phase = 1
+        case "click" if phase == 1 => phase = 2
+        case "purchase" if phase == 2 => conv += 1; phase = 0
+        case _ =>
+      }
+      if (conv >= 1)
+        Some((u, day * 86400L * 1000L, sorted.length.toLong, conv.toLong))
+      else None
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, "pattern counts must equal the driver-side automaton")
+  }
+
   test("e4_anomaly_zscore matches a driver-side trailing-window recount") {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))

@@ -377,6 +377,37 @@ object EventQueries {
         .orderBy("user_id", "day")
     }),
 
+    // D9 (EXT): incrementally maintained DISTINCT-COUNT — the cardinality
+    // sibling of k4_countmin_incremental: events arrive as three batches
+    // whose HLL sketches (Spark's DataSketches surface, lgK=12) union into
+    // versioned on-disk state, plus one deliberate REPLAY the batch-id
+    // guard must no-op; history is never re-scanned. Verdicts under the
+    // hash gate: `within_rse` (|est − exact| ≤ 5% ≈ 3·rse at lgK=12 —
+    // deterministic for a fixed corpus/sketch config) and `replay_stable`
+    // (the replayed refresh returned the committed bytes unchanged).
+    "d9_hll_incremental" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_hll_state").toString
+      val lgK = 12
+      var merged: Array[Byte] = null
+      (0 until 3).foreach { b =>
+        merged = graft.operators.HllMaintenance.update(s, statePath,
+          ev.filter(pmod(col("event_id"), lit(3)) === b), col("user_id"),
+          lgK, batchId = Some(b.toLong))
+      }
+      val replay = graft.operators.HllMaintenance.update(s, statePath,
+        ev.filter(pmod(col("event_id"), lit(3)) === 2), col("user_id"),
+        lgK, batchId = Some(2L))
+      val est = graft.operators.HllMaintenance.estimate(s, replay)
+      val exact = ev.select(countDistinct(col("user_id"))).head().getLong(0)
+      Seq((exact,
+          math.abs(est - exact) <= math.ceil(exact * 0.05).toLong,
+          java.util.Arrays.equals(merged, replay)))
+        .toDF("exact_users", "within_rse", "replay_stable")
+    }),
+
     "e4_anomaly_zscore" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = Tables.events(s, d)
@@ -629,6 +660,14 @@ object EventQueries {
         |    AS duration_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // HLL maintenance guarantee verdict: exact distinct from SQL, the
+    // band and replay-stability as literal TRUEs — an estimate outside
+    // 3·rse or a double-merged replay flips a boolean under the gate.
+    "d9_hll_incremental" ->
+      """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_rse, TRUE AS replay_stable
+        |FROM events""".stripMargin,
 
     // The IDENTICAL integer automaton via list_reduce (first list element
     // is the accumulator seed, hence the prepended 0 over the int-mapped

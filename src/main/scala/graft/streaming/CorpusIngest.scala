@@ -64,6 +64,29 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming corpus-statistics sink: maintain a Count-Min frequency
+    * sketch of `keyCol` across micro-batches through
+    * [[graft.operators.SketchMaintenance]]. The maintenance layer's
+    * batch-id replay guard is EXACTLY Structured Streaming's foreachBatch
+    * contract (at-least-once delivery with a stable batch id), so a
+    * replayed micro-batch — restart, retry, checkpoint recovery — cannot
+    * double-count; and because CM merge is pointwise addition, the
+    * maintained sketch equals the one-shot sketch of everything ingested
+    * BIT-FOR-BIT at every commit point (StreamingSpec proves both).
+    * State is a constant 32 KiB regardless of stream lifetime.
+    */
+  def sketchSink(keys: DataFrame, statePath: String, checkpoint: String,
+      keyCol: String, depth: Int = 4, width: Int = 1024): StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.SketchMaintenance.update(batch.sparkSession,
+          statePath, batch, col(keyCol), depth, width,
+          batchId = Some(id)): Unit
+      }
+      .start()
+
   /** One micro-batch of the ingest — also the BATCH entry point (backfill
     * jobs call this directly with the same semantics the stream gets).
     * Returns the number of documents accepted.

@@ -553,4 +553,35 @@ class StreamingSpec extends SparkSpec {
         "epoch-micros ts must normalize to the file replay's TimestampType")
     } finally { q.stop(); server.close() }
   }
+
+  test("streaming CM sketch: maintained across micro-batches equals one-shot; restart replay cannot double-count") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.{SketchMaintenance => SM}
+    val depth = 4
+    val width = 128
+    val statePath = Files.createTempDirectory("cm_stream_state").toString
+    val ckpt = Files.createTempDirectory("cm_stream_ckpt").toString
+    val in = MemoryStream[String]
+    val q = graft.streaming.CorpusIngest.sketchSink(
+      in.toDF().toDF("k"), statePath, ckpt, "k", depth, width)
+    try {
+      in.addData("a", "b", "a")
+      q.processAllAvailable()
+      in.addData("b", "c")
+      q.processAllAvailable()
+      val (_, _, counters) = SM.read(spark, statePath).get
+      val oneShot = SM.batchPartial(
+        Seq("a", "b", "a", "b", "c").toDF("k"), col("k"), depth, width)
+      assert(counters.toSeq == oneShot.toSeq,
+        "streamed sketch must equal the one-shot sketch bit-for-bit")
+      // a replay of the LAST micro-batch (what checkpoint recovery does)
+      // must be a no-op — this is the batch-id guard under the streaming
+      // contract
+      val replay = SM.update(spark, statePath, Seq("b", "c").toDF("k"),
+        col("k"), depth, width, batchId = Some(1L))
+      assert(replay.toSeq == oneShot.toSeq, "replayed batch must not double-count")
+      assert(graft.functions.CountMinAggregator
+        .estimate(replay.toIndexedSeq, "a", depth, width) == 2L)
+    } finally q.stop()
+  }
 }

@@ -32,7 +32,13 @@ object StressSweep {
     "j2_exactly_once_replay", "j3_late_drop_replay", "j5_running_position_replay",
     "g4_pagerank", "g4_pagerank_bucketed", "g4_pagerank_durable", "g4_triangles",
     "k2_semantic_dedup", "k2_dedup_cascade", "k2_cluster_transitive",
-    "k3_ann_ivf", "k6_decontaminate", "c5_ledger_fiat_enrich")
+    "k3_ann_ivf", "k6_decontaminate", "c5_ledger_fiat_enrich",
+    // round-10 session-2 heavies: the exact PPJoin pair (output grows with
+    // planted replica clusters, candidates must stay prefix-bounded) and
+    // the two incremental-maintenance queries (constant sketch state —
+    // cost must be the delta scans alone)
+    "k2_prefix_join", "k2_prefix_join_against",
+    "k4_countmin_incremental", "d9_hll_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -394,4 +394,40 @@ class OperatorPropertySpec extends SparkSpec {
     assert(back == model, s"table diverged from first-writer-wins model")
     assert(back.size.toLong == inserted)
   }
+
+  test("prefix-filter join equals brute force on random corpora across thresholds") {
+    val rnd = new Random(77L)
+    (1 to 6).foreach { round =>
+      // varied vocab size controls how similar random docs get; small
+      // vocabs make natural near-dups, big ones leave only planted pairs
+      val vocabN = 30 + rnd.nextInt(170)
+      val vocab = (1 to vocabN).map(i => s"w$i")
+      val base = (0L until (20L + rnd.nextInt(40))).map { i =>
+        (i, Seq.fill(4 + rnd.nextInt(16))(vocab(rnd.nextInt(vocabN))).mkString(" "))
+      }
+      val planted = base.filter(_._1 % 5 == 0).map { case (i, t) =>
+        val w = t.split(" ")
+        (1000L + i, w.take(math.max(1, math.ceil(w.length * 0.8).toInt)).mkString(" "))
+      }
+      val all = base ++ planted
+      val t = Seq(0.4, 0.5, 0.6, 0.75, 0.9)(rnd.nextInt(5))
+
+      val got = Dedup.prefixFilterJoinSets(
+          all.toDF("doc_id", "text"),
+          org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.split(col("text"), " ")),
+          "doc_id", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      val sets = all.map { case (i, txt) => (i, txt.split(" ").toSet) }
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        ov = (sa & sb).size
+        if ov.toDouble / (sa.size + sb.size - ov) >= t
+      } yield (ia, ib)).toSet
+
+      assert(got == want,
+        s"round $round t=$t vocab=$vocabN: missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }

@@ -669,11 +669,16 @@ object EventQueries {
         |  TRUE AS within_rse, TRUE AS replay_stable
         |FROM events""".stripMargin,
 
-    // The IDENTICAL integer automaton via list_reduce (first list element
-    // is the accumulator seed, hence the prepended 0 over the int-mapped
-    // event codes): v→1, c→2, p→3; transitions as in the engine lambda.
+    // The IDENTICAL integer automaton as a RECURSIVE CTE walking each
+    // scope's code list one position per iteration (v→1, c→2, p→3,
+    // transitions as in the engine lambda; the k2_rolling_chunks oracle
+    // pattern). NOT list_reduce: DuckDB 1.0's list_reduce lambda
+    // mis-evaluates a few rows per thousand under vectorized execution
+    // (verified: 3/397 wrong folds at sf0.001, e.g. [1,2,0,2,3,0,0] → 1
+    // instead of 10), while the same lambda is correct row-at-a-time —
+    // the recursive form is scalar per step and deterministic.
     "e6_session_pattern" ->
-      """WITH seqs AS (
+      """WITH RECURSIVE seqs AS (
         |  SELECT user_id,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -681,14 +686,17 @@ object EventQueries {
         |           WHEN 'purchase' THEN 3 ELSE 0 END
         |         ORDER BY ts, event_id) AS codes
         |  FROM events GROUP BY 1, 2),
+        |step AS (
+        |  SELECT user_id, day, n_events, codes, 0 AS i, 0 AS st FROM seqs
+        |  UNION ALL
+        |  SELECT user_id, day, n_events, codes, i + 1,
+        |    CASE WHEN codes[i + 1] = 1 AND st % 10 = 0 THEN st + 1
+        |         WHEN codes[i + 1] = 2 AND st % 10 = 1 THEN st + 1
+        |         WHEN codes[i + 1] = 3 AND st % 10 = 2 THEN st + 8
+        |         ELSE st END
+        |  FROM step WHERE i < len(codes)),
         |f AS (
-        |  SELECT user_id, day, n_events,
-        |    list_reduce(list_prepend(0, codes), (st, c) ->
-        |      CASE WHEN c = 1 AND st % 10 = 0 THEN st + 1
-        |           WHEN c = 2 AND st % 10 = 1 THEN st + 1
-        |           WHEN c = 3 AND st % 10 = 2 THEN st + 8
-        |           ELSE st END) AS st
-        |  FROM seqs)
+        |  SELECT user_id, day, n_events, st FROM step WHERE i = len(codes))
         |SELECT user_id, day, n_events,
         |  CAST(st // 10 AS BIGINT) AS n_conversions
         |FROM f WHERE st // 10 >= 1

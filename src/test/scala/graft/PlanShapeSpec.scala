@@ -472,4 +472,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"LM join degenerated to a nested loop:\n$plan")
   }
+
+  test("prefix-filter join: keyed joins only, and NO single-partition window (no global row_number)") {
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val plan = physicalPlan(
+      Dedup.prefixFilterJoinSets(Tables.documents(spark, sfDir),
+        array_distinct(split(col("text"), " ")), "doc_id", 0.6))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degenerated to a nested loop:\n$plan")
+    // the rarest-first order must live as a sort KEY, never a global
+    // window — a Window over SinglePartition would serialize the
+    // vocabulary at corpus scale
+    assert(!plan.contains("Window"),
+      s"prefix join plans a window (global order leak):\n$plan")
+  }
+
+  test("IVF-ADC over the written layout: probe prunes partitions, ADC reads codes not vectors") {
+    import graft.operators.{IvfAnn, PqAnn}
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = IvfAnn.trainCentroids(emb, "embedding", "vec_id", 64, nLists = 8)
+    val cbs = PqAnn.trainCodebooks(emb, "embedding", "vec_id", 64, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc_plan").toString + "/idx"
+    PqAnn.writeIvfAdcIndex(emb, "embedding", cents, cbs, dir)
+    val coded = spark.read.parquet(dir)
+    val q = coded.filter(col("vec_id") === 0L)
+      .select("_v").head().getSeq[Double](0).toArray
+    // the ADC shortlist BEFORE rerank: its scan must touch only the
+    // probed _list directories
+    val probes = IvfAnn.nearestProbes(q, cents, 2)
+    val short = coded
+      .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("_c0"))
+    val scan = fileScans(short.queryExecution.executedPlan)
+      .headOption.getOrElse(fail("no file scan in ADC plan"))
+    val parts = scan.metadata.get("PartitionFilters").getOrElse("")
+    assert(parts.contains("_list"),
+      s"probe filter not a partition filter: ${scan.metadata}")
+  }
 }

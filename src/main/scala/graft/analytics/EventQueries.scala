@@ -377,6 +377,40 @@ object EventQueries {
         .orderBy("user_id", "day")
     }),
 
+    // C9 (EXT): SCD TYPE-2 — build a slowly-changing dimension's validity
+    // intervals from a change stream (each signup event = a new version of
+    // the user's attribute; valid_from = change ts, valid_to = next
+    // change's ts via one per-key lead window — per-key version counts are
+    // small at any corpus scale, so the window partitions stay bounded),
+    // then enrich facts (purchases) with the version VALID AT their time.
+    // The temporal lookup composes the existing AsOfJoin (last version
+    // with valid_from ≤ fact ts) rather than an interval range join —
+    // same semantics by construction (valid_to = the next valid_from),
+    // and the skew-safe machinery comes free. `in_validity` re-checks the
+    // interval invariant as a column the oracle also computes.
+    "c9_scd2_temporal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("valid_from")
+      val dim = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("attr"))
+        .withColumnRenamed("ts", "valid_from")
+        .withColumn("version_seq", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead("valid_from", 1).over(w))
+        .withColumn("vf", col("valid_from"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin(facts, dim, "user_id", "ts", "valid_from",
+          Seq("attr", "version_seq", "valid_to", "vf"))
+        .withColumn("in_validity",
+          col("valid_to").isNull || col("ts") < col("valid_to"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("version_seq"), col("attr"), col("vf").as("valid_from"),
+          col("valid_to"), col("in_validity"))
+        .orderBy("event_id")
+    }),
+
     // D9 (EXT): incrementally maintained DISTINCT-COUNT — the cardinality
     // sibling of k4_countmin_incremental: events arrive as three batches
     // whose HLL sketches (Spark's DataSketches surface, lgK=12) union into
@@ -660,6 +694,31 @@ object EventQueries {
         |    AS duration_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // SCD2 via DuckDB's native windows + ASOF: version intervals from the
+    // same lead window, the temporal lookup as ASOF LEFT (facts before
+    // the first version keep NULL dim columns on both engines), and the
+    // in_validity invariant computed by the identical expression.
+    "c9_scd2_temporal" ->
+      """WITH dim0 AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from,
+        |    MAX(value) AS attr
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id, valid_from, attr,
+        |    CAST(row_number() OVER w AS BIGINT) AS version_seq,
+        |    lead(valid_from) OVER w AS valid_to
+        |  FROM dim0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)),
+        |facts AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.value, d.version_seq, d.attr,
+        |  d.valid_from, d.valid_to,
+        |  (d.valid_to IS NULL OR f.ts < d.valid_to) AS in_validity
+        |FROM facts f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.valid_from
+        |ORDER BY f.event_id""".stripMargin,
 
     // HLL maintenance guarantee verdict: exact distinct from SQL, the
     // band and replay-stability as literal TRUEs — an estimate outside

@@ -53,13 +53,25 @@ object AsOfJoin {
         valueCols.map(c => col(s"_v_$c"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
-    }
+    // ONE packed struct per right row, not per-column last(): with
+    // independent per-column propagation, a NULL inside a value column
+    // (e.g. an SCD2 open version's valid_to) would be skipped by
+    // ignoreNulls and silently backfilled from an OLDER right row —
+    // producing a frankenstein row mixing versions. The struct is
+    // non-null exactly for right rows (null for left rows, so ignoreNulls
+    // still skips those), and all carried columns come from the SAME
+    // matched row. Struct ordering is field-by-field, so the duplicate-
+    // tie rule above is unchanged.
+    val packed = l.unionByName(r)
+      .withColumn("_v_pack",
+        when(col("_tag") =!= 1, // right rows: tag 0 inclusive / 2 strict
+          struct(valueCols.map(c => col(s"_v_$c").as(c)): _*)))
+    val carried = packed
+      .withColumn("_asof_pack", last(col("_v_pack"), ignoreNulls = true).over(w))
     carried
       .filter(col("_tag") === 1)
       .select((leftCols.map(c => col(c)) ++
-        valueCols.map(c => col(s"_asof_$c").as(c))): _*)
+        valueCols.map(c => col(s"_asof_pack").getField(c).as(c))): _*)
   }
 
   /** Skew-tolerant variant of [[apply]] with IDENTICAL semantics: the
@@ -106,17 +118,14 @@ object AsOfJoin {
     val l = l0.withColumn("_bkt", bkt(col("_ts")))
     val r = r0.withColumn("_bkt", bkt(col("_ts")))
 
-    // Per-(key, bucket) end state of each value column: the value at the
-    // max (ts, value-tuple) among the bucket's rows where that column is
-    // non-null — struct max reproduces the plain window's total order.
-    val pickCols = valueCols.map { c =>
-      max(when(col(s"_v_$c").isNotNull,
-        struct((col("_ts").as("_o_ts") +:
-          valueCols.map(v => col(s"_v_$v").as(s"_o_$v")) :+
-          col(s"_v_$c").as("_pick")): _*))).as(s"_m_$c")
-    }
+    // Per-(key, bucket) end state: the whole value ROW at the max
+    // (ts, value-tuple) among the bucket's right rows — one struct, never
+    // per-column picks (per-column would backfill a NULL field from an
+    // older row; see the plain form's packed-struct note). Struct max
+    // reproduces the plain window's total order.
     val rBuckets = r.groupBy(col(keyCol), col("_bkt"))
-      .agg(pickCols.head, pickCols.tail: _*)
+      .agg(max(struct((col("_ts").as("_o_ts") +:
+        valueCols.map(v => col(s"_v_$v").as(v))): _*)).as("_m"))
 
     // Every bucket the final window will see, with its min ts (the
     // synthetic carry row must sort before every real row of its bucket).
@@ -132,27 +141,31 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carries = allBuckets
       .join(rBuckets, Seq(keyCol, "_bkt"), "left")
-      .select((Seq(col(keyCol), col("_bkt"), col("_min_ts")) ++
-        valueCols.map(c => max(col(s"_m_$c")).over(wCum).as(s"_c_$c"))): _*)
-      .filter(valueCols.map(c => col(s"_c_$c").isNotNull).reduce(_ || _))
+      .select(col(keyCol), col("_bkt"), col("_min_ts"),
+        max(col("_m")).over(wCum).as("_c"))
+      .filter(col("_c").isNotNull)
     val carryRows = carries.select((Seq(col(keyCol),
       col("_min_ts").as("_ts"), lit(-1).as("_tag"), col("_bkt")) ++
       leftCols.filterNot(_ == keyCol)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      valueCols.map(c => col(s"_c_$c").getField("_pick").as(s"_v_$c"))): _*)
+      valueCols.map(c => col("_c").getField(c).as(s"_v_$c"))): _*)
 
     val w = Window.partitionBy(col(keyCol), col("_bkt"))
       .orderBy((Seq(col("_ts"), col("_tag")) ++
         valueCols.map(c => col(s"_v_$c"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(
-      l.unionByName(r).unionByName(carryRows)) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
-    }
+    // packed-struct propagation, as in the plain form: every carried
+    // column comes from the SAME right (or carry-in) row
+    val packed = l.unionByName(r).unionByName(carryRows)
+      .withColumn("_v_pack",
+        when(col("_tag") =!= 1,
+          struct(valueCols.map(c => col(s"_v_$c").as(c)): _*)))
+    val carried = packed
+      .withColumn("_asof_pack", last(col("_v_pack"), ignoreNulls = true).over(w))
     carried
       .filter(col("_tag") === 1)
       .select((leftCols.map(c => col(c)) ++
-        valueCols.map(c => col(s"_asof_$c").as(c))): _*)
+        valueCols.map(c => col(s"_asof_pack").getField(c).as(c))): _*)
   }
 
   /** Shared tagging: both sides aligned to one schema (key, _ts, _tag,

@@ -230,8 +230,8 @@ class OperatorSpec extends SparkSpec {
   test("bucketed as-of join equals the plain formulation across widths, modes, ties and nulls") {
     // Randomized-but-seeded corpus engineered to hit every boundary case:
     // multiple keys, duplicate-(key, ts) quote ties, null quote values
-    // (per-column carry), trades in buckets with no quotes (carry-in from
-    // earlier buckets), trades before any quote (null result).
+    // (single-row carry — null fields stay null), trades in buckets with
+    // no quotes (carry-in from earlier buckets), trades before any quote (null result).
     val rnd = new scala.util.Random(7)
     val trades = (1 to 400).map { i =>
       (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, s"t$i")
@@ -277,6 +277,26 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SkewJoin.saltedEquiJoin(df, df, "k", joinType = "full")
     }
+  }
+
+  test("as-of join carries value columns from ONE row: null fields are never backfilled from older rows") {
+    // the SCD2 shape that exposed the per-column-ignoreNulls bug: the
+    // latest version has valid_to = NULL (open); the old propagation
+    // backfilled it with the PREVIOUS version's valid_to, producing a
+    // version whose valid_to == its own valid_from
+    val facts = Seq((1L, 300L, "f1"), (1L, 150L, "f2")).toDF("key", "ts", "fact_id")
+    val versions = Seq(
+      (1L, 100L, "v1", java.lang.Long.valueOf(200L)),
+      (1L, 200L, "v2", null.asInstanceOf[java.lang.Long]) // open version
+    ).toDF("key", "vts", "ver", "valid_to")
+    val out: Map[String, (String, Option[Long])] =
+      AsOfJoin(facts, versions, "key", "ts", "vts", Seq("ver", "valid_to"))
+        .select("fact_id", "ver", "valid_to").collect()
+        .map(r => r.getString(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out("f1") == (("v2", None)),
+      s"open version's null valid_to was backfilled: ${out("f1")}")
+    assert(out("f2") == (("v1", Some(200L))))
   }
 
   test("as-of join rejects colliding value columns and reserved names") {

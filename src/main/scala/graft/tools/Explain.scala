@@ -24,7 +24,8 @@ object Explain {
       "k3_ann_pq", "k5_phash_neardup", "k3_random_projection",
       "k6_importance_sample", "k4_cross_perplexity", "k6_stratified_sample",
       "k3_ann_ivf_pq", "k2_prefix_join", "k4_countmin",
-      "k2_prefix_join_against", "e6_session_pattern", "d9_hll_incremental")
+      "k2_prefix_join_against", "e6_session_pattern", "d9_hll_incremental",
+      "c9_scd2_temporal")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -77,6 +77,39 @@ object StarQueries {
         .orderBy("doc_id")
     }),
 
+    // A11 (EXT): SCHEMA EVOLUTION read — the table's later generation
+    // added a column (the lakehouse norm: producers evolve, history stays
+    // as written). Two real parquet generations are staged (gen-1 without
+    // o_orderstatus, gen-2 with it), read back through mergeSchema=true —
+    // Spark's evolved-read path fills the missing column with null — and
+    // aggregated per status. The oracle re-derives both generations from
+    // the source table (the staging is pure projection+filter, so it
+    // needs no artifact) and must agree on every group, which proves
+    // merge-read null semantics AND that no generation's rows were lost
+    // or doubled.
+    "a11_schema_merge" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_schema_evo").toString
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/g1")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$dir/g2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/g1", s"$dir/g2")
+      require(merged.columns.contains("o_orderstatus"),
+        "merged schema must carry the evolved column")
+      merged
+        .groupBy(coalesce(col("o_orderstatus"), lit("pre-evolution"))
+          .as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+        .orderBy("status")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -541,6 +574,21 @@ object StarQueries {
 
   val oracle: Map[String, String] = Map(
     "a9_zorder_curve" -> zorderOracleSql,
+
+    // both staged generations re-derived from the source table (the
+    // staging is pure projection+filter — no artifact axiom needed); the
+    // merged read's null-fill must agree group-for-group
+    "a11_schema_merge" ->
+      """WITH m AS (
+        |  SELECT o_totalprice, NULL AS o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT COALESCE(o_orderstatus, 'pre-evolution') AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // content identity through the compaction rewrite: the oracle reads
     // the ORIGINAL table, the query returns the compacted copy

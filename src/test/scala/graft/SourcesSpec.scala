@@ -182,4 +182,23 @@ class SourcesSpec extends SparkSpec {
     assert(seq.exceptAll(plusOne).isEmpty && plusOne.exceptAll(seq).isEmpty,
       "partition-parallel read must return the same rows")
   }
+
+  test("schema evolution: mergeSchema read unions generations, missing column nulls exactly on old rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("schemaevo").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(s"$dir/g1")
+    Seq((3L, 30.0, "new"), (4L, 40.0, "new"))
+      .toDF("id", "v", "added")
+      .write.parquet(s"$dir/g2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/g1", s"$dir/g2")
+    assert(merged.columns.sorted.toSeq == Seq("added", "id", "v"))
+    assert(merged.count() == 4, "no generation's rows lost or doubled")
+    val nulls = merged.filter(col("added").isNull)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(nulls == Seq(1L, 2L),
+      "exactly the pre-evolution rows carry null in the added column")
+  }
 }

@@ -370,6 +370,25 @@ object SimilarityQueries {
           PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
       PerceptualHash.nearDupPairs(images, "doc_id", maxHamming = 10)
         .orderBy("id_a", "id_b")
+    }),
+
+    // K5 AUDIO near-dup: delta-sign fingerprint over the energy envelope
+    // (Haitsma–Kalker shape — see graft.operators.AudioFingerprint for
+    // the real WAV-PCM path, proven in AudioFingerprintSpec) through the
+    // SAME banded-Hamming machinery as the image path. The corpus's
+    // audio modality (doc_id % 3 = 1) uses the striped surrogate read as
+    // a 1-D envelope; the oracle re-derives envelope, 64 delta bits,
+    // bands, candidates, and the exact popcount verify entirely in SQL.
+    "k5_audio_neardup" -> ((s, d) => {
+      import graft.operators.{AudioFingerprint, PerceptualHash}
+      val clips = Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 1) // the corpus's audio modality
+        .withColumn("_e", PerceptualHash.surrogateGrid(col("text")))
+        .select(col("doc_id"),
+          AudioFingerprint.deltaHalf(col("_e"), 32).as("h_hi"),
+          AudioFingerprint.deltaHalf(col("_e"), 0).as("h_lo"))
+      PerceptualHash.nearDupPairs(clips, "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -838,6 +857,49 @@ object SimilarityQueries {
         |    CAST(list_sum(list_transform(range(32, 64), k ->
         |      CASE WHEN gr[CAST((k//8)*9 + (k%8) + 2 AS INTEGER)]
         |              > gr[CAST((k//8)*9 + (k%8) + 1 AS INTEGER)]
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_hi
+        |  FROM g),
+        |bands AS (
+        |  SELECT media_id, h_hi, h_lo, b.band,
+        |    CASE b.band WHEN 0 THEN h_lo & 65535
+        |                WHEN 1 THEN (h_lo >> 16) & 65535
+        |                WHEN 2 THEN h_hi & 65535
+        |                ELSE (h_hi >> 16) & 65535 END AS bkey
+        |  FROM h, UNNEST([0, 1, 2, 3]) AS b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+        |    a.h_hi AS hi_a, a.h_lo AS lo_a, c.h_hi AS hi_b, c.h_lo AS lo_b
+        |  FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+        |                           AND a.media_id < c.media_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Audio fingerprint: same striped surrogate re-derivation, but read
+    // as a 1-D envelope — bit k = env[k+1] > env[k] (no row skipping),
+    // then the identical band/candidate/popcount machinery.
+    "k5_audio_neardup" ->
+      """WITH au AS (
+        |  SELECT doc_id AS media_id, text
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |g AS (
+        |  SELECT media_id, list_transform(range(0, 72), j ->
+        |    CAST(COALESCE(list_sum(list_transform(range(1, len(text) + 1),
+        |      p -> CASE WHEN (p - 1) % 72 = j
+        |                THEN unicode(text[CAST(p AS INTEGER)]) ELSE 0 END)), 0)
+        |      % 256 AS INTEGER)) AS gr
+        |  FROM au),
+        |h AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN gr[CAST(k + 2 AS INTEGER)] > gr[CAST(k + 1 AS INTEGER)]
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN gr[CAST(k + 2 AS INTEGER)] > gr[CAST(k + 1 AS INTEGER)]
         |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
         |      AS BIGINT) AS h_hi
         |  FROM g),

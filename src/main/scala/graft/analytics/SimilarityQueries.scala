@@ -389,6 +389,39 @@ object SimilarityQueries {
           AudioFingerprint.deltaHalf(col("_e"), 0).as("h_lo"))
       PerceptualHash.nearDupPairs(clips, "doc_id", maxHamming = 10)
         .orderBy("id_a", "id_b")
+    }),
+
+    // K5 VIDEO near-dup — the modality triple completed: a video is its
+    // sampled frames, and video near-dup is per-frame IMAGE phash (the
+    // K5 frame-sampling shape composed with k5_phash_neardup's hashing):
+    // each clip (doc_id % 3 = 2) splits into 4 deterministic "frames"
+    // (payload quarters through the striped surrogate — the stub for the
+    // real frame decoder, whose real-pixel path PerceptualHashSpec
+    // already proves), every frame hashes independently, candidates come
+    // from the banded LSH PER FRAME INDEX (same-position frames compare —
+    // the aligned-sampling convention), and pairs aggregate to
+    // (n_frames_close, min_hamming). Integer division (`div`/`//`) on
+    // both engines — a double-divide would round differently at the gate.
+    "k5_video_neardup" -> ((s, d) => {
+      import graft.operators.PerceptualHash
+      val vids = Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 2 && length(col("text")) >= 288)
+      val perFrame = (0 until 4).map { f =>
+        val frameText = expr(
+          s"substring(text, 1 + $f * (length(text) div 4), length(text) div 4)")
+        val framed = vids
+          .withColumn("_g", PerceptualHash.surrogateGrid(frameText))
+          .select(col("doc_id"),
+            PerceptualHash.dHashHalf(col("_g"), 32).as("h_hi"),
+            PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
+        PerceptualHash.nearDupPairs(framed, "doc_id", maxHamming = 10)
+          .withColumn("_f", lit(f))
+      }
+      perFrame.reduce(_ unionAll _)
+        .groupBy("id_a", "id_b")
+        .agg(countDistinct(col("_f")).cast("long").as("n_frames_close"),
+          min(col("hamming")).cast("int").as("min_hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -919,6 +952,59 @@ object SimilarityQueries {
         |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
         |FROM cand
         |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Per-frame image-phash re-derivation with the frame index riding
+    // every stage; same-position frames band/candidate/verify, then the
+    // per-pair aggregate. Integer division (//) matches the engine's div.
+    "k5_video_neardup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text
+        |  FROM documents WHERE doc_id % 3 = 2 AND len(text) >= 288),
+        |fr AS (
+        |  SELECT media_id, f.f AS f,
+        |    substr(text, 1 + f.f * (len(text) // 4), len(text) // 4) AS ft
+        |  FROM v, UNNEST([0, 1, 2, 3]) AS f(f)),
+        |g AS (
+        |  SELECT media_id, f, list_transform(range(0, 72), j ->
+        |    CAST(COALESCE(list_sum(list_transform(range(1, len(ft) + 1),
+        |      p -> CASE WHEN (p - 1) % 72 = j
+        |                THEN unicode(ft[CAST(p AS INTEGER)]) ELSE 0 END)), 0)
+        |      % 256 AS INTEGER)) AS gr
+        |  FROM fr),
+        |h AS (
+        |  SELECT media_id, f,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN gr[CAST((k//8)*9 + (k%8) + 2 AS INTEGER)]
+        |              > gr[CAST((k//8)*9 + (k%8) + 1 AS INTEGER)]
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN gr[CAST((k//8)*9 + (k%8) + 2 AS INTEGER)]
+        |              > gr[CAST((k//8)*9 + (k%8) + 1 AS INTEGER)]
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_hi
+        |  FROM g),
+        |bands AS (
+        |  SELECT media_id, f, h_hi, h_lo, b.band,
+        |    CASE b.band WHEN 0 THEN h_lo & 65535
+        |                WHEN 1 THEN (h_lo >> 16) & 65535
+        |                WHEN 2 THEN h_hi & 65535
+        |                ELSE (h_hi >> 16) & 65535 END AS bkey
+        |  FROM h, UNNEST([0, 1, 2, 3]) AS b(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.f, a.media_id AS id_a, c.media_id AS id_b,
+        |    a.h_hi AS hi_a, a.h_lo AS lo_a, c.h_hi AS hi_b, c.h_lo AS lo_b
+        |  FROM bands a JOIN bands c ON a.f = c.f AND a.band = c.band
+        |    AND a.bkey = c.bkey AND a.media_id < c.media_id),
+        |fp AS (
+        |  SELECT f, id_a, id_b,
+        |    CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+        |  FROM cand
+        |  WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10)
+        |SELECT id_a, id_b,
+        |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_frames_close,
+        |  CAST(MIN(hamming) AS INTEGER) AS min_hamming
+        |FROM fp GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -96,4 +96,36 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("id_a", "id_b", "hamming"))
     rows.foreach(r => assert(r.getInt(2) <= 10))
   }
+
+  test("video near-dup: one rewritten quarter leaves the other 3 frames matching") {
+    import org.apache.spark.sql.functions._
+    val base = ("abcdefgh " * 40).trim // 359 chars ≥ 288
+    val q = base.length / 4
+    // clip 2: third quarter completely rewritten, rest identical
+    val edited = base.substring(0, 2 * q) + ("ZQX" * (q / 3 + 1)).substring(0, q) +
+      base.substring(3 * q)
+    val docs = Seq((2L, base), (5L, edited), (8L, "totally different payload " * 14))
+      .toDF("doc_id", "text")
+    val perFrame = (0 until 4).map { f =>
+      val frameText = expr(
+        s"substring(text, 1 + $f * (length(text) div 4), length(text) div 4)")
+      val framed = docs
+        .withColumn("_g", PerceptualHash.surrogateGrid(frameText))
+        .select(col("doc_id"),
+          PerceptualHash.dHashHalf(col("_g"), 32).as("h_hi"),
+          PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
+      PerceptualHash.nearDupPairs(framed, "doc_id", maxHamming = 10)
+        .withColumn("_f", lit(f))
+    }
+    val pairs = perFrame.reduce(_ unionAll _)
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("_f")).as("n_frames_close"),
+        min(col("hamming")).as("min_hamming"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((2L, 5L)).exists(n => n >= 3),
+      s"3 untouched frames must match: $pairs")
+    assert(!pairs.contains((2L, 8L)) && !pairs.contains((5L, 8L)),
+      s"unrelated clip must not pair: $pairs")
+  }
 }

@@ -381,8 +381,16 @@ object SimilarityQueries {
     // bands, candidates, and the exact popcount verify entirely in SQL.
     "k5_audio_neardup" -> ((s, d) => {
       import graft.operators.{AudioFingerprint, PerceptualHash}
-      val clips = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .where(col("doc_id") % 3 === 1) // the corpus's audio modality
+        .select("doc_id", "text")
+      // planted near-dups (negative ids, one appended token ⇒ ≤2 envelope
+      // cells perturbed ⇒ Hamming ≤ 4): ground truth exists at EVERY
+      // scale factor — the smallest corpus has no natural audio near-dups
+      val planted = base.where(col("doc_id") < 60)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          concat(col("text"), lit(" x")).as("text"))
+      val clips = base.unionByName(planted)
         .withColumn("_e", PerceptualHash.surrogateGrid(col("text")))
         .select(col("doc_id"),
           AudioFingerprint.deltaHalf(col("_e"), 32).as("h_hi"),
@@ -917,7 +925,10 @@ object SimilarityQueries {
     "k5_audio_neardup" ->
       """WITH au AS (
         |  SELECT doc_id AS media_id, text
-        |  FROM documents WHERE doc_id % 3 = 1),
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT -(doc_id + 1) AS media_id, text || ' x' AS text
+        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 60),
         |g AS (
         |  SELECT media_id, list_transform(range(0, 72), j ->
         |    CAST(COALESCE(list_sum(list_transform(range(1, len(text) + 1),

@@ -25,7 +25,8 @@ object Explain {
       "k6_importance_sample", "k4_cross_perplexity", "k6_stratified_sample",
       "k3_ann_ivf_pq", "k2_prefix_join", "k4_countmin",
       "k2_prefix_join_against", "e6_session_pattern", "d9_hll_incremental",
-      "c9_scd2_temporal")
+      "c9_scd2_temporal", "a11_schema_merge", "k5_audio_neardup",
+      "k5_video_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -329,8 +329,11 @@ object TextQueries {
       import s.implicits._
       val depth = 4
       val width = 1024
+      // materialized once: three actions (sketch aggregate, N count,
+      // top-20 collect) otherwise each re-scan and re-explode the corpus
       val toks = Tables.fanOut(Tables.documents(s, d))
         .select(explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true)
       val agg = new graft.functions.CountMinAggregator(depth, width).toColumn
       val sketch = toks.as[String].select(agg).head().toIndexedSeq
       val n = toks.count()
@@ -353,8 +356,9 @@ object TextQueries {
 
     // K4/I3 (EXT): the INCREMENTALLY MAINTAINED Count-Min sketch — the
     // corpus arrives as three batches folded into a versioned on-disk
-    // state (plus one deliberate REPLAY of batch 1, which the batch-id
-    // guard must no-op), and history is never re-scanned. Because CM
+    // state (plus one deliberate REPLAY of the FINAL batch — the only
+    // one the last-committed batch-id guard can no-op — which must be),
+    // and history is never re-scanned. Because CM
     // merge is pointwise addition, the folded sketch must equal the
     // one-shot sketch of the whole corpus EXACTLY — `fold_exact` asserts
     // that equality per row, and the estimate verdicts are computed FROM
@@ -379,6 +383,7 @@ object TextQueries {
         batchToks(2), col("tok"), depth, width, batchId = Some(2L))
       val toks = Tables.fanOut(docs)
         .select(explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true)
       val oneShot = toks.as[String]
         .select(new graft.functions.CountMinAggregator(depth, width).toColumn)
         .head().toArray

@@ -188,11 +188,14 @@ object AsOfJoin {
       s"valueCols ${valueCols.filter(leftCols.contains)} collide with left columns — " +
         "rename or drop them on one side first")
     // reserve only what the chosen variant actually uses: the bucketed-only
-    // names must not narrow plain apply()'s input contract
-    val reserved = Seq("_ts", "_tag") ++
-      valueCols.flatMap(c => Seq(s"_v_$c", s"_asof_$c")) ++
-      (if (bucketed) Seq("_bkt", "_min_ts") ++
-        valueCols.flatMap(c => Seq(s"_m_$c", s"_c_$c")) else Nil)
+    // names must not narrow plain apply()'s input contract. Kept in sync
+    // with the packed-struct propagation (_v_pack/_asof_pack; bucketed
+    // end-state _m and carry _c) — a colliding input column would be
+    // silently overwritten by withColumn, the exact corruption this
+    // check exists to make loud.
+    val reserved = Seq("_ts", "_tag", "_v_pack", "_asof_pack") ++
+      valueCols.map(c => s"_v_$c") ++
+      (if (bucketed) Seq("_bkt", "_min_ts", "_m", "_c") else Nil)
     require(!reserved.exists(leftCols.contains) && !reserved.exists(right.columns.contains),
       s"columns named ${reserved.mkString("/")} are reserved by AsOfJoin")
     val rightTag = if (strict) 2 else 0

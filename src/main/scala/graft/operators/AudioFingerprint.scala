@@ -46,7 +46,12 @@ object AudioFingerprint {
     var f = 0
     while (f < nFrames) {
       val start = f * frameLen
-      val end = math.min(pcm.length, start + frameLen)
+      // the LAST frame absorbs the division remainder — with a plain
+      // frameLen cut, up to frameLen-1 trailing samples (half the clip
+      // when frameLen is 1) would never influence the fingerprint
+      val end =
+        if (f == nFrames - 1) pcm.length
+        else math.min(pcm.length, start + frameLen)
       if (start < pcm.length) {
         var s = 0.0
         var i = start
@@ -84,6 +89,14 @@ object AudioFingerprint {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val fmt = in.getFormat
+    // the loop below reinterprets raw frames as signed 16-bit words —
+    // any other sample layout must fail loudly, not produce misaligned
+    // garbage (8-bit would even read past the buffer on the last frame)
+    require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16,
+      s"only 16-bit signed PCM supported, got ${fmt.getEncoding} " +
+        s"${fmt.getSampleSizeInBits}-bit")
     val frameSize = fmt.getFrameSize
     val data = in.readAllBytes()
     val channels = fmt.getChannels

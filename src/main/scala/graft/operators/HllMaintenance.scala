@@ -46,7 +46,7 @@ object HllMaintenance {
 
   /** Last committed (lgk, sketch) at `path`, or None. */
   def read(spark: SparkSession, path: String): Option[(Int, Array[Byte])] =
-    committed(spark, path).lastOption.map { case (_, _, name) =>
+    VersionedState.committed(spark, path).lastOption.map { case (_, _, name) =>
       val row = spark.read.parquet(s"$path/$name").head()
       (row.getAs[Int]("lgk"), row.getAs[Array[Byte]]("sketch"))
     }
@@ -57,19 +57,22 @@ object HllMaintenance {
     */
   def update(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: Column, lgK: Int, batchId: Option[Long] = None): Array[Byte] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = allVersions(spark, path)
-    val comm = all.filter { case (_, _, name) =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name/_SUCCESS")) }
-    all.diff(comm).foreach { case (_, _, name) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true) }
+    val comm = VersionedState.sweepAndList(spark, path)
 
+    // shape check BEFORE the replay guard — a replayed batch from a
+    // reconfigured caller must fail loudly, never return bytes the caller
+    // will estimate with the wrong lgK
+    def checkedRow(name: String): org.apache.spark.sql.Row = {
+      val row = spark.read.parquet(s"$path/$name").head()
+      require(row.getAs[Int]("lgk") == lgK,
+        s"sketch shape mismatch: stored lgK=${row.getAs[Int]("lgk")}, " +
+          s"refresh lgK=$lgK")
+      row
+    }
     comm.lastOption match {
       case Some((_, lastBatch, name))
           if batchId.isDefined && lastBatch == batchId =>
-        return spark.read.parquet(s"$path/$name").head()
-          .getAs[Array[Byte]]("sketch")
+        return checkedRow(name).getAs[Array[Byte]]("sketch")
       case _ =>
     }
 
@@ -77,43 +80,17 @@ object HllMaintenance {
     val merged = comm.lastOption match {
       case None => delta
       case Some((_, _, name)) =>
-        val row = spark.read.parquet(s"$path/$name").head()
-        require(row.getAs[Int]("lgk") == lgK,
-          s"sketch shape mismatch: stored lgK=${row.getAs[Int]("lgk")}, " +
-            s"refresh lgK=$lgK")
-        val prev = row.getAs[Array[Byte]]("sketch")
+        val prev = checkedRow(name).getAs[Array[Byte]]("sketch")
         import spark.implicits._
         Seq((prev, delta)).toDF("a", "b")
           .select(expr("hll_union(a, b)")).head().getAs[Array[Byte]](0)
     }
-    val next = all.lastOption.map(_._1).getOrElse(0L) + 1
-    val nextName = s"v$next" + batchId.map(id => s"_b$id").getOrElse("")
+    val nextName = VersionedState.nextName(comm, batchId)
     import spark.implicits._
     Seq((lgK, merged)).toDF("lgk", "sketch")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$nextName")
-    comm.foreach { case (_, _, name) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true) }
+    VersionedState.prune(spark, path, comm)
     merged
-  }
-
-  private val VerDir = """v(\d+)(?:_b(\d+))?""".r
-
-  private def allVersions(spark: SparkSession,
-      path: String): Seq[(Long, Option[Long], String)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq()
-    else fs.listStatus(root).map(_.getPath.getName).toSeq.collect {
-      case name @ VerDir(v, b) => (v.toLong, Option(b).map(_.toLong), name)
-    }.sortBy(_._1)
-  }
-
-  private def committed(spark: SparkSession,
-      path: String): Seq[(Long, Option[Long], String)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    allVersions(spark, path).filter { case (_, _, name) =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name/_SUCCESS")) }
   }
 }

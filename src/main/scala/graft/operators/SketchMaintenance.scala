@@ -42,7 +42,7 @@ object SketchMaintenance {
 
   /** Last committed sketch at `path`, or None. */
   def read(spark: SparkSession, path: String): Option[(Int, Int, Array[Long])] = {
-    committedVersions(spark, path).lastOption.map { case (_, _, name) =>
+    VersionedState.committed(spark, path).lastOption.map { case (_, _, name) =>
       val row = spark.read.parquet(s"$path/$name").head()
       (row.getAs[Int]("depth"), row.getAs[Int]("width"),
         row.getAs[scala.collection.Seq[Long]]("counters").toArray)
@@ -57,19 +57,23 @@ object SketchMaintenance {
   def update(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: Column, depth: Int, width: Int,
       batchId: Option[Long] = None): Array[Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = allVersions(spark, path)
-    val committed = all.filter { case (_, _, name) =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name/_SUCCESS")) }
-    all.diff(committed).foreach { case (_, _, name) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true) }
+    val committed = VersionedState.sweepAndList(spark, path)
 
+    // shape check runs BEFORE the replay guard: a replayed batch from a
+    // reconfigured caller must fail loudly too, never hand back counters
+    // the caller will index with the wrong geometry
+    def checkedRow(name: String): org.apache.spark.sql.Row = {
+      val row = spark.read.parquet(s"$path/$name").head()
+      require(row.getAs[Int]("depth") == depth &&
+        row.getAs[Int]("width") == width,
+        s"sketch shape mismatch: stored ${row.getAs[Int]("depth")}x" +
+          s"${row.getAs[Int]("width")}, refresh ${depth}x$width")
+      row
+    }
     committed.lastOption match {
       case Some((_, lastBatch, name))
           if batchId.isDefined && lastBatch == batchId =>
-        val row = spark.read.parquet(s"$path/$name").head()
-        return row.getAs[scala.collection.Seq[Long]]("counters").toArray
+        return checkedRow(name).getAs[scala.collection.Seq[Long]]("counters").toArray
       case _ =>
     }
 
@@ -77,44 +81,18 @@ object SketchMaintenance {
     val merged = committed.lastOption match {
       case None => delta
       case Some((_, _, name)) =>
-        val row = spark.read.parquet(s"$path/$name").head()
-        require(row.getAs[Int]("depth") == depth &&
-          row.getAs[Int]("width") == width,
-          s"sketch shape mismatch: stored ${row.getAs[Int]("depth")}x" +
-            s"${row.getAs[Int]("width")}, refresh ${depth}x$width")
-        val prev = row.getAs[scala.collection.Seq[Long]]("counters").toArray
+        val prev = checkedRow(name)
+          .getAs[scala.collection.Seq[Long]]("counters").toArray
         var i = 0
         while (i < prev.length) { prev(i) += delta(i); i += 1 }
         prev
     }
-    val next = all.lastOption.map(_._1).getOrElse(0L) + 1
-    val nextName = s"v$next" + batchId.map(id => s"_b$id").getOrElse("")
+    val nextName = VersionedState.nextName(committed, batchId)
     import spark.implicits._
     Seq((depth, width, merged.toSeq)).toDF("depth", "width", "counters")
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).parquet(s"$path/$nextName")
-    committed.foreach { case (_, _, name) =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$name"), true) }
+    VersionedState.prune(spark, path, committed)
     merged
-  }
-
-  private val VerDir = """v(\d+)(?:_b(\d+))?""".r
-
-  private def allVersions(spark: SparkSession,
-      path: String): Seq[(Long, Option[Long], String)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq()
-    else fs.listStatus(root).map(_.getPath.getName).toSeq.collect {
-      case name @ VerDir(v, b) => (v.toLong, Option(b).map(_.toLong), name)
-    }.sortBy(_._1)
-  }
-
-  private def committedVersions(spark: SparkSession,
-      path: String): Seq[(Long, Option[Long], String)] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    allVersions(spark, path).filter { case (_, _, name) =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$name/_SUCCESS")) }
   }
 }

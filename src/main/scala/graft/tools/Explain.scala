@@ -23,9 +23,14 @@ object Explain {
       "k3_ann_ivf", "k6_chunk_overlap",
       "k3_ann_pq", "k5_phash_neardup", "k3_random_projection",
       "k6_importance_sample", "k4_cross_perplexity", "k6_stratified_sample",
-      "k3_ann_ivf_pq", "k2_prefix_join", "k4_countmin",
-      "k2_prefix_join_against", "e6_session_pattern", "d9_hll_incremental",
-      "c9_scd2_temporal", "a11_schema_merge", "k5_audio_neardup",
+      "k3_ann_ivf_pq", "k2_prefix_join",
+      // NOT k4_countmin/k4_countmin_incremental/d9_hll_incremental/
+      // a11_schema_merge: those builders EXECUTE the pipeline (sketch
+      // collects, state refreshes, staged writes) and return a
+      // driver-local relation — dumping their "plan" runs minutes of
+      // side-effecting work to print a LocalTableScan that audits nothing
+      "k2_prefix_join_against", "e6_session_pattern",
+      "c9_scd2_temporal", "k5_audio_neardup",
       "k5_video_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -58,6 +58,11 @@ class HllMaintenanceSpec extends SparkSpec {
       HllMaintenance.update(spark, path, c, col("k"), lgK + 1, Some(1L))
     }
     assert(e.getMessage.contains("shape mismatch"))
+    // the replay path enforces the same contract
+    val e2 = intercept[IllegalArgumentException] {
+      HllMaintenance.update(spark, path, c, col("k"), lgK + 1, Some(0L))
+    }
+    assert(e2.getMessage.contains("shape mismatch"))
   }
 
   test("declared d9_hll_incremental: single verdict row, both booleans true") {

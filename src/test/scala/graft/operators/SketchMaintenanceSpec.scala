@@ -79,6 +79,14 @@ class SketchMaintenanceSpec extends SparkSpec {
         Some(1L))
     }
     assert(e.getMessage.contains("shape mismatch"))
+    // the REPLAY path must enforce the same contract — returning the
+    // stored counters to a caller that will index them with the wrong
+    // geometry is the silent corruption the check exists to prevent
+    val e2 = intercept[IllegalArgumentException] {
+      SketchMaintenance.update(spark, path, c, col("k"), depth, width * 2,
+        Some(0L)) // same batchId as the committed version
+    }
+    assert(e2.getMessage.contains("shape mismatch"))
   }
 
   test("null keys are skipped, not counted") {

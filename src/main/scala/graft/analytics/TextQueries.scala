@@ -888,6 +888,32 @@ object TextQueries {
     // funnel itself is a single tiny aggregate (cumulative conjunction
     // counts) inlined to one row per stage — at 100 TB the only shuffle is
     // 5 longs.
+    // K4 (EXT): PER-DOCUMENT rejection attribution — the debugging
+    // complement of the k4_filter_cascade funnel: every rejected doc with
+    // the FIRST gate that failed it (cascade order — the stage at which
+    // the funnel dropped it) plus the full failing-gate list, so a corpus
+    // engineer can answer "why did doc X disappear" and "which gate
+    // should I tune" without re-running the pipeline. Gate names/order
+    // derive from the SAME qualityGates the cascade and corpus pipeline
+    // run — attribution can never drift from the filters it explains.
+    // One scan + per-row expressions; the only shuffle is the output sort.
+    "k4_reject_reasons" -> ((s, d) => {
+      val sig = qualitySignals(Tables.documents(s, d))
+      val firstFail = qualityGates.reverse
+        .foldLeft(lit(null).cast("string")) { case (acc, (name, pass)) =>
+          when(!pass, lit(name)).otherwise(acc)
+        }
+      val failList = concat_ws(",",
+        qualityGates.map { case (name, pass) =>
+          when(!pass, lit(name)).otherwise(lit(null).cast("string"))
+        }: _*)
+      sig.withColumn("first_fail", firstFail)
+        .filter(col("first_fail").isNotNull)
+        .select(col("doc_id"), col("first_fail"),
+          failList.as("all_failing"))
+        .orderBy("doc_id")
+    }),
+
     "k4_filter_cascade" -> ((s, d) => {
       val cum = qualityGates.scanLeft(lit(true))(_ && _._2).tail // cumulative conjunctions
       def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
@@ -1641,6 +1667,43 @@ object TextQueries {
         |  n_pass,
         |  ROUND(CAST(n_pass AS DOUBLE) / n_docs, 6) AS pass_rate
         |FROM a ORDER BY source""".stripMargin,
+
+    // Same signal derivations as the cascade oracle, then first-failing
+    // (cascade order) and comma-joined failing-gate list per rejected doc.
+    "k4_reject_reasons" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nw,
+        |    CAST(n_chars - nw + 1 AS DOUBLE) / nw AS awl,
+        |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to')))
+        |      AS DOUBLE) / nw AS sr,
+        |    CASE WHEN nw >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    END AS bg
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id, nw, awl, sr,
+        |    CAST(list_max(list_transform(list_distinct(bg),
+        |        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS tbf
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id,
+        |    NOT (nw >= 20) AS f1, NOT (awl <= 4.8) AS f2,
+        |    NOT (sr >= 0.03) AS f3, NOT (tbf <= 0.09) AS f4
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN f1 THEN 'min_words' WHEN f2 THEN 'avg_word_len'
+        |       WHEN f3 THEN 'stopword_ratio' ELSE 'repetition' END AS first_fail,
+        |  concat_ws(',',
+        |    CASE WHEN f1 THEN 'min_words' END,
+        |    CASE WHEN f2 THEN 'avg_word_len' END,
+        |    CASE WHEN f3 THEN 'stopword_ratio' END,
+        |    CASE WHEN f4 THEN 'repetition' END) AS all_failing
+        |FROM g WHERE f1 OR f2 OR f3 OR f4
+        |ORDER BY doc_id""".stripMargin,
 
     "k4_filter_cascade" ->
       """WITH t AS (

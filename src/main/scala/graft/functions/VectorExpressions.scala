@@ -568,7 +568,12 @@ case class StripedGrayGridExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
-    val cells = new Array[Int](72)
+    // accumulate in Long: an Int cell overflows (and goes NEGATIVE under
+    // Scala's sign-keeping %) after ~2k astral-plane code points per
+    // stripe — a ~140k-char CJK/emoji document — violating the [0,256)
+    // contract and the oracle's BIGINT arithmetic; a Long needs ~10^13
+    // per stripe, unreachable for any in-memory string
+    val cells = new Array[Long](72)
     var i = 0
     var p = 0
     while (i < s.length) {
@@ -577,9 +582,10 @@ case class StripedGrayGridExpr(child: Expression)
       p += 1
       i += Character.charCount(cp)
     }
+    val out = new Array[Int](72)
     var j = 0
-    while (j < 72) { cells(j) %= 256; j += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+    while (j < 72) { out(j) = (cells(j) % 256).toInt; j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -102,8 +102,10 @@ class HeavyHittersSpec extends SparkSpec {
     val rows = SparkEntry.queries("k4_countmin")(spark, sfDir).collect()
     assert(rows.length == 20, "top-20 probe keys expected")
     rows.foreach { r =>
-      assert(r.getBoolean(2), s"${r.getString(0)} under-counted")
-      assert(r.getBoolean(3), s"${r.getString(0)} outside the εN band")
+      assert(r.getBoolean(3), s"${r.getString(0)} under-counted")
+      assert(r.getBoolean(4), s"${r.getString(0)} outside the εN band")
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: emitted est below exact count")
     }
   }
 }

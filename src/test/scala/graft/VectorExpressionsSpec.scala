@@ -134,6 +134,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.toSeq == Seq(3, 1, 3))
   }
 
+  test("striped grid stays in [0,256) on documents whose Int sum overflows") {
+    import org.apache.spark.sql.functions.lit
+    // ~150k astral-plane code points: each stripe accumulates ~2.3e9 —
+    // past Int.MaxValue, where an Int accumulator would go negative under
+    // Scala's sign-keeping % (the round-10 advice finding)
+    val big = new StringBuilder
+    (0 until 150000).foreach(_ => big.appendAll(Character.toChars(0x10FF0F)))
+    val grid = spark.range(1)
+      .select(graft.functions.VectorExpressions.stripedGrayGrid(
+        lit(big.toString)).as("g"))
+      .head.getSeq[Int](0)
+    assert(grid.length === 72)
+    assert(grid.forall(c => c >= 0 && c < 256),
+      s"cells out of [0,256): ${grid.filter(c => c < 0 || c >= 256)}")
+    // BigInt re-derivation: positions p ≡ j (mod 72) all carry 0x10FF0F
+    val perStripe = Array.tabulate(72)(j => (150000 - j + 71) / 72)
+    val expected = perStripe.map(n => ((BigInt(0x10FF0F) * n) % 256).toInt)
+    assert(grid.toSeq === expected.toSeq)
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))

@@ -69,7 +69,11 @@ class HllMaintenanceSpec extends SparkSpec {
     val rows = graft.SparkEntry.queries("d9_hll_incremental")(spark, sfDir)
       .collect()
     assert(rows.length == 1)
-    assert(rows.head.getBoolean(1), "estimate outside the rse band")
-    assert(rows.head.getBoolean(2), "replay was not stable")
+    assert(rows.head.getBoolean(2), "estimate outside the rse band")
+    assert(rows.head.getBoolean(3), "replay was not stable")
+    // the emitted estimate is the band's own witness (round-11: realized
+    // values ride the output so a breach is diagnosable)
+    assert(math.abs(rows.head.getLong(1) - rows.head.getLong(0)) <=
+      math.ceil(rows.head.getLong(0) * 0.05).toLong)
   }
 }

@@ -101,10 +101,10 @@ class PerceptualHashSpec extends SparkSpec {
       .where("doc_id % 3 = 0").select("doc_id", "text")
       .as[(Long, String)].collect()
     val hashes = docs.map { case (id, t) =>
-      val cells = new Array[Int](72)
+      val cells = new Array[Long](72) // Long accumulation, like the expression
       var p = 0
       t.codePoints().forEach { cp => cells(p % 72) += cp; p += 1 }
-      id -> PerceptualHash.dHash64(cells.map(_ % 256))
+      id -> PerceptualHash.dHash64(cells.map(c => (c % 256).toInt))
     }.toMap
     def bandKeys(h: (Long, Long)): Seq[Long] =
       Seq(h._2 & 0xffffL, (h._2 >> 16) & 0xffffL, h._1 & 0xffffL, (h._1 >> 16) & 0xffffL)

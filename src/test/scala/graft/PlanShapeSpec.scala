@@ -495,11 +495,12 @@ class PlanShapeSpec extends SparkSpec {
     val cbs = PqAnn.trainCodebooks(emb, "embedding", "vec_id", 64, m = 8, k = 16)
     val dir = java.nio.file.Files.createTempDirectory("ivfadc_plan").toString + "/idx"
     PqAnn.writeIvfAdcIndex(emb, "embedding", cents, cbs, dir)
-    val coded = spark.read.parquet(dir)
+    val coded = PqAnn.readIvfAdcIndex(spark, dir, m = 8)
     val q = coded.filter(col("vec_id") === 0L)
       .select("_v").head().getSeq[Double](0).toArray
     // the ADC shortlist BEFORE rerank: its scan must touch only the
-    // probed _list directories
+    // probed _list directories, and the unpacked code view must still
+    // prune the scan to (id, packed word) — not the vector column
     val probes = IvfAnn.nearestProbes(q, cents, 2)
     val short = coded
       .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
@@ -509,5 +510,10 @@ class PlanShapeSpec extends SparkSpec {
     val parts = scan.metadata.get("PartitionFilters").getOrElse("")
     assert(parts.contains("_list"),
       s"probe filter not a partition filter: ${scan.metadata}")
+    // column pruning: the code projection reads the ONE packed word, not
+    // the vector column — the "m bytes per touched row" lever at rest
+    val readSchema = scan.metadata.get("ReadSchema").getOrElse("")
+    assert(readSchema.contains("_codes0") && !readSchema.contains("_v"),
+      s"ADC code read not pruned to the packed word: $readSchema")
   }
 }

@@ -134,7 +134,7 @@ class SimilaritySpec extends SparkSpec {
 
     val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString + "/idx"
     PqAnn.writeIvfAdcIndex(emb, "embedding", cents, cbs, dir)
-    val fromDisk = spark.read.parquet(dir)
+    val fromDisk = PqAnn.readIvfAdcIndex(spark, dir, m = 8)
 
     val mem = PqAnn.adcProbeTopK(coded, "vec_id", q, cents, cbs,
         k = 10, nProbe = 2)
@@ -143,6 +143,45 @@ class SimilaritySpec extends SparkSpec {
         k = 10, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(disk == mem, s"partitioned ADC layout diverged:\nmem  $mem\ndisk $disk")
+
+    // round-trip parity of the packing itself: unpacked _c* equal the
+    // encoder's codes for every row
+    val truth = coded.select($"vec_id" +: (0 until 8).map(j => org.apache.spark.sql.functions.col(s"_c$j")): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    fromDisk.select($"vec_id" +: (0 until 8).map(j => org.apache.spark.sql.functions.col(s"_c$j")): _*)
+      .collect().foreach { r =>
+        assert(r.toSeq.tail == truth(r.getLong(0)),
+          s"packed codes diverged for vec ${r.getLong(0)}")
+      }
+  }
+
+  test("IVF-ADC layout stores codes packed: smaller than INT columns, hard <= m bytes/row") {
+    import graft.operators.{IvfAnn, PqAnn}
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = IvfAnn.trainCentroids(emb, "embedding", "vec_id", 64, nLists = 8)
+    val cbs = PqAnn.trainCodebooks(emb, "embedding", "vec_id", 64, m = 8, k = 16)
+    def du(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+      walk(new java.io.File(dir))
+    }
+    val base = java.nio.file.Files.createTempDirectory("ivfadc_size").toString
+    PqAnn.writeIvfAdcIndex(emb, "embedding", cents, cbs, s"$base/packed")
+    // the pre-packing shape (id + 8 INT code columns, same partitioning)
+    // for an apples-to-apples at-rest comparison
+    PqAnn.encode(emb, "embedding", cbs)
+      .withColumn("_list",
+        graft.functions.VectorExpressions.nearestCentroid($"_v", cents))
+      .drop("embedding")
+      .repartition($"_list")
+      .write.partitionBy("_list").mode("overwrite").parquet(s"$base/ints")
+    val (packed, ints) = (du(s"$base/packed"), du(s"$base/ints"))
+    // parquet dictionary-codes k=16 INTs near entropy, so the honest
+    // expectation is "strictly smaller", not a fixed multiple — the
+    // packed form's guarantees are the hard m-bytes/row bound and one
+    // column chunk instead of m (see writeIvfAdcIndex's scaladoc)
+    assert(packed < ints,
+      s"packed layout ($packed B) not smaller than INT columns ($ints B)")
   }
 
   test("IVF-ADC restricts scoring to the probed cells (subset of IVF candidates)") {

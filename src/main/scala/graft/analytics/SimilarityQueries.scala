@@ -36,9 +36,9 @@ object SimilarityQueries {
   private val pqMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
-  private def pqCodebookMemo(s: SparkSession, d: String)(
+  private def pqCodebookMemo(s: SparkSession, d: String, tag: String = "raw")(
       train: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
-    pqMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", train)
+    pqMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$tag", train)
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -187,6 +187,61 @@ object SimilarityQueries {
       graft.operators.PqAnn.ivfAdcTopK(emb, "vec_id", "embedding",
         queryId = 0, k = 10, centroids = cents, codebooks = cbs,
         nProbe = 4, shortlist = 50, carryCols = Seq("label"))
+    }),
+
+    // K3 (EXT): RESIDUAL IVF-PQ (`by_residual=true`, FAISS's default and
+    // Jégou et al. §V's recommendation) — codebooks quantize v − c(cell)
+    // instead of v, spending the same m×k budget on exactly what the
+    // coarse quantizer didn't explain; for inner-product ADC the score
+    // stays cell-independent plus one ⟨q,c⟩ literal lookup (see
+    // PqAnn.ivfAdcResidualTopK). The output carries the RECALL VERDICT
+    // against the exact brute-force top-k: `in_exact_topk` per row and
+    // `recall_ok` (≥ 7 of 10) — both RE-DERIVED by the oracle from the
+    // written centroid/codebook artifacts and the corpus itself (the
+    // d4_approx_distinct guarantee-verdict pattern, with nothing
+    // hardcoded: the oracle recomputes the residual encode, the ADC
+    // shortlist, the rerank, the exact top-k, and the booleans). The
+    // exact pass exists for the GATE; a production index samples held-out
+    // queries for the same report.
+    "k3_ann_ivf_pq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = memoCentroids(s, d, "ivf")(
+        graft.operators.IvfAnn.trainCentroids(emb, "embedding",
+          "vec_id", dim = 64, nLists = 16, iters = 3, trainSampleMod = 4))
+      val rcbs = pqCodebookMemo(s, d, "residual")(
+        graft.operators.PqAnn.trainResidualCodebooks(emb, "embedding",
+          "vec_id", dim = 64, m = 8, k = 16, centroids = cents, iters = 3,
+          trainSampleMod = 4))
+      import s.implicits._
+      graft.tools.OracleAux.write(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid"), "k3_ivfpq_res_centroids", d)
+      graft.tools.OracleAux.write(
+        rcbs.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+        }.toSeq.toDF("sub", "cell", "centroid"), "k3_ivfpq_res_codebooks", d)
+      val approx = graft.operators.PqAnn.ivfAdcResidualTopK(emb, "vec_id",
+        "embedding", queryId = 0, k = 10, centroids = cents,
+        codebooks = rcbs, nProbe = 4, shortlist = 50,
+        carryCols = Seq("label"))
+      // exact ground truth for the verdict: brute-force top-10 ids (one
+      // bounded 10-row collect; same rounding + tie rule as the rerank)
+      import graft.functions.VectorExpressions.cosineFast
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val exactIds = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineFast(col("embedding"), col("q_vec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      val rows = approx.collect() // k = 10 rows — bounded at any scale
+      val hits = rows.count(r => exactIds.contains(r.getLong(0)))
+      rows.toSeq.map { r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(2),
+          exactIds.contains(r.getLong(0)), hits >= 7)
+      }.toDF("vec_id", "label", "sim", "in_exact_topk", "recall_ok")
+        .orderBy(col("sim").desc, col("vec_id"))
     }),
 
     // K3 batch retrieval: many query vectors answered in ONE bucket
@@ -635,6 +690,93 @@ object SimilarityQueries {
         |  FROM e JOIN short USING (vec_id), q)
         |SELECT vec_id, label, sim FROM sims
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Residual IVF-PQ, fully re-derived: residual encode (codes argmax
+    // dot(r_sub, cb) − ‖cb‖²/2 over r = v − c(cell), ties to the larger
+    // code), cell-independent ADC tables from the RAW query + the ⟨q,c⟩
+    // per-cell term (score = qc + tsum, the engine's addition tree),
+    // 50-deep shortlist, exact rerank — then the recall verdict against
+    // the exact brute-force top-10, all computed here rather than
+    // hardcoded.
+    "k3_ann_ivf_pq_residual" ->
+      """WITH cc AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivfpq_res_centroids.parquet/*.parquet')),
+        |cb AS (SELECT sub, cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivfpq_res_codebooks.parquet/*.parquet')),
+        |e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings WHERE len(embedding) = 64),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cscored AS (
+        |  SELECT e.vec_id, cc.cell,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM e, cc),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |    FROM cscored) WHERE rn = 1),
+        |probes AS (SELECT cell FROM (
+        |    SELECT cc.cell,
+        |      list_sum(list_transform(cc.centroid, x -> x * x)) / 2.0
+        |      - list_sum(list_transform(range(1, 65), i -> q.qv[i] * cc.centroid[i]))
+        |      AS cost
+        |    FROM cc, q)
+        |  ORDER BY cost ASC, cell ASC LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, e.label, e.v, asg.cell,
+        |    list_transform(range(1, 65), i -> e.v[i] - cc.centroid[i]) AS r
+        |  FROM e JOIN asg USING (vec_id) JOIN probes USING (cell)
+        |         JOIN cc ON cc.cell = asg.cell),
+        |scored AS (
+        |  SELECT cand.vec_id, cb.sub, cb.cell,
+        |    list_sum(list_transform(range(1, 9), i -> r[cb.sub * 8 + i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM cand, cb),
+        |codes AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT vec_id, sub, cell,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY s DESC, cell DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |vals AS (
+        |  SELECT codes.vec_id, codes.sub,
+        |    list_sum(list_transform(range(1, 9), i -> q.qv[codes.sub * 8 + i] * cb.centroid[i])) AS t
+        |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.cell, q),
+        |cellterm AS (
+        |  SELECT cand.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> q.qv[i] * cc.centroid[i])) AS qc
+        |  FROM cand JOIN cc ON cc.cell = cand.cell, q),
+        |adc AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN sub = 0 THEN t END) + MAX(CASE WHEN sub = 1 THEN t END)
+        |    + MAX(CASE WHEN sub = 2 THEN t END) + MAX(CASE WHEN sub = 3 THEN t END)
+        |    + MAX(CASE WHEN sub = 4 THEN t END) + MAX(CASE WHEN sub = 5 THEN t END)
+        |    + MAX(CASE WHEN sub = 6 THEN t END) + MAX(CASE WHEN sub = 7 THEN t END) AS tsum
+        |  FROM vals GROUP BY vec_id),
+        |shortd AS (
+        |  SELECT adc.vec_id, ct.qc + adc.tsum AS score
+        |  FROM adc JOIN cellterm ct USING (vec_id)),
+        |short AS (SELECT vec_id FROM shortd ORDER BY score DESC, vec_id ASC LIMIT 50),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * q.qv[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+        |  FROM e JOIN short USING (vec_id), q),
+        |topk AS (SELECT vec_id, label, sim FROM sims
+        |         ORDER BY sim DESC, vec_id LIMIT 10),
+        |exact AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * q.qv[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+        |  FROM e, q ORDER BY sim DESC, vec_id LIMIT 10),
+        |hits AS (SELECT COUNT(*) AS h FROM topk
+        |         WHERE vec_id IN (SELECT vec_id FROM exact))
+        |SELECT t.vec_id, t.label, t.sim,
+        |  t.vec_id IN (SELECT vec_id FROM exact) AS in_exact_topk,
+        |  hits.h >= 7 AS recall_ok
+        |FROM topk t, hits
+        |ORDER BY t.sim DESC, t.vec_id""".stripMargin,
 
     // Downstream of the written hyperplane-bucket artifact
     // (graft.tools.OracleAux): multi-probe = Hamming ≤ 2 on the bucket

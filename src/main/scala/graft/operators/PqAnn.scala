@@ -187,6 +187,101 @@ object PqAnn {
     rerank(short, idCol, q, k, carryCols)
   }
 
+  /** The residual of each vector against its coarse cell's centroid:
+    * `_r = _v − c(_list)` element-wise. The centroid matrix rides as ONE
+    * nested literal; the subtraction is a codegen'd `zip_with`.
+    */
+  private def residualCol(centroids: Array[Array[Double]]): Column =
+    zip_with(col("_v"),
+      element_at(typedLit(centroids.map(_.toSeq).toSeq), col("_list") + 1),
+      (a, b) => a - b)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** RESIDUAL per-subspace codebooks (Jégou et al. §V, `by_residual=true`
+    * — FAISS's default for `IVFx,PQy`): codebooks train on `r = v −
+    * c(cell)` instead of raw vectors. Residuals concentrate near zero
+    * with far smaller within-cell spread than the raw corpus, so the same
+    * m×k code budget spends its resolution on exactly the part of `v` the
+    * coarse quantizer did NOT explain — materially better recall at equal
+    * m. Same seeded deterministic Lloyd's per subspace (distinct seed
+    * base, so residual and raw codebooks never alias).
+    */
+  def trainResidualCodebooks(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, m: Int, k: Int, centroids: Array[Array[Double]],
+      iters: Int = 3, trainSampleMod: Int = 1): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    val base = withResidual(emb, vecCol, dim, centroids)
+    (0 until m).map { j =>
+      val sub = base.select(col(idCol),
+        slice(col("_r"), j * dsub + 1, dsub).as(vecCol))
+      IvfAnn.trainCentroids(sub, vecCol, idCol, dsub, k, iters,
+        seed = 1042L + j, trainSampleMod = trainSampleMod)
+    }.toArray
+  }
+
+  private def withResidual(emb: DataFrame, vecCol: String, dim: Int,
+      centroids: Array[Array[Double]]): DataFrame =
+    graft.Tables.fanOut(emb)
+      .withColumn("_v", asDouble(col(vecCol)))
+      .filter(size(col("_v")) === dim)
+      .withColumn("_list",
+        graft.functions.VectorExpressions.nearestCentroid(col("_v"), centroids))
+      .withColumn("_r", residualCol(centroids))
+
+  /** Cell-tag + residual-encode: `_v`, `_list`, and `_c*` codes assigned
+    * per subspace over the RESIDUAL (same native argmin as [[encode]]).
+    */
+  def encodeResidual(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val base = withResidual(emb, vecCol, m * dsub, centroids)
+    (0 until m).foldLeft(base) { (df, j) =>
+      df.withColumn(s"_c$j",
+        graft.functions.VectorExpressions.nearestCentroid(
+          slice(col("_r"), j * dsub + 1, dsub), codebooks(j)))
+    }.drop("_r")
+  }
+
+  /** Residual IVF-ADC top-k. For INNER-PRODUCT scoring the residual
+    * decomposition keeps ADC cell-independent:
+    * `⟨q, v̂⟩ = ⟨q, c_list⟩ + Σ_j ⟨q_sub_j, cb_j[code_j]⟩` — the per-cell
+    * term is one literal lookup by `_list` (nLists doubles, driver-built
+    * once per query), and the Σ term reuses the SAME query-sliced lookup
+    * tables as the non-residual path. So the scan cost is unchanged
+    * (m table lookups + one more `element_at` per row) while the codes
+    * carry strictly more information. Exact-cosine rerank on the
+    * shortlist, as everywhere.
+    */
+  def ivfAdcResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nProbe: Int = 4, shortlist: Int = 50,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val coded = encodeResidual(emb, vecCol, centroids, codebooks)
+    val q = coded.filter(col(idCol) === queryId)
+      .select(col("_v")).head().getSeq[Double](0).toArray
+    val probes = IvfAnn.nearestProbes(q, centroids, nProbe)
+    val qDotCell: Seq[Double] = centroids.map(c => dot(q, c)).toSeq
+    val short = coded
+      .filter(col("_list").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("_adc",
+        element_at(typedLit(qDotCell), col("_list") + 1) +
+          adcScore(q, codebooks))
+      .orderBy(col("_adc").desc, col(idCol))
+      .limit(shortlist)
+    rerank(short, idCol, q, k, carryCols)
+  }
+
   /** The DEPLOYMENT layout of IVF-ADC: hive-partitioned by coarse cell
     * (the [[IvfAnn.writeIndex]] pattern) with the PQ CODES PACKED AS
     * BYTES — 8 codes per BIGINT word (`_codes0..`, code j at byte j%8 of

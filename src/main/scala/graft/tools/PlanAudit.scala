@@ -24,6 +24,7 @@ object PlanAudit {
     "k3_ann_lsh", "k3_ann_ivf",
     "k3_ann_pq", // broadcast ONE-ROW query vector for the shortlist rerank
     "k3_ann_ivf_pq", // same one-row rerank broadcast as k3_ann_pq
+    "k3_ann_ivf_pq_residual", // same one-row rerank broadcast
     "k3_random_projection", // broadcast ONE-ROW original query vector
     "k4_cross_perplexity", // broadcast one-row LM total-mass aggregates
     "k6_importance_sample", // broadcast one-row target/proposal totals

@@ -120,6 +120,44 @@ class SimilaritySpec extends SparkSpec {
       s"IVF-ADC dropped the planted cluster: got $got, recall $recall")
   }
 
+  test("residual IVF-PQ on planted clusters: residual codes keep the true neighbours") {
+    val dim = 64
+    val rnd = new scala.util.Random(31L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = (1L to 10L).map(i => (i, unit(base.map(_ + 0.12 * rnd.nextGaussian())), 1))
+    val far = (11L to 510L).map(i => (i, unit(Array.fill(dim)(rnd.nextGaussian())), 0))
+    val emb = ((0L, unit(base), 1) +: (near ++ far)).toDF("vec_id", "embedding", "label")
+    val cents = graft.operators.IvfAnn.trainCentroids(
+      emb, "embedding", "vec_id", dim = dim, nLists = 8, iters = 3)
+    val rcbs = graft.operators.PqAnn.trainResidualCodebooks(
+      emb, "embedding", "vec_id", dim = dim, m = 8, k = 16,
+      centroids = cents, iters = 3)
+    val got = graft.operators.PqAnn.ivfAdcResidualTopK(emb, "vec_id",
+        "embedding", queryId = 0, k = 11, centroids = cents,
+        codebooks = rcbs, nProbe = 2, shortlist = 50)
+      .select("vec_id").as[Long].collect().toSet
+    val planted = (0L to 10L).toSet
+    val recall = (got & planted).size.toDouble / planted.size
+    assert(recall >= 0.8,
+      s"residual IVF-PQ dropped the planted cluster: got $got, recall $recall")
+  }
+
+  test("declared residual query: verdict booleans consistent, query retrieves itself") {
+    val rows = SimilarityQueries.queries("k3_ann_ivf_pq_residual")(spark, sfDir)
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).contains(0L),
+      "the query vector must retrieve itself")
+    // recall_ok must equal (hits >= 7) over the emitted per-row booleans
+    val hits = rows.count(_.getBoolean(3))
+    assert(rows.forall(_.getBoolean(4) == (hits >= 7)),
+      s"recall_ok inconsistent with $hits in_exact_topk hits")
+  }
+
   test("IVF-ADC written partitioned layout returns identical results to the in-memory path") {
     import graft.operators.{IvfAnn, PqAnn}
     val emb = Tables.embeddings(spark, sfDir)

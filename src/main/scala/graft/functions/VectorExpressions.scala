@@ -547,6 +547,89 @@ case class BloomMightContainExpr(child: Expression, bits: Seq[Byte])
     copy(child = newChild)
 }
 
+/** Bounded merge-intersection of two SORTED long arrays — the
+  * verification optimizer of the exact set-similarity join (Xiao et al.
+  * WWW'08 §5: ordered-set verify with early termination). A linear merge
+  * walk counts the overlap, and at every step the best still-reachable
+  * overlap (`ov + min(remaining_a, remaining_b)`) is checked against the
+  * `required` minimum — a pair that can no longer reach it returns −1
+  * immediately instead of finishing the walk. Versus `array_intersect`
+  * (hash-set build + probe per row) this is allocation-free, branch-cheap,
+  * and abandons hopeless candidates at the first provable miss — the
+  * verify stage's cost concentrates on TRUE near-duplicates, which is
+  * exactly where the work is irreducible.
+  *
+  * Contract: both arrays sorted ascending, distinct elements (the
+  * [[graft.operators.Dedup]] hashedSets invariant); `required` is a lower
+  * bound the CALLER wants certain — the expression early-exits only when
+  * the final overlap would be strictly below it, so callers keep their
+  * own exact accept predicate downstream (Dedup passes α−1, one unit of
+  * slack, making double-rounding in α harmless: a borderline pair is
+  * verified exactly rather than pruned).
+  */
+case class BoundedSortedOverlapExpr(left: Expression, right: Expression,
+    required: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = left
+  override def second: Expression = right
+  override def third: Expression = required
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "bounded_sorted_overlap"
+
+  override def nullSafeEval(a: Any, b: Any, r: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val req = r.asInstanceOf[Long]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var ia = 0
+    var ib = 0
+    var ov = 0
+    while (ia < na && ib < nb) {
+      if (ov + math.min(na - ia, nb - ib) < req) return -1
+      val xa = x.getLong(ia)
+      val xb = y.getLong(ib)
+      if (xa == xb) { ov += 1; ia += 1; ib += 1 }
+      else if (xa < xb) ia += 1
+      else ib += 1
+    }
+    if (ov >= req) ov else -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, r) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ia = ctx.freshName("ia")
+      val ib = ctx.freshName("ib")
+      val ov = ctx.freshName("ov")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $ia = 0; int $ib = 0; int $ov = 0;
+         |while ($ia < $na && $ib < $nb) {
+         |  if ($ov + java.lang.Math.min($na - $ia, $nb - $ib) < $r) {
+         |    $ov = java.lang.Integer.MIN_VALUE; break;
+         |  }
+         |  long $xa = $a.getLong($ia);
+         |  long $xb = $b.getLong($ib);
+         |  if ($xa == $xb) { $ov++; $ia++; $ib++; }
+         |  else if ($xa < $xb) { $ia++; } else { $ib++; }
+         |}
+         |${ev.value} = ($ov >= $r) ? $ov : -1;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(left = newFirst, right = newSecond, required = newThird)
+}
+
 /** Striped luma-surrogate grid for the perceptual-hash pipeline
   * ([[graft.operators.PerceptualHash]]): cell j (0..71) is the sum of the
   * Unicode code points at positions ≡ j (mod 72), mod 256 — one pass over
@@ -647,6 +730,14 @@ object VectorExpressions {
   /** Single-pass striped 72-cell luma-surrogate grid of a string column. */
   def stripedGrayGrid(text: Column): Column =
     GraftSqlBridge.column(StripedGrayGridExpr(GraftSqlBridge.expression(text)))
+
+  /** Bounded merge-intersection of two sorted long-array columns: exact
+    * overlap, or −1 as soon as `required` is provably unreachable.
+    */
+  def boundedSortedOverlap(a: Column, b: Column, required: Column): Column =
+    GraftSqlBridge.column(BoundedSortedOverlapExpr(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
+      GraftSqlBridge.expression(required.cast("long"))))
 
   /** Codegen'd Bloom membership probe of a string column against a
     * serialized `org.apache.spark.util.sketch.BloomFilter`.

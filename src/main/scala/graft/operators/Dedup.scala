@@ -288,7 +288,11 @@ object Dedup {
       idCol: String): DataFrame =
     graft.Tables.fanOut(docs)
       .select(col(idCol).as("_id"),
-        array_distinct(transform(setCol, x => xxhash64(x))).as("_toks"))
+        // sorted ascending: verification runs a bounded MERGE walk
+        // (BoundedSortedOverlapExpr) instead of a hash intersect — the
+        // sort is per-row, once, at build time
+        sort_array(array_distinct(transform(setCol, x => xxhash64(x))))
+          .as("_toks"))
       .filter(size(col("_toks")) >= 1)
       .localCheckpoint(true)
 
@@ -334,18 +338,33 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs: join the hashed sets
     * back by id (arrays only ever shuffle here), keep pairs ≥ threshold.
+    *
+    * The overlap is a bounded MERGE walk over the sorted sets (Xiao et
+    * al. §5's verification with early termination): a candidate is
+    * abandoned the moment `ov + min(remaining)` can no longer reach
+    * α = ⌈t/(1+t)·(|a|+|b|)⌉ — passed with ONE unit of slack (α−1) so any
+    * double rounding in α can only cost a spare exact walk, never drop a
+    * pair; the ACCEPT predicate stays the exact-Jaccard division the
+    * oracle computes, bit-identical to the previous `array_intersect`
+    * formulation.
     */
   private def verifyJaccard(candidates: DataFrame, aToks: DataFrame,
       bToks: DataFrame, aId: String, bId: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    val required =
+      ceil(lit(threshold / (1 + threshold)) *
+        (size(col("_ta")) + size(col("_tb")))) - 1
     candidates
       .join(aToks.select(col("_id").as(aId), col("_toks").as("_ta")), Seq(aId))
       .join(bToks.select(col("_id").as(bId), col("_toks").as("_tb")), Seq(bId))
-      .withColumn("_ov", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("_ov", graft.functions.VectorExpressions
+        .boundedSortedOverlap(col("_ta"), col("_tb"), required))
+      .filter(col("_ov") >= 0)
       .withColumn("jaccard", col("_ov").cast("double") /
         (size(col("_ta")) + size(col("_tb")) - col("_ov")))
       .filter(col("jaccard") >= threshold)
       .select(col(aId), col(bId), col("jaccard"))
+  }
 
   /** Capped CROSS-CORPUS blocking pairs: for each block key, every
     * (left id, right id) combination — left and right being different

@@ -154,6 +154,38 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(grid.toSeq === expected.toSeq)
   }
 
+  test("bounded sorted overlap: exact counts, early-exit only below the bound") {
+    import graft.functions.VectorExpressions.boundedSortedOverlap
+    import org.apache.spark.sql.functions.{array, lit}
+    def ov(a: Seq[Long], b: Seq[Long], req: Long): Int =
+      spark.range(1).select(boundedSortedOverlap(
+          array(a.map(lit(_)): _*), array(b.map(lit(_)): _*), lit(req)).as("o"))
+        .head.getInt(0)
+    // exact overlap when reachable
+    assert(ov(Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 0L) === 2)
+    assert(ov(Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 2L) === 2)
+    // -1 when the bound is unreachable (overlap 2 < required 3)
+    assert(ov(Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L), 3L) === -1)
+    // disjoint
+    assert(ov(Seq(1L, 2L), Seq(3L, 4L), 1L) === -1)
+    assert(ov(Seq(1L, 2L), Seq(3L, 4L), 0L) === 0)
+    // identical sets
+    assert(ov(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L) === 3)
+    // empty side
+    assert(ov(Seq.empty, Seq(1L), 0L) === 0)
+    // randomized differential vs the set-intersection ground truth
+    val rnd = new scala.util.Random(17L)
+    (0 until 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val truth = (a.toSet & b.toSet).size
+      val req = rnd.nextInt(12).toLong
+      val got = ov(a, b, req)
+      if (truth >= req) assert(got === truth, s"a=$a b=$b req=$req")
+      else assert(got === -1, s"a=$a b=$b req=$req truth=$truth")
+    }
+  }
+
   test("the expression participates in whole-stage codegen (no fallback)") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))

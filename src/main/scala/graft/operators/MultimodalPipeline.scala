@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF/BMP headers through the JDK's `javax.imageio`,
   * [[JavaSoundCodec]] reads WAV/AIFF/AU via `javax.sound.sampled`, and
   * [[Mp4HeaderCodec]] walks ISO BMFF (MP4/MOV) container boxes directly —
-  * zero external dependencies. Frame PIXEL decode (H.264 etc.) still
-  * needs a deployment codec; [[decodeStub]] remains available as the
-  * deterministic stand-in. Everything around the codecs —
+  * zero external dependencies. The image PIXEL stage is real too:
+  * [[ImageIoRasterCodec]] decodes full rasters (`ImageIO.read`) into the
+  * perceptual-hash features ([[PixelFeatures]]), proven end-to-end on
+  * planted PNG near-dups in PerceptualHashSpec. VIDEO frame decode
+  * (H.264 etc.) still needs a deployment codec; [[decodeStub]] remains
+  * available as the deterministic stand-in. Everything around the codecs —
   * the schema, the typed record, the `mapPartitions` batch shape (one
   * iterator pass per partition, no per-row task overhead, the Scala
   * analogue of `mapInPandas` batches), the registry dispatch, and the
@@ -268,6 +271,89 @@ object MultimodalPipeline {
     */
   val imageIoRegistry: CodecRegistry =
     CodecRegistry(Seq(new ImageIoCodec, new JavaSoundCodec, new Mp4HeaderCodec))
+
+  /** PIXEL-stage features — the raster decode's output: true raster
+    * dimensions plus the 9×8-luma-grid dHash halves (the
+    * [[PerceptualHash]] unit, split into non-negative 32-bit halves for
+    * the engine-parity reasons documented there). This is the second
+    * stage of the two-stage media scan: the HEADER stage
+    * ([[extractFeatures]]) gates on metadata at a few hundred bytes per
+    * record; the pixel stage below decodes full rasters and therefore
+    * runs AFTER those gates, on the survivors only.
+    */
+  final case class PixelFeatures(
+      media_id: Long,
+      modality: String,
+      width: Int,
+      height: Int,
+      h_hi: Long,
+      h_lo: Long)
+
+  /** Pixel-stage decoder: payload bytes → raster → perceptual features.
+    * Same contract as [[MediaCodec]] (Serializable, stateless, ships in
+    * the partition closure).
+    */
+  trait PixelCodec extends Serializable {
+    def modalities: Set[String]
+    def decode(r: MediaRecord): PixelFeatures
+  }
+
+  /** REAL raster decode via `javax.imageio.ImageIO.read` — the full
+    * pixel path: decode the PNG/JPEG/GIF/BMP payload to a
+    * `BufferedImage`, box-average to the 9×8 luma grid
+    * ([[PerceptualHash.grayGrid]] — integer Rec.601, bit-deterministic),
+    * and dHash it. A payload no reader decodes fails loudly, exactly
+    * like the header codec: corrupt media must not flow on as fake
+    * features.
+    */
+  final class ImageIoRasterCodec extends PixelCodec {
+    val modalities: Set[String] = Set("image")
+    def decode(r: MediaRecord): PixelFeatures = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"media_id=${r.media_id}: payload is not a decodable image " +
+            s"(${r.payload.length} bytes)")
+      val (hi, lo) = PerceptualHash.dHash64(PerceptualHash.grayGrid(img))
+      PixelFeatures(r.media_id, r.modality, img.getWidth, img.getHeight,
+        hi, lo)
+    }
+  }
+
+  /** Modality→pixel-codec dispatch, same loud-failure semantics as
+    * [[CodecRegistry]].
+    */
+  final case class PixelRegistry(codecs: Seq[PixelCodec]) {
+    private[this] val byModality: Map[String, PixelCodec] = {
+      val bindings = codecs.flatMap(c => c.modalities.iterator.map(_ -> c))
+      val dups = bindings.groupBy(_._1).filter(_._2.size > 1).keys
+      require(dups.isEmpty,
+        s"modalities claimed by more than one pixel codec: ${dups.toSeq.sorted.mkString(", ")}")
+      bindings.toMap
+    }
+    def decode(r: MediaRecord): PixelFeatures =
+      byModality.getOrElse(r.modality, throw new IllegalArgumentException(
+        s"no pixel codec registered for modality '${r.modality}' " +
+          s"(media_id=${r.media_id}); registered: ${byModality.keys.toSeq.sorted.mkString(", ")}"))
+        .decode(r)
+  }
+
+  /** The real-raster image registry. Audio/video pixel stages register
+    * their own codecs the same way (frame grabs need deployment codecs).
+    */
+  val rasterRegistry: PixelRegistry = PixelRegistry(Seq(new ImageIoRasterCodec))
+
+  /** Pixel-stage batch extraction: one partition = one batch, the raster
+    * decoded inside the iterator so memory stays bounded at one image.
+    * Output feeds [[PerceptualHash.nearDupPairs]] directly (h_hi/h_lo).
+    */
+  def extractPixelFeatures(
+      records: Dataset[MediaRecord],
+      registry: PixelRegistry = rasterRegistry): Dataset[PixelFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(registry.decode))
+  }
 
   /** STUB decoder ??? replacement: deterministic fake decode. A real
     * implementation would dispatch on modality to an image/audio codec;

@@ -88,6 +88,52 @@ class PerceptualHashSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 3), (1L, 3L, 0), (2L, 3L, 3)))
   }
 
+  test("real-raster registry path: planted PNG near-dups found end-to-end in Spark") {
+    import graft.operators.MultimodalPipeline.{MediaRecord, extractPixelFeatures}
+    import spark.implicits._
+    // REAL encoded images: a textured gradient, a one-pixel tweak of it
+    // (the dHash near-dup), an exact byte-identical copy, and an
+    // unrelated inverse gradient
+    val base = testImage(90, 64, 1, (x, y) => x * 2 + (x * 31 + y * 17) % 13)
+    val tweak = testImage(90, 64, 1, (x, y) =>
+      x * 2 + (x * 31 + y * 17) % 13 + (if (x == 40 && y == 30) 40 else 0))
+    val other = testImage(90, 64, 1, (x, y) => 200 - x * 2 + (x * 13 + y * 7) % 11)
+    val records = Seq(
+      MediaRecord(1L, "image", encodePng(base), "{}"),
+      MediaRecord(2L, "image", encodePng(tweak), "{}"),
+      MediaRecord(3L, "image", encodePng(base), "{}"),
+      MediaRecord(4L, "image", encodePng(other), "{}"))
+    // the full pipeline: payload bytes → registry raster decode
+    // (ImageIO.read → luma grid → dHash) → banded LSH → verified pairs
+    val feats = extractPixelFeatures(spark.createDataset(records))
+    val rows = feats.collect()
+    assert(rows.forall(f => f.width == 90 && f.height == 64),
+      "raster decode must recover true dimensions from the encoded bytes")
+    val pairs = PerceptualHash.nearDupPairs(
+        feats.toDF().select($"media_id", $"h_hi", $"h_lo"), "media_id",
+        maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .sortBy(p => (p._1, p._2))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((1L, 3L)).contains(0), s"exact copy not at Hamming 0: $pairs")
+    assert(asMap.contains((1L, 2L)) && asMap((1L, 2L)) <= 6,
+      s"one-pixel tweak not a near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image paired: $pairs")
+  }
+
+  test("raster registry fails loudly on undecodable bytes and unknown modalities") {
+    import graft.operators.MultimodalPipeline.{MediaRecord, rasterRegistry}
+    val junk = intercept[IllegalArgumentException] {
+      rasterRegistry.decode(MediaRecord(9L, "image", Array[Byte](1, 2, 3), "{}"))
+    }
+    assert(junk.getMessage.contains("not a decodable image"))
+    val unknown = intercept[IllegalArgumentException] {
+      rasterRegistry.decode(MediaRecord(9L, "audio", Array[Byte](1), "{}"))
+    }
+    assert(unknown.getMessage.contains("no pixel codec"))
+  }
+
   test("k5_phash_neardup matches an independent JVM-side re-derivation") {
     val out = SimilarityQueries.queries("k5_phash_neardup")(spark, sfDir)
       .collect()

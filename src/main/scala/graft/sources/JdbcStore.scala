@@ -52,16 +52,44 @@ object JdbcStore {
     p
   }
 
+  /** Postgres URL? The reference's exact dialect gets its native
+    * statement; everything else takes the dialect-neutral anti-join.
+    */
+  private[sources] def isPostgres(url: String): Boolean =
+    url.startsWith("jdbc:postgresql:")
+
+  /** The reference's idempotent-insert statement, verbatim shape
+    * (`INSERT … ON CONFLICT (id) DO NOTHING`, repo.rs:26,56), generated
+    * from the batch schema. Golden-checked in JdbcStoreSpec.
+    */
+  private[sources] def upsertSql(table: String, cols: Seq[String],
+      keyCol: String): String = {
+    require(cols.contains(keyCol), s"key column $keyCol not in ${cols.mkString(", ")}")
+    s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT ($keyCol) DO NOTHING"
+  }
+
   /** Append `batch` rows whose `keyCol` is not already present in `table`;
     * creates the table (VARCHAR strings, from the batch schema) on first
     * write. Returns rows actually appended. The reference's
     * `save_transactions`/`save_ledger_entries` (repo.rs:13-71).
+    *
+    * Dialect dispatch: a Postgres URL speaks the reference's native
+    * `ON CONFLICT (key) DO NOTHING` — the database arbitrates key
+    * conflicts per statement, so the read-keys round-trip disappears and
+    * CONCURRENT writers become safe (the anti-join path's
+    * check-then-write is only safe under the engine's single-writer
+    * rule). Every other dialect keeps the anti-join merge below.
     */
   def saveIdempotent(spark: SparkSession, batch: DataFrame, url: String,
       table: String, keyCol: String,
       options: Map[String, String] = Map.empty): Long = {
     val deduped = batch.dropDuplicates(keyCol)
     val existed = tableExists(url, table, options)
+    if (isPostgres(url))
+      return savePostgresUpsert(spark, deduped, url, table, keyCol,
+        options, existed, varcharTypes(batch))
     val fresh =
       if (!existed) deduped
       else {
@@ -86,6 +114,64 @@ object JdbcStore {
         .options(options)
         .jdbc(url, table, props(options))
     n
+  }
+
+  /** The Postgres leg of [[saveIdempotent]]: table creation through the
+    * same Spark JDBC writer (empty append — VARCHAR overrides apply),
+    * then per-partition `executeBatch` of the native upsert. Each
+    * partition opens ONE connection, streams its rows through a prepared
+    * statement in 500-row batches, and commits once — the executor-side
+    * shape of the reference's per-row `execute` loop (repo.rs:21-31) at
+    * Spark parallelism. Inserted-row counts come from the driver's batch
+    * update counts (`ON CONFLICT DO NOTHING` reports 0 for a conflict,
+    * 1 for an insert; `SUCCESS_NO_INFO` counts as inserted — only
+    * non-default rewrite modes return it, and over-reporting a no-op is
+    * the safe direction for a freshness metric).
+    */
+  private def savePostgresUpsert(spark: SparkSession, deduped: DataFrame,
+      url: String, table: String, keyCol: String,
+      options: Map[String, String], existed: Boolean,
+      columnTypes: String): Long = {
+    if (!existed)
+      deduped.limit(0).write.mode(SaveMode.Append)
+        .option("createTableColumnTypes", columnTypes)
+        .options(options)
+        .jdbc(url, table, props(options))
+    val sql = upsertSql(table, deduped.columns.toSeq, keyCol)
+    val acc = spark.sparkContext.longAccumulator("pg_upsert_inserted")
+    val nCols = deduped.columns.length
+    val creds = options.view
+      .filterKeys(Set("user", "password", "driver")).toMap
+    deduped.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        creds.get("driver").foreach(Class.forName)
+        val conn = DriverManager.getConnection(url,
+          props(creds.view.filterKeys(Set("user", "password")).toMap))
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          try {
+            var pending = 0
+            def flush(): Unit = if (pending > 0) {
+              st.executeBatch().foreach { c =>
+                if (c > 0 || c == java.sql.Statement.SUCCESS_NO_INFO) acc.add(1L)
+              }
+              pending = 0
+            }
+            it.foreach { r =>
+              var i = 0
+              while (i < nCols) { st.setObject(i + 1, r.get(i)); i += 1 }
+              st.addBatch()
+              pending += 1
+              if (pending == 500) flush()
+            }
+            flush()
+            conn.commit()
+          } finally st.close()
+        } finally conn.close()
+      }
+    }
+    acc.value
   }
 
   /** Whole-table read. */

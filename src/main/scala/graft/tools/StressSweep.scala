@@ -40,9 +40,19 @@ object StressSweep {
     "k2_prefix_join", "k2_prefix_join_against",
     "k4_countmin_incremental", "d9_hll_incremental")
 
+  /** The second-decade set: the five highest sf1 ratios from BASELINE.md's
+    * sweep table — the queries whose 10× headroom most needs 100×
+    * evidence that the ratios do not compound (round-10 verdict #7).
+    */
+  private val Decade = Seq(
+    "k2_cluster_transitive", "k2_dedup_cascade",
+    "k2_prefix_join", "k2_prefix_join_against", "c5_ledger_fiat_enrich")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outDir = args.lift(1).getOrElse(
+    val mode = args.headOption.filter(_ == "decade")
+    val rest = if (mode.isDefined) args.drop(1) else args
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = rest.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft-sf1").toString)
     val spark = GraftSession.getOrCreate("graft-stress",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -58,18 +68,32 @@ object StressSweep {
     // each dir switch, so interleaving dirs would re-pay the layout write
     // per query. Two timed reps per dir; min taken (rep 1 carries
     // codegen + layout warmup).
-    val base = Heavy.map { n =>
-      n -> math.min(timeQuery(n, sfDir), timeQuery(n, sfDir))
-    }.toMap
-    val blown = Heavy.map { n =>
-      n -> math.min(timeQuery(n, outDir), timeQuery(n, outDir))
-    }.toMap
+    def sweep(names: Seq[String], loDir: String, hiDir: String,
+        loLabel: String, hiLabel: String): Unit = {
+      val base = names.map { n =>
+        n -> math.min(timeQuery(n, loDir), timeQuery(n, loDir))
+      }.toMap
+      val blown = names.map { n =>
+        n -> math.min(timeQuery(n, hiDir), timeQuery(n, hiDir))
+      }.toMap
+      println(f"${"query"}%-28s $loLabel%8s $hiLabel%8s  ratio (linear = 10)")
+      names.foreach { n =>
+        val r = blown(n) / base(n)
+        val flag = if (r > 15.0) "  <-- SUPERLINEAR, audit the plan" else ""
+        println(f"$n%-28s ${base(n)}%7.2fs ${blown(n)}%7.2fs  ${r}%5.1f$flag")
+      }
+    }
 
-    println(f"${"query"}%-28s ${"sf0.1"}%8s ${"10x"}%8s  ratio (linear = 10)")
-    Heavy.foreach { n =>
-      val r = blown(n) / base(n)
-      val flag = if (r > 15.0) "  <-- SUPERLINEAR, audit the plan" else ""
-      println(f"$n%-28s ${base(n)}%7.2fs ${blown(n)}%7.2fs  ${r}%5.1f$flag")
+    mode match {
+      case Some(_) =>
+        // SECOND decade: 10× dir → 100× dir (≈ sf10), worst-ratio set
+        // only. Per-decade ratios that hold ≈ the first decade's are the
+        // evidence the plans don't compound.
+        val out100 = s"$outDir-x100"
+        blowUp(spark, outDir, out100, times = 10)
+        sweep(Decade, outDir, out100, "10x", "100x")
+      case None =>
+        sweep(Heavy, sfDir, outDir, "sf0.1", "10x")
     }
     spark.stop()
   }

@@ -28,7 +28,15 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // default: one shuffle partition per core (right for the shipped
+      // scale factors in local mode). SPARK_GRAFT_SHUFFLE_PARTITIONS
+      // overrides for bigger-than-sf1 local experiments — per-partition
+      // sort sets must stay inside executor memory, which is exactly the
+      // "re-derive from data scale when deployed" note above (StressSweep's
+      // decade mode measured the spill cliff: k2_prefix_join at ≈sf3 with
+      // 32 fixed partitions sorts 30× the rows per partition)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

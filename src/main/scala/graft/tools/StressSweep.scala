@@ -69,17 +69,25 @@ object StressSweep {
     // per query. Two timed reps per dir; min taken (rep 1 carries
     // codegen + layout warmup).
     def sweep(names: Seq[String], loDir: String, hiDir: String,
-        loLabel: String, hiLabel: String): Unit = {
+        loLabel: String, hiLabel: String, linear: Int = 10,
+        hiReps: Int = 2): Unit = {
       val base = names.map { n =>
         n -> math.min(timeQuery(n, loDir), timeQuery(n, loDir))
       }.toMap
+      // decade mode times the big dir ONCE (hiReps=1): a second rep's
+      // shuffle files from the first still hold local disk until the
+      // ContextCleaner's GC-driven sweep, and at ≈sf3+ that transient
+      // doubling is the difference between fitting and ENOSPC. The
+      // codegen warmup a first rep usually absorbs has already been paid
+      // by the lo-dir reps of the same plan.
+      System.gc() // nudge the cleaner before the big-dir pass
       val blown = names.map { n =>
-        n -> math.min(timeQuery(n, hiDir), timeQuery(n, hiDir))
+        n -> (1 to hiReps).map(_ => timeQuery(n, hiDir)).min
       }.toMap
-      println(f"${"query"}%-28s $loLabel%8s $hiLabel%8s  ratio (linear = 10)")
+      println(f"${"query"}%-28s $loLabel%8s $hiLabel%8s  ratio (linear = $linear)")
       names.foreach { n =>
         val r = blown(n) / base(n)
-        val flag = if (r > 15.0) "  <-- SUPERLINEAR, audit the plan" else ""
+        val flag = if (r > 1.5 * linear) "  <-- SUPERLINEAR, audit the plan" else ""
         println(f"$n%-28s ${base(n)}%7.2fs ${blown(n)}%7.2fs  ${r}%5.1f$flag")
       }
     }
@@ -88,19 +96,68 @@ object StressSweep {
       case Some(_) =>
         // SECOND decade: 10× dir → 100× dir (≈ sf10), worst-ratio set
         // only. Per-decade ratios that hold ≈ the first decade's are the
-        // evidence the plans don't compound.
-        val out100 = s"$outDir-x100"
-        blowUp(spark, outDir, out100, times = 10)
-        sweep(Decade, outDir, out100, "10x", "100x")
+        // evidence the plans don't compound. Run ONE query per
+        // invocation (third arg): at 100× each query's localCheckpoint
+        // blocks are GBs that the session pins for its lifetime, so a
+        // single JVM sweeping all five queries exhausts local disk — one
+        // JVM per query keeps the block manager bounded by one query's
+        // working set.
+        val names = rest.lift(2) match {
+          case Some(q) =>
+            require(Decade.contains(q), s"$q not in ${Decade.mkString(", ")}")
+            Seq(q)
+          case None => Decade
+        }
+        // The exact similarity joins need the DISJOINT-universe document
+        // blow-up: under the trailing-token replica rule every
+        // 100-replica family is an all-pairs near-dup clique, so the
+        // TRUE-PAIR OUTPUT is quadratic in the replica count by corpus
+        // construction — any exact join is bounded below by its output,
+        // and at 100× that output exceeds a single node's spill disk.
+        // Marker-interleaved replicas keep output linear (times disjoint
+        // copies), measuring the ENGINE's scaling rather than the test
+        // corpus's.
+        val disjoint = names.exists(Set("k2_prefix_join", "k2_prefix_join_against"))
+        // hop: the second-decade factor (default 10 → 100×). The exact
+        // prefix joins at 100× have a shuffle working set beyond this
+        // host's local disk (their linear-volume explode/sort spills —
+        // a cluster-aggregate-disk term, not a plan defect), so their
+        // evidence runs at an explicit smaller hop (e.g. 3 → 30× ≈ sf3).
+        val hop = sys.env.getOrElse("SPARK_GRAFT_SWEEP_HOP", "10").toInt
+        val (lo, hi) =
+          if (disjoint) (s"$outDir-dj", s"$outDir-dj-x${10 * hop}")
+          else (outDir, s"$outDir-x${10 * hop}")
+        if (disjoint) {
+          // both sides built in ONE hop from the base corpus so marker
+          // density (tokens per doc) is IDENTICAL across the decade —
+          // re-marking an already-marked dir would give the big side
+          // 1.5× the per-doc shingles and masquerade as superlinearity
+          blowUp(spark, sfDir, lo, times = 10, docMode = "disjoint")
+          blowUp(spark, sfDir, hi, times = 10 * hop, docMode = "disjoint")
+        } else
+          blowUp(spark, lo, hi, times = hop, docMode = "trail")
+        sweep(names, lo, hi, "10x", s"${10 * hop}x", linear = hop,
+          hiReps = 1)
       case None =>
         sweep(Heavy, sfDir, outDir, "sf0.1", "10x")
     }
     spark.stop()
   }
 
-  /** Materialize the 10× dir (idempotent: skips tables already written). */
+  /** Materialize the 10× dir (idempotent: skips tables already written).
+    *
+    * `docMode` picks the documents replica rule: "trail" appends one
+    * distinct trailing token (replicas of one doc stay NEAR-DUPS of each
+    * other — the within-family candidate/verify path grows with the
+    * family, the near-dup regime most families exhibit at modest
+    * blow-up); "disjoint" interleaves a per-replica marker token every 2
+    * tokens, so every 3-gram shingle carries the marker and replicas
+    * share NO shingles — times disjoint copies of the original
+    * similarity universe, linear true-pair output (the regime that
+    * isolates engine scaling for exact joins at the second decade).
+    */
   private def blowUp(spark: SparkSession, sfDir: String, outDir: String,
-      times: Int): Unit = {
+      times: Int, docMode: String = "trail"): Unit = {
     def writeIfAbsent(name: String)(df: => DataFrame): Unit = {
       val p = s"$outDir/$name.parquet"
       if (!new java.io.File(p).exists()) {
@@ -116,8 +173,18 @@ object StressSweep {
         .withColumn("user_id", col("user_id") * times + i)
     })
     writeIfAbsent("documents")(rep(spark.read.parquet(s"$sfDir/documents.parquet")) { (d, i) =>
-      d.withColumn("doc_id", col("doc_id") * times + i)
-        .withColumn("text", concat(col("text"), lit(s" replica$i")))
+      val remapped = d.withColumn("doc_id", col("doc_id") * times + i)
+      if (docMode == "disjoint") {
+        val t = split(col("text"), " ")
+        val marked = array_join(
+          flatten(transform(
+            sequence(lit(0), ceil(size(t) / lit(2.0)).cast("int") - 1),
+            k => concat(slice(t, k * 2 + 1, lit(2)),
+              array(concat(lit("zr"), lit(i), lit("z")))))),
+          " ")
+        remapped.withColumn("text", marked)
+      } else
+        remapped.withColumn("text", concat(col("text"), lit(s" replica$i")))
     })
     writeIfAbsent("embeddings")(rep(spark.read.parquet(s"$sfDir/embeddings.parquet")) { (d, i) =>
       d.withColumn("vec_id", col("vec_id") * times + i)

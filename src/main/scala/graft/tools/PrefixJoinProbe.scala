@@ -76,30 +76,30 @@ object PrefixJoinProbe {
       lit(threshold) * col("_na") <= col("_nb") &&
         lit(threshold) * col("_nb") <= col("_na") &&
         least(col("_na") - col("_ra"), col("_nb") - col("_rb")) + 1 >= minOv
-    val candidates = timed("candidates+distinct") {
-      prefixes.select(col("_tok"),
-          col("_id").as("id_a"), col("_n").as("_na"), col("_rn").as("_ra"))
-        .join(prefixes.select(col("_tok"), col("_id").as("id_b"),
-          col("_n").as("_nb"), col("_rn").as("_rb")), Seq("_tok"))
-        .filter(col("id_a") < col("id_b") && candFilter)
-        .select("id_a", "id_b").distinct()
-        .localCheckpoint(true)
-    }
-    println(s"[probe] candidates=${candidates.count()}")
+    // candidate multiplicity: rows entering the inline verify (one per
+    // shared prefix token per pair, pre-distinct)
+    val pa = prefixes.join(toks, "_id")
+    val cands = pa.select(col("_tok"), col("_id").as("id_a"),
+        col("_n").as("_na"), col("_rn").as("_ra"), col("_toks").as("_ta"))
+      .join(pa.select(col("_tok"), col("_id").as("id_b"),
+        col("_n").as("_nb"), col("_rn").as("_rb"), col("_toks").as("_tb")),
+        Seq("_tok"))
+      .filter(col("id_a") < col("id_b") && candFilter)
+    val nCand = timed("candidates(inline)") { cands.count() }
+    println(s"[probe] candidateRows=$nCand")
 
     val required =
       ceil(lit(threshold / (1 + threshold)) *
         (size(col("_ta")) + size(col("_tb")))) - 1
-    val out = timed("verify") {
-      candidates
-        .join(toks.select(col("_id").as("id_a"), col("_toks").as("_ta")), Seq("id_a"))
-        .join(toks.select(col("_id").as("id_b"), col("_toks").as("_tb")), Seq("id_b"))
+    val out = timed("verify(inline)") {
+      cands
         .withColumn("_ov", graft.functions.VectorExpressions
           .boundedSortedOverlap(col("_ta"), col("_tb"), required))
         .filter(col("_ov") >= 0)
         .withColumn("jaccard", col("_ov").cast("double") /
           (size(col("_ta")) + size(col("_tb")) - col("_ov")))
         .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard").distinct()
         .count()
     }
     println(s"[probe] truePairs=$out")

@@ -43,6 +43,34 @@ object TextQueries {
   private val cmStatsMemo = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, Long, Array[org.apache.spark.sql.Row], Array[Long])]
 
+  /** Shingled-corpus memo per (session, scale dir) — the [[cmCorpusStats]]
+    * pattern for the near-dup family: seven k2 queries need the corpus's
+    * 3-gram shingle sets (and three of them the 32-long MinHash signatures
+    * on top), and each previously re-ran the shingle/sign map stage from
+    * text. One checkpointed shingle relation + one signature relation now
+    * serve them all, per (session, scale dir) and per bench rep. The
+    * filter is `size(sh) > 0` ⇔ the queries' former
+    * `size(split(text)) >= 3` (an n-token doc has n−2 3-shingles; a NULL
+    * text nulls both predicates) — outputs are bit-identical.
+    */
+  private val shingleMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
+  private def shingledCorpus(s: SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    shingleMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+      val sh = Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .localCheckpoint(true)
+      val sigs = sh
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions.minHashFast(col("sh"), 32)
+            .as("_sig"))
+        .localCheckpoint(true)
+      (sh, sigs)
+    })
+
   private def cmCorpusStats(s: SparkSession,
       d: String): (DataFrame, Long, Array[org.apache.spark.sql.Row], Array[Long]) =
     cmStatsMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
@@ -588,9 +616,7 @@ object TextQueries {
     // the oracle's HAVING COUNT(*) BETWEEN 2 AND 64.
     "k2_cluster_transitive" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sh = Tables.fanOut(docs)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val sh = shingledCorpus(s, d)._1
       val keyed = sh.select(col("doc_id"),
         array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
       def block(k: String) = Dedup.blockPairs(
@@ -614,10 +640,7 @@ object TextQueries {
     // k2_cluster_transitive; each undirected candidate is scored in both
     // directions (containment is not symmetric), verified ≥ 0.5.
     "k2_containment" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = Tables.fanOut(docs)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val sh = shingledCorpus(s, d)._1
       val keyed = sh.select(col("doc_id"),
         array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
       def block(k: String) = Dedup.blockPairs(
@@ -716,10 +739,7 @@ object TextQueries {
     }),
 
     "k2_incremental_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val sh = Tables.fanOut(docs)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val sh = shingledCorpus(s, d)._1
       val keyed = sh.select(col("doc_id"),
         array_min(col("sh")).as("kmin"), array_max(col("sh")).as("kmax"))
       def block(k: String) = Dedup.blockPairsAgainst(
@@ -748,10 +768,11 @@ object TextQueries {
     // closure, and min-label survivor selection. Planted-near-dup removal
     // additionally asserted in DedupSpec.
     "k2_dedup_cascade" -> ((s, d) => {
-      graft.tools.OracleAux.write(
-        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 32), "k2_cascade_sigs", d)
-      Dedup.dedupNearDups(Tables.documents(s, d), "text", "doc_id")
+      val (sh, sigs) = shingledCorpus(s, d)
+      graft.tools.OracleAux.write(sigs, "k2_cascade_sigs", d)
+      Dedup.dedupNearDups(Tables.documents(s, d), "text", "doc_id",
+          shingled = Some(
+            sh.select(col("doc_id").as("_id"), col("sh").as("_sh"))))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
@@ -762,10 +783,11 @@ object TextQueries {
     // keep-lowest-id. Same signature artifact; the oracle adds the
     // per-cluster ranking.
     "k2_dedup_keep_best" -> ((s, d) => {
-      graft.tools.OracleAux.write(
-        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 32), "k2_keepbest_sigs", d)
-      Dedup.dedupNearDupsKeepBest(Tables.documents(s, d), "text", "doc_id")
+      val (sh, sigs) = shingledCorpus(s, d)
+      graft.tools.OracleAux.write(sigs, "k2_keepbest_sigs", d)
+      Dedup.dedupNearDupsKeepBest(Tables.documents(s, d), "text", "doc_id",
+          shingled = Some(
+            sh.select(col("doc_id").as("_id"), col("sh").as("_sh"))))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
@@ -777,11 +799,11 @@ object TextQueries {
     // ENTIRE downstream (banding, bucket cap, pairing, shingle-Jaccard
     // verify) from that artifact — see OracleAux's self-checking argument.
     "k2_minhash_lsh" -> ((s, d) => {
-      graft.tools.OracleAux.write(
-        Dedup.minHashSignatures(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 32), "k2_minhash_sigs", d)
-      Dedup.minHashLsh(Tables.documents(s, d), "text", "doc_id",
-          shingleN = 3, k = 32, bands = 8, threshold = 0.4)
+      val (sh, sigs) = shingledCorpus(s, d)
+      graft.tools.OracleAux.write(sigs, "k2_minhash_sigs", d)
+      Dedup.minHashLshFromShingles(
+          sh.select(col("doc_id").as("_id"), col("sh").as("_sh")),
+          k = 32, bands = 8, threshold = 0.4)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -790,9 +812,7 @@ object TextQueries {
     // the verification kernel of the dedup cascade, oracled end to end
     // (unlike the seeded-hash LSH candidates above).
     "k2_ngram_jaccard" -> ((s, d) => {
-      val sh = Tables.fanOut(Tables.documents(s, d))
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
+      val sh = shingledCorpus(s, d)._1
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)

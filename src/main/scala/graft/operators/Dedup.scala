@@ -156,14 +156,28 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64): DataFrame =
     // fanOut: shingling + MinHash signatures are the expensive map stage —
     // single-file local scans would otherwise run them on one core.
-    val sh = graft.Tables.fanOut(docs)
-      .select(col(idCol).as("_id"),
-        shingles(split(col(textCol), " "), shingleN).as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    minHashLshFromShingles(
+      graft.Tables.fanOut(docs)
+        .select(col(idCol).as("_id"),
+          shingles(split(col(textCol), " "), shingleN).as("_sh"))
+        .filter(size(col("_sh")) > 0),
+      k, bands, threshold, maxBucket)
 
+  /** [[minHashLsh]] core over a precomputed `(_id, _sh)` shingle relation.
+    * Callers serving SEVERAL dedup queries from one corpus pass a
+    * checkpointed relation here so the shingle map stage runs once per
+    * corpus, not once per query — the analytics layer's shingled-corpus
+    * memo does exactly that.
+    */
+  def minHashLshFromShingles(
+      sh: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64): DataFrame = {
     val banded = sh
       .withColumn("_sig", graft.functions.VectorExpressions.minHashFast(col("_sh"), k))
       .select(col("_id"), explode(lshBandKeys(col("_sig"), k, bands)).as("_b"))
@@ -583,8 +597,11 @@ object Dedup {
     * keep the lowest-id document of each cluster.
     */
   def dedupNearDups(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = minHashLsh(docs, textCol, idCol, threshold = threshold)
+      threshold: Double = 0.5,
+      shingled: Option[DataFrame] = None): DataFrame = {
+    val pairs = shingled
+      .map(minHashLshFromShingles(_, threshold = threshold))
+      .getOrElse(minHashLsh(docs, textCol, idCol, threshold = threshold))
     val labels = clusters(docs.select(col(idCol)), idCol, pairs)
     docs.join(labels.filter(col("id") === col("cluster")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")
@@ -602,9 +619,12 @@ object Dedup {
     * pair term, one keyed shuffle on the cluster label.
     */
   def dedupNearDupsKeepBest(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      shingled: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minHashLsh(docs, textCol, idCol, threshold = threshold)
+    val pairs = shingled
+      .map(minHashLshFromShingles(_, threshold = threshold))
+      .getOrElse(minHashLsh(docs, textCol, idCol, threshold = threshold))
     val labels = clusters(docs.select(col(idCol)), idCol, pairs)
     val w = Window.partitionBy("cluster")
       .orderBy(desc("_ntok"), col(idCol))

@@ -849,6 +849,31 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K2/K3 (EXT): EXACT all-pairs idf-weighted COSINE join (Bayardo et
+    // al. WWW'07) — the WEIGHTED member of the exact-join family: rare
+    // shared shingles count more than boilerplate ones, the measure a
+    // related-document / template-detection pass wants where plain
+    // Jaccard treats all shingles equally. Same planted-union corpus as
+    // k2_prefix_join; the oracle is the BRUTE-FORCE all-pairs weighted
+    // cosine re-deriving idf micros, exact integer norms/dots, and the
+    // one shared FP sequence (dot/√(na2·nb2)) — the engine's prefix
+    // pruning and maxweight bound must reproduce the quadratic reference
+    // identically (see Dedup.allPairsCosine for the lossless argument).
+    "k2_allpairs_cosine" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            ceil(lit(0.8) * size(split(col("text"), " "))).cast("int")),
+            " ").as("text"))
+      val corpus = docs.select("doc_id", "text").unionByName(planted)
+        .filter(size(split(col("text"), " ")) >= 3)
+      Dedup.allPairsCosine(corpus,
+          shingles(split(col("text"), " "), 3), "doc_id", threshold = 0.8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // K2 (EXT): the INCREMENTAL form of the exact prefix-filtered join —
     // an incoming batch (each 50th doc truncated to 80% of its tokens,
     // negative id) deduped against the full corpus, completing the
@@ -1355,6 +1380,44 @@ object TextQueries {
         |  FROM u a JOIN u b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM pairs
         |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force all-pairs idf-weighted cosine — the exactness reference
+    // for the Bayardo prefix-filtered join. Weights are idf micros
+    // (DECIMAL(12,6)·10⁶ as BIGINT), norms and dots exact integer sums,
+    // and the single FP sequence CAST→·→sqrt→/ mirrors the engine
+    // bit-for-bit. (Quadratic at gate scale; the ENGINE never is.)
+    "k2_allpairs_cosine" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pl AS (SELECT -(doc_id + 1) AS doc_id,
+        |         list_slice(w, 1, CAST(ceil(0.8 * len(w)) AS BIGINT)) AS w
+        |       FROM w0 WHERE doc_id % 50 = 0),
+        |u AS (SELECT doc_id,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |      FROM (SELECT * FROM w0 UNION ALL SELECT * FROM pl) z
+        |      WHERE len(w) >= 3),
+        |nn AS (SELECT COUNT(*) AS n FROM u),
+        |tok AS (SELECT doc_id, unnest(s) AS f FROM u),
+        |dfreq AS (SELECT f, COUNT(*) AS df FROM tok GROUP BY f),
+        |wt AS (SELECT f, CAST(CAST(ROUND(
+        |         ln(CAST(nn.n AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |         AS DECIMAL(12, 6)) * 1000000 AS BIGINT) AS l
+        |       FROM dfreq, nn),
+        |feat AS (SELECT t.doc_id, t.f, wt.l FROM tok t JOIN wt USING (f)),
+        |nrm AS (SELECT doc_id, SUM(l * l) AS na2 FROM feat GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |           SUM(a.l * b.l) AS dot
+        |         FROM feat a JOIN feat b ON a.f = b.f AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b,
+        |            CAST(dot AS DOUBLE)
+        |              / sqrt(CAST(x.na2 AS DOUBLE) * CAST(y.na2 AS DOUBLE)) AS c
+        |          FROM dots
+        |          JOIN nrm x ON x.doc_id = id_a
+        |          JOIN nrm y ON y.doc_id = id_b
+        |          WHERE x.na2 > 0 AND y.na2 > 0)
+        |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs
+        |WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     // Brute-force batch × corpus Jaccard — the cross-corpus exactness
     // reference for the incremental prefix-filtered join.

@@ -630,6 +630,80 @@ case class BoundedSortedOverlapExpr(left: Expression, right: Expression,
     copy(left = newFirst, right = newSecond, required = newThird)
 }
 
+/** Merge-join dot product over two SPARSE VECTORS in sorted-key parallel-
+  * array form — the verification kernel of the exact all-pairs cosine
+  * join ([[graft.operators.Dedup.allPairsCosine]]). `(keysA, valsA)` and
+  * `(keysB, valsB)` are aligned arrays (keys sorted ascending, distinct —
+  * the hashedSets invariant); the walk sums `valA·valB` over matching
+  * keys in one linear pass. Values are INTEGER-SCALED weights (decimal
+  * micros), so the returned long dot is EXACT and merge-order-free —
+  * the FP part of the cosine (one cast chain, one sqrt, one divide)
+  * happens once downstream in a fixed sequence both gate engines share.
+  * Allocation-free, codegen'd: the candidate-verification hot loop.
+  */
+case class SortedKeyDotExpr(keysA: Expression, valsA: Expression,
+    keysB: Expression, valsB: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = keysA
+  override def second: Expression = valsA
+  override def third: Expression = keysB
+  override def fourth: Expression = valsB
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "sorted_key_dot"
+
+  override def nullSafeEval(ka: Any, va: Any, kb: Any, vb: Any): Any = {
+    val xk = ka.asInstanceOf[ArrayData]
+    val xv = va.asInstanceOf[ArrayData]
+    val yk = kb.asInstanceOf[ArrayData]
+    val yv = vb.asInstanceOf[ArrayData]
+    val na = xk.numElements()
+    val nb = yk.numElements()
+    var ia = 0
+    var ib = 0
+    var dot = 0L
+    while (ia < na && ib < nb) {
+      val a = xk.getLong(ia)
+      val b = yk.getLong(ib)
+      if (a == b) { dot += xv.getLong(ia) * yv.getLong(ib); ia += 1; ib += 1 }
+      else if (a < b) ia += 1
+      else ib += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ka, va, kb, vb) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val ia = ctx.freshName("ia")
+      val ib = ctx.freshName("ib")
+      val d = ctx.freshName("dot")
+      val xa = ctx.freshName("xa")
+      val xb = ctx.freshName("xb")
+      s"""
+         |int $na = $ka.numElements();
+         |int $nb = $kb.numElements();
+         |int $ia = 0; int $ib = 0; long $d = 0L;
+         |while ($ia < $na && $ib < $nb) {
+         |  long $xa = $ka.getLong($ia);
+         |  long $xb = $kb.getLong($ib);
+         |  if ($xa == $xb) { $d += $va.getLong($ia) * $vb.getLong($ib); $ia++; $ib++; }
+         |  else if ($xa < $xb) { $ia++; } else { $ib++; }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(keysA = newFirst, valsA = newSecond, keysB = newThird,
+      valsB = newFourth)
+}
+
 /** Striped luma-surrogate grid for the perceptual-hash pipeline
   * ([[graft.operators.PerceptualHash]]): cell j (0..71) is the sum of the
   * Unicode code points at positions ≡ j (mod 72), mod 256 — one pass over
@@ -738,6 +812,15 @@ object VectorExpressions {
     GraftSqlBridge.column(BoundedSortedOverlapExpr(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b),
       GraftSqlBridge.expression(required.cast("long"))))
+
+  /** Merge-join dot product of two sorted-key sparse vectors in parallel-
+    * array form (long keys asc + long integer-scaled values): exact long.
+    */
+  def sortedKeyDot(keysA: Column, valsA: Column, keysB: Column,
+      valsB: Column): Column =
+    GraftSqlBridge.column(SortedKeyDotExpr(
+      GraftSqlBridge.expression(keysA), GraftSqlBridge.expression(valsA),
+      GraftSqlBridge.expression(keysB), GraftSqlBridge.expression(valsB)))
 
   /** Codegen'd Bloom membership probe of a string column against a
     * serialized `org.apache.spark.util.sketch.BloomFilter`.

@@ -296,6 +296,117 @@ object Dedup {
     verifyJaccard(candidates, "id_l", "id_r", threshold)
   }
 
+  /** K2/K3 EXACT all-pairs COSINE similarity join over idf-weighted
+    * element sets — the WEIGHTED member of the exact-join family
+    * (Bayardo/Ma/Srikant WWW'07 "Scaling Up All Pairs Similarity
+    * Search"), completing the triad: exact set-Jaccard
+    * ([[prefixFilterJoinSets]]), probabilistic MinHash ([[minHashLsh]]),
+    * exact weighted cosine (this). Rare shared elements count more than
+    * boilerplate ones — the similarity a related-document / template-
+    * detection pass actually wants.
+    *
+    * Weights: idf only, `w_f = ln(N / df_f)` quantized to DECIMAL(12,6)
+    * and INTEGER-SCALED to micros (`l_f`), so every norm (`Σ l²`) and
+    * every dot (`Σ l_a·l_b` over shared elements) is EXACT long
+    * arithmetic, merge-order-free; the one FP sequence —
+    * `dot / sqrt(na2·nb2)` on cast doubles — is fixed and shared
+    * bit-for-bit with the DuckDB oracle. (With per-feature global
+    * weights, `dot = Σ_{f∈a∩b} l_f²`.)
+    *
+    * Candidate generation is the prefix-filter shape under the SAME
+    * rarest-first global order as the set-Jaccard join, with Bayardo's
+    * maxweight bound: a doc's tail features (frequent, low-idf) are
+    * prunable once `Σ_tail u_a[f]·maxw(f) < t`, where
+    * `maxw(f) = max_docs u[f]` comes from one vocab-sized aggregate.
+    * LOSSLESS by the PPJoin-style argument (single global order: if no
+    * shared feature is in both prefixes, WLOG a's prefix boundary comes
+    * first and every shared feature falls in a's pruned tail, whose bound
+    * is < t). The tail bound is FP, so it keeps `1e-9` slack — pruning
+    * only what is provably below threshold even under double error; a
+    * norm-ratio filter (`t²·max(na2,nb2) ≤ min(na2,nb2)`, the weighted
+    * analogue of the length filter, also slack-guarded) rides the join.
+    * Verification is INLINE (the Vernica kernel shape): both sides carry
+    * key-sorted `(element, l)` parallel arrays through the prefix-token
+    * join and [[graft.functions.SortedKeyDotExpr]] merge-walks the exact
+    * dot on the joined row — arrays shuffle ∝ prefix rows, never ∝
+    * candidate pairs.
+    *
+    * @return (id_a, id_b, cosine) for ALL pairs with cos ≥ threshold,
+    *         id_a < id_b, cosine unrounded
+    */
+  def allPairsCosine(docs: DataFrame, setCol: Column, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = hashedSets(docs, setCol, idCol)
+    // idf micros per element: one vocab-sized aggregate + a one-row
+    // broadcast of N (the importanceSample totals pattern — no driver
+    // action, no literal fold)
+    val totals = toks.agg(count(lit(1)).as("_n"))
+    val wtab = elementDf(toks).crossJoin(broadcast(totals))
+      .withColumn("_l",
+        (round(log(col("_n").cast("double") / col("_df").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 6)) * 1000000)
+          .cast("long"))
+      .select("_tok", "_df", "_l")
+    // per-doc: global-order (df asc, element asc) struct array + exact
+    // long norm. Zero-norm docs (every element in every doc) are excluded
+    // on BOTH engines — their cosine is 0/0.
+    val per = toks.select(col("_id"), explode(col("_toks")).as("_tok"))
+      .join(wtab, "_tok")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(struct(col("_df"), col("_tok"), col("_l"))))
+        .as("_s"))
+      .withColumn("_na2",
+        aggregate(col("_s"), lit(0L), (a, x) => a + x("_l") * x("_l")))
+      .filter(col("_na2") > 0)
+    // key-sorted parallel arrays for the verification walk
+    val sides = per.select(col("_id"), col("_na2"),
+        sort_array(transform(col("_s"),
+          x => struct(x("_tok").as("k"), x("_l").as("v")))).as("_kv"))
+      .select(col("_id"), col("_na2"),
+        transform(col("_kv"), x => x("k")).as("_ks"),
+        transform(col("_kv"), x => x("v")).as("_vs"))
+    // maxw(f) = l_f · max over docs∋f of 1/√na2 — l_f is global per f
+    val maxInv = per.select(explode(col("_s")).as("x"),
+        (lit(1.0) / sqrt(col("_na2").cast("double"))).as("_inv"))
+      .select(col("x._tok").as("_tok"), col("_inv"))
+      .groupBy("_tok").agg(max(col("_inv")).as("_maxinv"))
+    // prefix = rows whose tail-sum of u·maxw (cumulative from the
+    // frequent end of the global order) still reaches t − slack
+    val w = Window.partitionBy("_id")
+      .orderBy(col("_df").desc, col("_tok").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = per.select(col("_id"), col("_na2"), explode(col("_s")).as("x"))
+      .select(col("_id"), col("_na2"), col("x._df").as("_df"),
+        col("x._tok").as("_tok"), col("x._l").as("_l"))
+      .join(maxInv, "_tok")
+      .withColumn("_contrib",
+        col("_l").cast("double") / sqrt(col("_na2").cast("double"))
+          * (col("_l").cast("double") * col("_maxinv")))
+      .withColumn("_tail", sum(col("_contrib")).over(w))
+      .filter(col("_tail") >= threshold - 1e-9)
+      .select("_id", "_tok")
+    val pa = pref.join(sides, "_id")
+    val cand = pa.select(col("_tok"), col("_id").as("id_a"),
+        col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
+      .join(pa.select(col("_tok"), col("_id").as("id_b"),
+        col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
+        Seq("_tok"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(threshold * threshold - 1e-12)
+          * greatest(col("_qa2"), col("_qb2")).cast("double")
+          <= least(col("_qa2"), col("_qb2")).cast("double"))
+    cand
+      .withColumn("_dot", graft.functions.VectorExpressions.sortedKeyDot(
+        col("_ka"), col("_va"), col("_kb"), col("_vb")))
+      .withColumn("cosine", col("_dot").cast("double") /
+        sqrt(col("_qa2").cast("double") * col("_qb2").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+
   /** Per-doc element sets FINGERPRINTED to 64-bit hashes up front: every
     * join key, sort key, and intersect downstream runs on longs instead of
     * strings — measured ~2.5× on the verification stage, identical results

@@ -28,6 +28,7 @@ object PlanAudit {
     "k3_random_projection", // broadcast ONE-ROW original query vector
     "k4_cross_perplexity", // broadcast one-row LM total-mass aggregates
     "k6_importance_sample", // broadcast one-row target/proposal totals
+    "k2_allpairs_cosine", // broadcast one-row corpus count N for idf
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")
 

@@ -91,6 +91,68 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("all-pairs cosine equals brute-force idf-weighted cosine — lossless prefixes") {
+    // randomized corpus with planted truncations; the Bayardo prefix +
+    // maxweight bound + norm-ratio filter must reproduce the quadratic
+    // reference EXACTLY (pair sets equal, cosines to 1e-9)
+    val rnd = new scala.util.Random(47L)
+    val vocab = (1 to 180).map(i => s"w$i")
+    val base = (0L until 60L).map { i =>
+      (i, Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val planted = base.filter(_._1 % 7 == 0).map { case (i, t) =>
+      val w = t.split(" ")
+      (1000L + i, w.take(math.ceil(w.length * 0.9).toInt).mkString(" "))
+    }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val t = 0.8
+
+    val got = Dedup.allPairsCosine(corpus,
+        array_distinct(split(col("text"), " ")), "doc_id", t)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+
+    // driver-side reference with the SAME integer-scaled arithmetic
+    val sets = (base ++ planted).map { case (i, txt) => (i, txt.split(" ").toSet) }
+    val n = sets.size
+    val dfreq = sets.flatMap(_._2).groupBy(identity).map { case (w, xs) => (w, xs.size) }
+    val micro = dfreq.map { case (w, df) =>
+      (w, java.math.BigDecimal.valueOf(math.log(n.toDouble / df))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact)
+    }
+    val norm2 = sets.map { case (i, s) =>
+      (i, s.toSeq.map(w => micro(w) * micro(w)).sum)
+    }.toMap
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && norm2(ia) > 0 && norm2(ib) > 0
+      dot = (sa & sb).toSeq.map(w => micro(w) * micro(w)).sum
+      c = dot.toDouble / math.sqrt(norm2(ia).toDouble * norm2(ib).toDouble)
+      if c >= t
+    } yield ((ia, ib), c)).toMap
+
+    assert(want.nonEmpty, "planted truncations must qualify")
+    assert(got.keySet == want.keySet,
+      s"pairs must equal brute force: missing=${want.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- want.keySet}")
+    want.foreach { case (p, c) =>
+      assert(math.abs(got(p) - c) < 1e-9, s"cosine mismatch at $p: ${got(p)} vs $c")
+    }
+  }
+
+  test("all-pairs cosine: identical docs score 1.0; disjoint docs never pair") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), (3L, "pp qq rr ss tt"),
+      (4L, "aa bb cc dd zz")).toDF("doc_id", "text")
+    val out = Dedup.allPairsCosine(corpus,
+        array_distinct(split(col("text"), " ")), "doc_id", 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-12)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cross-corpus prefix-filter join equals brute-force batch x corpus Jaccard") {
     val rnd = new scala.util.Random(43L)
     val vocab = (1 to 150).map(i => s"v$i")

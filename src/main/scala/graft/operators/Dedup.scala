@@ -360,6 +360,11 @@ object Dedup {
       .withColumn("_na2",
         aggregate(col("_s"), lit(0L), (a, x) => a + x("_l") * x("_l")))
       .filter(col("_na2") > 0)
+      // materialized ONCE (the hashedSets discipline): this relation
+      // feeds the walk-array build, the maxweight aggregate, the prefix
+      // relation, and both sides of the candidate self-join — without
+      // the cut each branch re-runs explode + weight join + groupBy
+      .localCheckpoint(true)
     // key-sorted parallel arrays for the verification walk
     val sides = per.select(col("_id"), col("_na2"),
         sort_array(transform(col("_s"),
@@ -387,6 +392,11 @@ object Dedup {
       .withColumn("_tail", sum(col("_contrib")).over(w))
       .filter(col("_tail") >= threshold - 1e-9)
       .select("_id", "_tok")
+    // the array-carrying prefix relation feeds both sides of the
+    // candidate self-join as IDENTICAL subtrees — exchange reuse serves
+    // the second side from the first's shuffle files (checkpointing it
+    // instead measured SLOWER: the array materialization costs more than
+    // the reuse saves)
     val pa = pref.join(sides, "_id")
     val cand = pa.select(col("_tok"), col("_id").as("id_a"),
         col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))

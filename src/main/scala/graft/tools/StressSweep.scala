@@ -38,7 +38,9 @@ object StressSweep {
     // the two incremental-maintenance queries (constant sketch state —
     // cost must be the delta scans alone)
     "k2_prefix_join", "k2_prefix_join_against",
-    "k4_countmin_incremental", "d9_hll_incremental")
+    "k4_countmin_incremental", "d9_hll_incremental",
+    // round 11: the weighted exact join (Bayardo APSS)
+    "k2_allpairs_cosine")
 
   /** The second-decade set: the five highest sf1 ratios from BASELINE.md's
     * sweep table — the queries whose 10× headroom most needs 100×

@@ -874,6 +874,31 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K2/K3 (EXT): the INCREMENTAL batch-vs-corpus form of the weighted
+    // exact join — an incoming batch deduped against the corpus under
+    // idf-weighted cosine, the ingest-time shape (and the weighted
+    // sibling of k2_prefix_join_against). The idf universe (df, N,
+    // maxweight) is computed over the UNION of both sides — one weight
+    // table or the lossless argument breaks; oracle = brute-force
+    // batch × corpus weighted cosine with the same integer-exact
+    // arithmetic.
+    "k2_allpairs_cosine_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 50 === 0)
+        .select((-(col("doc_id") + 1)).as("doc_id"),
+          array_join(slice(split(col("text"), " "), lit(1),
+            ceil(lit(0.8) * size(split(col("text"), " "))).cast("int")),
+            " ").as("text"))
+        .filter(size(split(col("text"), " ")) >= 3)
+      val corpus = docs.select("doc_id", "text")
+        .filter(size(split(col("text"), " ")) >= 3)
+      def sh = shingles(split(col("text"), " "), 3)
+      Dedup.allPairsCosineAgainst(batch, sh, corpus, sh,
+          "doc_id", threshold = 0.8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_l", "id_r")
+    }),
+
     // K2 (EXT): the INCREMENTAL form of the exact prefix-filtered join —
     // an incoming batch (each 50th doc truncated to 80% of its tokens,
     // negative id) deduped against the full corpus, completing the
@@ -1418,6 +1443,49 @@ object TextQueries {
         |          WHERE x.na2 > 0 AND y.na2 > 0)
         |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM pairs
         |WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force batch × corpus idf-weighted cosine — the cross-corpus
+    // exactness reference for the incremental weighted join; the idf
+    // universe is the UNION of both sides, mirroring the engine.
+    "k2_allpairs_cosine_against" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT -(doc_id + 1) AS doc_id,
+        |        list_slice(w, 1, CAST(ceil(0.8 * len(w)) AS BIGINT)) AS w
+        |      FROM w0 WHERE doc_id % 50 = 0),
+        |sb AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM b WHERE len(w) >= 3),
+        |sc AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |       FROM w0 WHERE len(w) >= 3),
+        |uni AS (SELECT * FROM sb UNION ALL SELECT * FROM sc),
+        |nn AS (SELECT COUNT(*) AS n FROM uni),
+        |toku AS (SELECT doc_id, unnest(s) AS f FROM uni),
+        |dfreq AS (SELECT f, COUNT(*) AS df FROM toku GROUP BY f),
+        |wt AS (SELECT f, CAST(CAST(ROUND(
+        |         ln(CAST(nn.n AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+        |         AS DECIMAL(12, 6)) * 1000000 AS BIGINT) AS l
+        |       FROM dfreq, nn),
+        |fl AS (SELECT t.doc_id, t.f, wt.l
+        |       FROM (SELECT doc_id, unnest(s) AS f FROM sb) t JOIN wt USING (f)),
+        |fr AS (SELECT t.doc_id, t.f, wt.l
+        |       FROM (SELECT doc_id, unnest(s) AS f FROM sc) t JOIN wt USING (f)),
+        |nl AS (SELECT doc_id, SUM(l * l) AS na2 FROM fl GROUP BY doc_id),
+        |nr AS (SELECT doc_id, SUM(l * l) AS na2 FROM fr GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+        |           SUM(a.l * b.l) AS dot
+        |         FROM fl a JOIN fr b ON a.f = b.f GROUP BY 1, 2),
+        |pairs AS (SELECT id_l, id_r,
+        |            CAST(dot AS DOUBLE)
+        |              / sqrt(CAST(x.na2 AS DOUBLE) * CAST(y.na2 AS DOUBLE)) AS c
+        |          FROM dots
+        |          JOIN nl x ON x.doc_id = id_l
+        |          JOIN nr y ON y.doc_id = id_r
+        |          WHERE x.na2 > 0 AND y.na2 > 0)
+        |SELECT id_l, id_r, ROUND(c, 6) AS cosine FROM pairs
+        |WHERE c >= 0.8 ORDER BY id_l, id_r""".stripMargin,
 
     // Brute-force batch × corpus Jaccard — the cross-corpus exactness
     // reference for the incremental prefix-filtered join.

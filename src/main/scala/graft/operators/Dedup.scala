@@ -337,22 +337,81 @@ object Dedup {
   def allPairsCosine(docs: DataFrame, setCol: Column, idCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
     val toks = hashedSets(docs, setCol, idCol)
-    // idf micros per element: one vocab-sized aggregate + a one-row
-    // broadcast of N (the importanceSample totals pattern — no driver
-    // action, no literal fold)
+    val per = weightedPer(toks, idfMicros(toks))
+    val maxInv = weightMaxInv(per)
+    // the array-carrying prefix relation feeds both sides of the
+    // candidate self-join as IDENTICAL subtrees — exchange reuse serves
+    // the second side from the first's shuffle files (checkpointing it
+    // instead measured SLOWER: the array materialization costs more than
+    // the reuse saves)
+    val pa = weightedPrefix(per, maxInv, threshold).join(weightedSides(per), "_id")
+    val cand = pa.select(col("_tok"), col("_id").as("id_a"),
+        col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
+      .join(pa.select(col("_tok"), col("_id").as("id_b"),
+        col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
+        Seq("_tok"))
+      .filter(col("id_a") < col("id_b") && normRatioFilter(threshold))
+    verifyCosine(cand, "id_a", "id_b", threshold)
+  }
+
+  /** Cross-corpus [[allPairsCosine]] — the INCREMENTAL batch-vs-corpus
+    * form every dedup family ships: all (left, right) pairs across two
+    * corpora with idf-weighted cosine ≥ `threshold`, provably complete.
+    * As with [[prefixFilterJoinSetsAgainst]], the weight universe (df, N,
+    * maxweight) is computed over the UNION of both sides — both prefix
+    * relations must be cut under ONE order and ONE maxweight table or
+    * the lossless argument does not hold across corpora.
+    *
+    * @return (id_l, id_r, cosine), one row per qualifying cross pair
+    */
+  def allPairsCosineAgainst(left: DataFrame, leftSet: Column,
+      right: DataFrame, rightSet: Column, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val lt = hashedSets(left, leftSet, idCol)
+    val rt = hashedSets(right, rightSet, idCol)
+    val wtab = idfMicros(lt.unionAll(rt))
+    val lp = weightedPer(lt, wtab)
+    val rp = weightedPer(rt, wtab)
+    val maxInv = weightMaxInv(lp.unionAll(rp))
+    val la = weightedPrefix(lp, maxInv, threshold).join(weightedSides(lp), "_id")
+    val ra = weightedPrefix(rp, maxInv, threshold).join(weightedSides(rp), "_id")
+    val cand = la.select(col("_tok"), col("_id").as("id_l"),
+        col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
+      .join(ra.select(col("_tok"), col("_id").as("id_r"),
+        col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
+        Seq("_tok"))
+      .filter(normRatioFilter(threshold))
+    verifyCosine(cand, "id_l", "id_r", threshold)
+  }
+
+  /** idf micros per element over `toks`: one vocab-sized aggregate + a
+    * one-row broadcast of N (the importanceSample totals pattern — no
+    * driver action, no literal fold). `l = round(ln(N/df), 6)·10⁶` as an
+    * exact long, the integer-scaled weight every norm and dot downstream
+    * sums exactly.
+    */
+  private def idfMicros(toks: DataFrame): DataFrame = {
     val totals = toks.agg(count(lit(1)).as("_n"))
-    val wtab = elementDf(toks).crossJoin(broadcast(totals))
+    elementDf(toks).crossJoin(broadcast(totals))
       .withColumn("_l",
         (round(log(col("_n").cast("double") / col("_df").cast("double")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(12, 6)) * 1000000)
           .cast("long"))
       .select("_tok", "_df", "_l")
-    // per-doc: global-order (df asc, element asc) struct array + exact
-    // long norm. Zero-norm docs (every element in every doc) are excluded
-    // on BOTH engines — their cosine is 0/0.
-    val per = toks.select(col("_id"), explode(col("_toks")).as("_tok"))
+  }
+
+  /** Per-doc weighted relation: global-order (df asc, element asc) struct
+    * array + exact long norm. Zero-norm docs (every element in every doc)
+    * are excluded on BOTH engines — their cosine is 0/0. Materialized
+    * ONCE (the hashedSets discipline): the relation feeds the walk-array
+    * build, the maxweight aggregate, the prefix relation, and both
+    * candidate sides — without the cut each branch re-runs explode +
+    * weight join + groupBy.
+    */
+  private def weightedPer(toks: DataFrame, wtab: DataFrame): DataFrame =
+    toks.select(col("_id"), explode(col("_toks")).as("_tok"))
       .join(wtab, "_tok")
       .groupBy("_id")
       .agg(sort_array(collect_list(struct(col("_df"), col("_tok"), col("_l"))))
@@ -360,29 +419,35 @@ object Dedup {
       .withColumn("_na2",
         aggregate(col("_s"), lit(0L), (a, x) => a + x("_l") * x("_l")))
       .filter(col("_na2") > 0)
-      // materialized ONCE (the hashedSets discipline): this relation
-      // feeds the walk-array build, the maxweight aggregate, the prefix
-      // relation, and both sides of the candidate self-join — without
-      // the cut each branch re-runs explode + weight join + groupBy
       .localCheckpoint(true)
-    // key-sorted parallel arrays for the verification walk
-    val sides = per.select(col("_id"), col("_na2"),
+
+  /** Key-sorted parallel arrays for the verification walk. */
+  private def weightedSides(per: DataFrame): DataFrame =
+    per.select(col("_id"), col("_na2"),
         sort_array(transform(col("_s"),
           x => struct(x("_tok").as("k"), x("_l").as("v")))).as("_kv"))
       .select(col("_id"), col("_na2"),
         transform(col("_kv"), x => x("k")).as("_ks"),
         transform(col("_kv"), x => x("v")).as("_vs"))
-    // maxw(f) = l_f · max over docs∋f of 1/√na2 — l_f is global per f
-    val maxInv = per.select(explode(col("_s")).as("x"),
+
+  /** maxw(f) = l_f · max over docs∋f of 1/√na2 — l_f is global per f. */
+  private def weightMaxInv(per: DataFrame): DataFrame =
+    per.select(explode(col("_s")).as("x"),
         (lit(1.0) / sqrt(col("_na2").cast("double"))).as("_inv"))
       .select(col("x._tok").as("_tok"), col("_inv"))
       .groupBy("_tok").agg(max(col("_inv")).as("_maxinv"))
-    // prefix = rows whose tail-sum of u·maxw (cumulative from the
-    // frequent end of the global order) still reaches t − slack
+
+  /** Prefix = rows whose tail-sum of u·maxw (cumulative from the frequent
+    * end of the global order) still reaches t − slack; the FP bound keeps
+    * 1e-9 slack so pruning stays provably lossless under double error.
+    */
+  private def weightedPrefix(per: DataFrame, maxInv: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("_id")
       .orderBy(col("_df").desc, col("_tok").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pref = per.select(col("_id"), col("_na2"), explode(col("_s")).as("x"))
+    per.select(col("_id"), col("_na2"), explode(col("_s")).as("x"))
       .select(col("_id"), col("_na2"), col("x._df").as("_df"),
         col("x._tok").as("_tok"), col("x._l").as("_l"))
       .join(maxInv, "_tok")
@@ -392,30 +457,32 @@ object Dedup {
       .withColumn("_tail", sum(col("_contrib")).over(w))
       .filter(col("_tail") >= threshold - 1e-9)
       .select("_id", "_tok")
-    // the array-carrying prefix relation feeds both sides of the
-    // candidate self-join as IDENTICAL subtrees — exchange reuse serves
-    // the second side from the first's shuffle files (checkpointing it
-    // instead measured SLOWER: the array materialization costs more than
-    // the reuse saves)
-    val pa = pref.join(sides, "_id")
-    val cand = pa.select(col("_tok"), col("_id").as("id_a"),
-        col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
-      .join(pa.select(col("_tok"), col("_id").as("id_b"),
-        col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
-        Seq("_tok"))
-      .filter(col("id_a") < col("id_b") &&
-        lit(threshold * threshold - 1e-12)
-          * greatest(col("_qa2"), col("_qb2")).cast("double")
-          <= least(col("_qa2"), col("_qb2")).cast("double"))
+  }
+
+  /** Norm-ratio filter over (_qa2, _qb2): cos ≤ √(min/max), the weighted
+    * analogue of the length filter, slack-guarded against FP boundary
+    * error.
+    */
+  private def normRatioFilter(threshold: Double): Column =
+    (lit(threshold * threshold - 1e-12)
+      * greatest(col("_qa2"), col("_qb2")).cast("double")) <=
+      least(col("_qa2"), col("_qb2")).cast("double")
+
+  /** Inline exact-cosine verification over candidate rows carrying both
+    * key-sorted weight arrays: one [[graft.functions.SortedKeyDotExpr]]
+    * merge walk per candidate row, the single shared FP sequence
+    * `dot/√(na2·nb2)`, distinct over pairs that PASSED (true-pair-sized).
+    */
+  private def verifyCosine(cand: DataFrame, aId: String, bId: String,
+      threshold: Double): DataFrame =
     cand
       .withColumn("_dot", graft.functions.VectorExpressions.sortedKeyDot(
         col("_ka"), col("_va"), col("_kb"), col("_vb")))
       .withColumn("cosine", col("_dot").cast("double") /
         sqrt(col("_qa2").cast("double") * col("_qb2").cast("double")))
       .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+      .select(col(aId), col(bId), col("cosine"))
       .distinct()
-  }
 
   /** Per-doc element sets FINGERPRINTED to 64-bit hashes up front: every
     * join key, sort key, and intersect downstream runs on longs instead of

@@ -153,6 +153,55 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cross-corpus all-pairs cosine equals brute-force batch x corpus weighted cosine") {
+    val rnd = new scala.util.Random(53L)
+    val vocab = (1 to 150).map(i => s"v$i")
+    val corpus = (0L until 50L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val batch = corpus.filter(_._1 % 6 == 0).map { case (i, t) =>
+      val w = t.split(" ")
+      (500L + i, w.take(math.ceil(w.length * 0.9).toInt).mkString(" "))
+    } :+ (999L, "zz yy xx ww vv uu tt ss")
+    val t = 0.8
+
+    val got = Dedup.allPairsCosineAgainst(
+        batch.toDF("doc_id", "text"), array_distinct(split(col("text"), " ")),
+        corpus.toDF("doc_id", "text"), array_distinct(split(col("text"), " ")),
+        "doc_id", t)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+
+    // reference arithmetic over the UNION weight universe
+    val lsets = batch.map { case (i, x) => (i, x.split(" ").toSet) }
+    val rsets = corpus.map { case (i, x) => (i, x.split(" ").toSet) }
+    val n = lsets.size + rsets.size
+    val dfreq = (lsets ++ rsets).flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => (w, xs.size) }
+    val micro = dfreq.map { case (w, df) =>
+      (w, java.math.BigDecimal.valueOf(math.log(n.toDouble / df))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact)
+    }
+    def n2(s: Set[String]) = s.toSeq.map(w => micro(w) * micro(w)).sum
+    val want = (for {
+      (il, sl) <- lsets; (ir, sr) <- rsets
+      if n2(sl) > 0 && n2(sr) > 0
+      dot = (sl & sr).toSeq.map(w => micro(w) * micro(w)).sum
+      c = dot.toDouble / math.sqrt(n2(sl).toDouble * n2(sr).toDouble)
+      if c >= t
+    } yield ((il, ir), c)).toMap
+
+    assert(want.nonEmpty, "planted truncations must qualify")
+    assert(got.keySet == want.keySet,
+      s"cross pairs must equal brute force: missing=${want.keySet -- got.keySet} " +
+        s"extra=${got.keySet -- want.keySet}")
+    want.foreach { case (p, c) =>
+      assert(math.abs(got(p) - c) < 1e-9, s"cosine mismatch at $p")
+    }
+    assert(!got.keySet.exists(_._1 == 999L), "the novel doc must not pair")
+  }
+
   test("cross-corpus prefix-filter join equals brute-force batch x corpus Jaccard") {
     val rnd = new scala.util.Random(43L)
     val vocab = (1 to 150).map(i => s"v$i")

@@ -430,4 +430,53 @@ class OperatorPropertySpec extends SparkSpec {
         s"round $round t=$t vocab=$vocabN: missing=${want -- got} extra=${got -- want}")
     }
   }
+
+  test("all-pairs cosine equals brute force on random corpora across thresholds") {
+    // the weighted sibling of the prefix-join differential above: the
+    // maxweight tail bound + norm-ratio filter must stay LOSSLESS at any
+    // threshold and any idf spread (vocab size controls both)
+    val rnd = new Random(79L)
+    (1 to 5).foreach { round =>
+      val vocabN = 30 + rnd.nextInt(170)
+      val vocab = (1 to vocabN).map(i => s"w$i")
+      val base = (0L until (20L + rnd.nextInt(40))).map { i =>
+        (i, Seq.fill(4 + rnd.nextInt(16))(vocab(rnd.nextInt(vocabN))).mkString(" "))
+      }
+      val planted = base.filter(_._1 % 5 == 0).map { case (i, t) =>
+        val w = t.split(" ")
+        (1000L + i, w.take(math.max(1, math.ceil(w.length * 0.85).toInt)).mkString(" "))
+      }
+      val all = base ++ planted
+      val t = Seq(0.5, 0.6, 0.75, 0.85, 0.95)(rnd.nextInt(5))
+
+      val got = Dedup.allPairsCosine(
+          all.toDF("doc_id", "text"),
+          org.apache.spark.sql.functions.array_distinct(
+            org.apache.spark.sql.functions.split(col("text"), " ")),
+          "doc_id", t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      val sets = all.map { case (i, txt) => (i, txt.split(" ").toSet) }
+      val n = sets.size
+      val dfreq = sets.flatMap(_._2).groupBy(identity)
+        .map { case (w, xs) => (w, xs.size) }
+      val micro = dfreq.map { case (w, df) =>
+        (w, java.math.BigDecimal.valueOf(math.log(n.toDouble / df))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact)
+      }
+      val norm2 = sets.map { case (i, s) =>
+        (i, s.toSeq.map(w => micro(w) * micro(w)).sum)
+      }.toMap
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets
+        if ia < ib && norm2(ia) > 0 && norm2(ib) > 0
+        dot = (sa & sb).toSeq.map(w => micro(w) * micro(w)).sum
+        if dot.toDouble / math.sqrt(norm2(ia).toDouble * norm2(ib).toDouble) >= t
+      } yield (ia, ib)).toSet
+
+      assert(got == want,
+        s"round $round t=$t vocab=$vocabN: missing=${want -- got} extra=${got -- want}")
+    }
+  }
 }

@@ -487,6 +487,26 @@ class PlanShapeSpec extends SparkSpec {
       s"prefix join plans a window (global order leak):\n$plan")
   }
 
+  test("weighted all-pairs cosine: keyed joins, keyed window only, dot walk inline (k2)") {
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val plan = physicalPlan(
+      Dedup.allPairsCosine(Tables.documents(spark, sfDir),
+        array_distinct(split(col("text"), " ")), "doc_id", 0.8))
+    // the ONE nested-loop node allowed is the one-row corpus-count N
+    // broadcast (idf); anything else is a degenerated candidate join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(!plan.contains("CartesianProduct") && bnlj <= 1,
+      s"cosine join degenerated to a nested loop:\n$plan")
+    // the maxweight tail bound runs per doc — a Window over
+    // SinglePartition would serialize the corpus
+    assert(!plan.contains("Window [") || !plan.contains("SinglePartition"),
+      s"cosine join plans a single-partition window:\n$plan")
+    // verification is the inline merge walk, not an array_intersect or a
+    // post-join array attach
+    assert(plan.contains("sorted_key_dot"),
+      s"inline dot walk missing from the plan:\n$plan")
+  }
+
   test("IVF-ADC over the written layout: probe prunes partitions, ADC reads codes not vectors") {
     import graft.operators.{IvfAnn, PqAnn}
     import org.apache.spark.sql.functions.col

@@ -31,7 +31,8 @@ object Explain {
       // side-effecting work to print a LocalTableScan that audits nothing
       "k2_prefix_join_against", "e6_session_pattern",
       "c9_scd2_temporal", "k5_audio_neardup",
-      "k5_video_neardup", "k3_ann_ivf_pq_residual", "k2_allpairs_cosine")
+      "k5_video_neardup", "k3_ann_ivf_pq_residual", "k2_allpairs_cosine",
+      "k2_allpairs_cosine_against")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

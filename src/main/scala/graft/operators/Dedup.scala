@@ -426,9 +426,23 @@ object Dedup {
     * build, the maxweight aggregate, the prefix relation, and both
     * candidate sides — without the cut each branch re-runs explode +
     * weight join + groupBy.
+    *
+    * Overflow contract, enforced LOUDLY: the exact-long norm
+    * `Σ l²` is safe while `n_elements · l²max < 2⁶³`; with
+    * `l = ln(N/df)·10⁶ ≤ 24·10⁶` for any corpus up to e²⁴ ≈ 2.6·10¹⁰
+    * docs, that bounds a doc at ~16 000 distinct elements. A larger set
+    * would OVERFLOW SILENTLY (wrong cosines, no error) — the worst
+    * failure mode — so such docs raise instead; chunk oversized
+    * documents upstream (the rolling-chunks operator exists for exactly
+    * that).
     */
   private def weightedPer(toks: DataFrame, wtab: DataFrame): DataFrame =
-    toks.select(col("_id"), explode(col("_toks")).as("_tok"))
+    toks.select(col("_id"),
+        explode(when(size(col("_toks")) <= 16000, col("_toks"))
+          .otherwise(raise_error(concat(
+            lit("allPairsCosine: document with "), size(col("_toks")),
+            lit(" distinct elements exceeds the exact-long norm bound " +
+              "(16000) — chunk oversized docs upstream"))))).as("_tok"))
       .join(wtab, "_tok")
       .groupBy("_id")
       .agg(sort_array(collect_list(struct(col("_df"), col("_tok"), col("_l"))))

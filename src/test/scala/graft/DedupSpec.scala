@@ -153,6 +153,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("all-pairs cosine raises loudly on a doc past the exact-long norm bound") {
+    // a >16000-element set would overflow the long norm SILENTLY (wrong
+    // cosines, no error) — the guard must turn that into a loud failure
+    val big = (1 to 16100).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, big), (2L, "aa bb cc")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.allPairsCosine(corpus,
+        array_distinct(split(col("text"), " ")), "doc_id", 0.8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("exact-long norm bound")),
+      s"expected the norm-bound raise, got: $e")
+  }
+
   test("cross-corpus all-pairs cosine equals brute-force batch x corpus weighted cosine") {
     val rnd = new scala.util.Random(53L)
     val vocab = (1 to 150).map(i => s"v$i")

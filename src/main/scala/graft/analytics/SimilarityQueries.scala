@@ -407,6 +407,46 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // K3 scale path #5: BINARY sign quantization — the cheapest memory
+    // leg of all (the "binary embedding" family behind RaBitQ/BQ
+    // retrieval): each 64-dim float vector compresses to its 64 SIGN
+    // BITS (8 bytes at rest, 32× smaller than the floats), the
+    // corpus-wide pass is two XOR + POPCOUNT word ops per vector — the
+    // SIMD shape every binary-ANN deployment runs — and only the
+    // 50-deep Hamming shortlist sees exact cosine. Quantization is
+    // data-deterministic (bit i = [v_i > 0]; no trained artifact, no
+    // seed), so the oracle re-derives EVERYTHING from the raw table —
+    // packing, Hamming ranking, shortlist cut, exact rerank — with no
+    // aux axiom. The bits ride as two 32-bit words in BIGINTs so
+    // neither engine's shift arithmetic touches the sign bit (a layout
+    // would store one 8-byte word); both shortlist and final top-k are
+    // TakeOrderedAndProject (per-partition heaps, k rows to the driver).
+    "k3_ann_binary" -> ((s, d) => {
+      import graft.functions.VectorExpressions.cosineFast
+      val emb = Tables.embeddings(s, d)
+      def word(off: Int): Column =
+        (0 until 32).map { i =>
+          when(element_at(col("embedding"), off + i + 1) > 0f, lit(1L << i))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val packed = emb.select(col("vec_id"), col("label"), col("embedding"),
+        word(0).as("w0"), word(32).as("w1"))
+      val q = packed.filter(col("vec_id") === 0)
+        .select(col("w0").as("q0"), col("w1").as("q1"),
+          col("embedding").as("q_vec"))
+      packed.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), col("embedding"), col("q_vec"),
+          (bit_count(col("w0").bitwiseXOR(col("q0"))) +
+            bit_count(col("w1").bitwiseXOR(col("q1")))).cast("int")
+            .as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+        .limit(50)
+        .select(col("vec_id"), col("label"), col("hamming"),
+          round(cosineFast(col("embedding"), col("q_vec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // K5: image near-dup via perceptual hash — dHash over the (stubbed)
     // 8×9 luma grid, 4×16-bit banded LSH, exact XOR-popcount verify.
     // Hashing is one single-pass native projection; candidates are a
@@ -1012,6 +1052,37 @@ object SimilarityQueries {
         |  ROUND(d_proj_raw, 6) AS d_proj,
         |  ROUND(d_proj_raw / d_orig_raw, 6) AS ratio
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // Full re-derivation of the binary-quantization ANN, no aux axiom:
+    // sign-bit packing into two 32-bit words, XOR+popcount Hamming
+    // against the query's words, the 50-deep shortlist (total order:
+    // hamming, vec_id), and the exact-cosine rerank in the engine's own
+    // fixed FP sequence. Word sums are CAST to BIGINT (list_sum widens
+    // to HUGEINT) before xor.
+    "k3_ann_binary" ->
+      """WITH b AS (
+        |  SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+        |           THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN embedding[CAST(i + 33 AS INTEGER)] > 0
+        |           THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT w0 AS q0, w1 AS q1, embedding AS q_vec FROM b WHERE vec_id = 0),
+        |h AS (
+        |  SELECT b.vec_id, b.label, b.embedding, q.q_vec,
+        |    CAST(bit_count(xor(b.w0, q.q0)) + bit_count(xor(b.w1, q.q1)) AS INTEGER) AS hamming
+        |  FROM b, q),
+        |sl AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50)
+        |SELECT vec_id, label, hamming,
+        |  ROUND(
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q_vec[CAST(i AS INTEGER)] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |FROM sl
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // Full re-derivation of the perceptual-hash pipeline, no aux axiom:
     // striped surrogate grid cells from the payload's code points, dHash

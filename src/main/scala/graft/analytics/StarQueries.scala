@@ -110,6 +110,62 @@ object StarQueries {
         .orderBy("status")
     }),
 
+    // A12 (EXT): CSV sink + source round-trip — the interchange format
+    // every ingest boundary still speaks. Orders flow to quoted CSV with
+    // a header and back under the EXPLICIT schema (production paths never
+    // infer; inference would read the data twice at 100 TB), timestamps
+    // ride as epoch-second longs (format-trap-free), and the read-back
+    // table is aggregated per priority with decimal-exact money sums. The
+    // oracle computes the same aggregate from the original parquet, so
+    // any write/parse drift (quoting, null encoding, double formatting —
+    // Java's Double round-trips by construction) breaks the hash.
+    "a12_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString + "/orders"
+      val out = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        unix_timestamp(col("o_orderdate")).as("o_epoch"),
+        col("o_orderpriority"))
+      out.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      s.read.schema(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+            "o_totalprice DOUBLE, o_epoch BIGINT, o_orderpriority STRING")
+        .option("header", "true").csv(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("total"),
+          min("o_epoch").as("first_epoch"),
+          max("o_epoch").as("last_epoch"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A13 (EXT): ORC sink + source round-trip — the second columnar
+    // at-rest format (Hive lineage); a lakehouse engine must read both.
+    // Lineitem lands as ORC and is read back with a predicate + 3-column
+    // projection that must PUSH to the ORC reader (row-group skipping —
+    // SourcesSpec asserts PushedFilters in the scan node), then
+    // aggregates per returnflag. The oracle runs the same
+    // filter+aggregate on the original parquet, so type fidelity
+    // (timestamps native in ORC, doubles bit-exact) and filter semantics
+    // must both survive the format hop.
+    "a13_orc_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/lineitem"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate")
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -589,6 +645,27 @@ object StarQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle never sees the CSV: it aggregates the source parquet, so
+    // a match proves the write→parse round-trip was lossless
+    "a12_csv_roundtrip" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)) AS first_epoch,
+        |  MAX(CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)) AS last_epoch
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle never sees the ORC: same filter+aggregate on the source
+    "a13_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-06-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // content identity through the compaction rewrite: the oracle reads
     // the ORIGINAL table, the query returns the compacted copy

@@ -181,6 +181,68 @@ object StreamingReplay {
           (col("_s.position") / 100.0).as("position"),
           col("_s.n_events").as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // J8: STREAM-STREAM interval join — the two-stream operator class
+    // (purchase←click attribution) the J suite lacked. Purchases and
+    // clicks replay as two independent 2-batch file streams through the
+    // production [[EventStreams.intervalJoin]] (watermarks on BOTH sides
+    // + an event-time-bounded join condition — the only shape whose join
+    // state is evictable at production rates). The replay watermark
+    // delay (60 days) exceeds the corpus's 30-day span so the replay is
+    // provably drop-free — the emitted pair set equals the batch
+    // interval join, which the oracle computes directly; production
+    // tightens the delay to the real disorder bound with the SAME plan.
+    // Pair values ride as DECIMAL so the per-user pair aggregate is
+    // exact under any emission order.
+    "j8_stream_stream_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+      val inL = stageBatchesMemo("j8_buys", d, buys,
+        pmod(col("buy_id"), lit(2)).cast("int"), 2)
+      val inR = stageBatchesMemo("j8_clicks", d, clicks,
+        pmod(col("click_id"), lit(2)).cast("int"), 2)
+      def srcOf(in: String) = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val joined = EventStreams.intervalJoin(
+        left = srcOf(inL), right = srcOf(inR), keyCol = "user_id",
+        leftTs = "ts", rightTs = "ts", valueCols = Seq("click_id"),
+        lookback = "30 minutes", watermark = "60 days")
+      memoryQuery(s, joined, "append", "graft_j8_replay")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("value")).cast("double").as("pair_value"))
+        .orderBy("user_id")
+    }),
+
+    // J9: watermark-bounded streaming DEDUP — the at-least-once collapse
+    // operator ([[EventStreams.streamingDedup]] /
+    // `dropDuplicatesWithinWatermark`) under the gate. The dedup key is
+    // (user_id, event_type) carried as one derived column; rows sharing
+    // a key differ only in columns the query DROPS after the dedup, so
+    // whichever arrival survives the state race, the declared output is
+    // the distinct key set — which is exactly the oracle. The 60-day
+    // delay again makes the replay eviction-free; production bounds the
+    // dedup state to the real duplicate-arrival window with the same
+    // operator.
+    "j9_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val in = stageBatchesMemo("j9", d, ev,
+        pmod(col("event_id"), lit(3)).cast("int"), 3)
+      val src = s.readStream.schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .select(concat_ws(":", col("user_id"), col("event_type")).as("dedup_key"),
+          col("user_id"), col("event_type"), col("ts"))
+      val dd = EventStreams.streamingDedup(src, "dedup_key", "ts", "60 days")
+      memoryQuery(s, dd, "append", "graft_j9_replay")
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +289,31 @@ object StreamingReplay {
     // Cents-exact running position: the decimal cast matches the stream's
     // fold input, the sum is exact, and the final /100 is the same IEEE
     // double division on both sides.
+    // drop-free replay ⇒ the streaming interval join equals the batch
+    // interval join: every purchase paired with same-user clicks in the
+    // preceding 30 minutes (both bounds inclusive, mirroring
+    // intervalJoin's >= / <=)
+    "j8_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS bts,
+        |    CAST(value AS DECIMAL(18,2)) AS value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT b.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(b.value) AS DOUBLE) AS pair_value
+        |FROM b JOIN c ON b.user_id = c.user_id
+        |  AND c.cts >= b.bts - INTERVAL '30 minutes' AND c.cts <= b.bts
+        |GROUP BY b.user_id ORDER BY b.user_id""".stripMargin,
+
+    // eviction-free replay ⇒ watermarked dedup keeps exactly one row per
+    // key; the declared columns are key-determined, so the output is the
+    // distinct key set
+    "j9_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "j5_running_position_replay" ->
       """SELECT user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS DOUBLE) / 100.0 AS position,

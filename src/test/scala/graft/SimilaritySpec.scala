@@ -320,4 +320,33 @@ class SimilaritySpec extends SparkSpec {
       assert(batch(q) == single, s"batch ANN diverged from annTopK for query $q")
     }
   }
+
+  test("binary ANN: sign packing is exact, self-match ranks first") {
+    import org.apache.spark.sql.functions.{col, element_at, lit, when}
+    // packing correctness on a crafted vector: bits 0, 2, and 63 set
+    val v: Seq[Float] = (0 until 64).map {
+      case 0 | 2 | 63 => 1.0f
+      case _          => -0.5f
+    }
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    def word(off: Int) =
+      (0 until 32).map { i =>
+        when(element_at(col("embedding"), off + i + 1) > 0f, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val r = df.select(word(0).as("w0"), word(32).as("w1")).head()
+    assert(r.getLong(0) == ((1L << 0) | (1L << 2)), "low word bits")
+    assert(r.getLong(1) == (1L << 31), "dim 63 lands on bit 31 of word 1")
+
+    // end to end: the query vector (vec 0) is Hamming-0 from itself,
+    // so it survives the shortlist and reranks to sim 1.0 at the top
+    val top = SimilarityQueries.queries("k3_ann_binary")(spark, sfDir)
+      .select("vec_id", "hamming", "sim")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(top.size == 10)
+    assert(top.head == ((0L, 0, 1.0)), s"self-match must rank first: ${top.head}")
+    // Hamming is a similarity proxy: every shortlist survivor is within
+    // the word range and sims are in [-1, 1]
+    assert(top.forall { case (_, h, s) => h >= 0 && h <= 64 && s >= -1.0 && s <= 1.0 })
+  }
 }

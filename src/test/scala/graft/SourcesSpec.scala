@@ -201,4 +201,41 @@ class SourcesSpec extends SparkSpec {
     assert(nulls == Seq(1L, 2L),
       "exactly the pre-evolution rows carry null in the added column")
   }
+
+  test("a12: csv round-trip aggregate equals the parquet-side aggregate") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.types.DecimalType
+    val viaCsv = analytics.StarQueries.queries("a12_csv_roundtrip")(spark, sfDir)
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val got = viaCsv.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == direct.toSeq,
+      "CSV write→read must be lossless for longs, doubles, and strings")
+  }
+
+  test("a13: the shipdate predicate pushes into the ORC scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("orcpush").toString + "/li"
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+      .write.mode("overwrite").orc(dir)
+    val scanned = spark.read.orc(dir)
+      .filter(col("l_shipdate") >= org.apache.spark.sql.functions
+        .lit("2001-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_quantity")
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate range not pushed into the ORC reader:\n$plan")
+    // and the filtered content agrees with the parquet-side filter
+    val expect = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= org.apache.spark.sql.functions
+        .lit("2001-06-01").cast("timestamp")).count()
+    assert(scanned.count() == expect)
+  }
 }

@@ -449,6 +449,58 @@ object EventQueries {
         .toDF("exact_users", "est_users", "within_rse", "replay_stable")
     }),
 
+    // D10 (EXT): incrementally maintained KLL QUANTILE sketch — the third
+    // member of the sketch triple (HLL: distinct, Count-Min: frequency,
+    // KLL: rank). events.value streams in 3 delta batches through
+    // versioned crash-safe state (replayed batch 2 guarded out), and the
+    // merged sketch answers 5 quantiles. KLL's published contract is on
+    // RANK error — the estimated q-quantile's realized rank lies in
+    // q ± ε (~1.65% at k=200; the verdict band uses 0.05 ≈ 3ε) — so the
+    // query computes each estimate's EXACT realized rank against the
+    // corpus and emits the verdicts. The realized estimates are the
+    // oracle axiom (the d9 pattern: KLL compaction is randomized, so the
+    // values are run-specific but the rank bound always holds): DuckDB
+    // reads them from the artifact, recomputes the exact realized ranks
+    // and verdicts independently, and an engine bug in the rank math or
+    // the fold still hash-fails.
+    "d10_kll_quantiles" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.KllMaintenance
+      val ev = Tables.events(s, d)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_kll_state").toString
+      val k = 200
+      var merged: Array[Byte] = null
+      (0 until 3).foreach { b =>
+        merged = KllMaintenance.update(s, statePath,
+          ev.filter(pmod(col("event_id"), lit(3)) === b), col("value"),
+          k, batchId = Some(b.toLong))
+      }
+      val replay = KllMaintenance.update(s, statePath,
+        ev.filter(pmod(col("event_id"), lit(3)) === 2), col("value"),
+        k, batchId = Some(2L))
+      val qs = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+      val ests = KllMaintenance.quantiles(replay, qs)
+      graft.tools.OracleAux.write(
+        qs.zip(ests).toDF("q", "est"), "d10_kll_est", d)
+      // exact realized rank of each estimate, one corpus pass:
+      // rank(v) = |{value <= v}| / |{value not null}|
+      val aggs = qs.indices.flatMap { i =>
+        Seq(count(when(col("value") <= lit(ests(i)), 1)).as(s"le_$i"))
+      } :+ count(col("value")).as("n")
+      val row = ev.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getAs[Long]("n")
+      val stable = java.util.Arrays.equals(merged, replay)
+      // raw doubles throughout: le/n is the same IEEE division on both
+      // engines (both operands exact BIGINTs), so no rounding is needed
+      qs.indices.map { i =>
+        val rank = row.getAs[Long](s"le_$i").toDouble / n
+        (qs(i), ests(i), rank, math.abs(rank - qs(i)) <= 0.05, stable)
+      }.toDF("q", "est", "realized_rank", "within_rank_bound",
+        "replay_stable")
+        .orderBy("q")
+    }),
+
     "e4_anomaly_zscore" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = Tables.events(s, d)
@@ -743,6 +795,26 @@ object EventQueries {
         |    <= CAST(CEIL(x.exact_users * 0.05) AS BIGINT) AS within_rse,
         |  TRUE AS replay_stable
         |FROM x CROSS JOIN e""".stripMargin,
+
+    // The realized KLL estimates are the axiom (randomized compaction —
+    // the d9 design); the oracle independently recomputes each
+    // estimate's EXACT realized rank over the corpus and re-derives the
+    // rank-bound verdicts. Raw-double division of two exact BIGINTs on
+    // both engines — bit-identical, no rounding.
+    "d10_kll_quantiles" ->
+      """WITH a AS (SELECT q, est FROM
+        |  read_parquet('/tmp/graft_oracle_aux/{SF}/d10_kll_est.parquet/*.parquet')),
+        |n AS (SELECT CAST(COUNT(value) AS BIGINT) AS n FROM events),
+        |r AS (
+        |  SELECT a.q, a.est,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+        |     WHERE e.value <= a.est) AS le
+        |  FROM a)
+        |SELECT r.q, r.est,
+        |  CAST(r.le AS DOUBLE) / n.n AS realized_rank,
+        |  ABS(CAST(r.le AS DOUBLE) / n.n - r.q) <= 0.05 AS within_rank_bound,
+        |  TRUE AS replay_stable
+        |FROM r, n ORDER BY r.q""".stripMargin,
 
     // The IDENTICAL integer automaton as a RECURSIVE CTE walking each
     // scope's code list one position per iteration (v→1, c→2, p→3,

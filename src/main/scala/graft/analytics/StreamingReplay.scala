@@ -269,6 +269,34 @@ object StreamingReplay {
       }
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
+    }),
+
+    // J10: STREAM-STATIC join — the stateless streaming join class (a
+    // live feed enriched against a broadcast dimension snapshot, the
+    // most common enrichment shape in production): each micro-batch
+    // broadcast-joins the static side, no state store at all. The
+    // static dimension here is the per-user first-seen/total profile
+    // (computed batch from the same table), every streamed event gains
+    // its age relative to the user's first appearance, and the final
+    // sink table is batch-equivalent by construction — the oracle is the
+    // plain batch join. Epochs truncate PER SIDE before subtracting
+    // (unix_timestamp floors; the oracle mirrors with FLOOR(epoch())).
+    "j10_stream_static_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      val in = stageBatchesMemo("j10", d, ev,
+        pmod(col("event_id"), lit(2)).cast("int"), 2)
+      val dim = ev.groupBy("user_id")
+        .agg(min("ts").as("first_seen"), count(lit(1)).as("n_user_events"))
+      val src = s.readStream.schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val joined = src.join(broadcast(dim), Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("n_user_events"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("first_seen")))
+            .as("age_s"))
+      memoryQuery(s, joined, "append", "graft_j10_replay")
+        .orderBy("event_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -339,6 +367,19 @@ object StreamingReplay {
     "j9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // stateless per-batch broadcast join ⇒ batch-equivalent by
+    // construction; per-side epoch floors mirror unix_timestamp
+    "j10_stream_static_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+        |    CAST(COUNT(*) AS BIGINT) AS n_user_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type, dim.n_user_events,
+        |  CAST(FLOOR(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+        |    - CAST(FLOOR(epoch(dim.first_seen)) AS BIGINT) AS age_s
+        |FROM events e JOIN dim USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     "j5_running_position_replay" ->
       """SELECT user_id,

@@ -306,6 +306,54 @@ object TextQueries {
         .orderBy("merge_rank")
     }),
 
+    // K4 (EXT): BPE tokenizer APPLICATION — the trained merges (memoized
+    // with k4_bpe_train, artifact re-written here so the oracle audits
+    // the sequence actually applied) encode the corpus: each DISTINCT
+    // word rewrites once through the 12 merges in rank order (the same
+    // greedy index-jump fold — a vocabulary-sized map, never
+    // corpus-sized), and documents join their words' token counts back
+    // by a plain equi-join. Per doc: word/token/char counts and the
+    // chars-per-token compression ratio (the number a tokenizer is FOR).
+    // The oracle replays the merges over the distinct words with the
+    // same linear recursive CTE (final m = 13 states), joins, and
+    // re-aggregates — the train→apply loop closed end-to-end under the
+    // hash gate.
+    "k4_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.BpeTrain
+      val merges = bpeMemo.getOrElseUpdate(
+        s"${System.identityHashCode(s)}|$d", {
+          val words = Tables.documents(s, d)
+            .select(explode(tokens(col("text"))).as("word"))
+            .where(length(col("word")) > 0)
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+          BpeTrain.train(words, rounds = 12)
+        })
+      graft.tools.OracleAux.write(
+        merges.map(m => (m.rank, m.lhs, m.rhs))
+          .toDF("merge_rank", "lhs", "rhs"),
+        "k4_bpe_merges_enc", d)
+      val docWords = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .where(length(col("word")) > 0)
+      val encoded = merges.foldLeft(BpeTrain.charSyms(col("word"))) {
+        (c, m) => BpeTrain.applyMerge(c, m.lhs, m.rhs)
+      }
+      val vocab = docWords.select("word").distinct()
+        .select(col("word"), size(encoded).as("n_toks"),
+          length(col("word")).as("n_chars"))
+      docWords.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_toks").as("bpe_tokens"),
+          sum("n_chars").as("word_chars"))
+        .select(col("doc_id"), col("n_words"), col("bpe_tokens"),
+          col("word_chars"),
+          round(col("word_chars").cast("double") / col("bpe_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
     // K4: inverted index — term → capped posting list, the retrieval-side
     // artifact of corpus analysis. doc_freq/total_tf aggregate over ALL
     // postings (partial-combined: a hot term costs rows, never pairs); the
@@ -1168,6 +1216,55 @@ object TextQueries {
         |      FROM pc)
         |WHERE rn = 1
         |ORDER BY merge_rank""".stripMargin,
+
+    // Same linear merge-replay walk as k4_bpe_train, run to the POST-
+    // merge-12 states (m = 13 snapshots): each distinct word's final
+    // token count re-derives from the artifact merges alone, then joins
+    // back to the corpus and re-aggregates per document.
+    "k4_bpe_encode" ->
+      """WITH RECURSIVE mg AS (SELECT merge_rank, lhs, rhs FROM
+        |  read_parquet('/tmp/graft_oracle_aux/{SF}/k4_bpe_merges_enc.parquet/*.parquet')),
+        |dw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE strlen(word) > 0),
+        |base AS (
+        |  SELECT word,
+        |    (SELECT list(lhs ORDER BY merge_rank) FROM mg) AS la,
+        |    (SELECT list(rhs ORDER BY merge_rank) FROM mg) AS lb,
+        |    list_transform(range(1, strlen(word) + 1),
+        |      i -> word[CAST(i AS INTEGER)]) AS syms,
+        |    CAST(1 AS BIGINT) AS m, CAST(1 AS BIGINT) AS i,
+        |    CAST([] AS VARCHAR[]) AS out
+        |  FROM (SELECT DISTINCT word FROM dw)),
+        |step AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT word, la, lb,
+        |    CASE WHEN i <= len(syms) THEN syms ELSE out END,
+        |    CASE WHEN i <= len(syms) THEN m ELSE m + 1 END,
+        |    CASE WHEN i > len(syms) THEN CAST(1 AS BIGINT)
+        |         WHEN i < len(syms) AND syms[CAST(i AS INTEGER)] = la[CAST(m AS INTEGER)]
+        |              AND syms[CAST(i + 1 AS INTEGER)] = lb[CAST(m AS INTEGER)] THEN i + 2
+        |         ELSE i + 1 END,
+        |    CASE WHEN i > len(syms) THEN CAST([] AS VARCHAR[])
+        |         WHEN i < len(syms) AND syms[CAST(i AS INTEGER)] = la[CAST(m AS INTEGER)]
+        |              AND syms[CAST(i + 1 AS INTEGER)] = lb[CAST(m AS INTEGER)]
+        |           THEN list_append(out, la[CAST(m AS INTEGER)] || lb[CAST(m AS INTEGER)])
+        |         ELSE list_append(out, syms[CAST(i AS INTEGER)]) END
+        |  FROM step
+        |  WHERE (i <= len(syms) AND m <= 12) OR (i = len(syms) + 1 AND m <= 12)),
+        |vocab AS (
+        |  SELECT word, CAST(len(syms) AS INTEGER) AS n_toks,
+        |    CAST(strlen(word) AS INTEGER) AS n_chars
+        |  FROM step WHERE m = 13 AND i = 1)
+        |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(v.n_toks) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(v.n_chars) AS BIGINT) AS word_chars,
+        |  ROUND(CAST(SUM(v.n_chars) AS DOUBLE) / SUM(v.n_toks), 6)
+        |    AS chars_per_token
+        |FROM dw JOIN vocab v USING (word)
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin,
 
     // Single-stage top-k — provably identical to the engine's two-stage
     // salted ranking because the (tf DESC, doc_id) tiebreak is total.

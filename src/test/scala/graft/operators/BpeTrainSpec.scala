@@ -67,6 +67,19 @@ class BpeTrainSpec extends SparkSpec {
       s"engine trajectory diverged from the reference:\n$got")
   }
 
+  test("declared k4_bpe_encode: tokens bounded by chars and words, ratio consistent") {
+    val rows = graft.SparkEntry.queries("k4_bpe_encode")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, toks, chars, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      // merges only ever shrink a word, and a word is at least one token
+      assert(toks <= chars, s"doc ${r.getLong(0)}: more tokens than chars")
+      assert(toks >= words, s"doc ${r.getLong(0)}: fewer tokens than words")
+      assert(math.abs(ratio - chars.toDouble / toks) < 1e-6)
+    }
+  }
+
   test("declared k4_bpe_train: 12 ranked merges, counts nonincreasing never guaranteed but positive") {
     val rows = graft.SparkEntry.queries("k4_bpe_train")(spark, sfDir).collect()
     assert(rows.length == 12)

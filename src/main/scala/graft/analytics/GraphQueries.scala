@@ -368,6 +368,31 @@ object GraphQueries {
     //     three corners by an explode.
     // All joins are equi-joins; every tie-break is total (support desc,
     // then id asc) so the backbone and the counts are deterministic.
+    // G4 (EXT, round 11): CONNECTED COMPONENTS via the alternating
+    // two-phase star algorithm (Kiveris et al. SoCC 2014) — O(log n)
+    // rounds even on path graphs, where min-label propagation
+    // (Dedup.clusters) pays O(diameter); the CC algorithm for graphs
+    // whose diameter is unknown at 100 TB. The declared instance runs on
+    // the 1-in-97-orders trading subgraph so the DuckDB oracle can
+    // re-derive the labels INDEPENDENTLY by recursive min-label closure
+    // (a different algorithm — an agreement, not a replay); the log-round
+    // property itself is proven in GraphQueriesSpec on planted paths
+    // against the propagation round count.
+    "g4_connected_components" -> ((s, d) => {
+      val pairs = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val (labels, _) = graft.operators.GraphOps.connectedComponents(pairs)
+      labels.select(col("node"), substring(col("node"), 1, 1).as("side"),
+          col("component"))
+        .orderBy("node")
+    }),
+
     "g4_triangles" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
@@ -427,6 +452,27 @@ object GraphQueries {
            |SELECT src AS node, substr(src, 1, 1) AS side,
            |  COUNT(*) AS degree
            |FROM e GROUP BY src ORDER BY node""".stripMargin,
+
+      // independent ALGORITHM, not a replay: recursive min-label closure
+      // (propagate every smaller reachable label, take the minimum) must
+      // agree with the engine's two-phase star fixpoint label for label
+      "g4_connected_components" ->
+        """WITH RECURSIVE base AS (
+          |  SELECT 'C' || o_custkey AS c, 'S' || l_suppkey AS p
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |  WHERE o_orderkey % 97 = 0 GROUP BY 1, 2),
+          |edges AS (
+          |  SELECT c AS src, p AS dst FROM base
+          |  UNION ALL SELECT p, c FROM base),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |r AS (
+          |  SELECT node, node AS lab FROM nodes
+          |  UNION
+          |  SELECT e.src AS node, r.lab
+          |  FROM edges e JOIN r ON r.node = e.dst
+          |  WHERE r.lab < e.src)
+          |SELECT node, substr(node, 1, 1) AS side, MIN(lab) AS component
+          |FROM r GROUP BY node, side ORDER BY node""".stripMargin,
 
       "g4_pagerank" ->
         s"""WITH $edgesCte,

@@ -41,7 +41,16 @@ object StressSweep {
     "k4_countmin_incremental", "d9_hll_incremental",
     // round 11: the weighted exact join (Bayardo APSS) + its
     // batch-vs-corpus form
-    "k2_allpairs_cosine", "k2_allpairs_cosine_against")
+    "k2_allpairs_cosine", "k2_allpairs_cosine_against",
+    // round-11 session 2: binary-quantization ANN (scan-bound XOR+popcount
+    // pass — must stay linear), BPE corpus encoding (vocabulary-sized
+    // rewrite + corpus join; training itself is one word-frequency pass
+    // plus CONSTANT vocab-sized rounds, so the encode join is the
+    // corpus-dependent leg), the KLL fold (constant sketch state — cost
+    // must be the delta scans alone), and the two stateful replay
+    // additions (state ∝ users/pairs, input ∝ corpus)
+    "k3_ann_binary", "k4_bpe_encode", "d10_kll_quantiles",
+    "j8_stream_stream_join", "j9_stream_dedup")
 
   /** The second-decade set: the five highest sf1 ratios from BASELINE.md's
     * sweep table — the queries whose 10× headroom most needs 100×

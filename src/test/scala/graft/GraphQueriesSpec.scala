@@ -110,4 +110,48 @@ class GraphQueriesSpec extends SparkSpec {
       .distinct().count()
     assert(rows.map(_._3).sum == distinctGrams)
   }
+
+  test("connected components: path graph converges in O(log n) rounds, not O(diameter)") {
+    import spark.implicits._
+    val n = 256
+    val path = (0 until n - 1)
+      .map(i => (f"n$i%04d", f"n${i + 1}%04d")).toDF("src", "dst")
+    val (labels, rounds) = graft.operators.GraphOps.connectedComponents(path)
+    val got = labels.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == n)
+    assert(got.forall(_._2 == "n0000"), "single path = single component")
+    // min-label propagation needs ~n rounds on a path; the alternating
+    // star algorithm is logarithmic — the whole point of the operator
+    assert(rounds <= 16, s"expected O(log n) rounds on a path, got $rounds")
+  }
+
+  test("connected components: differential vs min-label propagation on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    // ~3 sparse clusters plus isolates-by-construction excluded
+    val edges = (1 to 300).map { _ =>
+      val c = rnd.nextInt(6) * 1000
+      (f"v${c + rnd.nextInt(40)}%05d", f"v${c + rnd.nextInt(40)}%05d")
+    }.filter(p => p._1 != p._2).toDF("src", "dst")
+    val (labels, _) = graft.operators.GraphOps.connectedComponents(edges)
+    val star = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ids = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+    val prop = graft.operators.Dedup.clusters(ids, "id",
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(star == prop, "two-phase star and min-label propagation disagree")
+  }
+
+  test("g4_connected_components: every declared label is a member node and edges never cross labels") {
+    val rows = GraphQueries.queries("g4_connected_components")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val label = rows.map(r => r._1 -> r._3).toMap
+    // a component's label is the minimum member and labels itself
+    rows.groupBy(_._3).foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp)
+      assert(label(comp) == comp)
+    }
+  }
 }

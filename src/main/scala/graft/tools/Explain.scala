@@ -32,7 +32,13 @@ object Explain {
       "k2_prefix_join_against", "e6_session_pattern",
       "c9_scd2_temporal", "k5_audio_neardup",
       "k5_video_neardup", "k3_ann_ivf_pq_residual", "k2_allpairs_cosine",
-      "k2_allpairs_cosine_against")
+      "k2_allpairs_cosine_against",
+      // round-11 session 2 (the declarative-plan additions; the streaming
+      // replays, round-trips, and fold queries execute pipelines in their
+      // builders — same exclusion rule as countmin above; and
+      // g4_connected_components' label relation is checkpoint-backed, so
+      // its dump would audit a LocalTableScan)
+      "k3_ann_binary", "k4_bpe_encode")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -387,7 +387,17 @@ object GraphQueries {
         .select(concat(lit("C"), col("o_custkey")).as("src"),
           concat(lit("S"), col("l_suppkey")).as("dst"))
         .distinct()
-      val (labels, _) = graft.operators.GraphOps.connectedComponents(pairs)
+      // width-pinned like the stateful replays: the sampled edge set is
+      // a few thousand rows, and each star round is 2 aggregates + 2
+      // joins — at the session width the per-round task overhead
+      // dominates the data. Production sizes this to |E|; restored after.
+      val widthKey = "spark.sql.shuffle.partitions"
+      val prevWidth = s.conf.get(widthKey)
+      val labels = try {
+        s.conf.set(widthKey, "8")
+        graft.operators.GraphOps.connectedComponents(pairs)._1
+          .localCheckpoint(true)
+      } finally s.conf.set(widthKey, prevWidth)
       labels.select(col("node"), substring(col("node"), 1, 1).as("side"),
           col("component"))
         .orderBy("node")

@@ -149,7 +149,12 @@ object StreamingReplay {
           src, table, tempDir("graft_replay_ck"), "event_id")
         try q.processAllAvailable() finally q.stop()
       }
-      withShuffleWidth(s, 8) { runOnce(); runOnce() }
+      // NOT width-pinned: j2 has no streaming state store at all — its
+      // cost is the per-batch sink merge, a BATCH anti-join over the
+      // growing table, which wants the session's full parallelism
+      // (width-8 measured same-to-slower; the pin only pays where
+      // per-partition state-store lifecycles dominate)
+      runOnce(); runOnce()
       s.read.parquet(table).orderBy("event_id")
     }),
 

@@ -329,6 +329,43 @@ object PipelineQueries {
         .orderBy("custkey")
     }),
 
+    // C10 (EXT, round 11): CDC changelog APPLY with tombstones — the
+    // Debezium-feed shape c7's single merge lacks: an ORDERED log of
+    // upsert/delete ops per key collapses to its last-writer (row_number
+    // over seq DESC — one shuffle on the key, the log never self-joins),
+    // then applies to the base snapshot in one full-outer join: untouched
+    // base rows pass through, a last-op U upserts (insert if the key was
+    // absent), a last-op D tombstones the row out. Every rule is a total
+    // deterministic function of (key, seq), so the oracle replays it
+    // value-exact. Balances ride as DECIMAL through the merge.
+    "c10_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          dec2(col("c_acctbal")).as("balance"))
+      val log = Tables.orders(s, d).select(
+        col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 5 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        dec2(col("o_totalprice")).as("new_balance"))
+      val w = Window.partitionBy("key").orderBy(col("seq").desc)
+      val last = log.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("key"), col("op"), col("new_balance"))
+      base.join(last, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") === "U")
+        .select(col("key"),
+          when(col("op").isNull, col("name"))
+            .otherwise(coalesce(col("name"), lit("(inserted)"))).as("name"),
+          when(col("op") === "U", col("new_balance"))
+            .otherwise(col("balance")).cast("double").as("balance"),
+          when(col("op").isNull, lit("base"))
+            .when(col("name").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy("key")
+    }),
+
     // D6: incremental aggregation / materialized-view maintenance — the
     // events table arrives as four deterministic batches (event_id mod 4),
     // each is partially aggregated, and the partials fold through
@@ -842,6 +879,36 @@ object PipelineQueries {
         |  ROUND(COALESCE(spend, 0.0), 2) AS spend
         |FROM existing FULL OUTER JOIN upd ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+
+    // identical replay of the CDC rules: last-writer per key by seq,
+    // U upserts (insert on absent key), D tombstones, untouched base
+    // rows pass through
+    "c10_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key, c_name AS name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |log AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS new_balance
+        |  FROM orders),
+        |last AS (
+        |  SELECT key, op, new_balance FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(b.key, l.key) AS key,
+        |  CASE WHEN l.op IS NULL THEN b.name
+        |       ELSE COALESCE(b.name, '(inserted)') END AS name,
+        |  CAST(CASE WHEN l.op = 'U' THEN l.new_balance ELSE b.balance END
+        |       AS DOUBLE) AS balance,
+        |  CASE WHEN l.op IS NULL THEN 'base'
+        |       WHEN b.name IS NULL THEN 'insert'
+        |       ELSE 'update' END AS action
+        |FROM base b FULL OUTER JOIN last l ON b.key = l.key
+        |WHERE l.op IS NULL OR l.op = 'U'
+        |ORDER BY key""".stripMargin,
 
     // The folded incremental state must equal the one-shot aggregate —
     // that equality is the operator's correctness contract, so the oracle

@@ -579,4 +579,33 @@ class PipelineQueriesSpec extends SparkSpec {
         s"decile $d boundary $b is not the smallest qualifying length")
     }
   }
+
+  test("c10_cdc_apply: tombstones remove, last writer wins, untouched base passes through") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("c10_cdc_apply")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(_._1)
+    assert(byKey.values.forall(_.length == 1), "one row per surviving key")
+    // replay the rules driver-side on the raw tables
+    val base = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val lastOp = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    lastOp.foreach { case (k, seq) =>
+      val deleted = seq % 5 == 0
+      val present = byKey.contains(k)
+      assert(present == !deleted,
+        s"key $k: last op ${if (deleted) "D" else "U"} but present=$present")
+    }
+    base.filter(!lastOp.contains(_)).foreach { k =>
+      assert(byKey(k).head._4 == "base", s"untouched base key $k not passed through")
+    }
+    rows.filter(_._4 == "insert").foreach { case (k, name, _, _) =>
+      assert(!base.contains(k) && name == "(inserted)")
+    }
+  }
 }

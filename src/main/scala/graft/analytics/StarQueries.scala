@@ -346,6 +346,34 @@ object StarQueries {
         .orderBy("l_returnflag")
     }),
 
+    // D11 (EXT, round 11): HLL SKETCH ROLLUP — the warehouse pattern a
+    // 100 TB deployment persists: distinct-count sketches materialized
+    // per group (here per event_type), then UNIONED AT READ TIME for any
+    // group combination — a day×source sketch table answers "distinct
+    // users over any date range" without re-scanning history. The query
+    // builds the per-type sketch column, verifies each against its exact
+    // count, then merges ALL per-type sketches with hll_union_agg and
+    // verifies the rolled-up estimate against the true GLOBAL distinct —
+    // the union-at-read correctness property (users appear under many
+    // types, so naive per-type sums would be badly wrong; the sketch
+    // union is not). Estimates stay out of the declared columns (the d4
+    // verdict pattern); the 5% band is ~3× the lgK=12 rse.
+    "d11_hll_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy("event_type").agg(
+        expr("hll_sketch_agg(cast(user_id as string), 12)").as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      val perOut = per.select(col("event_type"), col("exact_users"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact_users")) <=
+          ceil(col("exact_users") * 0.05)).as("within_rse"))
+      val allOut = per.agg(expr("hll_union_agg(sk)").as("sk"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit("_ALL").as("event_type"), col("exact_users"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("exact_users")) <=
+            ceil(col("exact_users") * 0.05)).as("within_rse"))
+      perOut.unionAll(allOut).orderBy("event_type")
+    }),
+
     // D5/I3: typed custom Aggregator (exact decimal buffer, partial+final).
     "d5_cost_basis" -> ((s, d) => {
       val cb = udaf(CostBasisAggregator)
@@ -756,6 +784,19 @@ object StarQueries {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_nd,
         |  TRUE AS within_rsd
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact distincts per type and globally; the verdict booleans are
+    // the engine's burden (the d4 pattern — a sketch or union drifting
+    // outside its published band flips a boolean and fails the hash)
+    "d11_hll_rollup" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_rse
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '_ALL' AS event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |  TRUE
+        |FROM events
+        |ORDER BY event_type""".stripMargin,
 
     "d5_cost_basis" ->
       """SELECT l_partkey,

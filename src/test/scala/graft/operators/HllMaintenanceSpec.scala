@@ -76,4 +76,17 @@ class HllMaintenanceSpec extends SparkSpec {
     assert(math.abs(rows.head.getLong(1) - rows.head.getLong(0)) <=
       math.ceil(rows.head.getLong(0) * 0.05).toLong)
   }
+
+  test("declared d11_hll_rollup: per-type verdicts true, union row correct, rollup beats naive sum") {
+    val rows = graft.SparkEntry.queries("d11_hll_rollup")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.count(_._1 == "_ALL") == 1)
+    assert(rows.forall(_._3), s"a sketch drifted outside its band: $rows")
+    val all = rows.find(_._1 == "_ALL").get._2
+    val naiveSum = rows.filter(_._1 != "_ALL").map(_._2).sum
+    // users appear under many event types: the naive per-type sum
+    // overcounts heavily, the sketch union must not — that gap is the
+    // reason the rollup pattern exists
+    assert(naiveSum > all, "corpus should have cross-type user overlap")
+  }
 }

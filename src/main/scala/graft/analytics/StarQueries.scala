@@ -166,6 +166,33 @@ object StarQueries {
         .orderBy("l_returnflag")
     }),
 
+    // A14 (EXT, round 11): HIVE-PARTITIONED table layout + partition-
+    // pruned read — the everyday lakehouse layout op (A9's Z-order covers
+    // multi-dim clustering WITHIN files; this is the directory-level
+    // pruning a `WHERE type IN (...)` should never scan past). Events
+    // land partitioned by event_type; the read back filters to 2 of 5
+    // types — SourcesSpec asserts the scan's PartitionFilters prune to
+    // exactly those directories (listing cost, zero data-file reads for
+    // the other 3) — and aggregates with decimal-exact sums. The oracle
+    // aggregates the ORIGINAL table under the same predicate, so layout
+    // round-trip fidelity (partition-column string encoding included)
+    // is under the hash.
+    "a14_partitioned_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/events"
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(28, 6))).cast("double")
+            .as("total"))
+        .orderBy("event_type")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -684,6 +711,16 @@ object StarQueries {
         |  MAX(CAST(FLOOR(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)) AS last_epoch
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle never sees the partitioned layout: same predicate +
+    // aggregate on the source table
+    "a14_partitioned_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the oracle never sees the ORC: same filter+aggregate on the source
     "a13_orc_roundtrip" ->

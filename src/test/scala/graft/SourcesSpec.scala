@@ -238,4 +238,25 @@ class SourcesSpec extends SparkSpec {
         .lit("2001-06-01").cast("timestamp")).count()
     assert(scanned.count() == expect)
   }
+
+  test("a14: the type predicate prunes hive partitions, not data files") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("partprune").toString + "/events"
+    Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // one directory per type on disk
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("event_type=")), s"no hive dirs: $subdirs")
+    val scanned = spark.read.parquet(dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"type predicate not applied at the partition level:\n$plan")
+    // pruned scan touches only the two partitions' rows
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(scanned.count() == expect)
+  }
 }

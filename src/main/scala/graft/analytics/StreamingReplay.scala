@@ -302,6 +302,50 @@ object StreamingReplay {
             .as("age_s"))
       memoryQuery(s, joined, "append", "graft_j10_replay")
         .orderBy("event_id")
+    }),
+
+    // J11: stream-stream LEFT OUTER interval join — the null-emitting
+    // member (every purchase appears; unattributed ones surface with a
+    // null click once the watermark proves no click can still arrive).
+    // Emission rules pinned empirically in OuterJoinProbeSpec: a matched
+    // pair emits when the later side arrives; an unmatched left row
+    // null-emits iff the final watermark STRICTLY exceeds its event time
+    // (wm == lts does NOT emit); rows above the final watermark stay in
+    // state and never emit. With 2 data batches per side the lag-2
+    // watermark is still zero at the last data batch, so no state is
+    // evicted mid-replay and ALL true pairs emit; the trailing no-data
+    // batches then advance the watermark to
+    // least(max(bts), max(cts)) − delay and flush the null side — every
+    // rule a deterministic function of the data, re-derived by the
+    // oracle. click_id rides as COALESCE(·, −1) so the declared output
+    // is null-free (engine-portable ordering).
+    "j11_stream_outer_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user_id"), col("ts").as("cts"))
+      val inL = stageBatchesMemo("j11_buys", d, buys,
+        pmod(col("buy_id"), lit(2)).cast("int"), 2)
+      val inR = stageBatchesMemo("j11_clicks", d, clicks,
+        pmod(col("click_id"), lit(2)).cast("int"), 2)
+      def srcOf(in: String) = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val joined = srcOf(inL).withWatermark("ts", "1 hour")
+        .join(srcOf(inR).withWatermark("cts", "1 hour"),
+          col("user_id") === col("c_user_id") &&
+            col("cts") >= col("ts") - expr("INTERVAL 30 minutes") &&
+            col("cts") <= col("ts"),
+          "left_outer")
+      withShuffleWidth(s, 8) {
+        memoryQuery(s, joined, "append", "graft_j11_replay")
+      }
+        .select(col("buy_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          col("click_id").isNotNull.as("matched"))
+        .orderBy("buy_id", "click_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -372,6 +416,33 @@ object StreamingReplay {
     "j9_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // matched pairs always emit; an unmatched purchase null-emits iff
+    // the FINAL watermark (least of the two sides' max event times,
+    // minus the delay) STRICTLY exceeds its event time — the boundary
+    // pinned in OuterJoinProbeSpec
+    "j11_stream_outer_join" ->
+      """WITH b AS (
+        |  SELECT event_id AS buy_id, user_id, CAST(ts AS TIMESTAMP) AS bts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |wm AS (
+        |  SELECT LEAST((SELECT MAX(bts) FROM b), (SELECT MAX(cts) FROM c))
+        |    - INTERVAL '1 hour' AS w),
+        |m AS (
+        |  SELECT b.buy_id, b.user_id, c.click_id
+        |  FROM b JOIN c ON b.user_id = c.user_id
+        |    AND c.cts >= b.bts - INTERVAL '30 minutes' AND c.cts <= b.bts)
+        |SELECT buy_id, user_id, click_id, TRUE AS matched FROM m
+        |UNION ALL
+        |SELECT b.buy_id, b.user_id, CAST(-1 AS BIGINT) AS click_id,
+        |  FALSE AS matched
+        |FROM b, wm
+        |WHERE b.bts < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.buy_id = b.buy_id)
+        |ORDER BY buy_id, click_id""".stripMargin,
 
     // stateless per-batch broadcast join ⇒ batch-equivalent by
     // construction; per-side epoch floors mirror unix_timestamp

@@ -58,7 +58,12 @@ object StressSweep {
     */
   private val Decade = Seq(
     "k2_cluster_transitive", "k2_dedup_cascade",
-    "k2_prefix_join", "k2_prefix_join_against", "c5_ledger_fiat_enrich")
+    "k2_prefix_join", "k2_prefix_join_against", "c5_ledger_fiat_enrich",
+    // round-11 session 2: the two new iterative/stateful classes whose
+    // 100× behavior matters most — two-phase-star CC (rounds must grow
+    // ~log, not with size) and the stream-stream interval join (state ∝
+    // concurrent window population, input ∝ corpus)
+    "g4_connected_components", "j8_stream_stream_join")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.filter(_ == "decade")

@@ -539,4 +539,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(readSchema.contains("_codes0") && !readSchema.contains("_v"),
       s"ADC code read not pruned to the packed word: $readSchema")
   }
+
+  test("runtime bloom-filter join pruning: Catalyst injects a might_contain probe on the fact side") {
+    // The 100 TB lever behind selective fact⋈dim joins: the optimizer
+    // builds a bloom filter from the (filtered) dimension's join keys at
+    // runtime and probes it on the fact side BEFORE the shuffle, so rows
+    // that cannot match never leave the scan stage. Thresholds are
+    // forced here so the sf0.001 tables qualify; results must be
+    // IDENTICAL with and without the filter (it only prunes non-matches).
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    def joined() = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // disable broadcast so the join is shuffle-shaped — the case the
+      // runtime filter exists for (broadcast joins already prune via DPP)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val withFilter = joined()
+      val plan = withFilter.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+      val got = withFilter.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expect = joined().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, "bloom pruning changed the result")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

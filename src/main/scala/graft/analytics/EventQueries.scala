@@ -501,6 +501,38 @@ object EventQueries {
         .orderBy("q")
     }),
 
+    // D12 (EXT, round 11): time-grid RESAMPLE + forward fill — the
+    // gap-filling op every time-series surface needs (dashboards and
+    // models want a dense regular grid; raw event streams have holes).
+    // Events bucket to 15-minute epoch slots, a dense (type × slot) grid
+    // generates from one bounded min/max row, observed counts left-join
+    // on, and gaps forward-fill with the last observed count per type
+    // (leading gaps fill 0). Slots ride as epoch-second BIGINTs — no
+    // timestamp-encoding trap — and the fill is a per-type running
+    // window (one keyed shuffle; grid size = types × slots, independent
+    // of corpus row count). The oracle re-derives grid, join, and fill
+    // with the same IGNORE NULLS window.
+    "d12_resample_ffill" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 900) * 900).cast("long")
+          .as("slot"))
+      val counts = ev.groupBy("event_type", "slot")
+        .agg(count(lit(1)).as("cnt"))
+      val grid = ev.agg(min("slot").as("lo"), max("slot").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(900L)))
+          .as("slot"))
+        .crossJoin(ev.select("event_type").distinct())
+      val w = Window.partitionBy("event_type").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(counts, Seq("event_type", "slot"), "left")
+        .select(col("event_type"), col("slot"),
+          coalesce(last(col("cnt"), ignoreNulls = true).over(w), lit(0L))
+            .as("filled_cnt"),
+          col("cnt").isNull.as("gap"))
+        .orderBy("event_type", "slot")
+    }),
+
     "e4_anomaly_zscore" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val hourly = Tables.events(s, d)
@@ -795,6 +827,31 @@ object EventQueries {
         |    <= CAST(CEIL(x.exact_users * 0.05) AS BIGINT) AS within_rse,
         |  TRUE AS replay_stable
         |FROM x CROSS JOIN e""".stripMargin,
+
+    // dense grid from the same min/max slots, same LEFT JOIN, same
+    // IGNORE NULLS running window — gap rows must fill with the last
+    // observed count, leading gaps with 0
+    "d12_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900 AS slot
+        |  FROM events),
+        |c AS (SELECT event_type, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT MIN(slot) AS lo, MAX(slot) AS hi FROM e),
+        |g AS (
+        |  SELECT t.event_type, s.slot
+        |  FROM (SELECT DISTINCT event_type FROM e) t,
+        |       (SELECT UNNEST(range(b.lo, b.hi + 900, 900)) AS slot FROM b) s),
+        |j AS (SELECT g.event_type, g.slot, c.cnt
+        |      FROM g LEFT JOIN c USING (event_type, slot))
+        |SELECT event_type, slot,
+        |  CAST(COALESCE(last_value(cnt IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+        |    AS filled_cnt,
+        |  cnt IS NULL AS gap
+        |FROM j ORDER BY event_type, slot""".stripMargin,
 
     // The realized KLL estimates are the axiom (randomized compaction —
     // the d9 design); the oracle independently recomputes each

@@ -135,4 +135,24 @@ class EventAnalyticsSpec extends SparkSpec {
     // suspiciously flat — and the gate dropped the first 12 hours
     assert(want.nonEmpty)
   }
+
+  test("d12_resample_ffill: dense grid, real gaps, fill carries the last observation") {
+    val rows = graft.SparkEntry.queries("d12_resample_ffill")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byType = rows.groupBy(_._1)
+    byType.values.foreach { tr =>
+      val slots = tr.map(_._2).sorted
+      // dense, regular, shared grid
+      assert(slots.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 900),
+        "grid must be a dense 900s lattice")
+      // forward fill: a gap row carries exactly the previous row's value
+      tr.sortBy(_._2).foldLeft(0L) { case (prev, (_, _, v, gap)) =>
+        if (gap) assert(v == prev, s"gap filled $v, expected carry $prev")
+        v
+      }
+    }
+    // the sparse corpus really exercises the fill path
+    assert(rows.exists(_._4), "expected at least one gap at sf0.001")
+    assert(byType.keySet.size >= 3)
+  }
 }

@@ -558,6 +558,31 @@ object PipelineQueries {
     // corpus's single-row-group scan partition, so the measured time is
     // single-core interpreted-HOF cost — an artifact of the one-file test
     // corpus, not of the plan (BASELINE.md round-5 notes).
+    // K6 (EXT, round 11): DATASET CARD — the one-row datasheet every
+    // released training corpus ships (Gebru et al. 2018, "Datasheets for
+    // Datasets"): scale (docs/tokens/chars), provenance breadth
+    // (sources, languages), and integrity (exact-duplicate share) in ONE
+    // corpus pass — a single aggregate with distinct-count sub-plans,
+    // no joins, no second scan. Ratios are two exact BIGINTs through one
+    // IEEE division (bit-identical across engines); duplicate share =
+    // (rows − distinct text digests) / rows.
+    "k6_dataset_card" -> ((s, d) => {
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("total_tokens"), col("total_chars"),
+          (col("total_tokens").cast("double") / col("n_docs"))
+            .as("mean_doc_tokens"),
+          ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs")).as("exact_dup_share"))
+    }),
+
     "k6_corpus_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // dedup via the K1 aggregate shape (digest groupBy → MIN survivor id,
@@ -1037,6 +1062,20 @@ object PipelineQueries {
 
     // Independent re-composition: MIN(doc_id)-per-content dedup, the same
     // four gate predicates, the same md5 split, same accounting.
+    // identical single-pass datasheet; the two ratios are the same
+    // BIGINT/BIGINT IEEE divisions
+    "k6_dataset_card" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_doc_tokens,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+        |    / CAST(COUNT(*) AS DOUBLE) AS exact_dup_share
+        |FROM documents""".stripMargin,
+
     "k6_corpus_pipeline" ->
       """WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
         |d AS (SELECT doc.* FROM documents doc JOIN surv USING (doc_id)),

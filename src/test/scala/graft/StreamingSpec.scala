@@ -584,4 +584,32 @@ class StreamingSpec extends SparkSpec {
         .estimate(replay.toIndexedSeq, "a", depth, width) == 2L)
     } finally q.stop()
   }
+
+  test("J1: Trigger.AvailableNow drains the file subscription fully, then terminates on its own") {
+    // the modern batch-drain trigger production schedulers use (run a
+    // streaming pipeline as a self-terminating batch job with streaming
+    // checkpoints intact): the query must consume EVERYTHING present at
+    // start — across multiple maxFilesPerTrigger micro-batches — then
+    // stop without external processAllAvailable/stop driving
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("avnow").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    (0 until 3).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val stream = EventStreams.subscribe(spark, dir, Seq("click", "purchase"))
+      .select("event_id")
+    val q = stream.writeStream.format("memory").queryName("avnow")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("avnow_ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val got = spark.table("avnow").count()
+    val expect = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(got == expect, s"drained $got of $expect rows")
+  }
 }

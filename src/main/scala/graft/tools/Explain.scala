@@ -38,7 +38,7 @@ object Explain {
       // builders — same exclusion rule as countmin above; and
       // g4_connected_components' label relation is checkpoint-backed, so
       // its dump would audit a LocalTableScan)
-      "k3_ann_binary", "k4_bpe_encode")
+      "k3_ann_binary", "k4_bpe_encode", "d12_resample_ffill", "k6_dataset_card")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -78,7 +78,8 @@ object MjpegAvi {
     val usPerFrame = 1000000 / fps
     val avih = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(usPerFrame).putInt(0).putInt(0).putInt(0x10 /*HASINDEX off: 0*/)
+      b.putInt(usPerFrame).putInt(0).putInt(0)
+        .putInt(0 /*flags: no idx1 chunk is written, so HASINDEX stays off*/)
       b.putInt(frames.length).putInt(0).putInt(1 /*streams*/).putInt(0)
       b.putInt(width).putInt(height)
       b.array()

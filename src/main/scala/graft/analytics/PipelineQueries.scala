@@ -651,8 +651,13 @@ object PipelineQueries {
       .withColumn("_logp6", round(log(col("_p")), 6).cast(DecimalType(12, 6)))
     scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("_logp6").as("_sum"))
-      .withColumn("avg_logp",
-        round(col("_sum").cast("double") / col("n_bigrams"), 6))
+      // the average is the exact decimal sum through ONE IEEE division —
+      // emitted UNROUNDED: the sum sits on the 1e-6 grid, so s/n lands
+      // exactly on round()'s half-boundary whenever 2·s_micros ≡ n
+      // (mod 2n), and the engines' round paths disagree there (Spark
+      // rounds the shortest decimal repr, DuckDB the scaled binary —
+      // bit you on k6_importance_sample doc 1374 at sf0.1: −88309/26)
+      .withColumn("avg_logp", col("_sum").cast("double") / col("n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
         round(exp(-col("avg_logp")), 6).as("ppl"))
   }
@@ -683,7 +688,8 @@ object PipelineQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lr6").as("_sum"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("_sum").cast("double") / col("n_tokens"), 6).as("avg_logratio"),
+        // unrounded for the same half-boundary reason as avg_logp above
+        (col("_sum").cast("double") / col("n_tokens")).as("avg_logratio"),
         (col("_sum") > 0).as("kept"))
   }
 
@@ -703,7 +709,7 @@ object PipelineQueries {
     bg.join(lm, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum("logp6").cast("double") / count(lit(1)), 6).as("avg_logp"))
+        (sum("logp6").cast("double") / count(lit(1))).as("avg_logp"))
   }
 
   val oracle: Map[String, String] = Map(
@@ -734,7 +740,7 @@ object PipelineQueries {
         |sc AS (SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lr6) AS s
         |       FROM tok t JOIN lm l ON t.w = l.w GROUP BY t.doc_id)
         |SELECT doc_id, n_tokens,
-        |  ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS avg_logratio,
+        |  CAST(s AS DOUBLE) / n_tokens AS avg_logratio,
         |  s > 0 AS kept
         |FROM sc ORDER BY doc_id""".stripMargin,
 
@@ -1039,8 +1045,8 @@ object PipelineQueries {
         |        SUM(CAST(ROUND(ln(pr), 6) AS DECIMAL(12, 6))) AS s
         |      FROM p GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,
-        |  ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logp,
-        |  ROUND(exp(-ROUND(CAST(s AS DOUBLE) / n_bigrams, 6)), 6) AS ppl
+        |  CAST(s AS DOUBLE) / n_bigrams AS avg_logp,
+        |  ROUND(exp(-(CAST(s AS DOUBLE) / n_bigrams)), 6) AS ppl
         |FROM q ORDER BY doc_id""".stripMargin,
 
     "k4_doc_lm_score" ->
@@ -1056,7 +1062,7 @@ object PipelineQueries {
         |      SUM(cnt) OVER (PARTITION BY w1)), 6) AS DECIMAL(12, 6)) AS logp6
         |  FROM c)
         |SELECT b.doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(CAST(SUM(logp6) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+        |  CAST(SUM(logp6) AS DOUBLE) / COUNT(*) AS avg_logp
         |FROM b JOIN lm USING (w1, w2)
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 

@@ -1075,7 +1075,7 @@ object PipelineQueries {
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
         |    / CAST(COUNT(*) AS DOUBLE) AS mean_doc_tokens,
         |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)

@@ -1179,12 +1179,12 @@ object TextQueries {
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
         |    (SELECT list(lhs ORDER BY merge_rank) FROM mg) AS la,
         |    (SELECT list(rhs ORDER BY merge_rank) FROM mg) AS lb,
-        |    list_transform(range(1, strlen(word) + 1),
+        |    list_transform(range(1, length(word) + 1),
         |      i -> word[CAST(i AS INTEGER)]) AS syms,
         |    CAST(1 AS BIGINT) AS m, CAST(1 AS BIGINT) AS i,
         |    CAST([] AS VARCHAR[]) AS out
         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE strlen(word) > 0
+        |  WHERE length(word) > 0
         |  GROUP BY word),
         |step AS (
         |  SELECT * FROM base
@@ -1227,12 +1227,12 @@ object TextQueries {
         |dw AS (
         |  SELECT doc_id, word FROM (
         |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE strlen(word) > 0),
+        |  WHERE length(word) > 0),
         |base AS (
         |  SELECT word,
         |    (SELECT list(lhs ORDER BY merge_rank) FROM mg) AS la,
         |    (SELECT list(rhs ORDER BY merge_rank) FROM mg) AS lb,
-        |    list_transform(range(1, strlen(word) + 1),
+        |    list_transform(range(1, length(word) + 1),
         |      i -> word[CAST(i AS INTEGER)]) AS syms,
         |    CAST(1 AS BIGINT) AS m, CAST(1 AS BIGINT) AS i,
         |    CAST([] AS VARCHAR[]) AS out
@@ -1256,7 +1256,7 @@ object TextQueries {
         |  WHERE (i <= len(syms) AND m <= 12) OR (i = len(syms) + 1 AND m <= 12)),
         |vocab AS (
         |  SELECT word, CAST(len(syms) AS INTEGER) AS n_toks,
-        |    CAST(strlen(word) AS INTEGER) AS n_chars
+        |    CAST(length(word) AS INTEGER) AS n_chars
         |  FROM step WHERE m = 13 AND i = 1)
         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
         |  CAST(SUM(v.n_toks) AS BIGINT) AS bpe_tokens,

@@ -25,31 +25,78 @@ import org.apache.spark.sql.functions._
   * pattern).
   *
   * Scale: each batch pass builds one sketch per partition (a KLL sketch
-  * at k=200 is a few KB) and merges the compact partials on the driver —
-  * the treeAggregate shape; at extreme partition counts the partials
-  * merge in two levels, never the data. State: one row (k, sketch BINARY)
+  * at k=200 is a few KB); past 64 partitions the partials merge in two
+  * real levels — ~√P executor-side group merges, then ≤√P group sketches
+  * on the driver — so no partition count ever lands a driver-side O(P)
+  * term, and the DATA never re-shuffles. State: one row (k, sketch BINARY)
   * in the shared crash-safe versioned directories ([[VersionedState]])
   * with the same batch-id replay guard as the other two stores —
   * constant bytes at any corpus size.
   */
 object KllMaintenance {
 
-  /** One batch's KLL sketch bytes: per-partition sketches, driver merge
-    * of the compact partials. Null values are skipped.
+  /** Past this many input partitions, partials merge through an executor
+    * level before the driver sees them; below it the flat driver merge is
+    * one stage cheaper and the driver term (≤64 few-KB partials) is noise.
+    */
+  private[operators] val flatMergeMaxPartitions = 64
+
+  /** One batch's KLL sketch bytes: per-partition sketches, then a real
+    * two-level merge — partials group into ~√P contiguous ranges, each
+    * range merges ON AN EXECUTOR (in partition order), and the driver
+    * merges only the ≤√P group sketches. At 10⁵ input partitions the
+    * driver handles ~316 partials instead of 10⁵; below
+    * [[flatMergeMaxPartitions]] the flat single-level merge applies.
+    * Null values are skipped.
+    *
+    * Determinism note (measured, KllMaintenanceSpec): KLL compaction
+    * flips random coin bits (DataSketches KllSketch.random), so sketch
+    * BYTES are not reproducible even for two identical single-threaded
+    * builds — merge topology cannot change that either way. What IS
+    * stable is the published rank contract, which the spec's
+    * partition-count sweep asserts across 1/8/256-partition layouts of
+    * the same data (replay stability comes from the committed-bytes
+    * no-op in [[update]], never from re-sketching).
     */
   def batchSketch(batch: DataFrame, valueCol: Column, k: Int): Array[Byte] = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val partials = batch.select(valueCol.cast("double").as("v"))
+    val rdd = batch.select(valueCol.cast("double").as("v"))
       .filter(col("v").isNotNull)
-      .as[Double]
-      .mapPartitions { it =>
+      .as[Double].rdd
+    val nPart = math.max(1, rdd.getNumPartitions)
+    val merged = KllDoublesSketch.newHeapInstance(k)
+    if (nPart <= flatMergeMaxPartitions) {
+      val partials = rdd.mapPartitions { it =>
         val sk = KllDoublesSketch.newHeapInstance(k)
         it.foreach(sk.update)
         if (sk.isEmpty) Iterator.empty else Iterator(sk.toByteArray)
       }.collect()
-    val merged = KllDoublesSketch.newHeapInstance(k)
-    partials.foreach(b => merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+      partials.foreach(b =>
+        merged.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    } else {
+      val nGroups = math.ceil(math.sqrt(nPart.toDouble)).toInt
+      val groupSize = math.ceil(nPart.toDouble / nGroups).toInt
+      val groupSketches = rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val sk = KllDoublesSketch.newHeapInstance(k)
+          it.foreach(sk.update)
+          if (sk.isEmpty) Iterator.empty
+          else Iterator((pid / groupSize, (pid, sk.toByteArray)))
+        }
+        .groupByKey(nGroups) // few-KB partials — a group is ≤√P of them
+        .map { case (gid, members) =>
+          val m = KllDoublesSketch.newHeapInstance(k)
+          members.toSeq.sortBy(_._1).foreach { case (_, b) =>
+            m.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+          }
+          (gid, m.toByteArray)
+        }
+        .collect()
+      groupSketches.sortBy(_._1).foreach { case (_, b) =>
+        merged.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      }
+    }
     merged.toByteArray
   }
 

@@ -38,7 +38,10 @@ object MjpegAvi {
     require(str(0) == "RIFF" && str(8) == "AVI ",
       s"not a RIFF AVI container: ${str(0)}/${str(8)}")
     val frames = Seq.newBuilder[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    // frame chunks are only harvested INSIDE a LIST('movi') — a header or
+    // junk chunk whose id happens to end in dc/db must not leak in as a
+    // frame payload (rec lists nest inside movi per the AVI spec)
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var p = start
       while (p + 8 <= end) {
         val id = str(p)
@@ -47,15 +50,16 @@ object MjpegAvi {
           s"chunk '$id' overruns the container (size $sz at offset $p)")
         if (id == "LIST") {
           // list type occupies the first 4 payload bytes
-          walk(p + 12, p + 8 + sz)
-        } else if (id.length == 4 &&
+          val listType = str(p + 8)
+          walk(p + 12, p + 8 + sz, inMovi || listType == "movi")
+        } else if (inMovi && id.length == 4 &&
             (id.endsWith("dc") || id.endsWith("db"))) {
           frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
         }
         p += 8 + sz + (sz & 1) // RIFF pads chunks to even sizes
       }
     }
-    walk(12, math.min(8 + u32(4), bytes.length))
+    walk(12, math.min(8 + u32(4), bytes.length), inMovi = false)
     frames.result()
   }
 

@@ -58,6 +58,63 @@ object JdbcStore {
   private[sources] def isPostgres(url: String): Boolean =
     url.startsWith("jdbc:postgresql:")
 
+  /** Spark JDBC-source option keys that are NOT driver connection
+    * properties — everything else in `options` is forwarded verbatim to
+    * executor-side `DriverManager` connections (ssl, currentSchema,
+    * connectTimeout, …), so the native-upsert leg connects exactly like
+    * Spark's own reader/writer would.
+    */
+  private val sparkOnlyOptionKeys: Set[String] = Set(
+    "url", "dbtable", "query", "driver", "partitioncolumn", "lowerbound",
+    "upperbound", "numpartitions", "fetchsize", "batchsize", "truncate",
+    "isolationlevel", "sessioninitstatement", "customschema",
+    "pushdownpredicate", "pushdownaggregate", "pushdownlimit",
+    "pushdownoffset", "pushdowntablesample", "createtableoptions",
+    "createtablecolumntypes", "cascadetruncate", "querytimeout",
+    "keytab", "principal", "refreshkrb5config", "connectionprovider",
+    "preparequery", "infertimestampntztype")
+
+  private def connectionProps(options: Map[String, String]): Properties =
+    props(options.filter { case (k, _) =>
+      !sparkOnlyOptionKeys.contains(k.toLowerCase(java.util.Locale.ROOT))
+    })
+
+  /** Does `table` carry a unique index / primary key whose SINGLE column
+    * is `keyCol`? `ON CONFLICT (keyCol)` requires one server-side — a
+    * pre-existing table without it must take the anti-join path instead
+    * of failing at the first `executeBatch`. Probed through standard
+    * `DatabaseMetaData.getIndexInfo(unique = true)`, so the check is
+    * dialect-neutral (Derby-tested offline; Postgres reports PK and
+    * UNIQUE indexes the same way).
+    */
+  private[sources] def hasUniqueKey(url: String, table: String,
+      keyCol: String, options: Map[String, String]): Boolean = {
+    options.get("driver").foreach(Class.forName)
+    val conn = DriverManager.getConnection(url, connectionProps(options))
+    try {
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase(java.util.Locale.ROOT)).exists { t =>
+        val rs = md.getIndexInfo(null, null, t, true, false)
+        try {
+          // group index columns by index name; a qualifying index covers
+          // EXACTLY the key column (a composite unique key does not
+          // satisfy ON CONFLICT (keyCol))
+          val colsByIndex = scala.collection.mutable.Map
+            .empty[String, scala.collection.mutable.Buffer[String]]
+          while (rs.next()) {
+            val idx = rs.getString("INDEX_NAME")
+            val c = rs.getString("COLUMN_NAME")
+            if (idx != null && c != null)
+              colsByIndex.getOrElseUpdate(idx,
+                scala.collection.mutable.Buffer.empty) += c
+          }
+          colsByIndex.values.exists(cs =>
+            cs.length == 1 && cs.head.equalsIgnoreCase(keyCol))
+        } finally rs.close()
+      }
+    } finally conn.close()
+  }
+
   /** The reference's idempotent-insert statement, verbatim shape
     * (`INSERT … ON CONFLICT (id) DO NOTHING`, repo.rs:26,56), generated
     * from the batch schema. Golden-checked in JdbcStoreSpec.
@@ -80,14 +137,21 @@ object JdbcStore {
     * conflicts per statement, so the read-keys round-trip disappears and
     * CONCURRENT writers become safe (the anti-join path's
     * check-then-write is only safe under the engine's single-writer
-    * rule). Every other dialect keeps the anti-join merge below.
+    * rule). `ON CONFLICT (keyCol)` requires a unique constraint on the
+    * server — a fresh table gets `ADD PRIMARY KEY (keyCol)` DDL right
+    * after creation (matching the reference's `id UUID PRIMARY KEY`,
+    * init.sql), and a PRE-existing table is probed for one: without it
+    * the native statement would fail server-side, so such tables fall
+    * back to the anti-join merge. Every other dialect keeps the
+    * anti-join merge below.
     */
   def saveIdempotent(spark: SparkSession, batch: DataFrame, url: String,
       table: String, keyCol: String,
       options: Map[String, String] = Map.empty): Long = {
     val deduped = batch.dropDuplicates(keyCol)
     val existed = tableExists(url, table, options)
-    if (isPostgres(url))
+    if (isPostgres(url) &&
+        (!existed || hasUniqueKey(url, table, keyCol, options)))
       return savePostgresUpsert(spark, deduped, url, table, keyCol,
         options, existed, varcharTypes(batch))
     val fresh =
@@ -117,36 +181,48 @@ object JdbcStore {
   }
 
   /** The Postgres leg of [[saveIdempotent]]: table creation through the
-    * same Spark JDBC writer (empty append — VARCHAR overrides apply),
+    * same Spark JDBC writer (empty append — VARCHAR overrides apply)
+    * plus `ALTER TABLE … ADD PRIMARY KEY (keyCol)` DDL — `ON CONFLICT`
+    * needs the unique constraint, and Spark's writer never declares one —
     * then per-partition `executeBatch` of the native upsert. Each
-    * partition opens ONE connection, streams its rows through a prepared
-    * statement in 500-row batches, and commits once — the executor-side
-    * shape of the reference's per-row `execute` loop (repo.rs:21-31) at
-    * Spark parallelism. Inserted-row counts come from the driver's batch
-    * update counts (`ON CONFLICT DO NOTHING` reports 0 for a conflict,
-    * 1 for an insert; `SUCCESS_NO_INFO` counts as inserted — only
-    * non-default rewrite modes return it, and over-reporting a no-op is
-    * the safe direction for a freshness metric).
+    * partition opens ONE connection (forwarding ALL caller options except
+    * Spark-source keys, so ssl/currentSchema/… survive), streams its rows
+    * through a prepared statement in 500-row batches, and commits once —
+    * the executor-side shape of the reference's per-row `execute` loop
+    * (repo.rs:21-31) at Spark parallelism. The returned count sums the
+    * batch update counts (`ON CONFLICT DO NOTHING` reports 0 for a
+    * conflict, 1 for an insert; `SUCCESS_NO_INFO` counts as inserted) and
+    * is BEST-EFFORT under task retries in either direction: a retried
+    * partition's committed rows conflict on the retry (under-report),
+    * while `SUCCESS_NO_INFO` over-reports a no-op. Idempotence of the
+    * TABLE is exact regardless; callers needing an exact delta should
+    * diff key counts around the call.
     */
   private def savePostgresUpsert(spark: SparkSession, deduped: DataFrame,
       url: String, table: String, keyCol: String,
       options: Map[String, String], existed: Boolean,
       columnTypes: String): Long = {
-    if (!existed)
+    if (!existed) {
       deduped.limit(0).write.mode(SaveMode.Append)
         .option("createTableColumnTypes", columnTypes)
         .options(options)
         .jdbc(url, table, props(options))
+      options.get("driver").foreach(Class.forName)
+      val conn = DriverManager.getConnection(url, connectionProps(options))
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY ($keyCol)")
+        finally st.close()
+      } finally conn.close()
+    }
     val sql = upsertSql(table, deduped.columns.toSeq, keyCol)
     val acc = spark.sparkContext.longAccumulator("pg_upsert_inserted")
     val nCols = deduped.columns.length
-    val creds = options.view
-      .filterKeys(Set("user", "password", "driver")).toMap
+    val connOpts = options
     deduped.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        creds.get("driver").foreach(Class.forName)
-        val conn = DriverManager.getConnection(url,
-          props(creds.view.filterKeys(Set("user", "password")).toMap))
+        connOpts.get("driver").foreach(Class.forName)
+        val conn = DriverManager.getConnection(url, connectionProps(connOpts))
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
@@ -201,8 +277,7 @@ object JdbcStore {
   private def tableExists(url: String, table: String,
       options: Map[String, String]): Boolean = {
     options.get("driver").foreach(Class.forName)
-    val conn = DriverManager.getConnection(url,
-      props(options.view.filterKeys(Set("user", "password")).toMap))
+    val conn = DriverManager.getConnection(url, connectionProps(options))
     try {
       // unquoted identifiers are case-normalized by the database; probe
       // both the given and upper-cased spellings

@@ -15,12 +15,13 @@ import java.io.{EOFException, InputStream, OutputStream}
   * gRPC's length-prefixed message framing (1-byte compressed flag +
   * 4-byte big-endian length; grpc.io PROTOCOL-HTTP2 spec) — as a
   * dependency-free codec, tested against hand-computed byte vectors.
-  * The HTTP/2 TRANSPORT binding (headers frames, trailers carrying
-  * `grpc-status`) is OUT OF SCOPE: this build has no gRPC/protobuf/
-  * netty dependencies (offline resolver), `java.net.http` cannot
-  * surface HTTP/2 trailers, and the behavioral parity target is a stub
-  * that returns an empty vec. A framed protobuf stream over any byte
-  * transport (socket, file, pipe) is fully consumable via
+  * The HTTP/2 TRANSPORT binding (RFC 7540 frames + RFC 7541 HPACK,
+  * trailers carrying `grpc-status`) lives in [[Http2Framing]], golden
+  * -tested against the RFC Appendix C vectors — together the three
+  * layers compose a complete `application/grpc` exchange offline
+  * ([[Http2Framing.GrpcH2]]); only the TCP/TLS socket and flow-control
+  * bookkeeping remain deployment wiring. A framed protobuf stream over
+  * any byte transport (socket, file, pipe) is fully consumable via
   * [[ProtoWire.frames]] + [[ProtoWire.Message]], which is the layer a
   * real Yellowstone session would hand to the engine's existing
   * ingestion plumbing ([[SlotLogSource]] / `EventStreams.subscribeSocket`).

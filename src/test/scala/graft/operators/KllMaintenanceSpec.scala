@@ -43,6 +43,28 @@ class KllMaintenanceSpec extends SparkSpec {
     assert(ests == ests.sorted, s"non-monotone quantiles: $ests")
   }
 
+  test("partition-count sweep: tree and flat merges honor the same rank bound") {
+    val c = corpus().cache()
+    val n = c.count().toDouble
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    // 1 and 8 take the flat path; 256 exercises the two-level tree
+    // (16 executor-side group merges of 16 partials, 16 on the driver)
+    val layouts = Seq(1, 8, 256)
+    assert(layouts.exists(_ > KllMaintenance.flatMergeMaxPartitions))
+    layouts.foreach { p =>
+      val sketch = KllMaintenance.batchSketch(c.repartition(p), col("v"), k)
+      KllMaintenance.quantiles(sketch, qs).zip(qs).foreach { case (est, q) =>
+        val rank = c.filter(col("v") <= est).count() / n
+        assert(math.abs(rank - q) <= 0.05,
+          s"partitions=$p q=$q est=$est realized rank $rank outside the band")
+      }
+    }
+    // bytes are NOT asserted equal: KLL compaction is randomized
+    // (measured — even two identical sequential builds differ), so the
+    // stable contract across merge topologies is the rank bound above
+    c.unpersist()
+  }
+
   test("replayed batchId is a no-op returning the committed bytes") {
     val c = corpus()
     val path = freshDir()

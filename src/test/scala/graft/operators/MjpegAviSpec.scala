@@ -77,6 +77,23 @@ class MjpegAviSpec extends SparkSpec {
       s"inverted frame too close: ${hamming(h(0), h(2))}")
   }
 
+  test("frame chunks outside LIST('movi') are not harvested") {
+    // plant a header-area chunk whose id ends in 'dc' before hdrl: a
+    // conforming reader must skip it (frames live only inside movi)
+    val frame = "real-frame-payload".getBytes("US-ASCII")
+    val avi = MjpegAvi.writeContainer(Seq(frame), 8, 8)
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    val junkPayload = "JUNKDATA".getBytes("US-ASCII")
+    val junk = "99dc".getBytes("US-ASCII") ++ le32(junkPayload.length) ++ junkPayload
+    // splice right after the 12-byte RIFF/AVI header, then fix the RIFF size
+    val spliced = avi.take(12) ++ junk ++ avi.drop(12)
+    System.arraycopy(le32(spliced.length - 8), 0, spliced, 4, 4)
+    val frames = MjpegAvi.readFrames(spliced)
+    assert(frames.length == 1)
+    assert(frames.head.toSeq == frame.toSeq)
+  }
+
   test("corrupt containers and frames fail loudly") {
     intercept[IllegalArgumentException] {
       MjpegAvi.readFrames("not a riff file at all".getBytes)

@@ -32,6 +32,26 @@ class JdbcStoreDialectSpec extends SparkSpec {
     assert(!JdbcStore.isPostgres("jdbc:mysql://db/graft"))
   }
 
+  test("hasUniqueKey: PK on the key column qualifies; none or composite does not") {
+    val url = s"jdbc:derby:memory:uniq${System.nanoTime()};create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE with_pk (id BIGINT PRIMARY KEY, v VARCHAR(10))")
+      st.executeUpdate("CREATE TABLE no_pk (id BIGINT, v VARCHAR(10))")
+      st.executeUpdate("CREATE TABLE comp_pk (a BIGINT NOT NULL, b BIGINT NOT NULL, " +
+        "PRIMARY KEY (a, b))")
+      st.close()
+    } finally conn.close()
+    // ON CONFLICT (id) is satisfiable only by a SINGLE-column unique key
+    assert(JdbcStore.hasUniqueKey(url, "with_pk", "id", opts))
+    assert(!JdbcStore.hasUniqueKey(url, "no_pk", "id", opts))
+    assert(!JdbcStore.hasUniqueKey(url, "comp_pk", "a", opts))
+    // case-insensitive on both table and key spelling
+    assert(JdbcStore.hasUniqueKey(url, "WITH_PK", "ID", opts))
+  }
+
   test("derby keeps the anti-join path: replayed batch is a no-op (dispatch regression)") {
     import spark.implicits._
     val url = s"jdbc:derby:memory:dialect${System.nanoTime()};create=true"

@@ -362,11 +362,14 @@ object Dedup {
     // the reuse saves)
     val pa = weightedPrefix(per, maxInv, threshold).join(weightedSides(per), "_id")
     val cand = pa.select(col("_tok"), col("_id").as("id_a"),
+        col("_l").as("_lf"), col("_sfx").as("_sfa"),
         col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
       .join(pa.select(col("_tok"), col("_id").as("id_b"),
+        col("_sfx").as("_sfb"),
         col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
         Seq("_tok"))
-      .filter(col("id_a") < col("id_b") && normRatioFilter(threshold))
+      .filter(col("id_a") < col("id_b") && normRatioFilter(threshold) &&
+        suffixBoundFilter(threshold))
     verifyCosine(cand, "id_a", "id_b", threshold)
   }
 
@@ -392,14 +395,16 @@ object Dedup {
     val maxInv = weightMaxInv(lp.unionAll(rp))
     val la = weightedPrefix(lp, maxInv, threshold).join(weightedSides(lp), "_id")
       .select(col("_tok"), col("_id").as("id_l"),
+        col("_l").as("_lf"), col("_sfx").as("_sfa"),
         col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
     val ra = weightedPrefix(rp, maxInv, threshold).join(weightedSides(rp), "_id")
     // same batch-bounded broadcast contract as prefixFilterJoinSetsAgainst
     val cand = (if (broadcastBatch) broadcast(la) else la)
       .join(ra.select(col("_tok"), col("_id").as("id_r"),
+        col("_sfx").as("_sfb"),
         col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
         Seq("_tok"))
-      .filter(normRatioFilter(threshold))
+      .filter(normRatioFilter(threshold) && suffixBoundFilter(threshold))
     verifyCosine(cand, "id_l", "id_r", threshold)
   }
 
@@ -409,7 +414,7 @@ object Dedup {
     * exact long, the integer-scaled weight every norm and dot downstream
     * sums exactly.
     */
-  private def idfMicros(toks: DataFrame): DataFrame = {
+  private[graft] def idfMicros(toks: DataFrame): DataFrame = {
     val totals = toks.agg(count(lit(1)).as("_n"))
     elementDf(toks).crossJoin(broadcast(totals))
       .withColumn("_l",
@@ -436,7 +441,7 @@ object Dedup {
     * documents upstream (the rolling-chunks operator exists for exactly
     * that).
     */
-  private def weightedPer(toks: DataFrame, wtab: DataFrame): DataFrame =
+  private[graft] def weightedPer(toks: DataFrame, wtab: DataFrame): DataFrame =
     toks.select(col("_id"),
         explode(when(size(col("_toks")) <= 16000, col("_toks"))
           .otherwise(raise_error(concat(
@@ -453,7 +458,7 @@ object Dedup {
       .localCheckpoint(true)
 
   /** Key-sorted parallel arrays for the verification walk. */
-  private def weightedSides(per: DataFrame): DataFrame =
+  private[graft] def weightedSides(per: DataFrame): DataFrame =
     per.select(col("_id"), col("_na2"),
         sort_array(transform(col("_s"),
           x => struct(x("_tok").as("k"), x("_l").as("v")))).as("_kv"))
@@ -462,7 +467,7 @@ object Dedup {
         transform(col("_kv"), x => x("v")).as("_vs"))
 
   /** maxw(f) = l_f · max over docs∋f of 1/√na2 — l_f is global per f. */
-  private def weightMaxInv(per: DataFrame): DataFrame =
+  private[graft] def weightMaxInv(per: DataFrame): DataFrame =
     per.select(explode(col("_s")).as("x"),
         (lit(1.0) / sqrt(col("_na2").cast("double"))).as("_inv"))
       .select(col("x._tok").as("_tok"), col("_inv"))
@@ -471,13 +476,22 @@ object Dedup {
   /** Prefix = rows whose tail-sum of u·maxw (cumulative from the frequent
     * end of the global order) still reaches t − slack; the FP bound keeps
     * 1e-9 slack so pruning stays provably lossless under double error.
+    *
+    * Each prefix row also carries the data the SUFFIX bound
+    * ([[suffixBoundFilter]]) needs at candidate time: the element's own
+    * exact weight `_l`, and `_sfx` = Σ l² over the doc's elements strictly
+    * AFTER this one in the rarest-first global order (= the window's
+    * strictly-preceding rows, since the window runs frequent-first). Both
+    * are exact longs under the same ≤16 000-element norm contract as
+    * `_na2` ([[weightedPer]]).
     */
-  private def weightedPrefix(per: DataFrame, maxInv: DataFrame,
+  private[graft] def weightedPrefix(per: DataFrame, maxInv: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("_id")
+    val ord = Window.partitionBy("_id")
       .orderBy(col("_df").desc, col("_tok").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
     per.select(col("_id"), col("_na2"), explode(col("_s")).as("x"))
       .select(col("_id"), col("_na2"), col("x._df").as("_df"),
         col("x._tok").as("_tok"), col("x._l").as("_l"))
@@ -486,18 +500,49 @@ object Dedup {
         col("_l").cast("double") / sqrt(col("_na2").cast("double"))
           * (col("_l").cast("double") * col("_maxinv")))
       .withColumn("_tail", sum(col("_contrib")).over(w))
+      .withColumn("_sfx",
+        coalesce(sum(col("_l") * col("_l")).over(before), lit(0L)))
       .filter(col("_tail") >= threshold - 1e-9)
-      .select("_id", "_tok")
+      .select("_id", "_tok", "_l", "_sfx")
   }
 
   /** Norm-ratio filter over (_qa2, _qb2): cos ≤ √(min/max), the weighted
     * analogue of the length filter, slack-guarded against FP boundary
     * error.
     */
-  private def normRatioFilter(threshold: Double): Column =
+  private[graft] def normRatioFilter(threshold: Double): Column =
     (lit(threshold * threshold - 1e-12)
       * greatest(col("_qa2"), col("_qb2")).cast("double")) <=
       least(col("_qa2"), col("_qb2")).cast("double")
+
+  /** SUFFIX bound (the weighted analogue of PPJoin+'s suffix filter, Xiao
+    * et al. WWW'08 §4 / Bayardo WWW'07's remaining-weight bound): on a
+    * candidate row matched at element f,
+    *
+    *   dot(a,b) = l_f² + Σ_{shared g≠f} l_g²
+    *            ≤ l_f² + √(sfx_a(f) · sfx_b(f))      (Cauchy–Schwarz over
+    *                                                  the two suffix vectors)
+    *
+    * where sfx_x(f) = Σ l² over x's elements strictly after f in the
+    * global order. The bound is only valid when every OTHER shared
+    * element lies after f on both sides — which holds on the row whose f
+    * is the pair's RAREST shared element. That row always exists for a
+    * true pair: prefixes are suffix-closed toward the rare end of the
+    * order, so the rarest shared element of a qualifying pair is in both
+    * prefixes (the prefix lemma guarantees SOME shared element is, and
+    * anything rarer is too). Rows matched at a non-rarest shared element
+    * may be pruned even for true pairs — harmless, verification dedups by
+    * pair and the rarest-element row carries it through. Net effect:
+    * candidate rows whose matched element sits near the frequent end
+    * (small suffixes — exactly the rows the big join blocks produce) are
+    * dropped before the merge walk. All inputs exact longs; the one FP
+    * compare keeps the family's 1e-9 slack.
+    */
+  private[graft] def suffixBoundFilter(threshold: Double): Column =
+    (col("_lf") * col("_lf")).cast("double") +
+      sqrt(col("_sfa").cast("double") * col("_sfb").cast("double")) >=
+      lit(threshold - 1e-9) *
+        sqrt(col("_qa2").cast("double") * col("_qb2").cast("double"))
 
   /** Inline exact-cosine verification over candidate rows carrying both
     * key-sorted weight arrays: one [[graft.functions.SortedKeyDotExpr]]
@@ -526,7 +571,7 @@ object Dedup {
     * ordering, verification sides) — without the cut each branch re-runs
     * scan + set-build + hashing, ~40% of query time at sf0.1.
     */
-  private def hashedSets(docs: DataFrame, setCol: Column,
+  private[graft] def hashedSets(docs: DataFrame, setCol: Column,
       idCol: String): DataFrame =
     graft.Tables.fanOut(docs)
       .select(col(idCol).as("_id"),

@@ -581,6 +581,45 @@ object ScaleCheck {
         "replicas are planted near-dup clusters)")
     }
 
+    // BPE training: rounds run over the DISTINCT-WORD table. The local
+    // trainer (vocab fits the driver: inverted-index incremental updates,
+    // ZERO Spark jobs per round) vs the distributed per-round job loop
+    // (one vocab-sized job per merge) at 1x and 10x vocab — the measured
+    // job-overhead curve behind BpeTrain.train's dispatch policy. The 10x
+    // vocab prefixes a replica marker per copy, so word SHAPES (and thus
+    // merge work per word) are preserved while the distinct-word count
+    // grows 10x.
+    {
+      import graft.operators.BpeTrain
+      def vocab(times: Int) = {
+        val base = Tables.fanOut(docs1)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) > 0)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        (0 until times).map { i =>
+          base.withColumn("word",
+            concat(lit(("r" + i.toString) + "q"), col("word")))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+      }
+      val v1 = vocab(1); val v10 = vocab(10)
+      println(s"bpe vocab 1x=${v1.count()} 10x=${v10.count()}")
+      def timeTrain(what: String)(f: => Seq[BpeTrain.Merge]): Double = {
+        val t0 = System.nanoTime()
+        val m = f
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$what%-20s $s%7.2f s (${m.length} merges)")
+        s
+      }
+      timeTrain("bpe local warmup")(BpeTrain.train(v1, rounds = 12))
+      val l1 = timeTrain("bpe local 1x")(BpeTrain.train(v1, rounds = 12))
+      val l10 = timeTrain("bpe local 10x")(BpeTrain.train(v10, rounds = 12))
+      val d1 = timeTrain("bpe dist 1x")(BpeTrain.trainDistributed(v1, rounds = 12))
+      val d10 = timeTrain("bpe dist 10x")(BpeTrain.trainDistributed(v10, rounds = 12))
+      println(f"bpe local ratio: ${l10 / l1}%.1f  dist ratio: ${d10 / d1}%.1f " +
+        f"(linear = 10); local vs dist at 10x: ${d10 / l10}%.1fx — the " +
+        "per-round job overhead the local path removes entirely")
+    }
+
     // Count-Min sketch: one pass, constant 4x1024-long state per partial —
     // time must be ~linear in tokens with ZERO growth in shuffle bytes
     // (the sketch is the same 32 KiB at any corpus size).

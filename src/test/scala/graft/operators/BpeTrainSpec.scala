@@ -67,6 +67,38 @@ class BpeTrainSpec extends SparkSpec {
       s"engine trajectory diverged from the reference:\n$got")
   }
 
+  test("distributed per-round loop matches the reference too (the big-vocab fallback)") {
+    val words = Map("lowlow" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L, "lowest" -> 1L)
+    val df = words.toSeq.toDF("word", "freq")
+    val got = BpeTrain.trainDistributed(df, rounds = 8)
+      .map(m => (m.rank, m.lhs, m.rhs, m.cnt))
+    assert(got == refTrain(words, 8))
+  }
+
+  test("local and distributed trainers are byte-identical on corpus data") {
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val local = BpeTrain.train(words, rounds = 15) // vocab << 2M -> local
+    val dist = BpeTrain.trainDistributed(words, rounds = 15)
+    assert(local == dist,
+      s"local/distributed trajectories diverged:\n$local\nvs\n$dist")
+  }
+
+  test("local argmax tie-break is UTF-8 byte order (Spark's), not UTF-16") {
+    // U+E000 sorts BEFORE U+1F600 in UTF-8 bytes (EE.. < F0..) but AFTER
+    // it under Java's UTF-16 compareTo (0xE000 > 0xD83D) — the local
+    // trainer must match the distributed argmax, i.e. UTF-8 order
+    val words = Seq("" -> 1L, "😀😀" -> 1L)
+    val local = BpeTrain.trainLocal(words, rounds = 1)
+    val dist = BpeTrain.trainDistributed(words.toDF("word", "freq"), rounds = 1)
+    assert(local == dist)
+    assert(local.head.lhs == "")
+  }
+
   test("declared k4_bpe_encode: tokens bounded by chars and words, ratio consistent") {
     val rows = graft.SparkEntry.queries("k4_bpe_encode")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -34,7 +34,10 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # driver testdata ships single files; blow-up dirs (StressSweep,
+            # the sf1 heavy-class pass) are Spark-written DIRECTORIES
+            pat = f"{p}/*.parquet" if p.is_dir() else str(p)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name in sorted(oracle):

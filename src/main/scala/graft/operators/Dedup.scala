@@ -362,14 +362,11 @@ object Dedup {
     // the reuse saves)
     val pa = weightedPrefix(per, maxInv, threshold).join(weightedSides(per), "_id")
     val cand = pa.select(col("_tok"), col("_id").as("id_a"),
-        col("_l").as("_lf"), col("_sfx").as("_sfa"),
         col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
       .join(pa.select(col("_tok"), col("_id").as("id_b"),
-        col("_sfx").as("_sfb"),
         col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
         Seq("_tok"))
-      .filter(col("id_a") < col("id_b") && normRatioFilter(threshold) &&
-        suffixBoundFilter(threshold))
+      .filter(col("id_a") < col("id_b") && normRatioFilter(threshold))
     verifyCosine(cand, "id_a", "id_b", threshold)
   }
 
@@ -395,16 +392,14 @@ object Dedup {
     val maxInv = weightMaxInv(lp.unionAll(rp))
     val la = weightedPrefix(lp, maxInv, threshold).join(weightedSides(lp), "_id")
       .select(col("_tok"), col("_id").as("id_l"),
-        col("_l").as("_lf"), col("_sfx").as("_sfa"),
         col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
     val ra = weightedPrefix(rp, maxInv, threshold).join(weightedSides(rp), "_id")
     // same batch-bounded broadcast contract as prefixFilterJoinSetsAgainst
     val cand = (if (broadcastBatch) broadcast(la) else la)
       .join(ra.select(col("_tok"), col("_id").as("id_r"),
-        col("_sfx").as("_sfb"),
         col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
         Seq("_tok"))
-      .filter(normRatioFilter(threshold) && suffixBoundFilter(threshold))
+      .filter(normRatioFilter(threshold))
     verifyCosine(cand, "id_l", "id_r", threshold)
   }
 
@@ -477,21 +472,27 @@ object Dedup {
     * end of the global order) still reaches t − slack; the FP bound keeps
     * 1e-9 slack so pruning stays provably lossless under double error.
     *
-    * Each prefix row also carries the data the SUFFIX bound
-    * ([[suffixBoundFilter]]) needs at candidate time: the element's own
-    * exact weight `_l`, and `_sfx` = Σ l² over the doc's elements strictly
-    * AFTER this one in the rarest-first global order (= the window's
-    * strictly-preceding rows, since the window runs frequent-first). Both
-    * are exact longs under the same ≤16 000-element norm contract as
-    * `_na2` ([[weightedPer]]).
+    * NULL RESULT, measured round 12 (tools/CosineSuffixProbe): the
+    * PPJoin+-style SUFFIX bound — carry each prefix element's weight and
+    * exact suffix norm, prune candidates where
+    * `l_f² + √(sfx_a·sfx_b) < t·√(na2·nb2)` (lossless via the
+    * rarest-shared-element row) — pruned 71–73% of candidate rows at BOTH
+    * sf0.1 and 10×, yet made the end-to-end join SLOWER in matched-pair
+    * same-JVM runs (sf0.1: 2.1 s vs 1.4–1.6 s; 10×, 30 M candidates:
+    * 7.2 s vs 5.0 s). With verification already INLINE (the Vernica
+    * kernel), a pruned candidate only saves one early-terminating merge
+    * walk on a row already in hand — less than the bound's own cost (the
+    * extra running-frame window column, two extra longs riding every
+    * array-carrying prefix row through the join, per-candidate sqrt
+    * filter). The bound stays OUT of the hot path; the probe keeps the
+    * construction for re-measurement if candidate/walk economics change.
     */
   private[graft] def weightedPrefix(per: DataFrame, maxInv: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy("_id")
+    val w = Window.partitionBy("_id")
       .orderBy(col("_df").desc, col("_tok").desc)
-    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per.select(col("_id"), col("_na2"), explode(col("_s")).as("x"))
       .select(col("_id"), col("_na2"), col("x._df").as("_df"),
         col("x._tok").as("_tok"), col("x._l").as("_l"))
@@ -500,10 +501,8 @@ object Dedup {
         col("_l").cast("double") / sqrt(col("_na2").cast("double"))
           * (col("_l").cast("double") * col("_maxinv")))
       .withColumn("_tail", sum(col("_contrib")).over(w))
-      .withColumn("_sfx",
-        coalesce(sum(col("_l") * col("_l")).over(before), lit(0L)))
       .filter(col("_tail") >= threshold - 1e-9)
-      .select("_id", "_tok", "_l", "_sfx")
+      .select("_id", "_tok")
   }
 
   /** Norm-ratio filter over (_qa2, _qb2): cos ≤ √(min/max), the weighted
@@ -514,35 +513,6 @@ object Dedup {
     (lit(threshold * threshold - 1e-12)
       * greatest(col("_qa2"), col("_qb2")).cast("double")) <=
       least(col("_qa2"), col("_qb2")).cast("double")
-
-  /** SUFFIX bound (the weighted analogue of PPJoin+'s suffix filter, Xiao
-    * et al. WWW'08 §4 / Bayardo WWW'07's remaining-weight bound): on a
-    * candidate row matched at element f,
-    *
-    *   dot(a,b) = l_f² + Σ_{shared g≠f} l_g²
-    *            ≤ l_f² + √(sfx_a(f) · sfx_b(f))      (Cauchy–Schwarz over
-    *                                                  the two suffix vectors)
-    *
-    * where sfx_x(f) = Σ l² over x's elements strictly after f in the
-    * global order. The bound is only valid when every OTHER shared
-    * element lies after f on both sides — which holds on the row whose f
-    * is the pair's RAREST shared element. That row always exists for a
-    * true pair: prefixes are suffix-closed toward the rare end of the
-    * order, so the rarest shared element of a qualifying pair is in both
-    * prefixes (the prefix lemma guarantees SOME shared element is, and
-    * anything rarer is too). Rows matched at a non-rarest shared element
-    * may be pruned even for true pairs — harmless, verification dedups by
-    * pair and the rarest-element row carries it through. Net effect:
-    * candidate rows whose matched element sits near the frequent end
-    * (small suffixes — exactly the rows the big join blocks produce) are
-    * dropped before the merge walk. All inputs exact longs; the one FP
-    * compare keeps the family's 1e-9 slack.
-    */
-  private[graft] def suffixBoundFilter(threshold: Double): Column =
-    (col("_lf") * col("_lf")).cast("double") +
-      sqrt(col("_sfa").cast("double") * col("_sfb").cast("double")) >=
-      lit(threshold - 1e-9) *
-        sqrt(col("_qa2").cast("double") * col("_qb2").cast("double"))
 
   /** Inline exact-cosine verification over candidate rows carrying both
     * key-sorted weight arrays: one [[graft.functions.SortedKeyDotExpr]]

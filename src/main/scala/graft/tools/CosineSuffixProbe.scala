@@ -6,10 +6,21 @@ import graft.{GraftSession, Tables}
 import graft.functions.VectorFunctions.shingles
 import graft.operators.Dedup
 
-/** Dev probe for the round-12 suffix bound on the weighted all-pairs join:
-  * counts candidate rows reaching the merge-walk verification WITH vs
-  * WITHOUT [[Dedup.suffixBoundFilter]], on the REAL pipeline helpers (not
-  * a mirror), plus wall time of the two declared cosine queries.
+/** Dev probe behind the round-12 NULL RESULT on the weighted suffix bound
+  * (see `Dedup.weightedPrefix`'s scaladoc): constructs the PPJoin+-style
+  * suffix-bounded variant of the all-pairs cosine candidate join — prefix
+  * rows carry their element weight `_l` and exact suffix norm `_sfx`
+  * (Σ l² strictly after the element in the rarest-first order); a
+  * candidate matched at f prunes when `l_f² + √(sfx_a·sfx_b)` cannot
+  * reach `t·√(na2·nb2)` (Cauchy–Schwarz over the suffix vectors, lossless
+  * via the rarest-shared-element row) — and times it against the shipped
+  * (bound-free) pipeline in matched pairs within one JVM.
+  *
+  * Measured: 71–73% of candidate rows pruned at sf0.1 AND at 10×, yet
+  * end-to-end SLOWER both times (sf0.1: 2.1 s vs 1.4–1.6 s; 10×, 30 M
+  * candidates: 7.2 s vs 5.0 s) — with inline verification, a pruned
+  * candidate saves only one early-terminating merge walk, less than the
+  * bound's own window/payload/filter cost. Kept for re-measurement.
   *
   * Usage: runMain graft.tools.CosineSuffixProbe [sfDir]
   */
@@ -34,8 +45,38 @@ object CosineSuffixProbe {
     val toks = Dedup.hashedSets(corpus, shingles(split(col("text"), " "), 3), "doc_id")
     val per = Dedup.weightedPer(toks, Dedup.idfMicros(toks))
     val maxInv = Dedup.weightMaxInv(per)
-    val pa = Dedup.weightedPrefix(per, maxInv, threshold)
-      .join(Dedup.weightedSides(per), "_id")
+
+    // the shipped prefix relation + the probe-only suffix payload: same
+    // (df desc, tok desc) window as Dedup.weightedPrefix, plus `_sfx` as a
+    // strictly-preceding running frame (= Σ l² after the element in the
+    // rarest-first order)
+    def prefixWithSuffix = {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("_id")
+        .orderBy(col("_df").desc, col("_tok").desc)
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+      per.select(col("_id"), col("_na2"), explode(col("_s")).as("x"))
+        .select(col("_id"), col("_na2"), col("x._df").as("_df"),
+          col("x._tok").as("_tok"), col("x._l").as("_l"))
+        .join(maxInv, "_tok")
+        .withColumn("_contrib",
+          col("_l").cast("double") / sqrt(col("_na2").cast("double"))
+            * (col("_l").cast("double") * col("_maxinv")))
+        .withColumn("_tail", sum(col("_contrib")).over(w))
+        .withColumn("_sfx",
+          coalesce(sum(col("_l") * col("_l")).over(before), lit(0L)))
+        .filter(col("_tail") >= threshold - 1e-9)
+        .select("_id", "_tok", "_l", "_sfx")
+    }
+
+    def suffixBound = // 1e-9 slack, same convention as the shipped filters
+      (col("_lf") * col("_lf")).cast("double") +
+        sqrt(col("_sfa").cast("double") * col("_sfb").cast("double")) >=
+        lit(threshold - 1e-9) *
+          sqrt(col("_qa2").cast("double") * col("_qb2").cast("double"))
+
+    val pa = prefixWithSuffix.join(Dedup.weightedSides(per), "_id")
     val base = pa.select(col("_tok"), col("_id").as("id_a"),
         col("_l").as("_lf"), col("_sfx").as("_sfa"), col("_na2").as("_qa2"))
       .join(pa.select(col("_tok"), col("_id").as("id_b"),
@@ -43,17 +84,39 @@ object CosineSuffixProbe {
       .filter(col("id_a") < col("id_b") && Dedup.normRatioFilter(threshold))
       .localCheckpoint(true)
     val before = base.count()
-    val after = base.filter(Dedup.suffixBoundFilter(threshold)).count()
+    val after = base.filter(suffixBound).count()
     println(f"[probe] candidates before suffix bound: $before%d")
     println(f"[probe] candidates after  suffix bound: $after%d  " +
       f"(${100.0 * (before - after) / math.max(before, 1)}%.1f%% pruned)")
 
-    Seq("k2_allpairs_cosine", "k2_allpairs_cosine_against").foreach { q =>
-      (1 to 3).foreach { i =>
+    // matched-pair timing in ONE JVM: full pipeline with vs without the
+    // bound — the only sound comparison on this noisy shared host
+    def fullPipeline(withSuffix: Boolean): Long = {
+      val paw = prefixWithSuffix.join(Dedup.weightedSides(per), "_id")
+      val cand = paw.select(col("_tok"), col("_id").as("id_a"),
+          col("_l").as("_lf"), col("_sfx").as("_sfa"),
+          col("_na2").as("_qa2"), col("_ks").as("_ka"), col("_vs").as("_va"))
+        .join(paw.select(col("_tok"), col("_id").as("id_b"),
+          col("_sfx").as("_sfb"),
+          col("_na2").as("_qb2"), col("_ks").as("_kb"), col("_vs").as("_vb")),
+          Seq("_tok"))
+        .filter(col("id_a") < col("id_b") && Dedup.normRatioFilter(threshold) &&
+          (if (withSuffix) suffixBound else lit(true)))
+      cand
+        .withColumn("_dot", graft.functions.VectorExpressions.sortedKeyDot(
+          col("_ka"), col("_va"), col("_kb"), col("_vb")))
+        .withColumn("cosine", col("_dot").cast("double") /
+          sqrt(col("_qa2").cast("double") * col("_qb2").cast("double")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .distinct().count()
+    }
+    (1 to 3).foreach { i =>
+      Seq(true, false).foreach { sfx =>
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(q)(spark, d)
-          .write.format("noop").mode("overwrite").save()
-        println(f"[probe] $q run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val n = fullPipeline(sfx)
+        println(f"[probe] pipeline suffix=$sfx%-5s run $i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s ($n pairs)")
       }
     }
     spark.stop()

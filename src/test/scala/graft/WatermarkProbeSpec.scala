@@ -87,6 +87,83 @@ class WatermarkProbeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Pins the round-12 replay optimization's premise: for the INNER
+    * interval join and the watermarked dedup, output emits at ARRIVAL
+    * (match time / first-seen time), never at a watermark crossing — so
+    * skipping the trailing no-data micro-batches
+    * (`spark.sql.streaming.noDataMicroBatches.enabled=false`, as
+    * j8/j9's replays do) cannot change the result set. If a Spark
+    * upgrade ever moved either operator's emission to the watermark,
+    * this differential goes red before the oracle does.
+    */
+  test("probe: no-data micro-batches do not change inner-join or dedup results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val buys = Seq((0, 10L, ts(1000)), (1, 11L, ts(2000)), (0, 12L, ts(9000)))
+      .toDF("b", "user_id", "bts")
+    val clicks = Seq((0, 10L, ts(900)), (1, 10L, ts(950)), (0, 11L, ts(1990)),
+      (1, 12L, ts(8990)), (0, 99L, ts(1.0.toLong)))
+      .toDF("b", "user_id", "cts")
+    def run(noData: Boolean): (Set[(Long, Long, Long)], Set[(Long, String)]) = {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, noData.toString)
+      try {
+        val inL = analytics.StreamingReplay.stageBatches(
+          buys.withColumnRenamed("bts", "ts"), col("b"), 2)
+        val inR = analytics.StreamingReplay.stageBatches(
+          clicks.select(col("b"), col("user_id"), col("cts")), col("b"), 2)
+        def srcOf(in: String) = spark.readStream
+          .schema(spark.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val joined = EventStreams.intervalJoin(
+          left = srcOf(inL).drop("b"), right = srcOf(inR).drop("b"),
+          keyCol = "user_id", leftTs = "ts", rightTs = "cts",
+          valueCols = Nil, lookback = "5 minutes", watermark = "60 days")
+        val qn = s"probe_nd_join_$noData"
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("probend").toString)
+          .start()
+        val pairs = try {
+          q.processAllAvailable()
+          spark.table(qn).collect().map(r =>
+            (r.getAs[Long]("user_id"),
+              r.getAs[Timestamp]("ts").getTime / 1000,
+              r.getAs[Timestamp]("r_cts").getTime / 1000)).toSet
+        } finally q.stop()
+
+        val events = Seq((0, 10L, "click", ts(100)), (1, 10L, "click", ts(200)),
+          (0, 10L, "buy", ts(300)), (1, 11L, "click", ts(400)))
+          .toDF("b", "user_id", "event_type", "ts")
+        val inD = analytics.StreamingReplay.stageBatches(events, col("b"), 2)
+        val src = spark.readStream.schema(spark.read.parquet(inD).schema)
+          .option("maxFilesPerTrigger", 1).parquet(inD)
+          .select(concat_ws(":", col("user_id"), col("event_type")).as("k"),
+            col("user_id"), col("event_type"), col("ts"))
+        val dd = EventStreams.streamingDedup(src, "k", "ts", "60 days")
+        val qn2 = s"probe_nd_dedup_$noData"
+        val q2 = dd.writeStream.format("memory").queryName(qn2)
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("probend2").toString)
+          .start()
+        val keys = try {
+          q2.processAllAvailable()
+          spark.table(qn2).collect().map(r =>
+            (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+        } finally q2.stop()
+        (pairs, keys)
+      } finally spark.conf.set(key, prev)
+    }
+    val (pOn, kOn) = run(noData = true)
+    val (pOff, kOff) = run(noData = false)
+    assert(pOn == pOff, s"interval-join pairs diverged:\n$pOn\nvs\n$pOff")
+    assert(kOn == kOff, s"dedup keys diverged:\n$kOn\nvs\n$kOff")
+    assert(pOn.nonEmpty && kOn.nonEmpty)
+  }
+
   test("probe: row with ts < wm but window end > wm") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -467,6 +467,31 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // K5 REAL-PIXEL path under the hash gate (round 12 — closes the
+    // declared-query/surrogate split): the corpus's image-modality ids
+    // each generate a real 9×8 grayscale PNG in-engine whose pixel lumas
+    // are the closed form MultimodalPipeline.lumaAt(id, r·9+c); the
+    // payload then runs the PRODUCTION pixel stage — ImageIO decode →
+    // box-average Rec.601 luma grid → dHash64, executor-side per
+    // partition — and at the 9×8 grid size that whole chain is provably
+    // the identity on the formula (see syntheticPngBytes), so the DuckDB
+    // oracle recomputes the expected hash bits from first principles.
+    // A lossy encode, a channel-order bug, a flipped raster axis, or a
+    // dHash indexing error each diverges the gate.
+    "k5_image_real_dhash" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.MultimodalPipeline
+      val records = Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 0) // the corpus's image modality
+        .select(col("doc_id")).as[Long]
+        .map(id => MultimodalPipeline.MediaRecord(
+          id, "image", MultimodalPipeline.syntheticPngBytes(id), "{}"))
+      MultimodalPipeline.extractPixelFeatures(records).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("h_hi"), col("h_lo"))
+        .orderBy("media_id")
+    }),
+
     // K5 AUDIO near-dup: delta-sign fingerprint over the energy envelope
     // (Haitsma–Kalker shape — see graft.operators.AudioFingerprint for
     // the real WAV-PCM path, proven in AudioFingerprintSpec) through the
@@ -1131,6 +1156,33 @@ object SimilarityQueries {
         |FROM cand
         |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Real-pixel dHash: the oracle recomputes the luma grid from the same
+    // closed form the engine ENCODED into real PNG pixels —
+    // luma(id, idx) = (id·7919 + idx·104729) mod 256, idx = r·9+c — and
+    // re-derives the 64 adjacent-luma bits and the two 32-bit packs.
+    // The engine side must reproduce it through the full production
+    // chain: ImageIO PNG encode → ImageIO decode → Rec.601 box-average
+    // grid (identity at 9×8) → dHash64.
+    "k5_image_real_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN ((doc_id*7919 + ((k//8)*9 + (k%8) + 1)*104729) % 256)
+        |              > ((doc_id*7919 + ((k//8)*9 + (k%8))*104729) % 256)
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN ((doc_id*7919 + ((k//8)*9 + (k%8) + 1)*104729) % 256)
+        |              > ((doc_id*7919 + ((k//8)*9 + (k%8))*104729) % 256)
+        |           THEN 1::BIGINT << CAST(k % 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_hi
+        |  FROM ids)
+        |SELECT doc_id AS media_id, CAST(9 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height, h_hi, h_lo
+        |FROM h ORDER BY media_id""".stripMargin,
 
     // Audio fingerprint: same striped surrogate re-derivation, but read
     // as a 1-D envelope — bit k = env[k+1] > env[k] (no row skipping),

@@ -344,6 +344,37 @@ object MultimodalPipeline {
     */
   val rasterRegistry: PixelRegistry = PixelRegistry(Seq(new ImageIoRasterCodec))
 
+  /** Deterministic 9×8 grayscale PNG whose pixel lumas are the CLOSED-FORM
+    * `lumaAt(mediaId, r·9+c)` — the corpus generator that puts the REAL
+    * encode→decode→grayGrid→dHash pixel path under the DuckDB hash gate
+    * (`k5_image_real_dhash`): at exactly the 9×8 dHash grid size the
+    * box-average is the identity (one pixel per cell) and integer Rec.601
+    * luma of an r=g=b pixel is the value itself ((299+587+114)v/1000 = v),
+    * so the decoded grid equals the formula and the oracle re-derives the
+    * expected hash from first principles — no aux axiom, no surrogate.
+    * PNG is lossless, so the round trip is bit-exact by construction.
+    */
+  def lumaAt(mediaId: Long, idx: Int): Int =
+    ((mediaId * 7919L + idx * 104729L) % 256L).toInt
+
+  def syntheticPngBytes(mediaId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 9) {
+        val v = lumaAt(mediaId, r * 9 + c)
+        img.setRGB(c, r, (v << 16) | (v << 8) | v)
+        c += 1
+      }
+      r += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer")
+    out.toByteArray
+  }
+
   /** Pixel-stage batch extraction: one partition = one batch, the raster
     * decoded inside the iterator so memory stays bounded at one image.
     * Output feeds [[PerceptualHash.nearDupPairs]] directly (h_hi/h_lo).

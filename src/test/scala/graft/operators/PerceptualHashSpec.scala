@@ -67,6 +67,23 @@ class PerceptualHashSpec extends SparkSpec {
       s"inverted gradient should be far: ${hamming(hBase, hInv)}")
   }
 
+  test("synthetic 9x8 PNG round trip is the identity on the luma formula") {
+    // the k5_image_real_dhash contract: encode -> ImageIO decode ->
+    // grayGrid -> dHash64 must reproduce the closed form exactly, because
+    // at the 9x8 grid size the box-average is one pixel per cell and
+    // Rec.601 of an r=g=b pixel is the value itself
+    Seq(0L, 3L, 4242L, 999999L).foreach { id =>
+      val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        MultimodalPipeline.syntheticPngBytes(id)))
+      assert(decoded.getWidth == 9 && decoded.getHeight == 8)
+      val grid = PerceptualHash.grayGrid(decoded)
+      (0 until 72).foreach { idx =>
+        assert(grid(idx) == MultimodalPipeline.lumaAt(id, idx),
+          s"id=$id idx=$idx: decoded ${grid(idx)} != formula ${MultimodalPipeline.lumaAt(id, idx)}")
+      }
+    }
+  }
+
   test("banded LSH finds every pair within Hamming 3 (pigeonhole) and dedups bands") {
     // base hash; ≤3 bit flips spread across three DIFFERENT bands still
     // leave band 3 intact → pair guaranteed. Also a far hash → no pair.

@@ -492,6 +492,33 @@ object SimilarityQueries {
         .orderBy("media_id")
     }),
 
+    // K5 REAL-AUDIO path under the hash gate (round 12, the audio
+    // sibling of k5_image_real_dhash): the corpus's audio-modality ids
+    // each generate a real 65-sample mono 16-bit PCM WAV in-engine from
+    // the closed form AudioFingerprint.sampleAt, and the payload runs
+    // the PRODUCTION chain — javax.sound.sampled decode → 65-frame
+    // energy envelope → delta-sign hash — executor-side. One sample per
+    // frame + lossless PCM + exact power-of-two normalization make the
+    // whole chain provably `|s(i+1)| > |s(i)|` on the formula, which the
+    // oracle re-derives in integer arithmetic. A byte-order bug, frame
+    // misalignment, or envelope off-by-one each diverges the gate.
+    "k5_audio_real_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.AudioFingerprint
+      Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 1) // the corpus's audio modality
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val pcm = AudioFingerprint.decodeWavPcm(
+            AudioFingerprint.syntheticWavBytes(id))
+          val (hi, lo) = AudioFingerprint.deltaSignHash(
+            AudioFingerprint.energyEnvelope(pcm))
+          (id, pcm.length.toLong, hi, lo)
+        }
+        .toDF("media_id", "n_samples", "h_hi", "h_lo")
+        .orderBy("media_id")
+    }),
+
     // K5 AUDIO near-dup: delta-sign fingerprint over the energy envelope
     // (Haitsma–Kalker shape — see graft.operators.AudioFingerprint for
     // the real WAV-PCM path, proven in AudioFingerprintSpec) through the
@@ -1182,6 +1209,30 @@ object SimilarityQueries {
         |  FROM ids)
         |SELECT doc_id AS media_id, CAST(9 AS INTEGER) AS width,
         |  CAST(8 AS INTEGER) AS height, h_hi, h_lo
+        |FROM h ORDER BY media_id""".stripMargin,
+
+    // Real-audio delta-sign fingerprint: the oracle recomputes the 65
+    // closed-form 16-bit samples the engine ENCODED into real WAV PCM —
+    // s(id, i) = ((id·7919 + i·104729) mod 65536) − 32768 — and derives
+    // bit k = |s(k+1)| > |s(k)| in exact integer arithmetic (one sample
+    // per envelope frame; |s|/2¹⁵ is order-preserving).
+    "k5_audio_real_fingerprint" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN ABS(((doc_id*7919 + (k+1)*104729) % 65536) - 32768)
+        |              > ABS(((doc_id*7919 + k*104729) % 65536) - 32768)
+        |           THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN ABS(((doc_id*7919 + (k+1)*104729) % 65536) - 32768)
+        |              > ABS(((doc_id*7919 + k*104729) % 65536) - 32768)
+        |           THEN 1::BIGINT << CAST(k - 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_hi
+        |  FROM ids)
+        |SELECT doc_id AS media_id, CAST(65 AS BIGINT) AS n_samples, h_hi, h_lo
         |FROM h ORDER BY media_id""".stripMargin,
 
     // Audio fingerprint: same striped surrogate re-derivation, but read

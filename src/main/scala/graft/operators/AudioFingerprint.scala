@@ -130,4 +130,37 @@ object AudioFingerprint {
       when(env.getItem(k + 1) > env.getItem(k), lit(1L << (k - k0)))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Closed-form 16-bit sample for the synthetic-WAV corpus
+    * (`k5_audio_real_fingerprint`): signed, full range.
+    */
+  def sampleAt(mediaId: Long, i: Int): Int =
+    (((mediaId * 7919L + i * 104729L) % 65536L) - 32768L).toInt
+
+  /** Deterministic 65-sample mono 16-bit PCM WAV whose samples are the
+    * closed form [[sampleAt]] — the audio analogue of
+    * [[MultimodalPipeline.syntheticPngBytes]]: with exactly 65 samples the
+    * 65-frame [[energyEnvelope]] is one sample per frame (mean |s/32768|
+    * of one sample), |s|/2¹⁵ is an exact power-of-two division, and WAV
+    * PCM is lossless — so the REAL decode→envelope→delta-sign chain must
+    * reproduce `|s(i+1)| > |s(i)|` bit-for-bit, which the DuckDB oracle
+    * re-derives in integer arithmetic.
+    */
+  def syntheticWavBytes(mediaId: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val data = new Array[Byte](65 * 2)
+    var i = 0
+    while (i < 65) {
+      val s = sampleAt(mediaId, i)
+      data(2 * i) = (s & 0xff).toByte        // little-endian
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, 65),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
 }

@@ -69,6 +69,31 @@ class AudioFingerprintSpec extends SparkSpec {
       s"gain change must not move the fingerprint: ${hamming(h, quiet)}")
   }
 
+  test("synthetic 65-sample WAV round trip is the identity on the sample formula") {
+    // the k5_audio_real_fingerprint contract: encode -> javax.sound
+    // decode -> 65-frame envelope -> delta-sign must reproduce
+    // |s(i+1)| > |s(i)| on the closed form exactly (one sample per
+    // frame, lossless PCM, power-of-two normalization)
+    Seq(1L, 4L, 12345L, 999997L).foreach { id =>
+      val pcm = AudioFingerprint.decodeWavPcm(
+        AudioFingerprint.syntheticWavBytes(id))
+      assert(pcm.length == 65, s"id=$id: ${pcm.length} samples")
+      (0 until 65).foreach { i =>
+        assert(pcm(i) == AudioFingerprint.sampleAt(id, i) / 32768.0,
+          s"id=$id i=$i: decoded ${pcm(i)} != formula")
+      }
+      val (hi, lo) = AudioFingerprint.deltaSignHash(
+        AudioFingerprint.energyEnvelope(pcm))
+      (0 until 64).foreach { k =>
+        val expected = math.abs(AudioFingerprint.sampleAt(id, k + 1)) >
+          math.abs(AudioFingerprint.sampleAt(id, k))
+        val got = if (k < 32) ((lo >> k) & 1L) == 1L
+                  else ((hi >> (k - 32)) & 1L) == 1L
+        assert(got == expected, s"id=$id bit $k")
+      }
+    }
+  }
+
   test("near-identical clips hash near; a different melody hashes far") {
     val base = tone(2.0, seed = 5)
     // local edit: a click in one spot perturbs only the frames it touches

@@ -519,6 +519,31 @@ object SimilarityQueries {
         .orderBy("media_id")
     }),
 
+    // K5 REAL-VIDEO path under the hash gate (round 12 — completes the
+    // modality triple): the corpus's video-modality ids each generate a
+    // real 4-frame 9×8 UNCOMPRESSED ('DIB ') AVI in-engine from the
+    // closed form MjpegAvi.videoLumaAt — DIB is the lossless leg of the
+    // AVI spec (MJPG frames are lossy JPEG, no formula survives them) —
+    // and run the PRODUCTION chain: RIFF container walk → per-frame BMP
+    // wrap → real ImageIO decode → Rec.601 grid → dHash64. The oracle
+    // re-derives every frame's bits from the formula. A chunk-walk bug,
+    // bottom-up row flip, BGR order swap, or stride error each diverges
+    // the gate.
+    "k5_video_real_phash" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.MjpegAvi
+      Tables.documents(s, d)
+        .where(col("doc_id") % 3 === 2) // the corpus's video modality
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          MjpegAvi.dibFrameHashes(MjpegAvi.syntheticDibAvi(id)).map {
+            case (f, hi, lo) => (id, f, hi, lo)
+          }
+        }
+        .toDF("media_id", "frame", "h_hi", "h_lo")
+        .orderBy("media_id", "frame")
+    }),
+
     // K5 AUDIO near-dup: delta-sign fingerprint over the energy envelope
     // (Haitsma–Kalker shape — see graft.operators.AudioFingerprint for
     // the real WAV-PCM path, proven in AudioFingerprintSpec) through the
@@ -1210,6 +1235,30 @@ object SimilarityQueries {
         |SELECT doc_id AS media_id, CAST(9 AS INTEGER) AS width,
         |  CAST(8 AS INTEGER) AS height, h_hi, h_lo
         |FROM h ORDER BY media_id""".stripMargin,
+
+    // Real-video per-frame dHash: the oracle recomputes each frame's luma
+    // grid from the closed form the engine ENCODED into real uncompressed
+    // DIB frames — luma(id, f, idx) = (id·7919 + f·131071 + idx·104729)
+    // mod 256 — and re-derives the 64 adjacent-luma bits per frame.
+    "k5_video_real_phash" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT UNNEST(range(0, 4)) AS f),
+        |h AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(range(0, 32), k ->
+        |      CASE WHEN ((doc_id*7919 + f*131071 + ((k//8)*9 + (k%8) + 1)*104729) % 256)
+        |              > ((doc_id*7919 + f*131071 + ((k//8)*9 + (k%8))*104729) % 256)
+        |           THEN 1::BIGINT << CAST(k AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_lo,
+        |    CAST(list_sum(list_transform(range(32, 64), k ->
+        |      CASE WHEN ((doc_id*7919 + f*131071 + ((k//8)*9 + (k%8) + 1)*104729) % 256)
+        |              > ((doc_id*7919 + f*131071 + ((k//8)*9 + (k%8))*104729) % 256)
+        |           THEN 1::BIGINT << CAST(k - 32 AS INTEGER) ELSE 0::BIGINT END))
+        |      AS BIGINT) AS h_hi
+        |  FROM ids CROSS JOIN fr)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame, h_hi, h_lo
+        |FROM h ORDER BY media_id, frame""".stripMargin,
 
     // Real-audio delta-sign fingerprint: the oracle recomputes the 65
     // closed-form 16-bit samples the engine ENCODED into real WAV PCM —

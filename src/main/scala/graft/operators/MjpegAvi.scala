@@ -65,8 +65,19 @@ object MjpegAvi {
 
   /** Write JPEG frame payloads as a minimal, structurally valid MJPG AVI. */
   def writeContainer(frames: Seq[Array[Byte]], width: Int, height: Int,
-      fps: Int = 30): Array[Byte] = {
+      fps: Int = 30): Array[Byte] =
+    writeContainerAs(frames, width, height, fps, codec = "MJPG")
+
+  /** The container writer behind both codecs this object speaks: MJPG
+    * (compressed `00dc` chunks, JPEG payloads) and `DIB ` (uncompressed
+    * `00db` chunks, raw bottom-up BGR rows — BI_RGB, the LOSSLESS leg of
+    * the AVI spec that `k5_video_real_phash`'s closed-form oracle needs;
+    * JPEG is lossy, so no formula survives an MJPG round trip).
+    */
+  def writeContainerAs(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int, codec: String): Array[Byte] = {
     require(frames.nonEmpty, "an AVI needs at least one frame")
+    require(codec == "MJPG" || codec == "DIB ", s"unsupported codec '$codec'")
     def chunk(id: String, data: Array[Byte]): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       out.write(fourcc(id)); out.write(le32(data.length)); out.write(data)
@@ -90,7 +101,7 @@ object MjpegAvi {
     }
     val strh = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(fourcc("vids")).put(fourcc("MJPG"))
+      b.put(fourcc("vids")).put(fourcc(codec))
       b.putInt(0).putInt(0).putInt(0)
       b.putInt(1).putInt(fps) // rate = fps/1
       b.putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
@@ -102,16 +113,112 @@ object MjpegAvi {
       val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(40).putInt(width).putInt(height)
       b.putShort(1.toShort).putShort(24.toShort)
-      b.put(fourcc("MJPG")).putInt(width * height * 3)
+      // biCompression: the codec fourcc for MJPG, BI_RGB (0) for DIB
+      if (codec == "MJPG") b.put(fourcc("MJPG")) else b.putInt(0)
+      b.putInt(width * height * 3)
       b.putInt(0).putInt(0).putInt(0).putInt(0)
       b.array()
     }
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val chunkId = if (codec == "MJPG") "00dc" else "00db"
     val movi = list("movi",
-      frames.toArray.flatMap(f => chunk("00dc", f)))
+      frames.toArray.flatMap(f => chunk(chunkId, f)))
     val body = fourcc("AVI ") ++ hdrl ++ movi
     fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** Raw uncompressed 24-bit DIB frame (bottom-up BGR rows, 4-byte row
+    * stride — the BI_RGB layout) from a row-major luma grid.
+    */
+  def dibFrame(luma: Array[Int], width: Int, height: Int): Array[Byte] = {
+    require(luma.length == width * height, "luma grid size mismatch")
+    val stride = ((width * 3) + 3) & ~3
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // DIB rows store bottom-up
+      var x = 0
+      while (x < width) {
+        val v = luma(srcRow * width + x).toByte
+        val off = y * stride + x * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v // B G R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** (width, height) from the container's first strf BITMAPINFOHEADER. */
+  private def readDims(bytes: Array[Byte]): (Int, Int) = {
+    def str(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int) =
+      ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    var p = 12
+    val end = math.min(8 + u32(4), bytes.length)
+    var found: Option[(Int, Int)] = None
+    def walk(start: Int, stop: Int): Unit = {
+      var q = start
+      while (q + 8 <= stop && found.isEmpty) {
+        val id = str(q); val sz = u32(q + 4)
+        if (id == "LIST") walk(q + 12, q + 8 + sz)
+        else if (id == "strf" && sz >= 12)
+          found = Some((u32(q + 12), u32(q + 16)))
+        q += 8 + sz + (sz & 1)
+      }
+    }
+    walk(p, end)
+    found.getOrElse(throw new IllegalArgumentException("no strf header"))
+  }
+
+  /** Per-frame perceptual hashes for an UNCOMPRESSED (`DIB `) AVI: the
+    * same real container walk as [[frameHashes]], each raw frame wrapped
+    * into a valid BMP (14-byte file header + the BITMAPINFOHEADER the
+    * strf declares) and decoded by the REAL ImageIO BMP reader — a fully
+    * lossless pixel path end to end, which is what lets
+    * `k5_video_real_phash` sit under a closed-form DuckDB oracle.
+    */
+  def dibFrameHashes(payload: Array[Byte]): Seq[(Int, Long, Long)] = {
+    val (w, h) = readDims(payload)
+    readFrames(payload).zipWithIndex.map { case (dib, i) =>
+      val bmp = new ByteArrayOutputStream()
+      bmp.write('B'); bmp.write('M')
+      bmp.write(le32(14 + 40 + dib.length))
+      bmp.write(le32(0)); bmp.write(le32(14 + 40))
+      val info = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      info.putInt(40).putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(24.toShort)
+        .putInt(0 /*BI_RGB*/).putInt(dib.length)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bmp.write(info.array()); bmp.write(dib)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bmp.toByteArray))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"frame $i is not a decodable DIB (${dib.length} bytes at ${w}x$h)")
+      val (hi, lo) = PerceptualHash.dHash64(PerceptualHash.grayGrid(img))
+      (i, hi, lo)
+    }
+  }
+
+  /** Closed-form per-frame luma for the synthetic DIB-AVI corpus
+    * (`k5_video_real_phash`), idx = r·9+c.
+    */
+  def videoLumaAt(mediaId: Long, frame: Int, idx: Int): Int =
+    ((mediaId * 7919L + frame * 131071L + idx * 104729L) % 256L).toInt
+
+  /** Deterministic 4-frame 9×8 uncompressed AVI whose frame lumas are
+    * [[videoLumaAt]] — the video analogue of the synthetic PNG/WAV
+    * corpora: DIB is lossless and 9×8 makes the box-average the
+    * identity, so container walk → BMP decode → grid → dHash must
+    * reproduce the formula bit-for-bit.
+    */
+  def syntheticDibAvi(mediaId: Long, nFrames: Int = 4): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      dibFrame(Array.tabulate(72)(idx => videoLumaAt(mediaId, f, idx)), 9, 8)
+    }
+    writeContainerAs(frames, 9, 8, fps = 30, codec = "DIB ")
   }
 
   /** Per-frame perceptual hashes straight off the real pixels: decode

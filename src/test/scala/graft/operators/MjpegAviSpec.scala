@@ -94,6 +94,21 @@ class MjpegAviSpec extends SparkSpec {
     assert(frames.head.toSeq == frame.toSeq)
   }
 
+  test("synthetic DIB AVI round trip is the identity on the luma formula") {
+    // the k5_video_real_phash contract: container walk -> BMP wrap ->
+    // ImageIO decode -> grayGrid -> dHash64 must reproduce videoLumaAt
+    // exactly (lossless DIB, one pixel per dHash cell, bottom-up rows
+    // and BGR order both round-tripping)
+    Seq(2L, 5L, 31415L).foreach { id =>
+      val hashes = MjpegAvi.dibFrameHashes(MjpegAvi.syntheticDibAvi(id))
+      assert(hashes.map(_._1) == Seq(0, 1, 2, 3))
+      hashes.foreach { case (f, hi, lo) =>
+        val grid = Array.tabulate(72)(idx => MjpegAvi.videoLumaAt(id, f, idx))
+        assert((hi, lo) == PerceptualHash.dHash64(grid), s"id=$id frame=$f")
+      }
+    }
+  }
+
   test("corrupt containers and frames fail loudly") {
     intercept[IllegalArgumentException] {
       MjpegAvi.readFrames("not a riff file at all".getBytes)

@@ -180,6 +180,7 @@ object MjpegAvi {
     * `k5_video_real_phash` sit under a closed-form DuckDB oracle.
     */
   def dibFrameHashes(payload: Array[Byte]): Seq[(Int, Long, Long)] = {
+    MultimodalPipeline.imageIoNoDiskCache
     val (w, h) = readDims(payload)
     readFrames(payload).zipWithIndex.map { case (dib, i) =>
       val bmp = new ByteArrayOutputStream()
@@ -225,7 +226,8 @@ object MjpegAvi {
     * each MJPEG frame with ImageIO, box-average to the 9×8 luma grid,
     * dHash. A frame no reader decodes fails loudly.
     */
-  def frameHashes(payload: Array[Byte]): Seq[(Int, Long, Long)] =
+  def frameHashes(payload: Array[Byte]): Seq[(Int, Long, Long)] = {
+    MultimodalPipeline.imageIoNoDiskCache
     readFrames(payload).zipWithIndex.map { case (jpeg, i) =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(jpeg))
@@ -235,4 +237,5 @@ object MjpegAvi {
       val (hi, lo) = PerceptualHash.dHash64(PerceptualHash.grayGrid(img))
       (i, hi, lo)
     }
+  }
 }

@@ -309,6 +309,7 @@ object MultimodalPipeline {
   final class ImageIoRasterCodec extends PixelCodec {
     val modalities: Set[String] = Set("image")
     def decode(r: MediaRecord): PixelFeatures = {
+      imageIoNoDiskCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       if (img == null)
@@ -339,6 +340,16 @@ object MultimodalPipeline {
         .decode(r)
   }
 
+  /** One-time per-JVM: ImageIO's default is a FILE-cache stream — every
+    * read/write round-trips a temp file on local disk, which at
+    * thousands-of-tiny-rasters-per-task rates is pure I/O overhead (and a
+    * tmp-dir dependency executors may not want). Memory-cache streams are
+    * the right call for per-record decode; referenced by every ImageIO
+    * call site so executors flip it before their first decode.
+    */
+  private[graft] lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** The real-raster image registry. Audio/video pixel stages register
     * their own codecs the same way (frame grabs need deployment codecs).
     */
@@ -358,6 +369,7 @@ object MultimodalPipeline {
     ((mediaId * 7919L + idx * 104729L) % 256L).toInt
 
   def syntheticPngBytes(mediaId: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(
       9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var r = 0

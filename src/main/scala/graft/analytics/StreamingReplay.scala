@@ -100,7 +100,7 @@ object StreamingReplay {
     * (4 state stores: 2 sides × key/numValue) the default width pays
     * ~128 store lifecycles per batch for a replay whose state is a few
     * thousand rows. Production sizes this to state volume ÷ target
-    * store size; the replay pins 8. The width is fixed at the stream's
+    * store size; the replay pins 8 (4 for the outer join, whose matched-pair width sweep is in OuterJoinWidthProbe). The width is fixed at the stream's
     * FIRST checkpoint and rides the checkpoint thereafter, so this is a
     * per-query decision, not a session one — the conf is restored after
     * the run.
@@ -386,7 +386,12 @@ object StreamingReplay {
             col("cts") >= col("ts") - expr("INTERVAL 30 minutes") &&
             col("cts") <= col("ts"),
           "left_outer")
-      withShuffleWidth(s, 8) {
+      // width 4, not the family's 8: OuterJoinWidthProbe's matched-pair
+      // sweep (3 rounds, one JVM) read width 4 ~25% under 8 and ~45%
+      // under 16 on THIS shape — the outer join holds 4 state stores per
+      // partition and its state is tens of KB, so store lifecycles
+      // dominate until the batch-side scans serialize (width 2 ~= 4)
+      withShuffleWidth(s, 4) {
         memoryQuery(s, joined, "append", "graft_j11_replay")
       }
         .select(col("buy_id"), col("user_id"),

@@ -87,6 +87,8 @@ object GraphQueries {
       deg.unpersist(blocking = false); e.unpersist(blocking = false)
     }
     adhocCache.clear()
+    triangleBackbone.clear() // localCheckpoint blocks free once refs drop
+    durableInitFor.clear()
   }
 
   /** PageRank over a BUCKETED edge layout — the iteration shape a 100 TB

@@ -114,6 +114,11 @@ object LedgerQueries {
   private val medallionMemo = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
 
+  /** Release c5's memoized medallion inputs (long-lived sessions done with
+    * the ledger queries) — localCheckpoint blocks free once the refs drop.
+    */
+  def releaseMedallionMemo(): Unit = medallionMemo.clear()
+
   /** Same envelope over an arbitrary events-shaped DataFrame (used by
     * ScaleCheck so the scaling evidence measures the identical pipeline).
     */

@@ -214,9 +214,10 @@ object GraphQueries {
     * optimizer time that grows with it) becomes its own bottleneck, and a
     * mid-run executor loss recomputes the whole chain. Here every
     * iteration materializes its ranks back into the bucketed layout
-    * (alternating between two table names, so storage is bounded at two
-    * rank generations) and the next iteration starts from a fresh 4-node
-    * plan. Costs and wins:
+    * (a dedicated init table plus two alternating iterate tables, so
+    * storage is bounded at three rank generations and the pure init
+    * generation is never clobbered) and the next iteration starts from a
+    * fresh 4-node plan. Costs and wins:
     *   - still exactly ONE Exchange per iteration (PlanShapeSpec asserts
     *     it): the scatter join reads ranks and edges join-ready from
     *     buckets, the gather shuffles, the rank update meets the gather's
@@ -239,7 +240,16 @@ object GraphQueries {
     val degB = BucketedTables.readBucketed(s, "graft_pr_deg_b")
     val n = degB.count() // one bounded driver Long (as in g4_pagerank)
     val teleport = (15L * (Total / n)) / 100
-    def gen(i: Int) = if (i % 2 == 0) "graft_pr_ranks_even" else "graft_pr_ranks_odd"
+    // Generation 0 gets a DEDICATED table name that iteration writes can
+    // never clobber: the even/odd pair only alternates for i >= 1. (With
+    // the old `i % 2` mapping, gen(2) === gen(0), so iteration 2 of a
+    // 3-iteration run overwrote the init generation with iteration-2
+    // ranks — and a later reuseInit caller would silently start from
+    // them, diverging from the oracle. GraphQueriesSpec now asserts two
+    // consecutive reuseInit runs are identical.)
+    def gen(i: Int) =
+      if (i == 0) "graft_pr_ranks_init"
+      else if (i % 2 == 0) "graft_pr_ranks_even" else "graft_pr_ranks_odd"
     // `reuseInit`: generation 0 is a PURE function of the bucketed layout
     // (rank0 = Total/n per node) — callers that iterate repeatedly over
     // one layout (the declared query's bench reps; a periodic production

@@ -50,6 +50,22 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.values.sum <= total)
   }
 
+  test("g4_pagerank_durable: consecutive invocations are identical (init reuse)") {
+    // Regression for the generation-clobber bug: the old even/odd mapping
+    // had gen(2) === gen(0), so iteration 2 overwrote the pure init
+    // generation and a second reuseInit invocation started from
+    // iteration-2 ranks instead of rank-0. The init generation now lives
+    // in its own table; two back-to-back declared-query runs (the second
+    // takes the reuseInit path via durableInitFor) must match exactly.
+    def run() = GraphQueries.queries("g4_pagerank_durable")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val first = run()
+    val second = run()
+    assert(second == first,
+      "a reuseInit re-run must reproduce the first run's ranks exactly")
+  }
+
   test("g4_triangles matches driver-side brute force on the co-supply backbone") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey").collect()

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   * Catalyst pushdown (verify with `.explain`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
+
+  /** Session-scoped memo key for the per-JVM layout/cache memos
+    * (GraphQueries' adhoc edges, TextQueries' shingle corpus, K3's trained
+    * codebooks, ...). Keyed by `sessionUUID` — unique per SparkSession for
+    * the JVM's lifetime — NOT `System.identityHashCode`, which the JVM may
+    * reuse after a stopped session is collected: an address collision would
+    * hand a fresh session another session's memoized plans, whose cached/
+    * checkpointed blocks died with their owner.
+    */
+  def memoKey(s: SparkSession, rest: String): String =
+    s"${org.apache.spark.sql.GraftSqlBridge.sessionUUID(s)}|$rest"
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -71,7 +71,7 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
 
   private def adhocEdges(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
-    adhocCache.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    adhocCache.getOrElseUpdate(graft.Tables.memoKey(s, d), {
       val e = edges(s, d).repartition(col("src")).persist()
       val deg = e.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -374,7 +374,7 @@ object GraphQueries {
       // function) is reused across reps via durableInitFor
       val dir = java.nio.file.Files.createTempDirectory("graft-pr-d").toString
       val layoutDir = ensurePagerankLayout(s, d)
-      val memoKey = s"${System.identityHashCode(s)}|$d"
+      val memoKey = graft.Tables.memoKey(s, d)
       val reuse = durableInitFor.get(memoKey).contains(layoutDir)
       val out = pagerankIterateDurable(s, dir, iterations = 3, reuseInit = reuse)
       durableInitFor(memoKey) = layoutDir
@@ -451,7 +451,7 @@ object GraphQueries {
       // The triangle counting itself (the operator under test) runs fresh
       // per invocation.
       val e0 = triangleBackbone.getOrElseUpdate(
-        s"${System.identityHashCode(s)}|$d", {
+        graft.Tables.memoKey(s, d), {
           import org.apache.spark.sql.expressions.Window
           val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
           val support = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("a"))

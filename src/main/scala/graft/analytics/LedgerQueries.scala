@@ -229,7 +229,7 @@ object LedgerQueries {
     // operator) runs fresh per invocation.
     "c5_ledger_fiat_enrich" -> ((s, d) => {
       val (bronzeTs, silver) = medallionMemo.getOrElseUpdate(
-        s"${System.identityHashCode(s)}|$d", {
+        graft.Tables.memoKey(s, d), {
           val bronze = eventsAsBronze(s, d)
           (bronze.select(col("id"), col("timestamp")).localCheckpoint(true),
             SolanaNormalizer.normalize(bronze).localCheckpoint(true))

@@ -31,14 +31,26 @@ object SimilarityQueries {
 
   private def memoCentroids(s: SparkSession, d: String, tag: String)(
       train: => Array[Array[Double]]): Array[Array[Double]] =
-    centroidMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$tag", train)
+    centroidMemo.getOrElseUpdate(graft.Tables.memoKey(s, s"$d|$tag"), train)
 
   private val pqMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
 
   private def pqCodebookMemo(s: SparkSession, d: String, tag: String = "raw")(
       train: => Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
-    pqMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d|$tag", train)
+    pqMemo.getOrElseUpdate(graft.Tables.memoKey(s, s"$d|$tag"), train)
+
+  /** k3_ann_incremental's written-index memo, per (session, scale dir):
+    * the initial build + the one batch append happen ONCE per JVM (the
+    * production contract — an index is built once, appended per ingest
+    * epoch, queried many times); re-appending the same batch per bench rep
+    * would duplicate rows AND bench a strawman. Holds temp-dir paths only.
+    */
+  private val incrIndexMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def releaseIncrIndexMemo(): Unit = incrIndexMemo.clear()
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -242,6 +254,55 @@ object SimilarityQueries {
           exactIds.contains(r.getLong(0)), hits >= 7)
       }.toDF("vec_id", "label", "sim", "in_exact_topk", "recall_ok")
         .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // K3 (EXT): INCREMENTAL index maintenance — the missing `…Against`
+    // member of the ANN family (every dedup/sketch family has one): a
+    // standing IVF-ADC index built over the original corpus, a new ingest
+    // batch appended with the FROZEN quantizers via
+    // [[graft.operators.PqAnn.appendToIndex]] (assign to existing cells +
+    // encode with existing codebooks + parquet append into the standing
+    // `_list=` directories — the FAISS add()-after-train() shape; append
+    // cost ∝ batch, the standing corpus never re-read), then the query
+    // answered over the UNIFIED on-disk index. Quantizers train on the
+    // ORIGINAL 80% only (vec_id % 5 ≠ 1 — training must not see the
+    // "future" batch), both artifacts materialized via OracleAux; the
+    // oracle re-derives cell assignment, probe selection, PQ encoding,
+    // ADC scoring, shortlist, and exact rerank over the FULL union corpus
+    // — which IS the embeddings table, so a correct append is
+    // indistinguishable from a rebuild (SimilaritySpec asserts the
+    // row-identity directly; ScaleCheck measures append ∝ batch).
+    "k3_ann_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val original = emb.filter(col("vec_id") % 5 =!= 1)
+      val batch = emb.filter(col("vec_id") % 5 === 1)
+      val cents = memoCentroids(s, d, "incr")(
+        graft.operators.IvfAnn.trainCentroids(original, "embedding",
+          "vec_id", dim = 64, nLists = 16, iters = 3, trainSampleMod = 4))
+      val cbs = pqCodebookMemo(s, d, "incr")(
+        graft.operators.PqAnn.trainCodebooks(original, "embedding", "vec_id",
+          dim = 64, m = 8, k = 16, iters = 3, trainSampleMod = 4))
+      import s.implicits._
+      graft.tools.OracleAux.write(
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid"), "k3_incr_centroids", d)
+      graft.tools.OracleAux.write(
+        cbs.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
+        }.toSeq.toDF("sub", "cell", "centroid"), "k3_incr_codebooks", d)
+      val idxDir = incrIndexMemo.getOrElseUpdate(graft.Tables.memoKey(s, d), {
+        val p = java.nio.file.Files.createTempDirectory("graft-ivfadc-incr").toString
+        graft.operators.PqAnn.writeIvfAdcIndex(original, "embedding", cents, cbs, p)
+        graft.operators.PqAnn.appendToIndex(batch, "embedding", cents, cbs, p)
+        p
+      })
+      val coded = graft.operators.PqAnn.readIvfAdcIndex(s, idxDir, m = 8)
+      // query vector 0 (0 % 5 = 0 → lives in the original corpus); one
+      // bounded one-row collect, the family's broadcast-query pattern
+      val q = coded.filter(col("vec_id") === 0)
+        .select(col("_v")).head().getSeq[Double](0).toArray
+      graft.operators.PqAnn.adcProbeTopK(coded, "vec_id", q, cents, cbs,
+        k = 10, nProbe = 4, shortlist = 50, carryCols = Seq("label"))
     }),
 
     // K3 batch retrieval: many query vectors answered in ONE bucket
@@ -755,6 +816,69 @@ object SimilarityQueries {
         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivfpq_centroids.parquet/*.parquet')),
         |cb AS (SELECT sub, cell, centroid
         |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_ivfpq_codebooks.parquet/*.parquet')),
+        |e AS (SELECT vec_id, label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings WHERE len(embedding) = 64),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cscored AS (
+        |  SELECT e.vec_id, cc.cell,
+        |    list_sum(list_transform(range(1, 65), i -> v[i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM e, cc),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+        |    FROM cscored) WHERE rn = 1),
+        |probes AS (SELECT cell FROM (
+        |    SELECT cc.cell,
+        |      list_sum(list_transform(cc.centroid, x -> x * x)) / 2.0
+        |      - list_sum(list_transform(range(1, 65), i -> q.qv[i] * cc.centroid[i]))
+        |      AS cost
+        |    FROM cc, q)
+        |  ORDER BY cost ASC, cell ASC LIMIT 4),
+        |cand AS (
+        |  SELECT e.vec_id, e.label, e.v
+        |  FROM e JOIN asg USING (vec_id) JOIN probes USING (cell)),
+        |scored AS (
+        |  SELECT cand.vec_id, cb.sub, cb.cell,
+        |    list_sum(list_transform(range(1, 9), i -> v[cb.sub * 8 + i] * centroid[i]))
+        |    - list_sum(list_transform(centroid, x -> x * x)) / 2.0 AS s
+        |  FROM cand, cb),
+        |codes AS (SELECT vec_id, sub, cell FROM (
+        |    SELECT vec_id, sub, cell,
+        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY s DESC, cell DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |vals AS (
+        |  SELECT codes.vec_id, codes.sub,
+        |    list_sum(list_transform(range(1, 9), i -> q.qv[codes.sub * 8 + i] * cb.centroid[i])) AS t
+        |  FROM codes JOIN cb ON cb.sub = codes.sub AND cb.cell = codes.cell, q),
+        |adc AS (
+        |  SELECT vec_id,
+        |    MAX(CASE WHEN sub = 0 THEN t END) + MAX(CASE WHEN sub = 1 THEN t END)
+        |    + MAX(CASE WHEN sub = 2 THEN t END) + MAX(CASE WHEN sub = 3 THEN t END)
+        |    + MAX(CASE WHEN sub = 4 THEN t END) + MAX(CASE WHEN sub = 5 THEN t END)
+        |    + MAX(CASE WHEN sub = 6 THEN t END) + MAX(CASE WHEN sub = 7 THEN t END) AS score
+        |  FROM vals GROUP BY vec_id),
+        |short AS (SELECT vec_id FROM adc ORDER BY score DESC, vec_id ASC LIMIT 50),
+        |sims AS (
+        |  SELECT e.vec_id, e.label,
+        |    ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * q.qv[i]))
+        |    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+        |  FROM e JOIN short USING (vec_id), q)
+        |SELECT vec_id, label, sim FROM sims
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Incremental IVF-ADC: the oracle re-derives the k3_ann_ivf_pq
+    // pipeline over the FULL corpus (original ∪ appended batch ≡ the
+    // embeddings table) from the incrementally-built index's own frozen
+    // quantizer artifacts — a hash match therefore proves the appended
+    // on-disk index answers exactly like a from-scratch build.
+    "k3_ann_incremental" ->
+      """WITH cc AS (SELECT cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_incr_centroids.parquet/*.parquet')),
+        |cb AS (SELECT sub, cell, centroid
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_incr_codebooks.parquet/*.parquet')),
         |e AS (SELECT vec_id, label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |      FROM embeddings WHERE len(embedding) = 64),

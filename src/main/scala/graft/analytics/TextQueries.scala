@@ -62,7 +62,7 @@ object TextQueries {
 
   private def shingledCorpus(s: SparkSession,
       d: String): (DataFrame, DataFrame) =
-    shingleMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    shingleMemo.getOrElseUpdate(graft.Tables.memoKey(s, d), {
       val sh = Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), shingles(split(col("text"), " "), 3).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -77,7 +77,7 @@ object TextQueries {
 
   private def cmCorpusStats(s: SparkSession,
       d: String): (DataFrame, Long, Array[org.apache.spark.sql.Row], Array[Long]) =
-    cmStatsMemo.getOrElseUpdate(s"${System.identityHashCode(s)}|$d", {
+    cmStatsMemo.getOrElseUpdate(graft.Tables.memoKey(s, d), {
       import s.implicits._
       val toks = Tables.fanOut(Tables.documents(s, d))
         .select(explode(tokens(col("text"))).as("tok"))
@@ -290,7 +290,7 @@ object TextQueries {
       // tokenizes many, and the OracleAux artifact still writes per
       // invocation so the oracle always audits the merges actually used
       val merges = bpeMemo.getOrElseUpdate(
-        s"${System.identityHashCode(s)}|$d", {
+        graft.Tables.memoKey(s, d), {
           val words = Tables.documents(s, d)
             .select(explode(tokens(col("text"))).as("word"))
             .where(length(col("word")) > 0)
@@ -322,7 +322,7 @@ object TextQueries {
       import s.implicits._
       import graft.operators.BpeTrain
       val merges = bpeMemo.getOrElseUpdate(
-        s"${System.identityHashCode(s)}|$d", {
+        graft.Tables.memoKey(s, d), {
           val words = Tables.documents(s, d)
             .select(explode(tokens(col("text"))).as("word"))
             .where(length(col("word")) > 0)

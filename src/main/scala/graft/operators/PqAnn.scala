@@ -309,7 +309,42 @@ object PqAnn {
     */
   def writeIvfAdcIndex(emb: DataFrame, vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    writePacked(emb, vecCol, centroids, codebooks, path, "overwrite")
+
+  /** INCREMENTAL index maintenance — the `add()`-after-`train()` shape a
+    * standing 100 TB embedding store actually runs (nobody retrains IVF
+    * per ingest batch): assign each new vector to its coarse cell with the
+    * EXISTING centroids, encode it with the EXISTING codebooks, and APPEND
+    * the packed rows into the same partitioned layout (new parquet files
+    * inside the standing `_list=` directories; readers see one unified
+    * index). Because cell assignment and code assignment are pure
+    * functions of the frozen quantizers, the appended index is
+    * ROW-IDENTICAL to a full rebuild over original ∪ batch with the same
+    * quantizers (SimilaritySpec asserts it; the k3_ann_incremental oracle
+    * re-derives the whole pipeline over the union corpus).
+    *
+    * Cost ∝ BATCH: one scan of the batch (encode + cell tag, zero
+    * shuffle — the repartition is the batch only) + one partitioned
+    * append. The standing corpus is never read, decoded, or rewritten —
+    * the property that makes per-ingest-epoch maintenance viable at
+    * 100 TB (ScaleCheck measures append cost flat in corpus size).
+    * Quantizer drift under distribution shift is a retrain-policy concern
+    * (periodic full rebuild), deliberately out of this operator's scope.
+    */
+  def appendToIndex(batch: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    writePacked(batch, vecCol, centroids, codebooks, path, "append")
+
+  /** Shared encode → cell-tag → byte-pack → partitioned-write pipeline
+    * behind [[writeIvfAdcIndex]] (mode=overwrite) and [[appendToIndex]]
+    * (mode=append).
+    */
+  private def writePacked(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String,
+      mode: String): Unit = {
     val m = codebooks.length
     require(codebooks.forall(_.length <= 256),
       "packed layout stores one byte per code: train with k <= 256")
@@ -324,7 +359,7 @@ object PqAnn {
       .select(col("*") +: words: _*)
       .drop(vecCol +: (0 until m).map(j => s"_c$j"): _*)
       .repartition(col("_list"))
-      .write.partitionBy("_list").mode("overwrite").parquet(path)
+      .write.partitionBy("_list").mode(mode).parquet(path)
   }
 
   /** Read a [[writeIvfAdcIndex]] layout, restoring the `_c*` code-column

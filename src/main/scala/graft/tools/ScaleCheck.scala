@@ -518,6 +518,41 @@ object ScaleCheck {
         "matrix is codegen literals, no join/state)")
     }
 
+    // Incremental ANN index append (k3_ann_incremental's maintenance op):
+    // appending a FIXED batch must cost the same whether the standing
+    // index holds 1x or 10x the corpus — the append encodes and writes
+    // only the batch; the standing parquet is never read. Flat = 1.
+    {
+      import graft.operators.{IvfAnn, PqAnn}
+      def replicateEmb(df: DataFrame, times: Int): DataFrame =
+        (0 until times).map(i =>
+          df.withColumn("vec_id", col("vec_id") * times + i))
+          .reduce(_ unionAll _)
+      val emb1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+      val emb10 = replicateEmb(emb1, 10).localCheckpoint(true)
+      val cents = IvfAnn.trainCentroids(emb1, "embedding", "vec_id",
+        dim = 64, nLists = 16, iters = 3, trainSampleMod = 4)
+      val cbs = PqAnn.trainCodebooks(emb1, "embedding", "vec_id",
+        dim = 64, m = 8, k = 16, iters = 3, trainSampleMod = 4)
+      val batch = emb1.filter(col("vec_id") % 5 === 1).localCheckpoint(true)
+      println(s"append batch rows=${batch.count()}")
+      def appendCost(corpus: DataFrame, what: String): Double = {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-sc-incr").toString
+        PqAnn.writeIvfAdcIndex(corpus, "embedding", cents, cbs, p)
+        val t0 = System.nanoTime()
+        PqAnn.appendToIndex(batch, "embedding", cents, cbs, p)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$what%-20s $s%7.2f s")
+        s
+      }
+      appendCost(emb1, "ann append warmup")
+      val ap1 = appendCost(emb1, "ann append @1x idx")
+      val ap10 = appendCost(emb10, "ann append @10x idx")
+      println(f"ann append ratio: ${ap10 / ap1}%.1f (flat = 1: same batch, " +
+        "10x standing corpus — append never reads the standing index)")
+    }
+
     // DSIR importance sampling + cross perplexity: vocab-bounded LM
     // aggregates + token equi-join — replicas reuse the same vocabulary
     // (plus one replica token each), so the LM side stays ~constant and

@@ -11,6 +11,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The session's `private[sql]` UUID — unique per SparkSession instance
+    * for the JVM's lifetime; graft.Tables.memoKey uses it as the
+    * session-scoped memo key (identityHashCode could be reused after GC).
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Register a temp SQL function in an already-running session (the
     * extensions path only applies at session construction).
     */

@@ -23,6 +23,21 @@ class QueriesSpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracle without query: $unknown")
   }
 
+  test("memoKey is sessionUUID-scoped: a fresh session never aliases a memo entry") {
+    // identityHashCode keys could COLLIDE after a stopped session is
+    // garbage-collected (address reuse), handing a new session another
+    // session's memoized plans with dead cached blocks. sessionUUID is
+    // unique per session instance for the JVM's lifetime.
+    val s2 = spark.newSession()
+    assert(Tables.memoKey(spark, sfDir) != Tables.memoKey(s2, sfDir),
+      "distinct sessions must produce distinct memo keys")
+    assert(Tables.memoKey(spark, sfDir) == Tables.memoKey(spark, sfDir),
+      "the key must be stable for one session")
+    assert(!Tables.memoKey(spark, sfDir).contains(
+        System.identityHashCode(spark).toString + "|"),
+      "keys must not be identity-hash derived")
+  }
+
   test("every declared output schema is scalar-only (driver-comparable)") {
     // The driver's comparator sorts a pandas frame on every column; a
     // top-level ARRAY/MAP/STRUCT column crashes that sort (it took

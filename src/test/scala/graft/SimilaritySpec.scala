@@ -193,6 +193,44 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("incremental append to the IVF-ADC index is row-identical to a full rebuild") {
+    import graft.operators.{IvfAnn, PqAnn}
+    val emb = Tables.embeddings(spark, sfDir)
+    val original = emb.filter($"vec_id" % 5 =!= 1)
+    val batch = emb.filter($"vec_id" % 5 === 1)
+    // quantizers train on the ORIGINAL corpus only and freeze
+    val cents = IvfAnn.trainCentroids(original, "embedding", "vec_id", 64, nLists = 8)
+    val cbs = PqAnn.trainCodebooks(original, "embedding", "vec_id", 64, m = 8, k = 16)
+
+    val base = java.nio.file.Files.createTempDirectory("ivfadc-incr").toString
+    PqAnn.writeIvfAdcIndex(original, "embedding", cents, cbs, s"$base/incr")
+    PqAnn.appendToIndex(batch, "embedding", cents, cbs, s"$base/incr")
+    PqAnn.writeIvfAdcIndex(emb, "embedding", cents, cbs, s"$base/rebuild")
+
+    def rows(path: String) =
+      PqAnn.readIvfAdcIndex(spark, path, m = 8)
+        .select($"vec_id", $"_list", $"_codes0")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val incr = rows(s"$base/incr")
+    val rebuild = rows(s"$base/rebuild")
+    assert(incr == rebuild,
+      "appended index must hold exactly a rebuild's rows (cells + codes)")
+    // and the batch actually landed: every batch id is present
+    val ids = incr.map(_._1)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0))
+    assert(batchIds.forall(ids.contains), "append lost batch vectors")
+
+    // query over the appended index ≡ query over the rebuilt index
+    val q = PqAnn.readIvfAdcIndex(spark, s"$base/incr", m = 8)
+      .filter($"vec_id" === 0L).select("_v").head().getSeq[Double](0).toArray
+    def topk(path: String) =
+      PqAnn.adcProbeTopK(PqAnn.readIvfAdcIndex(spark, path, m = 8),
+          "vec_id", q, cents, cbs, k = 10, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(topk(s"$base/incr") == topk(s"$base/rebuild"),
+      "incremental index answered differently from the rebuild")
+  }
+
   test("IVF-ADC layout stores codes packed: smaller than INT columns, hard <= m bytes/row") {
     import graft.operators.{IvfAnn, PqAnn}
     val emb = Tables.embeddings(spark, sfDir)

@@ -16,11 +16,12 @@ import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
   * is constructible and parseable offline, golden-tested against the
   * RFC 7541 Appendix C vectors (the same ProtoWireSpec methodology).
   *
-  * What remains deployment wiring, deliberately: the TCP/TLS socket and
-  * flow-control bookkeeping (WINDOW_UPDATE accounting, SETTINGS
-  * negotiation round-trips). Those are connection-management, not
-  * format; the format layers are the part a from-scratch engine must
-  * get byte-exact, and the part that is offline-testable.
+  * The connection-management half — the TCP socket, SETTINGS
+  * negotiation, and WINDOW_UPDATE flow-control accounting — lives in
+  * [[Http2GrpcClient]], which drives these codecs over a real
+  * `java.net.Socket` (loopback-tested end-to-end incl. a mid-stream
+  * flow-control stall in Http2LoopbackSpec). TLS remains deployment
+  * wiring.
   *
   * Everything here is from the public RFCs: frame layout §4.1,
   * preface §3.5, HEADERS/DATA/SETTINGS §6, HPACK primitive integer
@@ -49,6 +50,21 @@ object Http2Framing {
   val FAck = 0x1
   val FEndHeaders = 0x4
   val FPadded = 0x8
+
+  // settings identifiers (RFC 7540 §6.5.2)
+  val SettingsHeaderTableSize = 0x1
+  val SettingsEnablePush = 0x2
+  val SettingsMaxConcurrentStreams = 0x3
+  val SettingsInitialWindowSize = 0x4
+  val SettingsMaxFrameSize = 0x5
+  val SettingsMaxHeaderListSize = 0x6
+
+  /** The default flow-control window (§6.9.2): both the connection window
+    * and every stream window start here until SETTINGS changes the
+    * stream initial (the CONNECTION window is only ever grown by
+    * WINDOW_UPDATE — INITIAL_WINDOW_SIZE does not apply to it).
+    */
+  val DefaultWindowSize = 65535
 
   /** One HTTP/2 frame: 9-byte header (24-bit length, type, flags,
     * 31-bit stream id) + payload (RFC 7540 §4.1).
@@ -105,6 +121,61 @@ object Http2Framing {
           java.util.Arrays.copyOfRange(bytes, 0, Preface.length), Preface))
       decodeFrames(bytes, Preface.length)
     else decodeFrames(bytes)
+
+  /** Read exactly ONE frame from a blocking stream — the socket-side twin
+    * of [[decodeFrames]] (which needs the whole byte array up front).
+    * Returns None on clean EOF at a frame boundary; loud on a torn
+    * header or payload (EOF mid-frame), the same torn-record rule.
+    */
+  def readFrame(in: java.io.InputStream): Option[Frame] = {
+    val first = in.read()
+    if (first < 0) return None
+    val hdr = new Array[Byte](9)
+    hdr(0) = first.toByte
+    var got = 1
+    while (got < 9) {
+      val n = in.read(hdr, got, 9 - got)
+      require(n > 0, s"torn frame header (EOF after $got of 9 bytes)")
+      got += n
+    }
+    val len = ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) | (hdr(2) & 0xff)
+    val payload = new Array[Byte](len)
+    var p = 0
+    while (p < len) {
+      val n = in.read(payload, p, len - p)
+      require(n > 0, s"torn frame payload (EOF after $p of $len bytes)")
+      p += n
+    }
+    Some(Frame(hdr(3) & 0xff, hdr(4) & 0xff,
+      ((hdr(5) & 0x7f) << 24) | ((hdr(6) & 0xff) << 16) |
+        ((hdr(7) & 0xff) << 8) | (hdr(8) & 0xff), payload))
+  }
+
+  /** Parse a SETTINGS payload back into (identifier, value) pairs. */
+  def parseSettings(payload: Array[Byte]): Seq[(Int, Long)] = {
+    require(payload.length % 6 == 0, s"bad SETTINGS length ${payload.length}")
+    (0 until payload.length by 6).map { p =>
+      val id = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
+      val v = ((payload(p + 2) & 0xffL) << 24) | ((payload(p + 3) & 0xffL) << 16) |
+        ((payload(p + 4) & 0xffL) << 8) | (payload(p + 5) & 0xffL)
+      id -> v
+    }
+  }
+
+  /** A WINDOW_UPDATE payload: one u31 increment (§6.9). */
+  def windowUpdatePayload(increment: Int): Array[Byte] = {
+    require(increment > 0 && increment <= 0x7fffffff,
+      s"window increment out of range: $increment")
+    Array(((increment >>> 24) & 0x7f).toByte, (increment >>> 16).toByte,
+      (increment >>> 8).toByte, increment.toByte)
+  }
+
+  /** Parse a WINDOW_UPDATE payload's u31 increment. */
+  def parseWindowUpdate(payload: Array[Byte]): Int = {
+    require(payload.length == 4, s"bad WINDOW_UPDATE length ${payload.length}")
+    ((payload(0) & 0x7f) << 24) | ((payload(1) & 0xff) << 16) |
+      ((payload(2) & 0xff) << 8) | (payload(3) & 0xff)
+  }
 
   /** A SETTINGS payload: (identifier u16, value u32) pairs (§6.5.1). */
   def settingsPayload(settings: Seq[(Int, Long)]): Array[Byte] = {

@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream}
+import java.net.{InetAddress, ServerSocket}
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import Http2Framing._
+
+/** In-process HTTP/2 cleartext gRPC SERVER for the loopback round-trip:
+  * one connection, one stream, real RFC 7540 §6.9 flow-control
+  * bookkeeping on the send side — it tracks the stream window the
+  * client's SETTINGS advertised plus the connection window, chunks its
+  * DATA under both, and when the combined budget hits zero it STALLS
+  * (recorded in [[stalls]]) until the client's WINDOW_UPDATE arrives.
+  * Deliberately single-threaded blocking I/O: frames on one connection
+  * are strictly ordered, and the stall is deterministic because the
+  * server never reads between DATA writes — it drains WINDOW_UPDATEs
+  * only once its window is exhausted.
+  */
+final class Http2StubServer(messages: Seq[Array[Byte]], grpcStatus: Int = 0,
+    maxChunk: Int = 128) {
+  private val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  @volatile var stalls: Int = 0
+  @volatile var requestHeaders: Seq[(String, String)] = Nil
+  @volatile var requestMessages: Seq[Array[Byte]] = Nil
+  @volatile var failure: Throwable = null
+
+  private val thread = new Thread(() => {
+    try serve()
+    catch { case t: Throwable => failure = t }
+  }, "h2-stub-server")
+
+  def start(): Unit = thread.start()
+  def awaitDone(): Unit = {
+    thread.join(30000)
+    server.close()
+    if (failure != null) throw failure
+  }
+
+  private def serve(): Unit = {
+    val sock = server.accept()
+    try {
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+
+      // ---- client preface (§3.5)
+      val pre = new Array[Byte](Preface.length)
+      var got = 0
+      while (got < pre.length) {
+        val n = in.read(pre, got, pre.length - got)
+        require(n > 0, "EOF inside preface"); got += n
+      }
+      require(java.util.Arrays.equals(pre, Preface), "bad connection preface")
+
+      // ---- our SEND windows: stream initial comes from the client's
+      // SETTINGS; the connection window always starts at the default
+      var streamWindow = DefaultWindowSize
+      var connWindow = DefaultWindowSize
+      val dec = new Hpack.Decoder()
+      val reqData = new ByteArrayOutputStream()
+      var halfClosed = false
+      while (!halfClosed) {
+        val f = readFrame(in).getOrElse(
+          throw new java.io.EOFException("client closed before half-close"))
+        f.tpe match {
+          case TSettings if !f.has(FAck) =>
+            parseSettings(f.payload).foreach { case (id, v) =>
+              if (id == SettingsInitialWindowSize) streamWindow = v.toInt
+            }
+            out.write(encodeFrame(Frame(TSettings, 0, 0, Array.empty)))
+            out.write(encodeFrame(Frame(TSettings, FAck, 0, Array.empty)))
+            out.flush()
+          case TWindowUpdate =>
+            val inc = parseWindowUpdate(f.payload)
+            if (f.streamId == 0) connWindow += inc else streamWindow += inc
+          case THeaders =>
+            require(f.has(FEndHeaders), "fragmented request header block")
+            requestHeaders = dec.decode(f.payload)
+            if (f.has(FEndStream)) halfClosed = true
+          case TData =>
+            reqData.write(f.payload, 0, f.payload.length)
+            if (f.has(FEndStream)) halfClosed = true
+          case _ => // PING/PRIORITY/SETTINGS ack
+        }
+      }
+      requestMessages = ProtoWire.frames(
+        new java.io.ByteArrayInputStream(reqData.toByteArray)).toSeq
+
+      // ---- response: HEADERS, flow-controlled DATA, grpc-status trailers
+      val enc = new Hpack.Encoder()
+      out.write(encodeFrame(Frame(THeaders, FEndHeaders, 1, enc.encode(Seq(
+        ":status" -> "200", "content-type" -> "application/grpc")))))
+      out.flush()
+      val body = {
+        val b = new ByteArrayOutputStream()
+        messages.foreach(m => ProtoWire.writeFrame(b, m))
+        b.toByteArray
+      }
+      var p = 0
+      while (p < body.length) {
+        if (math.min(streamWindow, connWindow) <= 0) {
+          stalls += 1
+          // blocked mid-stream: drain client frames until the window opens
+          while (math.min(streamWindow, connWindow) <= 0) {
+            val f = readFrame(in).getOrElse(
+              throw new java.io.EOFException("client closed during stall"))
+            f.tpe match {
+              case TWindowUpdate =>
+                val inc = parseWindowUpdate(f.payload)
+                if (f.streamId == 0) connWindow += inc else streamWindow += inc
+              case _ => // acks etc.
+            }
+          }
+        }
+        val n = math.min(math.min(streamWindow, connWindow),
+          math.min(maxChunk, body.length - p))
+        out.write(encodeFrame(Frame(TData, 0, 1,
+          java.util.Arrays.copyOfRange(body, p, p + n))))
+        out.flush()
+        streamWindow -= n; connWindow -= n; p += n
+      }
+      out.write(encodeFrame(Frame(THeaders, FEndHeaders | FEndStream, 1,
+        enc.encode(Seq("grpc-status" -> grpcStatus.toString)))))
+      out.flush()
+    } finally sock.close()
+  }
+}
+
+/** The last network gap closed end-to-end: the golden-tested
+  * Http2Framing/HPACK/ProtoWire codecs composed over a REAL socket pair —
+  * client [[Http2GrpcClient]] vs the stub server above — performing the
+  * complete `application/grpc` exchange (preface, SETTINGS negotiation,
+  * HPACK-compressed HEADERS both ways, chunked DATA under §6.9 flow
+  * control including a mid-stream stall, trailers with `grpc-status`),
+  * then landing the decoded slot updates in the engine's events table
+  * through the same `subscribeSlotLog` ingestion the file replay uses
+  * (parity target `/root/reference/adapters/src/solana_grpc.rs:17-24`).
+  */
+class Http2LoopbackSpec extends graft.SparkSpec {
+
+  private def eventJson(i: Int): String =
+    s"""{"event_id": $i, "ts": ${1704067200000000L + i * 1000000L}, """ +
+      s""""user_id": ${i % 5}, "event_type": "click", "value": 1.0, "props": "{}"}"""
+
+  test("loopback gRPC exchange: flow-control stall + trailers + slot updates into the events table") {
+    // 40 slot updates ≈ 6 KB of framed body — far above the client's
+    // 256-byte stream window, so the server MUST stall at least once
+    val msgs = (1 to 40).map { i =>
+      val m = new ByteArrayOutputStream()
+      ProtoWire.writeVarintField(m, 1, 5000L + i)
+      ProtoWire.writeStringField(m, 2, eventJson(i))
+      m.toByteArray
+    }
+    val srv = new Http2StubServer(msgs)
+    srv.start()
+    val client = new Http2GrpcClient("127.0.0.1", srv.port,
+      initialWindowSize = 256)
+
+    val tmp = java.nio.file.Files.createTempDirectory("h2-loopback")
+    val log = tmp.resolve("feed.jsonl")
+    val subReq = { // subscription request body: a (from_slot @1) message
+      val m = new ByteArrayOutputStream()
+      ProtoWire.writeVarintField(m, 1, 5000L)
+      m.toByteArray
+    }
+    val updates = client.subscribeToSlotLog(
+      "/geyser.Geyser/Subscribe", "localhost", subReq, log)
+    srv.awaitDone()
+
+    // the wire exchange really happened, under real flow control
+    assert(srv.stalls >= 1,
+      s"server never hit a flow-control stall (stalls=${srv.stalls})")
+    assert(client.windowUpdatesSent >= 1, "client never replenished the window")
+    assert(srv.requestHeaders.contains(":path" -> "/geyser.Geyser/Subscribe"))
+    assert(srv.requestHeaders.contains("content-type" -> "application/grpc"))
+    assert(srv.requestMessages.length == 1 &&
+      ProtoWire.decode(srv.requestMessages.head).varint(1).contains(5000L),
+      "server must see the decoded subscription request")
+    assert(updates.map(_._1) == (1 to 40).map(5000L + _),
+      "slot cursors must arrive in order and complete")
+
+    // ...and the payloads land in the events table through the SAME
+    // resumable ingestion path the file replay uses
+    val q = graft.streaming.EventStreams.subscribeSlotLog(spark, log.toString)
+      .writeStream.format("memory").queryName("h2_loopback")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      val rows = spark.table("h2_loopback")
+        .select("event_id", "user_id", "event_type")
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      assert(rows.length == 40, s"expected 40 events, got ${rows.length}")
+      assert(rows.map(_._1).toSeq == (1L to 40L),
+        "every slot update's event must land exactly once")
+      assert(rows.forall(_._3 == "click"))
+    } finally q.stop()
+  }
+
+  test("loopback gRPC exchange: non-zero grpc-status surfaces loudly") {
+    val srv = new Http2StubServer(Seq.empty, grpcStatus = 13)
+    srv.start()
+    val client = new Http2GrpcClient("127.0.0.1", srv.port)
+    val rpc = client.call("/geyser.Geyser/Subscribe", "localhost", Seq.empty)
+    srv.awaitDone()
+    assert(rpc.grpcStatus.contains(13), s"trailers lost: ${rpc.trailers}")
+    val tmp = java.nio.file.Files.createTempDirectory("h2-status")
+    val e = intercept[IllegalArgumentException] {
+      val srv2 = new Http2StubServer(Seq.empty, grpcStatus = 13)
+      srv2.start()
+      val c2 = new Http2GrpcClient("127.0.0.1", srv2.port)
+      try c2.subscribeToSlotLog("/geyser.Geyser/Subscribe", "localhost",
+        Array.emptyByteArray, tmp.resolve("feed.jsonl"))
+      finally srv2.awaitDone()
+    }
+    assert(e.getMessage.contains("grpc-status"))
+  }
+}

@@ -578,10 +578,18 @@ object GraphQueries {
       // Same top-8 backbone + (deg, id)-oriented wedge-close in SQL;
       // `/` on BIGINTs is double division in DuckDB, matching Spark's
       // long/long.
+      // The pair derivation dedupes (order, supplier) BEFORE the
+      // self-join: the join inputs shrink to one row per distinct
+      // participation and the shared-order support becomes a plain
+      // COUNT(*) — no distinct-set state per pair group. This is what
+      // lets DuckDB survive the sf1 blow-up (the raw-lineitem self-join
+      // + COUNT(DISTINCT) form exhausted its temp disk there); the
+      // triangle phase below was already the engine's own
+      // (deg,id)-oriented wedge form, O(m^1.5).
       "g4_triangles" ->
-        """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
           |s0 AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b,
-          |         COUNT(DISTINCT x.l_orderkey) AS sup
+          |         COUNT(*) AS sup
           |       FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
           |        AND x.l_suppkey < y.l_suppkey
           |       GROUP BY 1, 2),

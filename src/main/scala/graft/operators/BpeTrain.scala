@@ -99,9 +99,22 @@ object BpeTrain {
     * exceed driver memory.
     */
   def train(wordFreqs: DataFrame, rounds: Int,
-      maxLocalWords: Long = 2000000L): Seq[Merge] = {
+      maxLocalWords: Long = -1L): Seq[Merge] = {
+    // The local-trainer cap is CONSERVATIVE relative to driver heap, not
+    // a flat constant: a collected (word, freq) tuple costs ~200 bytes
+    // with object headers and boxing, and the collect must never be the
+    // thing that OOMs a small driver. Budget 10% of max heap, hard-capped
+    // at 2M words (where trainLocal's own structures stay comfortable);
+    // `spark.graft.bpe.maxLocalWords` overrides, and a caller that wants
+    // the purely-distributed path unconditionally calls
+    // [[trainDistributed]] directly — no count() is paid there.
+    val cap =
+      if (maxLocalWords >= 0) maxLocalWords
+      else wordFreqs.sparkSession.conf
+        .getOption("spark.graft.bpe.maxLocalWords").map(_.toLong)
+        .getOrElse(math.min(2000000L, Runtime.getRuntime.maxMemory() / 10 / 200))
     val n = wordFreqs.count()
-    if (n <= maxLocalWords) {
+    if (n <= cap) {
       import org.apache.spark.sql.Row
       val rows = wordFreqs.select(col("word"), col("freq").cast("long"))
         .collect().map { case Row(w: String, f: Long) => (w, f) }
@@ -111,9 +124,11 @@ object BpeTrain {
 
   /** The per-round Spark-job loop — vocab-sized pair count + argmax +
     * per-row rewrite per round, `localCheckpoint` truncating lineage.
-    * One (pair, count) row of driver traffic per round.
+    * One (pair, count) row of driver traffic per round. Public: callers
+    * that KNOW they want the distributed path (huge vocabularies, small
+    * drivers) dispatch here directly and skip [[train]]'s sizing count().
     */
-  private[graft] def trainDistributed(wordFreqs: DataFrame, rounds: Int): Seq[Merge] = {
+  def trainDistributed(wordFreqs: DataFrame, rounds: Int): Seq[Merge] = {
     var cur = wordFreqs
       .select(col("freq"), charSyms(col("word")).as("syms"))
       .localCheckpoint(true)

@@ -95,7 +95,12 @@ object MjpegAvi {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(usPerFrame).putInt(0).putInt(0)
         .putInt(0 /*flags: no idx1 chunk is written, so HASINDEX stays off*/)
-      b.putInt(frames.length).putInt(0).putInt(1 /*streams*/).putInt(0)
+      b.putInt(frames.length).putInt(0).putInt(1 /*streams*/)
+      // dwSuggestedBufferSize: the largest chunk a reader must buffer —
+      // chunk header + the stride-aware frame size for DIB; MJPG frame
+      // sizes vary, so advertise the largest actual frame
+      b.putInt(8 + (if (codec == "MJPG") frames.map(_.length).maxOption.getOrElse(0)
+                    else ((width * 3 + 3) & ~3) * height))
       b.putInt(width).putInt(height)
       b.array()
     }
@@ -115,7 +120,14 @@ object MjpegAvi {
       b.putShort(1.toShort).putShort(24.toShort)
       // biCompression: the codec fourcc for MJPG, BI_RGB (0) for DIB
       if (codec == "MJPG") b.put(fourcc("MJPG")) else b.putInt(0)
-      b.putInt(width * height * 3)
+      // biSizeImage: BI_RGB frames carry 4-byte-aligned row strides
+      // (dibFrame emits them), so the declared size must include the
+      // padding — a strict external BMP/AVI parser rejects a header
+      // whose size disagrees with the actual 00db chunk length. MJPG
+      // sizes vary per frame; its conventional value here is the
+      // unpadded estimate (decoders must use the chunk length anyway).
+      if (codec == "MJPG") b.putInt(width * height * 3)
+      else b.putInt(((width * 3 + 3) & ~3) * height)
       b.putInt(0).putInt(0).putInt(0).putInt(0)
       b.array()
     }

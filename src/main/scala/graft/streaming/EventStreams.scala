@@ -254,6 +254,47 @@ object EventStreams {
       .drop(s"r_$keyCol")
   }
 
+  /** Skew-mitigated [[intervalJoin]]: a HOT key at production rates
+    * concentrates all of its join state and pair work in the one
+    * partition that owns hash(key) — the streaming twin of the batch
+    * skew `c6_join_salted` handles. Mitigation (same shape as batch
+    * salting, adapted to bounded streaming state): the LEFT stream's
+    * hot-key rows get a deterministic salt in [0, salts) hashed from the
+    * row itself; the RIGHT stream REPLICATES its hot-key rows across all
+    * salts (bounded: the watermark already bounds right-side state, so
+    * replication multiplies a bounded window, never the stream); the
+    * join key widens to (key, salt). Every original pair still meets on
+    * exactly one salt, so the result is ROW-IDENTICAL to
+    * [[intervalJoin]] (StreamSkewProbe asserts it) — only the state
+    * placement changes, from one partition to `salts` partitions.
+    * Non-hot keys keep salt 0: no replication, no extra state.
+    */
+  def intervalJoinSalted(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      lookback: String, watermark: String,
+      hotKeys: Seq[Long], salts: Int): DataFrame = {
+    require(salts >= 2, "salting below 2 is the plain join")
+    val hot = hotKeys.map(lit(_))
+    val l = left.withColumn("_salt",
+      when(col(keyCol).isin(hot: _*),
+        pmod(hash(col("*")), lit(salts))).otherwise(lit(0)))
+    val rRep = right.withColumn("_r_salt",
+        explode(when(col(keyCol).isin(hot: _*),
+          sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+    val r = rRep.select(
+      (Seq(col(keyCol).as(s"r_$keyCol"), col(rightTs).as(s"r_$rightTs"),
+        col("_r_salt")) ++
+        valueCols.map(c => col(c).as(s"r_$c"))): _*)
+    l.withWatermark(leftTs, watermark)
+      .join(r.withWatermark(s"r_$rightTs", watermark),
+        col(keyCol) === col(s"r_$keyCol") &&
+          col("_salt") === col("_r_salt") &&
+          col(s"r_$rightTs") >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+          col(s"r_$rightTs") <= col(leftTs))
+      .drop(s"r_$keyCol", "_salt", "_r_salt")
+  }
+
   /** J5: stateful running position per wallet — the continuously-maintained
     * balance the reference's ordered scans exist to serve (repo.rs:79,118).
     */

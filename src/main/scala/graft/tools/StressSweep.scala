@@ -173,7 +173,7 @@ object StressSweep {
     * similarity universe, linear true-pair output (the regime that
     * isolates engine scaling for exact joins at the second decade).
     */
-  private def blowUp(spark: SparkSession, sfDir: String, outDir: String,
+  private[tools] def blowUp(spark: SparkSession, sfDir: String, outDir: String,
       times: Int, docMode: String = "trail"): Unit = {
     def writeIfAbsent(name: String)(df: => DataFrame): Unit = {
       val p = s"$outDir/$name.parquet"

@@ -244,6 +244,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("J-EXT: salted interval join is row-identical to the plain join on a skewed corpus") {
+    // 90% of events on one hot key — the shape where the plain join
+    // concentrates all state/pair work in one partition. The salted
+    // variant must change ONLY placement, never the pair set.
+    val n = 4000L
+    val Hot = 777L
+    val ev = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") / 2).as("ts"),
+      when(pmod(col("id"), lit(10)) < 9, lit(Hot))
+        .otherwise(pmod(col("id"), lit(99)) + 1000).as("user_id"),
+      when(pmod(col("id"), lit(2)) === 0, lit("click"))
+        .otherwise(lit("purchase")).as("event_type"))
+      .localCheckpoint(true)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val inL = graft.analytics.StreamingReplay.stageBatches(
+      buys, pmod(col("buy_id"), lit(4)).cast("int"), 2)
+    val inR = graft.analytics.StreamingReplay.stageBatches(
+      clicks, pmod(col("click_id"), lit(4)).cast("int"), 2)
+    def srcOf(in: String) = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    def pairs(salted: Boolean): Set[(Long, Long)] = {
+      val joined =
+        if (salted) EventStreams.intervalJoinSalted(
+          srcOf(inL), srcOf(inR), "user_id", "ts", "ts", Seq("click_id"),
+          lookback = "10 seconds", watermark = "60 days",
+          hotKeys = Seq(Hot), salts = 4)
+        else EventStreams.intervalJoin(
+          srcOf(inL), srcOf(inR), "user_id", "ts", "ts", Seq("click_id"),
+          lookback = "10 seconds", watermark = "60 days")
+      val qn = s"salt_parity_${if (salted) "s" else "p"}_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation",
+          Files.createTempDirectory("saltck").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        spark.table(qn).select("buy_id", "r_click_id")
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val plain = pairs(salted = false)
+    val salted = pairs(salted = true)
+    assert(plain.nonEmpty, "skewed corpus produced no pairs")
+    assert(salted == plain,
+      s"salting changed the pair set: ${salted.size} vs ${plain.size} — " +
+        s"only-salted=${(salted -- plain).take(3)} only-plain=${(plain -- salted).take(3)}")
+  }
+
   test("I1×J×G1: the multi-chain dispatch union runs unchanged on a streaming bronze source") {
     import graft.analytics.LedgerQueries
     import graft.normalize.ChainNormalizers

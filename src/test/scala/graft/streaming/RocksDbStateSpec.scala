@@ -98,4 +98,31 @@ class RocksDbStateSpec extends SparkSpec {
     assert(default.nonEmpty)
     assert(rocks == default, s"provider divergence:\n$rocks\nvs\n$default")
   }
+
+  // ---- full stateful-family matrix: the DECLARED queries themselves ----
+  // Each runs its real replay plan (staged batches, fresh checkpoint)
+  // under both providers; results must be identical row sets. Covers the
+  // remaining stateful shapes beyond the two above: exactly-once upsert
+  // sink (j2), late-data watermark drop (j3), flatMapGroupsWithState
+  // running position (j5), and the width-4 LEFT OUTER interval join
+  // (j11) — with j8/j9 re-covered through their declared forms too.
+  private val StatefulOps = Seq(
+    "j2_exactly_once_replay", "j3_late_drop_replay",
+    "j5_running_position_replay", "j8_stream_stream_join",
+    "j9_stream_dedup", "j11_stream_outer_join")
+
+  private def runDeclared(name: String): Set[String] =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(_.toString).toSet
+
+  StatefulOps.foreach { op =>
+    test(s"$op: RocksDB provider ≡ default provider (declared query)") {
+      val default = withProvider(None)(runDeclared(op))
+      val rocks = withProvider(Some(RocksDb))(runDeclared(op))
+      assert(default.nonEmpty, s"$op produced no rows")
+      assert(rocks == default,
+        s"$op diverged under RocksDB: ${rocks.size} vs ${default.size} rows; " +
+          s"only-rocks=${(rocks -- default).take(3)} only-default=${(default -- rocks).take(3)}")
+    }
+  }
 }

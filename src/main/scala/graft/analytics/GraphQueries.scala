@@ -587,8 +587,8 @@ object GraphQueries {
       // triangle phase below was already the engine's own
       // (deg,id)-oriented wedge form, O(m^1.5).
       "g4_triangles" ->
-        """WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-          |s0 AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+          |s0 AS MATERIALIZED (SELECT x.l_suppkey AS a, y.l_suppkey AS b,
           |         COUNT(*) AS sup
           |       FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
           |        AND x.l_suppkey < y.l_suppkey
@@ -597,12 +597,12 @@ object GraphQueries {
           |      UNION ALL SELECT b, a, sup FROM s0),
           |r AS (SELECT v, n, ROW_NUMBER() OVER
           |        (PARTITION BY v ORDER BY sup DESC, n) AS rk FROM c),
-          |e0 AS (SELECT DISTINCT LEAST(v, n) AS a, GREATEST(v, n) AS b
+          |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(v, n) AS a, GREATEST(v, n) AS b
           |       FROM r WHERE rk <= 8),
-          |deg AS (SELECT v, COUNT(*) AS deg FROM
+          |deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM
           |        (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
           |        GROUP BY 1),
-          |o AS (SELECT
+          |o AS MATERIALIZED (SELECT
           |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
           |         THEN a ELSE b END AS src,
           |    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)

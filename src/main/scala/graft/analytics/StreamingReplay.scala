@@ -283,6 +283,50 @@ object StreamingReplay {
         .orderBy("user_id")
     }),
 
+    // J-EXT: the SALTED stream-stream interval join under the hash gate —
+    // [[EventStreams.intervalJoinSalted]], the hot-key mitigation
+    // StreamSkewProbe measured at 2.29× on a 90%-one-key corpus. Salting
+    // is pure placement: the hot key's left rows spread over 4 sub-keys,
+    // its (watermark-bounded) right window replicates to each, every
+    // original pair still meets on exactly one salt — so the ORACLE IS
+    // j8's plain batch interval join, and a hash match proves the salted
+    // plan changes nothing but partitioning. Hot-key choice is
+    // deterministic: the most frequent user_id (one bounded 1-row
+    // collect — the key a production skew monitor would flag). Staged
+    // inputs shared with j8 (same memo keys, identical batch split).
+    "j8_stream_join_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id"), col("ts"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+      val hot = ev.groupBy("user_id").count()
+        .orderBy(col("count").desc, col("user_id")).limit(1)
+        .head().getLong(0)
+      val inL = stageBatchesMemo("j8_buys", d, buys,
+        pmod(col("buy_id"), lit(2)).cast("int"), 2)
+      val inR = stageBatchesMemo("j8_clicks", d, clicks,
+        pmod(col("click_id"), lit(2)).cast("int"), 2)
+      def srcOf(in: String) = s.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val joined = EventStreams.intervalJoinSalted(
+        left = srcOf(inL), right = srcOf(inR), keyCol = "user_id",
+        leftTs = "ts", rightTs = "ts", valueCols = Seq("click_id"),
+        lookback = "30 minutes", watermark = "60 days",
+        hotKeys = Seq(hot), salts = 4)
+      withShuffleWidth(s, 8) {
+        withoutNoDataBatches(s) {
+          memoryQuery(s, joined, "append", "graft_j8s_replay")
+        }
+      }
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("value")).cast("double").as("pair_value"))
+        .orderBy("user_id")
+    }),
+
     // J9: watermark-bounded streaming DEDUP — the at-least-once collapse
     // operator ([[EventStreams.streamingDedup]] /
     // `dropDuplicatesWithinWatermark`) under the gate. The dedup key is
@@ -449,6 +493,22 @@ object StreamingReplay {
     // preceding 30 minutes (both bounds inclusive, mirroring
     // intervalJoin's >= / <=)
     "j8_stream_stream_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS bts,
+        |    CAST(value AS DECIMAL(18,2)) AS value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT b.user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(b.value) AS DOUBLE) AS pair_value
+        |FROM b JOIN c ON b.user_id = c.user_id
+        |  AND c.cts >= b.bts - INTERVAL '30 minutes' AND c.cts <= b.bts
+        |GROUP BY b.user_id ORDER BY b.user_id""".stripMargin,
+
+    // salting is placement-only: the salted replay must equal the SAME
+    // batch interval join j8 equals — one oracle, two physical plans
+    "j8_stream_join_salted" ->
       """WITH c AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts FROM events
         |  WHERE event_type = 'click'),

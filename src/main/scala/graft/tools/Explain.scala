@@ -38,7 +38,10 @@ object Explain {
       // builders — same exclusion rule as countmin above; and
       // g4_connected_components' label relation is checkpoint-backed, so
       // its dump would audit a LocalTableScan)
-      "k3_ann_binary", "k4_bpe_encode", "d12_resample_ffill", "k6_dataset_card")
+      "k3_ann_binary", "k4_bpe_encode", "d12_resample_ffill", "k6_dataset_card",
+      // round 13: the incremental-index ANN probe (reads the written
+      // layout — partition pruning on _list must show at the scan)
+      "k3_ann_incremental")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

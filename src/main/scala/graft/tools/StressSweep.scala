@@ -50,7 +50,12 @@ object StressSweep {
     // must be the delta scans alone), and the two stateful replay
     // additions (state ∝ users/pairs, input ∝ corpus)
     "k3_ann_binary", "k4_bpe_encode", "d10_kll_quantiles",
-    "j8_stream_stream_join", "j9_stream_dedup")
+    "j8_stream_stream_join", "j9_stream_dedup",
+    // round 13: incremental ANN maintenance (append must stay ∝ batch —
+    // the index build amortizes, the query term is probe-bounded) and the
+    // salted stream join (placement-only twin of j8; its cost must track
+    // j8's, the salt adding only the bounded hot-window replication)
+    "k3_ann_incremental", "j8_stream_join_salted")
 
   /** The second-decade set: the five highest sf1 ratios from BASELINE.md's
     * sweep table — the queries whose 10× headroom most needs 100×

@@ -193,6 +193,30 @@ object StarQueries {
         .orderBy("event_type")
     }),
 
+    // A15 (EXT): Avro container round-trip — the ROW-ORIENTED at-rest
+    // format (Kafka payloads, ingestion landing zones) next to
+    // parquet/ORC's columnar pair; the spark-avro module does not ship
+    // on this runtime, so [[graft.sources.AvroSource]] speaks the format
+    // directly through the Avro core library (executor-side container
+    // writes through the task FileSystem, self-describing schema
+    // recovery from the container header, streamed O(1)-memory reads).
+    // The oracle reads the ORIGINAL parquet: a hash match proves the
+    // format hop is lossless for every scalar type the corpus uses.
+    "a15_avro_roundtrip" -> ((s, d) => {
+      import graft.sources.AvroSource
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_avro").toString + "/customer"
+      AvroSource.write(Tables.customer(s, d), dir)
+      AvroSource.read(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("key_sum"),
+          sum(col("c_acctbal").cast(DecimalType(28, 6))).cast("double")
+            .as("bal_total"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .orderBy("c_mktsegment")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -721,6 +745,15 @@ object StarQueries {
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle never sees the Avro: same aggregate on the source
+    // parquet — a hash match proves the container round-trip is lossless
+    "a15_avro_roundtrip" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS bal_total,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the oracle never sees the ORC: same filter+aggregate on the source
     "a13_orc_roundtrip" ->

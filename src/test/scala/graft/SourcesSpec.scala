@@ -218,6 +218,47 @@ class SourcesSpec extends SparkSpec {
       "CSV write→read must be lossless for longs, doubles, and strings")
   }
 
+  test("a15: Avro container round-trip is row-exact per type, incl. nulls and binary") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.sources.AvroSource
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("y", BinaryType)))
+    val rows = Seq(
+      Row(1L, 2, 3.5, 4.25f, true, "héllo\nworld", Array[Byte](0, 1, -1, 127)),
+      Row(null, null, null, null, null, null, null),
+      Row(Long.MaxValue, Int.MinValue, Double.MinPositiveValue,
+        Float.NegativeInfinity, false, "", Array.emptyByteArray))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = Files.createTempDirectory("avro-rt").toString + "/t"
+    AvroSource.write(df, dir)
+    val back = AvroSource.read(spark, dir)
+    assert(back.schema == schema.copy(fields =
+        schema.fields.map(_.copy(nullable = true))),
+      s"schema must self-describe: ${back.schema}")
+    def key(r: Row) = (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)),
+      Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+      Option(r.getAs[Array[Byte]](6)).map(_.toSeq))
+    assert(back.collect().map(key).toSet == rows.map(key).toSet,
+      "every value must survive the container hop bit-exactly")
+  }
+
+  test("a15: avro round-trip aggregate equals the parquet-side aggregate") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val viaAvro = analytics.StarQueries.queries("a15_avro_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val direct = Tables.customer(spark, sfDir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+      .orderBy("c_mktsegment")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(viaAvro.toSeq == direct.toSeq)
+  }
+
   test("a13: the shipdate predicate pushes into the ORC scan") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("orcpush").toString + "/li"

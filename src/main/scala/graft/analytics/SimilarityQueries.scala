@@ -305,6 +305,62 @@ object SimilarityQueries {
         k = 10, nProbe = 4, shortlist = 50, carryCols = Seq("label"))
     }),
 
+    // K3 (EXT): k-NN GRAPH — every vector's top-5 cosine neighbors, the
+    // all-nodes artifact SemDeDup clustering / graph-ANN serving / label
+    // propagation consume. LSH-seeded (3 hyperplane tables, capped
+    // buckets) + ONE NN-Descent refinement round (Dong et al., WWW'11 —
+    // candidates ∝ n·k², never n²); see graft.operators.KnnGraph for the
+    // scale design. The (vec_id, tbl, bucket) seeding artifact is
+    // materialized via OracleAux and the oracle RE-DERIVES the whole
+    // pipeline: capped in-bucket pairing, exact rounded cosine, per-node
+    // windowed top-k, the neighbors-of-neighbors expansion, and the
+    // re-ranked final graph. Refinement monotonicity (round-1 best ≥
+    // seed best per node) additionally asserted in SimilaritySpec.
+    "k3_knn_graph" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.tools.OracleAux.write(
+        graft.operators.KnnGraph.bucketed(emb, "vec_id", "embedding",
+            dim = 64, nPlanes = 6, nTables = 3)
+          .select(col("_id").as("vec_id"), col("_tbl").as("tbl"),
+            col("_bucket").as("bucket")), "k3_knn_buckets", d)
+      graft.operators.KnnGraph.build(emb, "vec_id", "embedding", dim = 64,
+          k = 5, nPlanes = 6, nTables = 3)
+        .orderBy("vec_id", "nbr_rank")
+    }),
+
+    // K3 (EXT): HYBRID retrieval — reciprocal-rank fusion (Cormack et
+    // al., SIGIR'09; the fusion every production RAG stack runs) of the
+    // lexical arm (BM25 over `documents`, the k4_bm25_topk scorer) and
+    // the vector arm (exact rounded cosine vs query vector 0 over
+    // `embeddings`; ids are the shared key by construction of the test
+    // corpus). Each arm is truncated to its top-200 FIRST — the
+    // TakeOrderedAndProject does the distributed work and the global
+    // row_number window then ranks 200 rows, not the corpus (fusing
+    // truncated lists is also RRF's production contract). Fully
+    // deterministic: ranks from (rounded score DESC, id ASC), the fuse a
+    // fixed two-term sum rounded to 6 dp; the oracle re-derives both
+    // arms and the fusion end-to-end from the raw tables.
+    "k3_hybrid_rrf" -> ((s, d) => {
+      import graft.functions.VectorExpressions.cosineFast
+      val lex = graft.operators.Retrieval.bm25Scores(
+          Tables.documents(s, d), "text", "doc_id",
+          Seq("spark", "join", "window"))
+        .select(col("doc_id"), col("bm25").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(200)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val vec = emb.crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(cosineFast(col("embedding"), col("q_vec")), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(200)
+      graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // K3 batch retrieval: many query vectors answered in ONE bucket
     // equi-join pass — the shape a 100 TB retrieval pipeline actually runs
     // (per-query broadcast scans do not batch). Bucket ids materialized
@@ -1112,6 +1168,93 @@ object SimilarityQueries {
         |    ORDER BY sim DESC, vec_id) AS INTEGER) AS rn
         |FROM sims QUALIFY rn <= 10
         |ORDER BY query_id, rn""".stripMargin,
+
+    // Both arms re-derived from the raw tables (BM25 exactly as
+    // k4_bm25_topk's oracle; cosine exactly as k3_cosine_topk's), each
+    // truncated at rank 200 by (rounded score DESC, id ASC), then the
+    // two-term RRF sum over the full-outer id join. Engine row_numbers
+    // are INTs; DuckDB's BIGINTs cast down.
+    "k3_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM t),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dd),
+        |tok AS (SELECT doc_id, dl, UNNEST(w) AS term FROM dd),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT tf.doc_id,
+        |    ROUND(SUM(ln((c.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))), 6) AS score
+        |  FROM tf JOIN dfq USING (term), c GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |  FROM bm QUALIFY lex_rank <= 200),
+        |q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+        |    AS score
+        |  FROM embeddings e, q),
+        |vec AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS vec_rank
+        |  FROM sims QUALIFY vec_rank <= 200)
+        |SELECT doc_id,
+        |  ROUND(COALESCE(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0), 6) AS rrf,
+        |  CAST(lex_rank AS INTEGER) AS lex_rank,
+        |  CAST(vec_rank AS INTEGER) AS vec_rank
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Downstream of the written (vec_id, tbl, bucket) seeding artifact:
+    // the oracle re-derives the WHOLE k-NN-graph pipeline — capped
+    // in-bucket directed pairing per table, exact rounded cosine,
+    // per-node top-5 window, the u→v→w NN-Descent expansion unioned with
+    // the standing edges, and the re-ranked final graph. Row_number ties
+    // break on (sim DESC, id ASC) in both engines.
+    "k3_knn_graph" ->
+      """WITH t AS (SELECT vec_id, tbl, bucket
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_knn_buckets.parquet/*.parquet')),
+        |sized AS (SELECT tbl, bucket, COUNT(*) AS n FROM t GROUP BY tbl, bucket),
+        |ok AS (SELECT tbl, bucket FROM sized WHERE n BETWEEN 2 AND 256),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM t x JOIN t y USING (tbl, bucket) JOIN ok USING (tbl, bucket)
+        |  WHERE x.vec_id <> y.vec_id),
+        |s1 AS (
+        |  SELECT c.a, c.b,
+        |    ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+        |              JOIN embeddings eb ON eb.vec_id = c.b),
+        |e1 AS (SELECT a, b FROM (
+        |    SELECT a, b,
+        |      row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rk
+        |    FROM s1) WHERE rk <= 5),
+        |cand2 AS (
+        |  SELECT x.a AS a, y.b AS b
+        |  FROM e1 x JOIN e1 y ON x.b = y.a WHERE x.a <> y.b
+        |  UNION
+        |  SELECT a, b FROM e1),
+        |s2 AS (
+        |  SELECT c.a, c.b,
+        |    ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |  FROM cand2 c JOIN embeddings ea ON ea.vec_id = c.a
+        |               JOIN embeddings eb ON eb.vec_id = c.b)
+        |SELECT a AS vec_id, b AS nbr_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY a
+        |    ORDER BY sim DESC, b) AS INTEGER) AS nbr_rank
+        |FROM s2 QUALIFY nbr_rank <= 5
+        |ORDER BY vec_id, nbr_rank""".stripMargin,
 
     // Downstream of the written planted-union bucket artifact: bucket
     // grouping (FULL 12-plane signature equality), the 2..256 bucket cap,

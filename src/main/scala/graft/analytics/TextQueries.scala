@@ -392,6 +392,20 @@ object TextQueries {
         .orderBy("term")
     }),
 
+    // K4 (EXT): BM25 lexical retrieval — Okapi BM25 (the Lucene
+    // non-negative idf form) for a fixed query over the corpus; the only
+    // row-multiplying stage is the token explode FILTERED TO THE QUERY
+    // TERMS pre-shuffle (posting-list access, never corpus×query), corpus
+    // stats and per-term dfs are one-row/|query|-row broadcasts. See
+    // graft.operators.Retrieval. Completes the retrieval surface next to
+    // the cosine/ANN ladder (k3) and their hybrid fusion (k3_hybrid_rrf).
+    "k4_bm25_topk" -> ((s, d) => {
+      graft.operators.Retrieval.bm25Scores(Tables.documents(s, d), "text",
+          "doc_id", Seq("spark", "join", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // K4/I3: heavy-hitter terms via the mergeable Misra–Gries sketch —
     // K4 (EXT): n-gram NOVELTY scoring — per doc, the fraction of its
     // distinct 3-shingles whose FIRST corpus occurrence (min doc_id, the
@@ -1285,6 +1299,28 @@ object TextQueries {
         |  FROM ranked WHERE rn <= 16 GROUP BY term)
         |SELECT s.term, s.doc_freq, s.total_tf, p.postings
         |FROM stats s JOIN p USING (term) ORDER BY term""".stripMargin,
+
+    // BM25: counts/lengths integer-exact; avgdl = exact-integer sum over
+    // exact count; every score is the SAME left-associated double
+    // expression the engine's Column tree evaluates, rounded to 6 dp
+    // before ranking; (1.2 + 1) stays written as a sum so both engines
+    // round the constant identically.
+    "k4_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, w FROM t),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dd),
+        |tok AS (SELECT doc_id, dl, UNNEST(w) AS term FROM dd),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln((c.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |    * (tf.tf * (1.2 + 1)) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))), 6) AS bm25,
+        |  COUNT(*) AS n_terms
+        |FROM tf JOIN dfq USING (term), c
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     // First-occurrence novelty: the engine's native word_shingles dedups
     // per doc (LinkedHashSet), mirrored by list_distinct; counts are

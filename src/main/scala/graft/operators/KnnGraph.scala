@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.functions.VectorExpressions.cosineFast
+
+/** K3 (EXT): distributed k-NN GRAPH construction — every vector's top-k
+  * cosine neighbors, the all-nodes counterpart of the single-query ANN
+  * ladder and the substrate that SemDeDup-style clustering, graph-based
+  * ANN serving (HNSW/NSG start from exactly this artifact), label
+  * propagation, and local-density corpus diagnostics all consume.
+  *
+  * Scale design (the NN-Descent shape — Dong, Moses & Li, WWW'11 — seeded
+  * by multi-table hyperplane LSH instead of random pairs so round 0 is
+  * already locality-aware AND deterministic):
+  *
+  *  1. SEED. `nTables` independent hyperplane-LSH signatures per vector
+  *     (seeds `seed..seed+nTables-1`, the [[graft.functions
+  *     .VectorFunctions.hyperplaneSig]] family). Each (table, bucket)
+  *     group of size 2..maxBucket emits its directed in-bucket pairs —
+  *     candidate volume is Σ bucket² per table, capped by `maxBucket`,
+  *     NEVER an n² term. Exact cosine on candidates, per-node top-k via
+  *     one window (`row_number` over sim desc, id asc — both sides of
+  *     every tie deterministic).
+  *  2. REFINE (one NN-Descent round). Neighbors-of-neighbors: join the
+  *     seed graph to itself on v (u→v, v→w ⇒ candidate u→w), union the
+  *     existing edges, re-score, re-top-k. Cost ∝ n·k² candidate rows —
+  *     linear in corpus size; each further round is the same bound. One
+  *     round is declared (each round is one self-join + one window — the
+  *     100 TB operator is this stage run to convergence, and convergence
+  *     adds rounds, not new machinery).
+  *
+  * Everything after the (foldable-literal) hyperplane projection is plain
+  * joins/aggregates/windows — Catalyst shuffles on `_a`/`_b` ids and the
+  * vectors travel only into the two scoring joins (Vernica-style: the
+  * candidate-pair stream carries 16 bytes/pair on the wire, not 2×dim
+  * doubles). Sims are rounded to 6 dp BEFORE ranking so the rank order is
+  * reproducible independently of accumulation order (the repo-wide
+  * float-determinism rule the DuckDB oracle relies on).
+  *
+  * Reference scope: the reference engine has no vector surface at all —
+  * this extends its analytics API the way SURVEY.md §2.K3 prescribes.
+  */
+object KnnGraph {
+
+  /** Bucketed ids for the LSH seeding stage: (_id, _tbl, _bucket), one row
+    * per (vector, table). Exposed so the declared query can materialize
+    * the exact bucket artifact its DuckDB oracle re-derives the graph
+    * from.
+    */
+  def bucketed(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int,
+      nTables: Int,
+      seed: Long = 42L): DataFrame = {
+    val v = VectorFunctions.asDouble(col(vecCol))
+    val sigs = array((0 until nTables).map { t =>
+      VectorFunctions.hyperplaneSig(v, dim, nPlanes, seed + t)
+    }: _*)
+    graft.Tables.fanOut(emb)
+      .select(col(idCol).cast("long").as("_id"),
+        posexplode(sigs).as(Seq("_tbl", "_bucket")))
+  }
+
+  /** Build the k-NN graph: seed from LSH buckets, refine with
+    * `refineRounds` NN-Descent rounds.
+    *
+    * @return (vec_id, nbr_id, sim, nbr_rank) — ≤ k rows per source node,
+    *         nbr_rank 1..k by descending rounded cosine, id-ascending ties.
+    */
+  def build(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int = 5,
+      nPlanes: Int = 6,
+      nTables: Int = 3,
+      maxBucket: Int = 256,
+      refineRounds: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val vecs = graft.Tables.fanOut(emb)
+      .select(col(idCol).cast("long").as("_id"),
+        VectorFunctions.asDouble(col(vecCol)).as("_v"))
+
+    // Seed candidates: directed in-bucket pairs from every table, capped.
+    // sort_array makes the collect_list order canonical (collect_list
+    // itself is order-nondeterministic); the explode² emits both
+    // directions so each node ranks its own list.
+    val cand0 = bucketed(emb, idCol, vecCol, dim, nPlanes, nTables, seed)
+      .groupBy("_tbl", "_bucket")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(col("_ids")).as("_a"), col("_ids"))
+      .select(col("_a"), explode(col("_ids")).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+
+    val w = Window.partitionBy("_a")
+      .orderBy(col("_sim").desc, col("_b").asc)
+
+    def topK(pairs: DataFrame): DataFrame =
+      pairs
+        .join(vecs.select(col("_id").as("_a"), col("_v").as("_va")), Seq("_a"))
+        .join(vecs.select(col("_id").as("_b"), col("_v").as("_vb")), Seq("_b"))
+        .select(col("_a"), col("_b"),
+          round(cosineFast(col("_va"), col("_vb")), 6).as("_sim"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") <= k)
+
+    var g = topK(cand0)
+    for (_ <- 0 until refineRounds) {
+      val e = g.select("_a", "_b")
+      // u→v→w wedges plus the standing edges: the union keeps refinement
+      // monotone per node (the old top-k is always in the candidate set).
+      val cand = e.as("x")
+        .join(e.as("y"), col("x._b") === col("y._a"))
+        .filter(col("x._a") =!= col("y._b"))
+        .select(col("x._a").as("_a"), col("y._b").as("_b"))
+        .union(e)
+        .distinct()
+      g = topK(cand)
+    }
+    g.select(col("_a").as("vec_id"), col("_b").as("nbr_id"),
+      col("_sim").as("sim"), col("_rk").as("nbr_rank"))
+  }
+}

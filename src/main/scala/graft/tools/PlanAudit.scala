@@ -33,6 +33,8 @@ object PlanAudit {
     "k4_cross_perplexity", // broadcast one-row LM total-mass aggregates
     "k6_importance_sample", // broadcast one-row target/proposal totals
     "k2_allpairs_cosine", // broadcast one-row corpus count N for idf
+    "k4_bm25_topk", // broadcast one-row corpus stats (N, avgdl)
+    "k3_hybrid_rrf", // same one-row BM25 stats broadcast in the lexical arm
     "k2_allpairs_cosine_against", // same one-row N broadcast (union universe)
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")

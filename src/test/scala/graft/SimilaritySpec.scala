@@ -387,4 +387,66 @@ class SimilaritySpec extends SparkSpec {
     // the word range and sims are in [-1, 1]
     assert(top.forall { case (_, h, s) => h >= 0 && h <= 64 && s >= -1.0 && s <= 1.0 })
   }
+
+  test("k-NN graph: structural invariants, determinism, NN-Descent monotonicity") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter($"nbr_rank" === 1).select($"vec_id", $"sim")
+        .as[(Long, Double)].collect().toMap
+    val g0 = graft.operators.KnnGraph.build(emb, "vec_id", "embedding",
+      dim = 64, k = 5, nPlanes = 6, nTables = 3, refineRounds = 0)
+    val g1 = graft.operators.KnnGraph.build(emb, "vec_id", "embedding",
+      dim = 64, k = 5, nPlanes = 6, nTables = 3, refineRounds = 1)
+    val rows = g1.select($"vec_id", $"nbr_id", $"sim", $"nbr_rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length), s"ranks not contiguous for $id")
+      assert(sorted.length <= 5, s"more than k rows for $id")
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._3 >= y._3
+        case _           => true
+      }, s"sims not monotone in rank for $id")
+      assert(rs.forall(_._2 != id), s"self edge for $id")
+    }
+    // one NN-Descent round can only improve each node's best neighbor:
+    // the candidate set of the refine pass contains every standing edge
+    val b0 = best(g0)
+    val b1 = best(g1)
+    b0.foreach { case (id, s0) =>
+      assert(b1.getOrElse(id, Double.NegativeInfinity) >= s0 - 1e-9,
+        s"refinement regressed node $id: $s0 -> ${b1.get(id)}")
+    }
+    // and some node must have strictly improved on this corpus (the LSH
+    // seed is not already exact everywhere at 6 planes)
+    assert(b0.exists { case (id, s0) => b1.getOrElse(id, s0) > s0 + 1e-9 },
+      "refine round changed nothing — candidate expansion is inert")
+    // determinism: a rebuild is value-identical
+    val again = g1.select($"vec_id", $"nbr_id", $"sim", $"nbr_rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.sortBy(r => (r._1, r._4)).toSeq ==
+      again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  test("k-NN graph on planted clusters: neighbors come from the home cluster") {
+    val dim = 64
+    val rnd = new scala.util.Random(99L)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until 5; i <- 0 until 20) yield
+      ((c * 20 + i).toLong, unit(centers(c).map(_ + 0.12 * rnd.nextGaussian())), c)
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val g = graft.operators.KnnGraph.build(emb, "vec_id", "embedding",
+      dim = dim, k = 5, nPlanes = 6, nTables = 3)
+    val top1 = g.filter($"nbr_rank" === 1).select($"vec_id", $"nbr_id")
+      .as[(Long, Long)].collect()
+    assert(top1.length >= 95, s"graph covered only ${top1.length}/100 nodes")
+    val sameCluster = top1.count { case (a, b) => a / 20 == b / 20 }
+    assert(sameCluster >= (top1.length * 0.9).toInt,
+      s"top-1 neighbor in home cluster for only $sameCluster/${top1.length}")
+  }
 }

@@ -792,6 +792,29 @@ object TextQueries {
         .orderBy("source_a", "source_b")
     }),
 
+    // D13 (EXT): KMV distinct sketch with SET OPERATIONS — the
+    // intersection-capable member of the sketch family; estimates
+    // per-source distinct 8-token prefix keys, pairwise unions (merged
+    // k-min sketches), and shared keys by inclusion–exclusion — the
+    // sketch-only scale path of k2_source_overlap's exact join (constant
+    // k longs per source on the wire at any corpus size). The (source,
+    // xxhash64) element table is the OracleAux axiom (the MinHash
+    // convention); the oracle re-derives sketches, merges, estimates,
+    // and the exact audit column. See graft.operators.KmvSketch.
+    "d13_kmv_overlap" -> ((s, d) => {
+      val elems = Tables.documents(s, d)
+        .select(col("source"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("k"))
+        .distinct()
+        .select(col("source"), xxhash64(col("k")).as("h"))
+        .distinct()
+      graft.tools.OracleAux.write(elems, "d13_kmv_hashes", d)
+      graft.operators.KmvSketch.pairwiseOverlap(elems, "source", "h", k = 16)
+        .withColumnRenamed("group_a", "source_a")
+        .withColumnRenamed("group_b", "source_b")
+        .orderBy("source_a", "source_b")
+    }),
+
     // K4: exact token-length deciles — the calibration table for packing /
     // truncation decisions (what context length covers 90% of the
     // corpus?). Computed scale-right: lengths collapse into a histogram
@@ -1834,6 +1857,57 @@ object TextQueries {
         |FROM d a JOIN d b ON a.k = b.k AND a.source < b.source
         |JOIN ok ON ok.k = a.k
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Downstream of the written (source, h) element artifact: per-source
+    // k=16-min sketches in SIGNED long order (≡ ascending u = h/2^64 +
+    // 0.5), saturation rule n <= k -> exact, pairwise merged sketches,
+    // inclusion-exclusion, and the exact audit join — all re-derived.
+    // 1.8446744073709552e19 is 2^64 exactly (a power of two, so the
+    // decimal literal rounds to it in both engines).
+    "d13_kmv_overlap" ->
+      """WITH e AS (SELECT source, h
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/d13_kmv_hashes.parquet/*.parquet')),
+        |n AS (SELECT source, COUNT(*) AS n FROM e GROUP BY 1),
+        |sk AS (SELECT source, h,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM e QUALIFY rn <= 16),
+        |kth AS (SELECT source, h AS hk FROM sk WHERE rn = 16),
+        |est AS (SELECT n.source,
+        |    CASE WHEN n.n <= 16 THEN CAST(n.n AS DOUBLE)
+        |         ELSE 15.0 / (CAST(k.hk AS DOUBLE) / 1.8446744073709552e19 + 0.5)
+        |    END AS est
+        |  FROM n LEFT JOIN kth k USING (source)),
+        |srcs AS (SELECT DISTINCT source FROM e),
+        |ps AS (SELECT a.source AS sa, b.source AS sb
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |uv AS (SELECT DISTINCT sa, sb, h FROM (
+        |  SELECT ps.sa, ps.sb, s.h FROM ps JOIN sk s ON s.source = ps.sa
+        |  UNION ALL
+        |  SELECT ps.sa, ps.sb, s.h FROM ps JOIN sk s ON s.source = ps.sb)),
+        |um AS (SELECT sa, sb, COUNT(*) AS m FROM uv GROUP BY 1, 2),
+        |usk AS (SELECT sa, sb, h,
+        |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |  FROM uv),
+        |ukth AS (SELECT sa, sb, h AS hk FROM usk WHERE rn = 16),
+        |uest AS (SELECT um.sa, um.sb,
+        |    CASE WHEN um.m <= 16 THEN CAST(um.m AS DOUBLE)
+        |         ELSE 15.0 / (CAST(u.hk AS DOUBLE) / 1.8446744073709552e19 + 0.5)
+        |    END AS est_union
+        |  FROM um LEFT JOIN ukth u ON u.sa = um.sa AND u.sb = um.sb),
+        |ex AS (SELECT x.source AS sa, y.source AS sb, COUNT(*) AS c
+        |  FROM e x JOIN e y ON x.h = y.h AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT ps.sa AS source_a, ps.sb AS source_b,
+        |  ROUND(ea.est, 6) AS est_a, ROUND(eb.est, 6) AS est_b,
+        |  ROUND(uest.est_union, 6) AS est_union,
+        |  ROUND(GREATEST(ea.est + eb.est - uest.est_union, 0.0), 6) AS est_shared,
+        |  COALESCE(ex.c, 0) AS exact_shared
+        |FROM ps
+        |JOIN est ea ON ea.source = ps.sa
+        |JOIN est eb ON eb.source = ps.sb
+        |JOIN uest ON uest.sa = ps.sa AND uest.sb = ps.sb
+        |LEFT JOIN ex ON ex.sa = ps.sa AND ex.sb = ps.sb
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // Identical rank-pick definition (smallest length whose cumulative
     // count reaches ceil(d·n/10)) — no engine quantile interpolation.

@@ -130,4 +130,62 @@ object KnnGraph {
     g.select(col("_a").as("vec_id"), col("_b").as("nbr_id"),
       col("_sim").as("sim"), col("_rk").as("nbr_rank"))
   }
+
+  /** Greedy BEAM SEARCH over a built k-NN graph — the serving leg of
+    * graph-based ANN (HNSW/NSG answer queries exactly this way: walk the
+    * neighbor graph toward the query, keep the best `beam` frontier,
+    * answer from everything visited). `rounds` is fixed and unrolled
+    * (production runs to convergence; each extra round is the same
+    * machinery), so the walk is deterministic and a SQL oracle can replay
+    * it.
+    *
+    * Scale design: per round the work is one id-pushed edge-list probe
+    * (frontier is ≤ `beam` literal ids — partition-prunable when the
+    * graph is written bucketed by source id) + one scoring pass over
+    * ≤ beam·(k+1) candidates against the broadcast query vector. The
+    * only driver terms are the ≤beam-row frontier collects — bounded at
+    * any corpus size.
+    *
+    * @param graph  edges from [[build]]: (vec_id, nbr_id, …)
+    * @param emb    the vector corpus (idCol, vecCol, carry columns)
+    * @return top-`k` of the visited set: (idCol, label, sim)
+    */
+  def searchGraph(
+      graph: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: DataFrame, // one row: (q_vec: array<double|float>)
+      entryId: Long,
+      k: Int = 10,
+      beam: Int = 8,
+      rounds: Int = 3): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val edges = graph.select(col("vec_id").as("_src"),
+      col("nbr_id").as("_dst"))
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(emb, ids("_cand") === emb(idCol))
+        .crossJoin(broadcast(queryVec))
+        .select(col(idCol), col("label"),
+          round(cosineFast(col(vecCol), col("q_vec")), 6).as("sim"))
+
+    var frontier: Seq[Long] = Seq(entryId)
+    var visited: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val frontierDf = frontier.toDF("_cand")
+      val cand = edges.filter(col("_src").isin(frontier: _*))
+        .select(col("_dst").as("_cand"))
+        .union(frontierDf)
+        .distinct()
+      val s = scored(cand)
+      // bounded collect: ≤ beam rows — the next round's probe literals
+      frontier = s.orderBy(col("sim").desc, col(idCol).asc)
+        .limit(beam).select(idCol).as[Long].collect().toSeq
+      visited = Some(visited.map(_.union(s)).getOrElse(s))
+    }
+    visited.get.dropDuplicates(idCol)
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

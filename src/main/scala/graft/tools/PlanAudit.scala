@@ -34,6 +34,8 @@ object PlanAudit {
     "k6_importance_sample", // broadcast one-row target/proposal totals
     "k2_allpairs_cosine", // broadcast one-row corpus count N for idf
     "k4_bm25_topk", // broadcast one-row corpus stats (N, avgdl)
+    "d13_kmv_overlap", // tiny source-universe pair product (|sources|^2)
+    "k3_ann_graph_search", // broadcast ONE-ROW query vector per beam round
     "k3_hybrid_rrf", // same one-row BM25 stats broadcast in the lexical arm
     "k2_allpairs_cosine_against", // same one-row N broadcast (union universe)
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",

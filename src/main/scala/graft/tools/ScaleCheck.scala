@@ -655,6 +655,50 @@ object ScaleCheck {
         "per-round job overhead the local path removes entirely")
     }
 
+    // k-NN graph (KnnGraph.build): the production contract scales the
+    // plane count with log(corpus) so bucket OCCUPANCY stays constant —
+    // candidates stay Σ bucket² ∝ n, the NN-Descent round is n·k² — so
+    // 10x corpus at +log2(10)≈3 extra planes should cost ~linear. The
+    // replicas perturb dim 0 so their hyperplane signatures decorrelate
+    // (a pure copy piles replicas into the same buckets and only measures
+    // the cap).
+    {
+      import graft.operators.KnnGraph
+      def perturbEmb(df: DataFrame, times: Int): DataFrame =
+        (0 until times).map { i =>
+          df.select((col("vec_id") * times + i).as("vec_id"),
+            transform(col("embedding"),
+              (x, j) => when(j === 0, x + lit(0.37f * i)).otherwise(x))
+              .as("embedding"),
+            col("label"))
+        }.reduce(_ unionAll _)
+      val emb1 = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+      val emb10 = perturbEmb(emb1, 10).localCheckpoint(true)
+      println(s"embeddings 1x=${emb1.count()} 10x=${emb10.count()}")
+      def knn(e: DataFrame, planes: Int) =
+        KnnGraph.build(e, "vec_id", "embedding", dim = 64, k = 5,
+          nPlanes = planes, nTables = 3)
+      time("knn graph warmup")(knn(emb1, 6))
+      val kg1 = time("knn graph 1x")(knn(emb1, 6))
+      val kg10 = time("knn graph 10x")(knn(emb10, 9))
+      println(f"knn graph ratio: ${kg10 / kg1}%.1f (linear = 10 at " +
+        "constant occupancy: planes 6->9 for 10x rows; refine is n*k^2)")
+    }
+
+    // BM25: the explode is filtered to the query terms pre-shuffle, so
+    // cost is the token scan + posting-sized aggregates — linear = 10.
+    {
+      import graft.operators.Retrieval
+      def bm(docs: DataFrame) =
+        Retrieval.bm25Scores(docs, "text", "doc_id",
+          Seq("spark", "join", "window"))
+      time("bm25 warmup")(bm(docs1))
+      val b1 = time("bm25 1x")(bm(docs1))
+      val b10 = time("bm25 10x")(bm(docs10))
+      println(f"bm25 ratio: ${b10 / b1}%.1f (linear = 10; candidates " +
+        "are matched postings, stats one-row broadcasts)")
+    }
+
     // Count-Min sketch: one pass, constant 4x1024-long state per partial —
     // time must be ~linear in tokens with ZERO growth in shuffle bytes
     // (the sketch is the same 32 KiB at any corpus size).

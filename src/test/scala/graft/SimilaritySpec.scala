@@ -429,6 +429,51 @@ class SimilaritySpec extends SparkSpec {
       again.sortBy(r => (r._1, r._4)).toSeq)
   }
 
+  test("graph search walks a connected chain graph to the exact query") {
+    // a smooth 2-plane curve: v_i = cos(iθ)·u + sin(iθ)·w — cosine between
+    // i and j is cos((i−j)θ), so angle-adjacent points ARE the nearest
+    // neighbors and the k-NN graph is a connected chain. The beam walk
+    // from the far end (entry 29, cos(29θ) ≈ −1 side) must descend the
+    // chain and land exactly on the query (vec 0, sim 1.0). This is the
+    // geometry graph-ANN serving is FOR; a blob of disjoint tight
+    // clusters is the known failure mode (disconnected k-NN graph) that
+    // HNSW's long edges exist to patch — asserted as a premise, not
+    // papered over.
+    val dim = 64
+    val rnd = new scala.util.Random(41L)
+    def unitArr(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val u = unitArr(Array.fill(dim)(rnd.nextGaussian()))
+    val w0 = Array.fill(dim)(rnd.nextGaussian())
+    val proj = u.zip(w0).map { case (a, b) => a * b }.sum
+    val w = unitArr(w0.zip(u).map { case (b, a) => b - proj * a })
+    val theta = 0.1
+    val pts = (0 until 30).map { i =>
+      val v = u.zip(w).map { case (a, b) =>
+        (math.cos(i * theta) * a + math.sin(i * theta) * b).toFloat
+      }
+      (i.toLong, v.toSeq, i)
+    }
+    val emb = pts.toDF("vec_id", "embedding", "label")
+    val graph = graft.operators.KnnGraph.build(emb, "vec_id", "embedding",
+      dim = dim, k = 5, nPlanes = 2, nTables = 4)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+    def run() = graft.operators.KnnGraph.searchGraph(graph, emb, "vec_id",
+      "embedding", q, entryId = 29L, k = 10, beam = 8, rounds = 15)
+      .select($"vec_id", $"sim").as[(Long, Double)].collect().toSeq
+    val got = run()
+    assert(got.nonEmpty && got.size <= 10)
+    assert(got.head._1 == 0L && got.head._2 == 1.0,
+      s"walk must descend the chain to the query itself: $got")
+    assert(got.map(_._2).sliding(2).forall {
+      case Seq(x, y) => x >= y
+      case _         => true
+    })
+    assert(run() == got, "beam walk must be deterministic")
+  }
+
   test("k-NN graph on planted clusters: neighbors come from the home cluster") {
     val dim = 64
     val rnd = new scala.util.Random(99L)

@@ -55,7 +55,15 @@ object StressSweep {
     // the index build amortizes, the query term is probe-bounded) and the
     // salted stream join (placement-only twin of j8; its cost must track
     // j8's, the salt adding only the bounded hot-window replication)
-    "k3_ann_incremental", "j8_stream_join_salted")
+    "k3_ann_incremental", "j8_stream_join_salted",
+    // round-13 continuation: BM25 (token scan + posting-sized aggregates
+    // — must stay linear) and the KMV overlap sketch (constant sketch
+    // state; the exact audit column is the one corpus-dependent join).
+    // The k-NN graph family is DELIBERATELY not swept here: blow-up
+    // replicas carry UNCHANGED vectors, whose identical LSH signatures
+    // only measure the bucket cap — its decade evidence lives in
+    // ScaleCheck's perturbed-replica constant-occupancy block instead.
+    "k4_bm25_topk", "d13_kmv_overlap")
 
   /** The second-decade set: the five highest sf1 ratios from BASELINE.md's
     * sweep table — the queries whose 10× headroom most needs 100×

@@ -217,6 +217,40 @@ object StarQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // A16 (EXT): transaction-log table format — ACID commits, snapshot
+    // isolation, TIME TRAVEL over plain parquet (sources/SnapshotTable;
+    // the object-store table mechanism the public Delta/Iceberg designs
+    // share). Three commits land: append (orderkey%3=0), append (%3=1),
+    // then an OVERWRITE that retires both and installs %3=2. The query
+    // reads version 2 (time travel: both appends, nothing of the
+    // overwrite) and the current snapshot (only the overwrite's rows) and
+    // aggregates each; the oracle re-derives both states from the source
+    // table. A hash match proves commit atomicity bookkeeping, logical
+    // retirement (overwritten files stay on disk yet leave the snapshot),
+    // and as-of resolution — none of which the oracle ever sees.
+    "a16_snapshot_time_travel" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snap").toString + "/orders_t"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val v1 = SnapshotTable.commitAppend(s, dir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      val v2 = SnapshotTable.commitAppend(s, dir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+      val v3 = SnapshotTable.commitOverwrite(s, dir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2))
+      require((v1, v2, v3) == ((1, 2, 3)), s"versions must serialize: $v1 $v2 $v3")
+      SnapshotTable.read(s, dir, versionAsOf = Some(2))
+        .withColumn("snapshot", lit("v2"))
+        .unionByName(SnapshotTable.read(s, dir).withColumn("snapshot", lit("current")))
+        .groupBy("snapshot", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          moneySum(col("o_totalprice")).as("total"))
+        .orderBy("snapshot", "o_orderpriority")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -745,6 +779,22 @@ object StarQueries {
         |FROM events
         |WHERE event_type IN ('click', 'purchase')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the oracle never sees the snapshot log: it re-derives the version-2
+    // state (both appends) and the current state (the overwrite) from the
+    // source table's own rows
+    "a16_snapshot_time_travel" ->
+      """WITH u AS (
+        |  SELECT 'v2' AS snapshot, o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'current', o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT snapshot, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY snapshot, o_orderpriority
+        |ORDER BY snapshot, o_orderpriority""".stripMargin,
 
     // the oracle never sees the Avro: same aggregate on the source
     // parquet — a hash match proves the container round-trip is lossless

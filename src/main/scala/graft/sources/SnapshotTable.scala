@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.{JArray, JInt, JObject, JString, JValue}
+import org.json4s.jackson.JsonMethods
+
+/** Transaction-log table format: ACID appends/overwrites, snapshot-isolated
+  * reads, and time travel over plain parquet — the lakehouse mechanism the
+  * public Delta/Iceberg designs share, re-derived from first principles
+  * (optimistic concurrency via atomic log-entry creation; the reference's
+  * history tables at `/root/reference/adapters/src/repo.rs` get insert-only
+  * idempotence from Postgres — this is the object-store analogue a 100 TB
+  * deployment actually runs on).
+  *
+  * Layout under the table root:
+  * {{{
+  *   _graft_log/v0000000001.json            one commit (op, add, remove, schema)
+  *   _graft_log/v0000000010.checkpoint.json full active-file list at that version
+  *   data/<commit-uuid>/part-*.parquet      immutable data files
+  * }}}
+  *
+  * Commit protocol (writer side):
+  *  1. Stage the batch's parquet files under a fresh `data/<uuid>/` dir —
+  *     data staging is conflict-free because the dir name is unique.
+  *  2. Compute the log action against the CURRENT snapshot, then claim the
+  *     next version number by CREATING `v<n>.json` exclusively (O_EXCL on
+  *     local FS, `create(overwrite=false)` elsewhere — the same atomicity
+  *     analysis as [[graft.operators.IdempotentSink.withTableLock]]). A
+  *     loser re-reads the log and retries with the next number, so
+  *     concurrent appends serialize without any lock and an overwrite
+  *     racing an append recomputes its remove-set before re-claiming.
+  *  3. Every [[checkpointInterval]] commits, write a checkpoint holding the
+  *     full active-file list — readers replay O(interval) tail entries
+  *     instead of the whole history, which is what keeps snapshot
+  *     resolution O(1) when the log reaches millions of commits.
+  *
+  * Reader side: snapshot resolution lists `_graft_log` ONCE, picks the
+  * newest checkpoint ≤ the requested version, replays the tail, and hands
+  * the file list to the parquet reader — reads never see a half-committed
+  * batch because files only become visible through a log entry that was
+  * created atomically (snapshot isolation). Data files are immutable;
+  * overwrites retire them logically, and [[vacuum]] deletes files
+  * unreferenced by every retained snapshot.
+  *
+  * Scale: the log carries FILE PATHS (bytes ∝ files, not rows); commits
+  * are one filesystem create regardless of batch size; reads plan from the
+  * file list without directory scans of `data/`. Column stats / data
+  * skipping would ride the same entries (parquet footers already give
+  * row-group pruning once files are opened).
+  */
+object SnapshotTable {
+
+  /** Commits between checkpoints — small enough that tail replay is a few
+    * file reads, large enough that checkpoint writes stay rare.
+    */
+  val checkpointInterval = 10
+
+  /** Raced another writer for too many consecutive version claims. */
+  final class CommitContentionException(msg: String) extends RuntimeException(msg)
+
+  /** A resolved snapshot: the table state some reader plans against. */
+  final case class Snapshot(version: Int, schemaJson: String, files: Seq[String])
+
+  private val LogDir = "_graft_log"
+  private def logName(v: Int) = f"v$v%010d.json"
+  private def checkpointName(v: Int) = f"v$v%010d.checkpoint.json"
+
+  private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val p = new Path(table)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Append `df` as a new commit; returns the committed version (1-based). */
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame): Int =
+    commit(spark, table, df, overwrite = false)
+
+  /** Replace the table's full content with `df`; prior versions stay
+    * time-travel-readable until [[vacuum]].
+    */
+  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame): Int =
+    commit(spark, table, df, overwrite = true)
+
+  private def commit(spark: SparkSession, table: String, df: DataFrame,
+      overwrite: Boolean): Int = {
+    val (fs, root) = fsFor(spark, table)
+    fs.mkdirs(new Path(root, LogDir))
+    // 1. conflict-free data staging
+    val stage = s"data/${java.util.UUID.randomUUID}"
+    df.write.parquet(new Path(root, stage).toString)
+    val added = fs.listStatus(new Path(root, stage)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+      .map(n => s"$stage/$n")
+    val schemaJson = df.schema.json
+    // 2. optimistic version claim; remove-set recomputed per attempt so an
+    //    overwrite losing a race retires the files of the snapshot it
+    //    actually supersedes.
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = resolve(spark, table, None)
+      val next = cur.map(_.version).getOrElse(0) + 1
+      val removed = if (overwrite) cur.map(_.files).getOrElse(Nil) else Nil
+      val entry = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JInt(next),
+        "op" -> JString(if (overwrite) "overwrite" else "append"),
+        "schema" -> JString(schemaJson),
+        "add" -> JArray(added.map(JString(_)).toList),
+        "remove" -> JArray(removed.map(JString(_)).toList))))
+      if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
+        if (next % checkpointInterval == 0) {
+          // best-effort: a lost checkpoint only costs replay length
+          val files = (cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added)
+          val cp = JsonMethods.compact(JsonMethods.render(JObject(
+            "version" -> JInt(next),
+            "schema" -> JString(schemaJson),
+            "files" -> JArray(files.map(JString(_)).toList))))
+          val out = fs.create(new Path(new Path(root, LogDir), checkpointName(next)), true)
+          try out.write(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        return next
+      }
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"lost 64 consecutive version-claim races on $table; aborting commit " +
+        s"(staged files under $stage are unreferenced and vacuum-able)")
+  }
+
+  /** Atomic create-or-fail — same per-scheme analysis as IdempotentSink:
+    * local FS takes the NIO O_EXCL path (create+payload in one syscall-
+    * backed op), HDFS-like stores get exclusivity from the namenode create.
+    */
+  private def createExclusive(fs: FileSystem, p: Path, body: String): Boolean = {
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getUri.getScheme == "file") {
+      try { java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val out =
+        try fs.create(p, /* overwrite = */ false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException =>
+            if (try fs.exists(p) catch { case _: java.io.IOException => false }) return false
+            else throw e
+        }
+      try out.write(bytes) finally out.close()
+      true
+    }
+  }
+
+  /** The table's current committed version; 0 = never committed. */
+  def currentVersion(spark: SparkSession, table: String): Int =
+    resolve(spark, table, None).map(_.version).getOrElse(0)
+
+  /** Resolve the snapshot at `asOf` (None = latest): one log listing, the
+    * newest usable checkpoint, then tail replay.
+    */
+  def snapshot(spark: SparkSession, table: String, asOf: Option[Int] = None): Snapshot =
+    resolve(spark, table, asOf).getOrElse(
+      throw new IllegalArgumentException(
+        asOf.fold(s"$table has no commits")(v => s"$table has no commits at or before version $v")))
+
+  private def resolve(spark: SparkSession, table: String,
+      asOf: Option[Int]): Option[Snapshot] = {
+    val (fs, root) = fsFor(spark, table)
+    val logDir = new Path(root, LogDir)
+    if (!fs.exists(logDir)) return None
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val commits = names.collect {
+      case n if n.endsWith(".json") && !n.endsWith(".checkpoint.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt -> n
+    }.filter { case (v, _) => asOf.forall(v <= _) }.sortBy(_._1)
+    if (commits.isEmpty) return None
+    val target = commits.last._1
+    val cpVersion = names.collect {
+      case n if n.endsWith(".checkpoint.json") =>
+        n.stripPrefix("v").stripSuffix(".checkpoint.json").toInt
+    }.filter(_ <= target).sorted.lastOption
+    var files = Vector.empty[String]
+    var schema = ""
+    cpVersion.foreach { v =>
+      val j = readJson(fs, new Path(logDir, checkpointName(v)))
+      files = arr(j, "files").toVector
+      schema = str(j, "schema")
+    }
+    commits.collect { case (v, n) if v > cpVersion.getOrElse(0) => (v, n) }.foreach {
+      case (_, n) =>
+        val j = readJson(fs, new Path(logDir, n))
+        val rm = arr(j, "remove").toSet
+        files = files.filterNot(rm) ++ arr(j, "add")
+        schema = str(j, "schema")
+    }
+    Some(Snapshot(target, schema, files))
+  }
+
+  private def readJson(fs: FileSystem, p: Path): JValue = {
+    val in = fs.open(p)
+    try JsonMethods.parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+  private def arr(j: JValue, f: String): Seq[String] = j \ f match {
+    case JArray(xs) => xs.collect { case JString(s) => s }
+    case _ => Nil
+  }
+  private def str(j: JValue, f: String): String = j \ f match {
+    case JString(s) => s
+    case _ => ""
+  }
+
+  /** Snapshot-isolated read; `versionAsOf` time-travels. An empty active
+    * set (overwrite-with-nothing) still returns the committed schema.
+    */
+  def read(spark: SparkSession, table: String, versionAsOf: Option[Int] = None): DataFrame = {
+    val snap = snapshot(spark, table, versionAsOf)
+    val (_, root) = fsFor(spark, table)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    else spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Delete data files unreferenced by every snapshot newer than
+    * `retainVersions` back from current (older versions stop being
+    * time-travel-readable). Returns the number of files deleted.
+    */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Int = {
+    val (fs, root) = fsFor(spark, table)
+    val cur = currentVersion(spark, table)
+    val horizon = math.max(1, cur - retainVersions)
+    val live = (horizon to cur)
+      .flatMap(v => resolve(spark, table, Some(v)).map(_.files).getOrElse(Nil)).toSet
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return 0
+    var removed = 0
+    fs.listStatus(dataDir).foreach { stageDir =>
+      fs.listStatus(stageDir.getPath).foreach { f =>
+        val rel = s"data/${stageDir.getPath.getName}/${f.getPath.getName}"
+        val visible = !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
+        if (visible && !live.contains(rel)) { fs.delete(f.getPath, false); removed += 1 }
+      }
+      if (fs.listStatus(stageDir.getPath).isEmpty) fs.delete(stageDir.getPath, true)
+    }
+    removed
+  }
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** A16: transaction-log table format — commit atomicity, snapshot
+  * isolation, time travel, checkpoint-bounded replay, concurrent-writer
+  * serialization, vacuum.
+  */
+class SnapshotTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_snap_spec").toString + "/t"
+
+  private def ids(table: String, asOf: Option[Int] = None): Set[Long] =
+    SnapshotTable.read(spark, table, asOf).select("id").as[Long].collect().toSet
+
+  test("append commits accumulate; overwrite retires; time travel reads every version") {
+    val t = freshTable()
+    assert(SnapshotTable.currentVersion(spark, t) == 0)
+    assert(SnapshotTable.commitAppend(spark, t, Seq(1L, 2L).toDF("id")) == 1)
+    assert(SnapshotTable.commitAppend(spark, t, Seq(3L).toDF("id")) == 2)
+    assert(SnapshotTable.commitOverwrite(spark, t, Seq(9L).toDF("id")) == 3)
+    assert(ids(t, Some(1)) == Set(1L, 2L))
+    assert(ids(t, Some(2)) == Set(1L, 2L, 3L))
+    assert(ids(t, Some(3)) == Set(9L))
+    assert(ids(t) == Set(9L))
+    // overwritten files stay physical until vacuum: time travel still works
+    assert(ids(t, Some(2)) == Set(1L, 2L, 3L))
+  }
+
+  test("empty overwrite returns an empty frame WITH the committed schema") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    SnapshotTable.commitOverwrite(spark, t,
+      Seq.empty[(Long, String)].toDF("id", "name"))
+    val cur = SnapshotTable.read(spark, t)
+    assert(cur.count() == 0)
+    assert(cur.columns.toSeq == Seq("id", "name"))
+    assert(ids(t, Some(1)) == Set(1L))
+  }
+
+  test("checkpoint bounds replay: pre-checkpoint log entries can vanish and reads still resolve") {
+    val t = freshTable()
+    (1 to 12).foreach(i => SnapshotTable.commitAppend(spark, t, Seq(i.toLong).toDF("id")))
+    // checkpoints land at v10 — delete every earlier commit entry; latest
+    // and as-of-11 reads must survive on checkpoint + tail alone
+    val logDir = new java.io.File(t, "_graft_log")
+    (1 to 9).foreach { v =>
+      assert(new java.io.File(logDir, f"v$v%010d.json").delete(), s"v$v entry should exist")
+    }
+    assert(ids(t) == (1 to 12).map(_.toLong).toSet)
+    assert(ids(t, Some(11)) == (1 to 11).map(_.toLong).toSet)
+    // ...but a pre-checkpoint as-of is genuinely gone — loud, not wrong
+    intercept[Exception](ids(t, Some(5)))
+  }
+
+  test("concurrent appends serialize through the version claim; both land") {
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = SnapshotTable.commitAppend(spark, t, Seq(i.toLong * 100).toDF("id"))
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet == (1 to 8).toSet, "each commit must claim a distinct version")
+      assert(ids(t) == (1 to 8).map(_.toLong * 100).toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("snapshot isolation: a resolved snapshot is immune to later commits") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))
+    val snap = SnapshotTable.snapshot(spark, t)
+    SnapshotTable.commitOverwrite(spark, t, Seq(2L).toDF("id"))
+    // plan against the captured file list: still version-1 content
+    val asCaptured = spark.read.parquet(
+      snap.files.map(f => new org.apache.hadoop.fs.Path(t, f).toString): _*)
+    assert(asCaptured.select("id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("vacuum deletes only files outside the retention horizon; retained time travel survives") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))
+    SnapshotTable.commitOverwrite(spark, t, Seq(2L).toDF("id"))
+    SnapshotTable.commitOverwrite(spark, t, Seq(3L).toDF("id"))
+    val removed = SnapshotTable.vacuum(spark, t, retainVersions = 1)
+    assert(removed > 0, "version-1 files are unreferenced by v2..v3 and must go")
+    assert(ids(t) == Set(3L))
+    assert(ids(t, Some(2)) == Set(2L)) // inside horizon: intact
+    // v1's log entry still exists, but its files are gone — reading it
+    // must fail loudly rather than silently return partial data
+    intercept[Exception](ids(t, Some(1)))
+  }
+
+  test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {
+    val t = freshTable()
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    SnapshotTable.commitAppend(spark, t, orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+    SnapshotTable.commitAppend(spark, t, orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+    SnapshotTable.commitOverwrite(spark, t, orders.filter(pmod(col("o_orderkey"), lit(3)) === 2))
+    val v2 = SnapshotTable.read(spark, t, Some(2)).agg(sum("o_orderkey")).head.getLong(0)
+    val direct = orders.filter(pmod(col("o_orderkey"), lit(3)) < 2)
+      .agg(sum("o_orderkey")).head.getLong(0)
+    assert(v2 == direct)
+  }
+}

@@ -300,6 +300,31 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // G4 (EXT): COMMUNITY DETECTION via synchronous label propagation
+    // (Raghavan et al. 2007) — the other standard massive-graph
+    // clustering next to connected components (CC merges everything
+    // reachable; LPA's majority vote respects edge density). Semantics
+    // pinned deterministic so the oracle can unroll them: labels start as
+    // the node id; each round, EVERY node simultaneously takes the most
+    // frequent label among its neighbors, ties to the smallest label;
+    // 3 fixed rounds. Physical shape per round = one scatter join on the
+    // CACHED src-partitioned edge relation (exchange-free on the edge
+    // side, the adhocEdges layout) + one gather aggregate + one
+    // per-node window argmax — all key-partitioned; plan depth is
+    // constant (3 unrolled rounds), no driver-side data access. At 100 TB
+    // the rounds-bounded loop and the one-shuffle-per-round shape are the
+    // same story as the PageRank family.
+    "g4_label_propagation" -> ((s, d) => {
+      val (e, _, _) = adhocEdges(s, d)
+      graft.operators.GraphOps.labelPropagate(e, rounds = 3)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("size"),
+          sum(when(substring(col("node"), 1, 1) === "C", 1L).otherwise(0L))
+            .as("n_customers"),
+          min(col("node")).as("first_member"))
+        .orderBy("community")
+    }),
+
     // G4: PageRank, 3 fixed iterations, damping 0.85, integer mass.
     //   r0(v)   = Total DIV n
     //   r_k+1(v) = (15·(Total DIV n)) DIV 100
@@ -512,6 +537,36 @@ object GraphQueries {
            |SELECT src AS node, substr(src, 1, 1) AS side,
            |  COUNT(*) AS degree
            |FROM e GROUP BY src ORDER BY node""".stripMargin,
+
+      // 3 unrolled synchronous rounds of the same deterministic vote:
+      // most frequent neighbor label, ties to the smallest. MATERIALIZED
+      // on the reused edge CTE — DuckDB would otherwise inline it into
+      // all three rounds (the g4_triangles sf1 lesson).
+      "g4_label_propagation" -> {
+        def round(prev: String, cur: String): String =
+          s"""v$cur AS (
+             |  SELECT e.src, l.lbl, COUNT(*) AS c
+             |  FROM e JOIN l$prev l ON l.node = e.dst GROUP BY e.src, l.lbl),
+             |l$cur AS (
+             |  SELECT src AS node, lbl FROM (
+             |    SELECT src, lbl,
+             |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+             |    FROM v$cur) WHERE rn = 1)""".stripMargin
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT 'C' || o_custkey AS c, 'S' || l_suppkey AS p
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM e0
+           |     UNION ALL SELECT p, c FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+           |${round("0", "1")},
+           |${round("1", "2")},
+           |${round("2", "3")}
+           |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS size,
+           |  CAST(SUM(CASE WHEN node LIKE 'C%' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_customers,
+           |  MIN(node) AS first_member
+           |FROM l3 GROUP BY lbl ORDER BY community""".stripMargin
+      },
 
       // independent ALGORITHM, not a replay: recursive min-label closure
       // (propagate every smaller reachable label, take the minimum) must

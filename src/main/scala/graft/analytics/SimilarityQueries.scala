@@ -103,6 +103,37 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // K3 (EXT): LATE-INTERACTION scoring (the public ColBERT design,
+    // Khattab & Zaharia SIGIR'20) — the multi-vector retrieval shape:
+    // query and document each carry m token vectors and score(d) =
+    // Σ_q max_t cos(q_sub, t_sub), which preserves token-level matching
+    // that single-vector cosine collapses. The corpus's 64-dim embeddings
+    // stand in as 8 × 8-dim token vectors per document (the real pipeline
+    // would land a token-vector array column of the same shape). Plan
+    // shape: the query's 8 sub-vectors ride ONE broadcast row; all 64
+    // sub-cosines per document evaluate inside one map-side projection of
+    // native codegen'd DotProductExpr calls (greatest-of-8 per query
+    // token, left-fold sum) — no explode, no shuffle except the final
+    // TakeOrderedAndProject. At 100 TB this is a pure scan: compute
+    // ∝ rows × m², data movement ∝ k.
+    "k3_maxsim_topk" -> ((s, d) => {
+      import graft.functions.VectorExpressions.cosineFast
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val score = (0 until 8).map { a =>
+        greatest((0 until 8).map { b =>
+          cosineFast(slice(col("embedding"), b * 8 + 1, 8),
+            slice(col("q_vec"), a * 8 + 1, 8))
+        }: _*)
+      }.reduce(_ + _)
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(score, 6).as("late_score"))
+        .orderBy(col("late_score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // K3 via the custom codegen'd Catalyst expression (DotProductExpr):
     // same semantics and oracle as k3_cosine_topk, but the per-element
     // lambda interpretation of zip_with/aggregate is replaced by a tight
@@ -864,6 +895,28 @@ object SimilarityQueries {
     "k3_cosine_topk" -> cosineTopkSql,
     // same oracle: the codegen'd expression must agree bit-for-bit
     "k3_cosine_topk_fast" -> cosineTopkSql,
+
+    // late interaction re-derived per (doc, query-token, doc-token): the
+    // 64 sub-cosines, max per query token, summed per doc. SUM's fold
+    // order is unspecified vs the engine's left fold over 8 maxima —
+    // round(·, 6) absorbs the ≤1e-15 associativity drift (the same
+    // contract cosineTopkSql already relies on for its 64-term dot).
+    "k3_maxsim_topk" ->
+      """WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, e.label, a.a, b.b,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> CAST(e.embedding[b.b * 8 + i] AS DOUBLE) * CAST(q.q_vec[a.a * 8 + i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 9),
+        |         i -> CAST(e.embedding[b.b * 8 + i] AS DOUBLE) * CAST(e.embedding[b.b * 8 + i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 9),
+        |         i -> CAST(q.q_vec[a.a * 8 + i] AS DOUBLE) * CAST(q.q_vec[a.a * 8 + i] AS DOUBLE)))))
+        |    AS sim
+        |  FROM embeddings e, q, range(0, 8) a(a), range(0, 8) b(b)),
+        |mx AS (SELECT vec_id, label, a, MAX(sim) AS m FROM pairs GROUP BY vec_id, label, a)
+        |SELECT vec_id, label, ROUND(SUM(m), 6) AS late_score
+        |FROM mx GROUP BY vec_id, label
+        |ORDER BY late_score DESC, vec_id LIMIT 10""".stripMargin,
 
     // Downstream of the written per-subspace codebook artifact: the oracle
     // re-derives PQ encoding (argmax of dot − ‖c‖²/2 per 8-dim slice, ties

@@ -171,6 +171,48 @@ object StreamingReplay {
     // against a non-empty table within one run, and a full cross-run
     // replay; more batches repeat the first class at pure bench cost
     // (round 12: 3→2 batches = 6→4 sink merges, same semantics).
+    // J12 (EXT): foreachBatch EXACTLY-ONCE sink into the transaction-log
+    // table — the production shape for streaming ingest onto object
+    // storage (the public Delta sink's txn-dedup mechanism): each
+    // micro-batch lands as one ACID SnapshotTable commit carrying its
+    // (appId, batchId) transaction, so Structured Streaming's
+    // at-least-once batch redelivery becomes exactly-once table content.
+    // The query replays 3 staged micro-batches, then replays the WHOLE
+    // stream a second time under a fresh checkpoint with the same appId —
+    // every batch is a duplicate and must no-op (asserted: the table
+    // stays at version 3). The oracle aggregates the source events once;
+    // a hash match proves no batch landed twice and none was lost.
+    "j12_stream_snapshot_sink" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      val in = stageBatchesMemo("j12", d, ev, pmod(col("event_id"), lit(3)).cast("int"), 3)
+      val table = tempDir("graft_snap_sink") + "/t"
+      val schema = s.read.parquet(in).schema
+      val appId = "graft_j12"
+      def runOnce(): Unit = {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val q = src.writeStream
+          .foreachBatch((batch: DataFrame, batchId: Long) => {
+            SnapshotTable.commitStreamBatch(s, table, batch, appId, batchId); ()
+          })
+          .option("checkpointLocation", tempDir("graft_snap_sink_ck"))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce()
+      runOnce() // full redelivery: all three txns recorded → all skipped
+      require(SnapshotTable.currentVersion(s, table) == 3,
+        "duplicate micro-batches must no-op through txn dedup")
+      SnapshotTable.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     "j2_exactly_once_replay" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
@@ -464,6 +506,14 @@ object StreamingReplay {
     "j2_exactly_once_replay" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // the oracle aggregates the source ONCE — a hash match proves the
+    // doubled replay neither duplicated nor dropped any batch
+    "j12_stream_snapshot_sink" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Re-derivation of the streaming semantics: batch b = event_id % 4;
     // the watermark FILTERING batch b is max(ts over batches ≤ b−2) −

@@ -81,6 +81,35 @@ object GraphOps {
     *               `src`, `dst`; self-loops and duplicates removed here
     * @return ((node, component = min id in the component), rounds run)
     */
+  /** Synchronous label propagation (Raghavan et al. 2007), deterministic
+    * variant: labels start as the node id; each round every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties to the smallest label; fixed `rounds`. `edges` is a directed
+    * (src, dst) list — pass both directions for an undirected graph.
+    * Returns (node, lbl).
+    *
+    * Scale: one scatter join + one gather aggregate + one per-node window
+    * argmax per round, all partitioned by node key; plan depth is bounded
+    * by the fixed round count, so no checkpoint truncation is needed
+    * (unbounded-iteration callers should pin rounds or add the PageRank
+    * family's per-iteration spill).
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    (1 to rounds).foreach { _ =>
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("lbl"))
+      labels = edges.join(labels.withColumnRenamed("node", "nbr"),
+          col("dst") === col("nbr"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+    }
+    labels
+  }
+
   def connectedComponents(edges0: DataFrame,
       maxIter: Int = 40): (DataFrame, Int) = {
     def canon(df: DataFrame, a: String, b: String): DataFrame =

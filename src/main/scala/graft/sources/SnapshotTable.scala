@@ -60,8 +60,12 @@ object SnapshotTable {
   /** Raced another writer for too many consecutive version claims. */
   final class CommitContentionException(msg: String) extends RuntimeException(msg)
 
-  /** A resolved snapshot: the table state some reader plans against. */
-  final case class Snapshot(version: Int, schemaJson: String, files: Seq[String])
+  /** A resolved snapshot: the table state some reader plans against.
+    * `txns` carries the highest committed batch id per streaming writer —
+    * the exactly-once mechanism of [[commitStreamBatch]].
+    */
+  final case class Snapshot(version: Int, schemaJson: String, files: Seq[String],
+      txns: Map[String, Long] = Map.empty)
 
   private val LogDir = "_graft_log"
   private def logName(v: Int) = f"v$v%010d.json"
@@ -82,8 +86,30 @@ object SnapshotTable {
   def commitOverwrite(spark: SparkSession, table: String, df: DataFrame): Int =
     commit(spark, table, df, overwrite = true)
 
+  /** EXACTLY-ONCE streaming append — the foreachBatch sink contract. A
+    * micro-batch replayed after a failure (same `appId`, same `batchId`)
+    * finds its transaction already recorded in the snapshot and becomes a
+    * no-op, so the sink is idempotent under Structured Streaming's
+    * at-least-once batch redelivery: at-least-once delivery + transaction
+    * dedup in the atomically-created log entry = exactly-once table
+    * content (the public Delta sink's `txn` action, re-derived). Returns
+    * the committed version, or the current version when skipped.
+    *
+    * The skip check and the claim race are resolved by the SAME log
+    * create: a concurrent duplicate writer (zombie executor replaying an
+    * old epoch) loses the version claim, re-resolves, sees the txn, and
+    * skips — there is no window in which the batch can land twice.
+    */
+  def commitStreamBatch(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long): Int = {
+    val already = resolve(spark, table, None)
+      .exists(_.txns.get(appId).exists(_ >= batchId))
+    if (already) currentVersion(spark, table)
+    else commit(spark, table, df, overwrite = false, txn = Some(appId -> batchId))
+  }
+
   private def commit(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean): Int = {
+      overwrite: Boolean, txn: Option[(String, Long)] = None): Int = {
     val (fs, root) = fsFor(spark, table)
     fs.mkdirs(new Path(root, LogDir))
     // 1. conflict-free data staging
@@ -101,21 +127,33 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < 64) {
       val cur = resolve(spark, table, None)
+      // a duplicate streaming batch detected AFTER losing a claim race:
+      // the winner (or an earlier attempt) already recorded this txn
+      txn.foreach { case (app, id) =>
+        if (cur.exists(_.txns.get(app).exists(_ >= id)))
+          return cur.get.version
+      }
       val next = cur.map(_.version).getOrElse(0) + 1
       val removed = if (overwrite) cur.map(_.files).getOrElse(Nil) else Nil
+      val txnFields: List[(String, JValue)] = txn.toList.flatMap { case (app, id) =>
+        List("txnApp" -> JString(app), "txnId" -> JInt(id))
+      }
       val entry = JsonMethods.compact(JsonMethods.render(JObject(
-        "version" -> JInt(next),
-        "op" -> JString(if (overwrite) "overwrite" else "append"),
-        "schema" -> JString(schemaJson),
-        "add" -> JArray(added.map(JString(_)).toList),
-        "remove" -> JArray(removed.map(JString(_)).toList))))
+        List[(String, JValue)](
+          "version" -> JInt(next),
+          "op" -> JString(if (overwrite) "overwrite" else "append"),
+          "schema" -> JString(schemaJson),
+          "add" -> JArray(added.map(JString(_)).toList),
+          "remove" -> JArray(removed.map(JString(_)).toList)) ++ txnFields)))
       if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
         if (next % checkpointInterval == 0) {
           // best-effort: a lost checkpoint only costs replay length
           val files = (cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added)
+          val txns = cur.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
           val cp = JsonMethods.compact(JsonMethods.render(JObject(
             "version" -> JInt(next),
             "schema" -> JString(schemaJson),
+            "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
             "files" -> JArray(files.map(JString(_)).toList))))
           val out = fs.create(new Path(new Path(root, LogDir), checkpointName(next)), true)
           try out.write(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -184,10 +222,15 @@ object SnapshotTable {
     }.filter(_ <= target).sorted.lastOption
     var files = Vector.empty[String]
     var schema = ""
+    var txns = Map.empty[String, Long]
     cpVersion.foreach { v =>
       val j = readJson(fs, new Path(logDir, checkpointName(v)))
       files = arr(j, "files").toVector
       schema = str(j, "schema")
+      txns = j \ "txns" match {
+        case JObject(fields) => fields.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
+        case _ => Map.empty
+      }
     }
     commits.collect { case (v, n) if v > cpVersion.getOrElse(0) => (v, n) }.foreach {
       case (_, n) =>
@@ -195,8 +238,12 @@ object SnapshotTable {
         val rm = arr(j, "remove").toSet
         files = files.filterNot(rm) ++ arr(j, "add")
         schema = str(j, "schema")
+        (j \ "txnApp", j \ "txnId") match {
+          case (JString(app), JInt(id)) => txns += app -> id.toLong
+          case _ =>
+        }
     }
-    Some(Snapshot(target, schema, files))
+    Some(Snapshot(target, schema, files, txns))
   }
 
   private def readJson(fs: FileSystem, p: Path): JValue = {

@@ -28,6 +28,7 @@ object PlanAudit {
     "k3_random_projection", // broadcast ONE-ROW original query vector
     "k3_ann_binary", // broadcast ONE-ROW query sign words for the Hamming scan
     "k3_ann_incremental", // same one-row rerank broadcast over the appended index
+    "k3_maxsim_topk", // broadcast ONE-ROW query multi-vector for the late-interaction scan
     "d11_hll_rollup", // 1x1 attach: union-of-sketches row x global-exact row
     "d12_resample_ffill", // intended grid product: exploded 1-row bounds x 5 types
     "k4_cross_perplexity", // broadcast one-row LM total-mass aggregates

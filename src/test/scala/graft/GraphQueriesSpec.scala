@@ -170,4 +170,52 @@ class GraphQueriesSpec extends SparkSpec {
       assert(label(comp) == comp)
     }
   }
+
+  test("g4_label_propagation matches a driver-side brute force of the vote rule") {
+    // Independent replay: 3 synchronous rounds of "most frequent neighbor
+    // label, ties to the smallest", labels seeded with the node id.
+    val e = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("C"), col("o_custkey")).as("c"),
+        concat(lit("S"), col("l_suppkey")).as("p"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val nbrs = e.flatMap { case (c, p) => Seq((c, p), (p, c)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var lbl = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      val frozen = lbl
+      lbl = nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(frozen).view.mapValues(_.size).toMap
+        v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val expected = lbl.groupBy(_._2).map { case (community, members) =>
+      community -> (members.size.toLong,
+        members.keys.count(_.startsWith("C")).toLong, members.keys.min)
+    }
+    val got = GraphQueries.queries("g4_label_propagation")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got == expected, s"LPA divergence: engine ${got.size} communities, " +
+      s"brute force ${expected.size}")
+  }
+
+  test("labelPropagate separates planted cliques joined by a single bridge") {
+    import spark.implicits._
+    // two 4-cliques {a0..a3}, {b0..b3} plus one bridge a0-b0: majority
+    // vote keeps each clique on its own min label despite the bridge
+    val cliqueA = for (i <- 0 to 3; j <- 0 to 3; if i != j) yield (s"a$i", s"a$j")
+    val cliqueB = for (i <- 0 to 3; j <- 0 to 3; if i != j) yield (s"b$i", s"b$j")
+    val bridge = Seq(("a0", "b0"), ("b0", "a0"))
+    val edges = (cliqueA ++ cliqueB ++ bridge).toDF("src", "dst")
+    val labels = graft.operators.GraphOps.labelPropagate(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val aLabels = (0 to 3).map(i => labels(s"a$i")).toSet
+    val bLabels = (0 to 3).map(i => labels(s"b$i")).toSet
+    assert(aLabels == Set("a0"), s"clique A must converge to its min id: $aLabels")
+    assert(bLabels.size == 1 && bLabels.head.startsWith("b"),
+      s"clique B must converge inside itself: $bLabels")
+  }
 }

@@ -494,4 +494,27 @@ class SimilaritySpec extends SparkSpec {
     assert(sameCluster >= (top1.length * 0.9).toInt,
       s"top-1 neighbor in home cluster for only $sameCluster/${top1.length}")
   }
+
+  test("k3_maxsim_topk: driver brute force agrees on the full top-10; self-query saturates at 8") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val q = emb.find(_._1 == 0).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def sub(v: Array[Double], k: Int) = v.slice(k * 8, k * 8 + 8)
+    def late(d: Array[Double]): Double =
+      (0 until 8).map(a => (0 until 8).map(b => cos(sub(d, b), sub(q, a))).max).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = emb.map { case (id, v) => (id, r6(late(v))) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    val got = SimilarityQueries.queries("k3_maxsim_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expected, s"late-interaction divergence:\n got $got\n exp $expected")
+    // every sub-cosine of the query against itself is 1 → score exactly 8
+    assert(got.head == ((0L, 8.0)), s"self-query must top the ranking at 8.0: ${got.head}")
+  }
 }

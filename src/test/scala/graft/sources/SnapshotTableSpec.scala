@@ -98,6 +98,33 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception](ids(t, Some(1)))
   }
 
+  test("commitStreamBatch: duplicate and stale batch ids no-op; fresh ids commit") {
+    val t = freshTable()
+    assert(SnapshotTable.commitStreamBatch(spark, t, Seq(1L).toDF("id"), "app", 0L) == 1)
+    assert(SnapshotTable.commitStreamBatch(spark, t, Seq(2L).toDF("id"), "app", 1L) == 2)
+    // exact duplicate (failure redelivery) and an older epoch (zombie
+    // writer) both skip without a version bump or content change
+    assert(SnapshotTable.commitStreamBatch(spark, t, Seq(99L).toDF("id"), "app", 1L) == 2)
+    assert(SnapshotTable.commitStreamBatch(spark, t, Seq(99L).toDF("id"), "app", 0L) == 2)
+    assert(ids(t) == Set(1L, 2L))
+    // a DIFFERENT writer app is an independent txn sequence
+    assert(SnapshotTable.commitStreamBatch(spark, t, Seq(3L).toDF("id"), "other", 0L) == 3)
+    assert(ids(t) == Set(1L, 2L, 3L))
+  }
+
+  test("txn watermarks survive the checkpoint: dedup works after the log prefix vanishes") {
+    val t = freshTable()
+    (0 until 12).foreach { i =>
+      SnapshotTable.commitStreamBatch(spark, t, Seq(i.toLong).toDF("id"), "app", i.toLong)
+    }
+    val logDir = new java.io.File(t, "_graft_log")
+    (1 to 9).foreach(v => assert(new java.io.File(logDir, f"v$v%010d.json").delete()))
+    // replayed batch 5 was recorded BEFORE the checkpoint at v10: the
+    // checkpoint's txn map alone must still reject it
+    assert(SnapshotTable.commitStreamBatch(spark, t, Seq(555L).toDF("id"), "app", 5L) == 12)
+    assert(ids(t) == (0 until 12).map(_.toLong).toSet)
+  }
+
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {
     val t = freshTable()
     val orders = graft.Tables.orders(spark, sfDir)

@@ -251,6 +251,72 @@ object StarQueries {
         .orderBy("snapshot", "o_orderpriority")
     }),
 
+    // A17 (EXT): CHANGE DATA FEED off the transaction log — the
+    // downstream-sync surface (incremental ETL reads "what changed since
+    // version N" instead of diffing snapshots). Same three commits as
+    // a16; the feed over (0, 3] must contain v1/v2 inserts, v3's deletes
+    // of both retired files' rows, and v3's inserts. The oracle
+    // re-derives all four change sets from the source table; a hash match
+    // proves per-version file attribution and delete/insert tagging.
+    "a17_snapshot_changes" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snap_cdf").toString + "/orders_cdf"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      SnapshotTable.commitAppend(s, dir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      SnapshotTable.commitAppend(s, dir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+      SnapshotTable.commitOverwrite(s, dir,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2))
+      SnapshotTable.changes(s, dir, fromVersion = 0, toVersion = 3)
+        .groupBy("_commit_version", "_change_type", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          moneySum(col("o_totalprice")).as("total"))
+        .orderBy("_commit_version", "_change_type", "o_orderpriority")
+    }),
+
+    // A18 (EXT): DATA SKIPPING off the log's per-file column stats — at
+    // 100 TB the difference between scanning a day and scanning the
+    // table. Four range-disjoint appends land with per-file
+    // (min, max) of o_orderkey recorded in their commit entries; the
+    // read plans only files whose range can intersect the predicate
+    // (asserted: strictly fewer files than active) and then applies the
+    // real row filter — skipping is conservative, correctness never
+    // depends on it. The oracle runs the same predicate on the source
+    // table, so a hash match proves no pruned file held a matching row.
+    "a18_snapshot_skipping" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snap_skip").toString + "/orders_s"
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val cut = (maxKey + 3) / 4
+      (0 until 4).foreach { i =>
+        // bucket 0 is open below: the corpus carries an o_orderkey = 0 row
+        val lower = if (i == 0) lit(true) else col("o_orderkey") > i * cut
+        SnapshotTable.commitAppend(s, dir,
+          orders.filter(lower && col("o_orderkey") <= (i + 1) * cut).repartition(2),
+          statsCol = Some("o_orderkey"))
+      }
+      // lower bound matches the row predicate exactly (≤ cut, unbounded
+      // below): pruning must never be allowed to out-filter the filter
+      val (planned, total) = SnapshotTable.planPruned(
+        s, dir, Double.NegativeInfinity, cut.toDouble)
+      require(planned.size < total,
+        s"stats must prune whole files (${planned.size} of $total planned)")
+      SnapshotTable.readPruned(s, dir, Double.NegativeInfinity, cut.toDouble)
+        .filter(col("o_orderkey") <= cut)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          moneySum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -795,6 +861,39 @@ object StarQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM u GROUP BY snapshot, o_orderpriority
         |ORDER BY snapshot, o_orderpriority""".stripMargin,
+
+    // the four change sets re-derived from the source rows: v1/v2
+    // inserts, v3 deletes of everything the overwrite retired, v3 inserts
+    "a17_snapshot_changes" ->
+      """WITH u AS (
+        |  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+        |    o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 3, 'insert', o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT _commit_version, _change_type, o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY _commit_version, _change_type, o_orderpriority
+        |ORDER BY _commit_version, _change_type, o_orderpriority""".stripMargin,
+
+    // the oracle never sees the file layout: same predicate on the
+    // source table — a hash match proves no pruned file held a match
+    "a18_snapshot_skipping" ->
+      """WITH c AS (SELECT (MAX(o_orderkey) + 3) // 4 AS cut FROM orders)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders, c WHERE o_orderkey <= c.cut
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the oracle never sees the Avro: same aggregate on the source
     // parquet — a hash match proves the container round-trip is lossless

@@ -272,6 +272,46 @@ object TextQueries {
         .limit(25)
     }),
 
+    // K4 (EXT): COLLOCATION extraction via pointwise mutual information —
+    // the classic corpus-linguistics signal for multi-word expressions
+    // (Church & Hanks 1990), and a training-data diagnostic (templated/
+    // boilerplate corpora surface as walls of high-PMI pairs). PMI(a,b) =
+    // ln( p(a,b) / (p(a)p(b)) ) with p from exact unigram/bigram counts;
+    // min support 5 kills the noise floor. Shape: two token-keyed
+    // aggregates (map-side partial), two broadcast-sized joins of the
+    // bigram table against unigram counts, one-row totals broadcast —
+    // compute ∝ corpus tokens, shuffle ∝ distinct grams (the K4 family's
+    // standard contract). All count arithmetic exact; the one double
+    // formula is evaluated in the same operation order as the oracle and
+    // rounded to 6.
+    "k4_pmi_collocations" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      val uni = toks.select(explode(col("w")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c1"))
+      val bi0 = toks
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      // totals over the UNFILTERED distributions (the probability space);
+      // support filtering only gates which pairs are reported
+      val tot = uni.agg(sum("c1").cast("double").as("t_uni"))
+        .crossJoin(bi0.agg(sum("n_pair").cast("double").as("t_bi")))
+      val bi = bi0.filter(col("n_pair") >= 5)
+      bi.join(uni.withColumnRenamed("word", "a").withColumnRenamed("c1", "ca"), "a")
+        .join(uni.withColumnRenamed("word", "b").withColumnRenamed("c1", "cb"), "b")
+        .crossJoin(broadcast(tot))
+        .select(col("a"), col("b"), col("n_pair"),
+          round(log((col("n_pair").cast("double") / col("t_bi")) /
+            ((col("ca").cast("double") / col("t_uni")) *
+              (col("cb").cast("double") / col("t_uni")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // K4 (EXT): BPE tokenizer TRAINING (Sennrich et al. 2016 — see
     // operators/BpeTrain for the algorithm and scale design: corpus
     // touched once, rounds run over the DISTINCT-WORD table). The learned
@@ -1204,6 +1244,30 @@ object TextQueries {
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // exact unigram/bigram counts, totals over the UNFILTERED
+    // distributions, the identical double formula (same operation order,
+    // both IEEE), rounded to 6
+    "k4_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT word, COUNT(*) AS c1
+        |        FROM (SELECT UNNEST(w) AS word FROM w) GROUP BY word),
+        |bi0 AS (SELECT a, b, COUNT(*) AS n_pair FROM (
+        |          SELECT w[i] AS a, w[i + 1] AS b
+        |          FROM w, UNNEST(range(1, len(w))) AS t(i)) GROUP BY a, b),
+        |tot AS (SELECT (SELECT CAST(SUM(c1) AS DOUBLE) FROM uni) AS t_uni,
+        |               (SELECT CAST(SUM(n_pair) AS DOUBLE) FROM bi0) AS t_bi)
+        |SELECT bi0.a, bi0.b, CAST(bi0.n_pair AS BIGINT) AS n_pair,
+        |  ROUND(ln((CAST(bi0.n_pair AS DOUBLE) / tot.t_bi) /
+        |    ((CAST(u1.c1 AS DOUBLE) / tot.t_uni) *
+        |     (CAST(u2.c1 AS DOUBLE) / tot.t_uni))), 6) AS pmi
+        |FROM bi0
+        |JOIN uni u1 ON u1.word = bi0.a
+        |JOIN uni u2 ON u2.word = bi0.b
+        |CROSS JOIN tot
+        |WHERE bi0.n_pair >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
 
     // The merge sequence is the artifact; states replay in ONE linear
     // recursive (merge m, position i) walk per word — subword-nmt's

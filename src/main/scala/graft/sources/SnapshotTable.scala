@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
-import org.json4s.{JArray, JInt, JObject, JString, JValue}
+import org.json4s.{JArray, JDouble, JInt, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods
 
 /** Transaction-log table format: ACID appends/overwrites, snapshot-isolated
@@ -62,10 +62,13 @@ object SnapshotTable {
 
   /** A resolved snapshot: the table state some reader plans against.
     * `txns` carries the highest committed batch id per streaming writer —
-    * the exactly-once mechanism of [[commitStreamBatch]].
+    * the exactly-once mechanism of [[commitStreamBatch]]; `stats` the
+    * per-file (min, max) of the writer-declared stat column — the
+    * file-skipping index of [[readPruned]].
     */
   final case class Snapshot(version: Int, schemaJson: String, files: Seq[String],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   private val LogDir = "_graft_log"
   private def logName(v: Int) = f"v$v%010d.json"
@@ -76,9 +79,13 @@ object SnapshotTable {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Append `df` as a new commit; returns the committed version (1-based). */
-  def commitAppend(spark: SparkSession, table: String, df: DataFrame): Int =
-    commit(spark, table, df, overwrite = false)
+  /** Append `df` as a new commit; returns the committed version (1-based).
+    * `statsCol` names one numeric column whose per-file min/max lands in
+    * the commit entry for [[readPruned]]'s file skipping.
+    */
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+      statsCol: Option[String] = None): Int =
+    commit(spark, table, df, overwrite = false, statsCol = statsCol)
 
   /** Replace the table's full content with `df`; prior versions stay
     * time-travel-readable until [[vacuum]].
@@ -109,7 +116,8 @@ object SnapshotTable {
   }
 
   private def commit(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean, txn: Option[(String, Long)] = None): Int = {
+      overwrite: Boolean, txn: Option[(String, Long)] = None,
+      statsCol: Option[String] = None): Int = {
     val (fs, root) = fsFor(spark, table)
     fs.mkdirs(new Path(root, LogDir))
     // 1. conflict-free data staging
@@ -120,6 +128,20 @@ object SnapshotTable {
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .sorted
       .map(n => s"$stage/$n")
+    // per-file column stats for data skipping: one grouped aggregate over
+    // the freshly staged bytes (cost ∝ batch, never ∝ table) — the
+    // lakehouse file-skipping index, carried in the log entry itself
+    val stats: Map[String, (Double, Double)] = statsCol.fold(
+      Map.empty[String, (Double, Double)]) { c =>
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+      spark.read.parquet(new Path(root, stage).toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+        .collect()
+        .map(r => s"$stage/${r.getString(0).split('/').last}" ->
+          (r.getDouble(1), r.getDouble(2)))
+        .toMap
+    }
     val schemaJson = df.schema.json
     // 2. optimistic version claim; remove-set recomputed per attempt so an
     //    overwrite losing a race retires the files of the snapshot it
@@ -138,22 +160,32 @@ object SnapshotTable {
       val txnFields: List[(String, JValue)] = txn.toList.flatMap { case (app, id) =>
         List("txnApp" -> JString(app), "txnId" -> JInt(id))
       }
+      val statFields: List[(String, JValue)] =
+        if (stats.isEmpty) Nil
+        else List("stats" -> JObject(stats.toList.map { case (f, (lo, hi)) =>
+          f -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
+        }))
       val entry = JsonMethods.compact(JsonMethods.render(JObject(
         List[(String, JValue)](
           "version" -> JInt(next),
           "op" -> JString(if (overwrite) "overwrite" else "append"),
           "schema" -> JString(schemaJson),
           "add" -> JArray(added.map(JString(_)).toList),
-          "remove" -> JArray(removed.map(JString(_)).toList)) ++ txnFields)))
+          "remove" -> JArray(removed.map(JString(_)).toList)) ++ txnFields ++ statFields)))
       if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
         if (next % checkpointInterval == 0) {
           // best-effort: a lost checkpoint only costs replay length
           val files = (cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added)
           val txns = cur.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+          val cpStats =
+            cur.map(_.stats).getOrElse(Map.empty) -- removed ++ stats
           val cp = JsonMethods.compact(JsonMethods.render(JObject(
             "version" -> JInt(next),
             "schema" -> JString(schemaJson),
             "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
+            "stats" -> JObject(cpStats.toList.map { case (f, (lo, hi)) =>
+              f -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
+            }),
             "files" -> JArray(files.map(JString(_)).toList))))
           val out = fs.create(new Path(new Path(root, LogDir), checkpointName(next)), true)
           try out.write(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -223,6 +255,7 @@ object SnapshotTable {
     var files = Vector.empty[String]
     var schema = ""
     var txns = Map.empty[String, Long]
+    var stats = Map.empty[String, (Double, Double)]
     cpVersion.foreach { v =>
       val j = readJson(fs, new Path(logDir, checkpointName(v)))
       files = arr(j, "files").toVector
@@ -231,6 +264,7 @@ object SnapshotTable {
         case JObject(fields) => fields.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
         case _ => Map.empty
       }
+      stats = statsOf(j)
     }
     commits.collect { case (v, n) if v > cpVersion.getOrElse(0) => (v, n) }.foreach {
       case (_, n) =>
@@ -242,8 +276,22 @@ object SnapshotTable {
           case (JString(app), JInt(id)) => txns += app -> id.toLong
           case _ =>
         }
+        stats = stats -- rm ++ statsOf(j)
     }
-    Some(Snapshot(target, schema, files, txns))
+    Some(Snapshot(target, schema, files, txns, stats))
+  }
+
+  private def statsOf(j: JValue): Map[String, (Double, Double)] = j \ "stats" match {
+    case JObject(fields) => fields.collect {
+      case (f, JArray(List(lo, hi))) =>
+        f -> (numOf(lo), numOf(hi))
+    }.toMap
+    case _ => Map.empty
+  }
+  private def numOf(j: JValue): Double = j match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case _ => Double.NaN
   }
 
   private def readJson(fs: FileSystem, p: Path): JValue = {
@@ -271,6 +319,78 @@ object SnapshotTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
     else spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** The file-skipping plan for a `[lo, hi]` predicate on the stat
+    * column: (files to read, total active files). A file is SKIPPED only
+    * when its recorded (min, max) provably misses the range; files
+    * committed without stats always read (pruning is conservative —
+    * correctness never depends on it).
+    */
+  def planPruned(spark: SparkSession, table: String, lo: Double, hi: Double,
+      versionAsOf: Option[Int] = None): (Seq[String], Int) = {
+    val snap = snapshot(spark, table, versionAsOf)
+    val keep = snap.files.filter { f =>
+      snap.stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    (keep, snap.files.size)
+  }
+
+  /** Snapshot read restricted to files that can hold stat-column values
+    * in `[lo, hi]` — the caller still applies its actual row predicate;
+    * skipping only removes whole files the log's stats prove irrelevant
+    * (at 100 TB this is the difference between scanning a day and
+    * scanning the table). Empty plan → empty frame with the schema.
+    */
+  def readPruned(spark: SparkSession, table: String, lo: Double, hi: Double,
+      versionAsOf: Option[Int] = None): DataFrame = {
+    val (keep, _) = planPruned(spark, table, lo, hi, versionAsOf)
+    val snap = snapshot(spark, table, versionAsOf)
+    val (_, root) = fsFor(spark, table)
+    if (keep.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+    else spark.read.parquet(keep.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** CHANGE DATA FEED: every row-level change in versions
+    * `(fromVersion, toVersion]`, tagged `_change_type`
+    * ('insert'|'delete') and `_commit_version` — the downstream-sync
+    * surface (incremental ETL, streaming CDC out of the table). Appends
+    * emit inserts; overwrites emit deletes for every retired file's rows
+    * plus inserts for the new content. Requires the per-version log
+    * entries (loud error if vacuumed/checkpoint-trimmed away) and the
+    * retired data files (pre-vacuum).
+    */
+  def changes(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion < toVersion,
+      s"empty change range ($fromVersion, $toVersion]")
+    val (fs, root) = fsFor(spark, table)
+    val logDir = new Path(root, LogDir)
+    def abs(f: String) = new Path(root, f).toString
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val p = new Path(logDir, logName(v))
+      if (!fs.exists(p)) throw new IllegalArgumentException(
+        s"$table has no log entry for version $v (vacuumed or checkpoint-trimmed); " +
+          "change feed is only available for retained versions")
+      val j = readJson(fs, p)
+      val add = arr(j, "add"); val rm = arr(j, "remove")
+      val del = if (rm.nonEmpty)
+        Seq(spark.read.parquet(rm.map(abs): _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v)))
+      else Nil
+      val ins = if (add.nonEmpty)
+        Seq(spark.read.parquet(add.map(abs): _*)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(v)))
+      else Nil
+      del ++ ins
+    }
+    require(parts.nonEmpty, s"no changes recorded in ($fromVersion, $toVersion]")
+    parts.reduce(_ unionByName _)
   }
 
   /** Delete data files unreferenced by every snapshot newer than

@@ -38,6 +38,7 @@ object PlanAudit {
     "d13_kmv_overlap", // tiny source-universe pair product (|sources|^2)
     "k3_ann_graph_search", // broadcast ONE-ROW query vector per beam round
     "k3_hybrid_rrf", // same one-row BM25 stats broadcast in the lexical arm
+    "k4_pmi_collocations", // broadcast ONE-ROW corpus totals (t_uni, t_bi)
     "k2_allpairs_cosine_against", // same one-row N broadcast (union universe)
     "c6_join_cross", "k4_tfidf_top_terms", "k6_mixture_temperature",
     "k2_semantic_dedup", "k4_length_deciles", "k6_epoch_schedule")

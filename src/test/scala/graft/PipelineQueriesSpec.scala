@@ -171,6 +171,27 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("PMI collocations match a driver-side brute force of the full top-20") {
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0).split(" ", -1).toSeq).filter(_.size >= 2)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = texts.flatMap(w => w.zip(w.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tUni = uni.values.sum.toDouble
+    val tBi = bi.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = bi.toSeq.collect { case ((a, b), c) if c >= 5 =>
+      (a, b, c, r6(math.log((c / tBi) / ((uni(a) / tUni) * (uni(b) / tUni)))))
+    }.sortBy { case (a, b, _, p) => (-p, a, b) }.take(20)
+    val got = graft.analytics.TextQueries.queries("k4_pmi_collocations")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected, s"PMI divergence:\n got $got\n exp $expected")
+    // sanity on the signal itself: a supported pair of rare words must
+    // outrank any pair of corpus-universal words
+    assert(got.head._4 > 0, "top collocation must be positively associated")
+  }
+
   test("norm stats: per-label count covers the corpus, min <= avg <= max") {
     val rows = q("k3_norm_stats").collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==

@@ -125,6 +125,50 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ids(t) == (0 until 12).map(_.toLong).toSet)
   }
 
+  test("data skipping: stats prune disjoint-range files; statless files always read") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, (1L to 10L).toDF("id"), statsCol = Some("id"))
+    SnapshotTable.commitAppend(spark, t, (11L to 20L).toDF("id"), statsCol = Some("id"))
+    SnapshotTable.commitAppend(spark, t, (21L to 30L).toDF("id"), statsCol = Some("id"))
+    // no stats on this one: it must survive every plan
+    SnapshotTable.commitAppend(spark, t, Seq(15L).toDF("id"))
+    val snap = SnapshotTable.snapshot(spark, t)
+    val (planned, total) = SnapshotTable.planPruned(spark, t, 12.0, 13.0)
+    assert(total == snap.files.size && planned.size < total)
+    val statless = snap.files.filterNot(snap.stats.contains)
+    assert(statless.nonEmpty && statless.forall(planned.contains),
+      "files without stats must never be skipped")
+    // correctness: pruned read + row filter ≡ full read + row filter
+    val viaPruned = SnapshotTable.readPruned(spark, t, 12.0, 13.0)
+      .filter($"id" >= 12 && $"id" <= 13).as[Long].collect().toSet
+    assert(viaPruned == Set(12L, 13L))
+    // a range that only the statless file could hold still finds its row
+    val edge = SnapshotTable.readPruned(spark, t, 15.0, 15.0)
+      .filter($"id" === 15).as[Long].collect().toList
+    assert(edge.count(_ == 15L) == 2,
+      s"both 15s (ranged file + statless file) must surface: $edge")
+  }
+
+  test("change feed: per-version inserts and deletes, bounded ranges, loud on missing log") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L, 2L).toDF("id"))
+    SnapshotTable.commitAppend(spark, t, Seq(3L).toDF("id"))
+    SnapshotTable.commitOverwrite(spark, t, Seq(9L).toDF("id"))
+    val all = SnapshotTable.changes(spark, t, 0, 3)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Int)].collect().toSet
+    assert(all == Set(
+      (1L, "insert", 1), (2L, "insert", 1), (3L, "insert", 2),
+      (1L, "delete", 3), (2L, "delete", 3), (3L, "delete", 3),
+      (9L, "insert", 3)))
+    // bounded range: only the overwrite's changes
+    val tail = SnapshotTable.changes(spark, t, 2, 3)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(tail == Set((1L, "delete"), (2L, "delete"), (3L, "delete"), (9L, "insert")))
+    intercept[IllegalArgumentException](SnapshotTable.changes(spark, t, 3, 3))
+    intercept[IllegalArgumentException](SnapshotTable.changes(spark, t, 0, 4))
+  }
+
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {
     val t = freshTable()
     val orders = graft.Tables.orders(spark, sfDir)

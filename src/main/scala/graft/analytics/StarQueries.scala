@@ -300,21 +300,62 @@ object StarQueries {
         val lower = if (i == 0) lit(true) else col("o_orderkey") > i * cut
         SnapshotTable.commitAppend(s, dir,
           orders.filter(lower && col("o_orderkey") <= (i + 1) * cut).repartition(2),
-          statsCol = Some("o_orderkey"))
+          statsCols = Seq("o_orderkey"))
       }
       // lower bound matches the row predicate exactly (≤ cut, unbounded
       // below): pruning must never be allowed to out-filter the filter
-      val (planned, total) = SnapshotTable.planPruned(
-        s, dir, Double.NegativeInfinity, cut.toDouble)
+      val range = Seq(("o_orderkey", Double.NegativeInfinity, cut.toDouble))
+      val (planned, total) = SnapshotTable.planPruned(s, dir, range)
       require(planned.size < total,
         s"stats must prune whole files (${planned.size} of $total planned)")
-      SnapshotTable.readPruned(s, dir, Double.NegativeInfinity, cut.toDouble)
+      SnapshotTable.readPruned(s, dir, range)
         .filter(col("o_orderkey") <= cut)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).as("key_sum"),
           moneySum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    }),
+
+    // A19 (EXT): Z-ORDERED commit + MULTI-DIM data skipping — the
+    // "OPTIMIZE ZORDER BY" composition of A9's curve and A18's stats:
+    // lineitem lands as ONE commit clustered along the
+    // (l_partkey, l_suppkey) Morton curve into 8 range-partitioned files
+    // with per-file stats on BOTH dims, so a conjunctive band predicate
+    // on the two keys prunes most files (asserted in-query) — a
+    // single-dim sort would be narrow in one dim and useless in the
+    // other. The oracle runs the same band predicate on the source
+    // table: a hash match proves no pruned file held a matching row.
+    "a19_snapshot_zorder_skipping" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_snap_z").toString + "/li_z"
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (pLo, pHi, sLo, sHi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      SnapshotTable.commitZOrdered(s, dir, li,
+        bounds = Seq(("l_partkey", pLo, pHi), ("l_suppkey", sLo, sHi)),
+        nFiles = 8)
+      // band = the lower quarter of both key ranges — the 2-dim locality
+      // the curve exists to serve
+      val pCut = pLo + (pHi - pLo) / 4
+      val sCut = sLo + (sHi - sLo) / 4
+      val ranges = Seq(
+        ("l_partkey", pLo.toDouble, pCut.toDouble),
+        ("l_suppkey", sLo.toDouble, sCut.toDouble))
+      val (planned, total) = SnapshotTable.planPruned(s, dir, ranges)
+      require(planned.size < total,
+        s"z-order stats must prune whole files (${planned.size} of $total planned)")
+      SnapshotTable.readPruned(s, dir, ranges)
+        .filter(col("l_partkey").between(pLo, pCut) &&
+          col("l_suppkey").between(sLo, sCut))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_partkey")
     }),
 
     "a9_zorder_curve" -> ((s, d) => {
@@ -884,6 +925,23 @@ object StarQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM u GROUP BY _commit_version, _change_type, o_orderpriority
         |ORDER BY _commit_version, _change_type, o_orderpriority""".stripMargin,
+
+    // the oracle never sees the curve or the file layout: the same 2-dim
+    // band on the source table — a hash match proves no pruned file held
+    // a matching row
+    "a19_snapshot_zorder_skipping" ->
+      """WITH b AS (SELECT MIN(l_partkey) AS plo,
+        |    MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 4 AS pcut,
+        |    MIN(l_suppkey) AS slo,
+        |    MIN(l_suppkey) + (MAX(l_suppkey) - MIN(l_suppkey)) // 4 AS scut
+        |  FROM lineitem)
+        |SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN b.plo AND b.pcut
+        |  AND l_suppkey BETWEEN b.slo AND b.scut
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
 
     // the oracle never sees the file layout: same predicate on the
     // source table — a hash match proves no pruned file held a match

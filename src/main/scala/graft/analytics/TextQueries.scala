@@ -22,6 +22,36 @@ object TextQueries {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** PMI collocation table over a `text` corpus (k4_pmi_collocations'
+    * body; ScaleCheck times the same function). Exact unigram/bigram
+    * counts; totals computed over the UNFILTERED distributions (the
+    * probability space — support filtering only gates which pairs are
+    * reported); the one double formula runs in a fixed operation order so
+    * the DuckDB oracle is value-exact at 6 digits.
+    */
+  def pmiCollocations(docs: DataFrame, minSupport: Int): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c1"))
+    val bi0 = toks
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+    val tot = uni.agg(sum("c1").cast("double").as("t_uni"))
+      .crossJoin(bi0.agg(sum("n_pair").cast("double").as("t_bi")))
+    bi0.filter(col("n_pair") >= minSupport)
+      .join(uni.withColumnRenamed("word", "a").withColumnRenamed("c1", "ca"), "a")
+      .join(uni.withColumnRenamed("word", "b").withColumnRenamed("c1", "cb"), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("n_pair"),
+        round(log((col("n_pair").cast("double") / col("t_bi")) /
+          ((col("ca").cast("double") / col("t_uni")) *
+            (col("cb").cast("double") / col("t_uni")))), 6).as("pmi"))
+  }
+
   /** Fixed Count-Min dimensions shared by the one-shot and incremental
     * queries (4×1024 longs = 32 KiB state).
     */
@@ -284,33 +314,10 @@ object TextQueries {
     // standard contract). All count arithmetic exact; the one double
     // formula is evaluated in the same operation order as the oracle and
     // rounded to 6.
-    "k4_pmi_collocations" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(tokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 2)
-      val uni = toks.select(explode(col("w")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("c1"))
-      val bi0 = toks
-        .select(explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))"))
-          .as("bg"))
-        .select(col("bg.a").as("a"), col("bg.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
-      // totals over the UNFILTERED distributions (the probability space);
-      // support filtering only gates which pairs are reported
-      val tot = uni.agg(sum("c1").cast("double").as("t_uni"))
-        .crossJoin(bi0.agg(sum("n_pair").cast("double").as("t_bi")))
-      val bi = bi0.filter(col("n_pair") >= 5)
-      bi.join(uni.withColumnRenamed("word", "a").withColumnRenamed("c1", "ca"), "a")
-        .join(uni.withColumnRenamed("word", "b").withColumnRenamed("c1", "cb"), "b")
-        .crossJoin(broadcast(tot))
-        .select(col("a"), col("b"), col("n_pair"),
-          round(log((col("n_pair").cast("double") / col("t_bi")) /
-            ((col("ca").cast("double") / col("t_uni")) *
-              (col("cb").cast("double") / col("t_uni")))), 6).as("pmi"))
+    "k4_pmi_collocations" -> ((s, d) =>
+      pmiCollocations(Tables.documents(s, d), minSupport = 5)
         .orderBy(col("pmi").desc, col("a"), col("b"))
-        .limit(20)
-    }),
+        .limit(20)),
 
     // K4 (EXT): BPE tokenizer TRAINING (Sennrich et al. 2016 — see
     // operators/BpeTrain for the algorithm and scale design: corpus

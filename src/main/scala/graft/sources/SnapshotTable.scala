@@ -63,12 +63,12 @@ object SnapshotTable {
   /** A resolved snapshot: the table state some reader plans against.
     * `txns` carries the highest committed batch id per streaming writer —
     * the exactly-once mechanism of [[commitStreamBatch]]; `stats` the
-    * per-file (min, max) of the writer-declared stat column — the
-    * file-skipping index of [[readPruned]].
+    * per-file per-column (min, max) of the writer-declared stat columns —
+    * the file-skipping index of [[readPruned]].
     */
   final case class Snapshot(version: Int, schemaJson: String, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   private val LogDir = "_graft_log"
   private def logName(v: Int) = f"v$v%010d.json"
@@ -80,12 +80,36 @@ object SnapshotTable {
   }
 
   /** Append `df` as a new commit; returns the committed version (1-based).
-    * `statsCol` names one numeric column whose per-file min/max lands in
-    * the commit entry for [[readPruned]]'s file skipping.
+    * `statsCols` names numeric columns whose per-file min/max land in the
+    * commit entry for [[readPruned]]'s file skipping — combine with a
+    * Z-ordered layout ([[commitZOrdered]]) to make the ranges narrow in
+    * EVERY listed dimension.
     */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-      statsCol: Option[String] = None): Int =
-    commit(spark, table, df, overwrite = false, statsCol = statsCol)
+      statsCols: Seq[String] = Nil): Int =
+    commit(spark, table, df, overwrite = false, statsCols = statsCols)
+
+  /** Append `df` clustered along the (c1, c2, …) Z-order curve into
+    * `nFiles` range-partitioned files, with per-file stats on every curve
+    * column — multi-dimensional data skipping: because the curve keeps
+    * files narrow in ALL listed dimensions at once, a predicate on ANY of
+    * them prunes most files (a single-column sort is narrow in one).
+    * `bounds` are (col, min, max) — pass precomputed corpus bounds so the
+    * curve normalization is one bounded driver value, not a second scan
+    * here.
+    */
+  def commitZOrdered(spark: SparkSession, table: String, df: DataFrame,
+      bounds: Seq[(String, Long, Long)], nFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.operators.ZOrder.curve(
+      bounds.map { case (c, lo, hi) => (col(c), lo, hi) })
+    val clustered = df.withColumn("_graft_z", z)
+      .repartitionByRange(nFiles, col("_graft_z"))
+      .sortWithinPartitions("_graft_z")
+      .drop("_graft_z")
+    commit(spark, table, clustered, overwrite = false,
+      statsCols = bounds.map(_._1))
+  }
 
   /** Replace the table's full content with `df`; prior versions stay
     * time-travel-readable until [[vacuum]].
@@ -117,7 +141,7 @@ object SnapshotTable {
 
   private def commit(spark: SparkSession, table: String, df: DataFrame,
       overwrite: Boolean, txn: Option[(String, Long)] = None,
-      statsCol: Option[String] = None): Int = {
+      statsCols: Seq[String] = Nil): Int = {
     val (fs, root) = fsFor(spark, table)
     fs.mkdirs(new Path(root, LogDir))
     // 1. conflict-free data staging
@@ -128,20 +152,28 @@ object SnapshotTable {
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
       .sorted
       .map(n => s"$stage/$n")
-    // per-file column stats for data skipping: one grouped aggregate over
-    // the freshly staged bytes (cost ∝ batch, never ∝ table) — the
-    // lakehouse file-skipping index, carried in the log entry itself
-    val stats: Map[String, (Double, Double)] = statsCol.fold(
-      Map.empty[String, (Double, Double)]) { c =>
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-      spark.read.parquet(new Path(root, stage).toString)
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
-        .collect()
-        .map(r => s"$stage/${r.getString(0).split('/').last}" ->
-          (r.getDouble(1), r.getDouble(2)))
-        .toMap
-    }
+    // per-file column stats for data skipping: ONE grouped aggregate over
+    // the freshly staged bytes covering every stat column (cost ∝ batch,
+    // never ∝ table) — the lakehouse file-skipping index, carried in the
+    // log entry itself
+    val stats: Map[String, Map[String, (Double, Double)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c")))
+        spark.read.parquet(new Path(root, stage).toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val file = s"$stage/${r.getString(0).split('/').last}"
+            file -> statsCols.map(c =>
+              c -> (r.getAs[Double](s"lo_$c"), r.getAs[Double](s"hi_$c"))).toMap
+          }
+          .toMap
+      }
     val schemaJson = df.schema.json
     // 2. optimistic version claim; remove-set recomputed per attempt so an
     //    overwrite losing a race retires the files of the snapshot it
@@ -161,10 +193,7 @@ object SnapshotTable {
         List("txnApp" -> JString(app), "txnId" -> JInt(id))
       }
       val statFields: List[(String, JValue)] =
-        if (stats.isEmpty) Nil
-        else List("stats" -> JObject(stats.toList.map { case (f, (lo, hi)) =>
-          f -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
-        }))
+        if (stats.isEmpty) Nil else List("stats" -> statsJson(stats))
       val entry = JsonMethods.compact(JsonMethods.render(JObject(
         List[(String, JValue)](
           "version" -> JInt(next),
@@ -183,9 +212,7 @@ object SnapshotTable {
             "version" -> JInt(next),
             "schema" -> JString(schemaJson),
             "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
-            "stats" -> JObject(cpStats.toList.map { case (f, (lo, hi)) =>
-              f -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
-            }),
+            "stats" -> statsJson(cpStats),
             "files" -> JArray(files.map(JString(_)).toList))))
           val out = fs.create(new Path(new Path(root, LogDir), checkpointName(next)), true)
           try out.write(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -255,7 +282,7 @@ object SnapshotTable {
     var files = Vector.empty[String]
     var schema = ""
     var txns = Map.empty[String, Long]
-    var stats = Map.empty[String, (Double, Double)]
+    var stats = Map.empty[String, Map[String, (Double, Double)]]
     cpVersion.foreach { v =>
       val j = readJson(fs, new Path(logDir, checkpointName(v)))
       files = arr(j, "files").toVector
@@ -281,13 +308,23 @@ object SnapshotTable {
     Some(Snapshot(target, schema, files, txns, stats))
   }
 
-  private def statsOf(j: JValue): Map[String, (Double, Double)] = j \ "stats" match {
-    case JObject(fields) => fields.collect {
-      case (f, JArray(List(lo, hi))) =>
-        f -> (numOf(lo), numOf(hi))
-    }.toMap
-    case _ => Map.empty
-  }
+  private def statsJson(stats: Map[String, Map[String, (Double, Double)]]): JObject =
+    JObject(stats.toList.map { case (f, cols) =>
+      f -> (JObject(cols.toList.map { case (c, (lo, hi)) =>
+        c -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
+      }): JValue)
+    })
+
+  private def statsOf(j: JValue): Map[String, Map[String, (Double, Double)]] =
+    j \ "stats" match {
+      case JObject(fields) => fields.collect {
+        case (f, JObject(cols)) =>
+          f -> cols.collect {
+            case (c, JArray(List(lo, hi))) => c -> (numOf(lo), numOf(hi))
+          }.toMap
+      }.toMap
+      case _ => Map.empty
+    }
   private def numOf(j: JValue): Double = j match {
     case JDouble(d) => d
     case JInt(i) => i.toDouble
@@ -321,30 +358,36 @@ object SnapshotTable {
     else spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
   }
 
-  /** The file-skipping plan for a `[lo, hi]` predicate on the stat
-    * column: (files to read, total active files). A file is SKIPPED only
-    * when its recorded (min, max) provably misses the range; files
-    * committed without stats always read (pruning is conservative —
-    * correctness never depends on it).
+  /** The file-skipping plan for conjunctive `[lo, hi]` range predicates
+    * on stat columns: (files to read, total active files). A file is
+    * SKIPPED only when some predicate's recorded (min, max) provably
+    * misses its range; files or columns committed without stats always
+    * read (pruning is conservative — correctness never depends on it).
     */
-  def planPruned(spark: SparkSession, table: String, lo: Double, hi: Double,
+  def planPruned(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
       versionAsOf: Option[Int] = None): (Seq[String], Int) = {
     val snap = snapshot(spark, table, versionAsOf)
     val keep = snap.files.filter { f =>
-      snap.stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      val cols = snap.stats.getOrElse(f, Map.empty)
+      ranges.forall { case (c, lo, hi) =>
+        cols.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
     }
     (keep, snap.files.size)
   }
 
   /** Snapshot read restricted to files that can hold stat-column values
-    * in `[lo, hi]` — the caller still applies its actual row predicate;
-    * skipping only removes whole files the log's stats prove irrelevant
-    * (at 100 TB this is the difference between scanning a day and
-    * scanning the table). Empty plan → empty frame with the schema.
+    * inside every `[lo, hi]` range — the caller still applies its actual
+    * row predicate; skipping only removes whole files the log's stats
+    * prove irrelevant (at 100 TB this is the difference between scanning
+    * a day and scanning the table). Empty plan → empty frame with the
+    * schema.
     */
-  def readPruned(spark: SparkSession, table: String, lo: Double, hi: Double,
+  def readPruned(spark: SparkSession, table: String,
+      ranges: Seq[(String, Double, Double)],
       versionAsOf: Option[Int] = None): DataFrame = {
-    val (keep, _) = planPruned(spark, table, lo, hi, versionAsOf)
+    val (keep, _) = planPruned(spark, table, ranges, versionAsOf)
     val snap = snapshot(spark, table, versionAsOf)
     val (_, root) = fsFor(spark, table)
     if (keep.isEmpty)
@@ -391,6 +434,41 @@ object SnapshotTable {
     }
     require(parts.nonEmpty, s"no changes recorded in ($fromVersion, $toVersion]")
     parts.reduce(_ unionByName _)
+  }
+
+  /** Delete log entries the newest checkpoint has already absorbed,
+    * keeping `retainVersions` of tail history (time travel + change feed
+    * stay available inside the horizon). This is what keeps the log
+    * LISTING bounded at millions of commits: resolution is already
+    * O(checkpoint tail) via checkpoints, but the directory itself only
+    * stays small if absorbed entries are retired. Returns entries deleted.
+    */
+  def cleanupLog(spark: SparkSession, table: String, retainVersions: Int): Int = {
+    val (fs, root) = fsFor(spark, table)
+    val logDir = new Path(root, LogDir)
+    if (!fs.exists(logDir)) return 0
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    val cpVersions = names.collect {
+      case n if n.endsWith(".checkpoint.json") =>
+        n.stripPrefix("v").stripSuffix(".checkpoint.json").toInt
+    }
+    if (cpVersions.isEmpty) return 0 // nothing absorbed yet — keep all
+    val cur = currentVersion(spark, table)
+    // always retain the newest entry (resolution anchors on commit
+    // entries; a checkpoint alone cannot define the current version)
+    val horizon = math.min(cpVersions.max, cur - math.max(1, retainVersions))
+    var removed = 0
+    names.foreach { n =>
+      if (n.endsWith(".json") && !n.endsWith(".checkpoint.json")) {
+        val v = n.stripPrefix("v").stripSuffix(".json").toInt
+        // an entry is deletable only when BOTH absorbed by a checkpoint
+        // (some checkpoint version ≥ v exists) and outside the horizon
+        if (v <= horizon && cpVersions.exists(_ >= v)) {
+          fs.delete(new Path(logDir, n), false); removed += 1
+        }
+      }
+    }
+    removed
   }
 
   /** Delete data files unreferenced by every snapshot newer than

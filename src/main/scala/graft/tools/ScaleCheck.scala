@@ -718,6 +718,73 @@ object ScaleCheck {
       println(f"countmin ratio: ${c10x / c1x}%.1f (linear = 10; sketch " +
         "state constant at 32 KiB per partial regardless of scale)")
     }
+    // Label propagation: 3 rounds, each one scatter join + gather
+    // aggregate + per-node window argmax. Replicas remap node ids so the
+    // degree distribution (and thus per-round work per edge) is constant;
+    // linear = 10.
+    {
+      import graft.operators.GraphOps
+      val pairs = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("c"),
+          concat(lit("S"), col("l_suppkey")).as("p"))
+        .distinct()
+      def bidir(p: DataFrame) = p.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(p.select(col("p").as("src"), col("c").as("dst")))
+      val e1 = bidir(pairs).localCheckpoint(true)
+      val e10 = bidir((0 until 10).map(i =>
+          pairs.select(concat(col("c"), lit(s"_$i")).as("c"),
+            concat(col("p"), lit(s"_$i")).as("p"))).reduce(_ unionAll _))
+        .localCheckpoint(true)
+      println(s"lpa edges 1x=${e1.count()} 10x=${e10.count()}")
+      def lpa(e: DataFrame) = GraphOps.labelPropagate(e, rounds = 3)
+      time("label prop warmup")(lpa(e1))
+      val p1 = time("label prop 1x")(lpa(e1))
+      val p10 = time("label prop 10x")(lpa(e10))
+      println(f"label prop ratio: ${p10 / p1}%.1f (linear = 10; replicas " +
+        "remap node ids, so per-round work per edge is constant)")
+    }
+
+    // PMI collocations (the SHIPPED k4 body): compute ∝ tokens, shuffle
+    // ∝ distinct grams (near-constant under replication) — linear = 10.
+    {
+      def pmi(docs: DataFrame) =
+        graft.analytics.TextQueries.pmiCollocations(docs, minSupport = 5)
+      time("pmi warmup")(pmi(docs1))
+      val p1 = time("pmi 1x")(pmi(docs1))
+      val p10 = time("pmi 10x")(pmi(docs10))
+      println(f"pmi ratio: ${p10 / p1}%.1f (linear = 10; distinct-gram " +
+        "shuffle near-constant, token scan dominates)")
+    }
+
+    // Snapshot-table commit: cost must be ∝ batch + O(checkpoint-interval)
+    // log tail — FLAT in table size/commit count (the 100 TB ingest
+    // contract: appending to a petabyte table costs the batch, not the
+    // history).
+    {
+      import graft.sources.SnapshotTable
+      val batch = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice").limit(5000).localCheckpoint(true)
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_scale_snap").toString + "/t"
+      def timedCommit(what: String): Double = {
+        val t0 = System.nanoTime()
+        SnapshotTable.commitAppend(spark, t, batch)
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$what%-20s $s%7.2f s"); s
+      }
+      (1 to 3).foreach(_ => SnapshotTable.commitAppend(spark, t, batch))
+      val c4 = timedCommit("snap commit #4")
+      (5 to 30).foreach(_ => SnapshotTable.commitAppend(spark, t, batch))
+      val c31 = timedCommit("snap commit #31")
+      val t0 = System.nanoTime()
+      val snap = SnapshotTable.snapshot(spark, t)
+      println(f"snap resolve v${snap.version} " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.3f s over ${snap.files.size} files")
+      println(f"snap commit flat ratio: ${c31 / c4}%.1f (flat = 1; " +
+        "cost is the batch write + a bounded log tail, never the table)")
+    }
     spark.stop()
   }
 }

@@ -127,26 +127,55 @@ class SnapshotTableSpec extends SparkSpec {
 
   test("data skipping: stats prune disjoint-range files; statless files always read") {
     val t = freshTable()
-    SnapshotTable.commitAppend(spark, t, (1L to 10L).toDF("id"), statsCol = Some("id"))
-    SnapshotTable.commitAppend(spark, t, (11L to 20L).toDF("id"), statsCol = Some("id"))
-    SnapshotTable.commitAppend(spark, t, (21L to 30L).toDF("id"), statsCol = Some("id"))
+    SnapshotTable.commitAppend(spark, t, (1L to 10L).toDF("id"), statsCols = Seq("id"))
+    SnapshotTable.commitAppend(spark, t, (11L to 20L).toDF("id"), statsCols = Seq("id"))
+    SnapshotTable.commitAppend(spark, t, (21L to 30L).toDF("id"), statsCols = Seq("id"))
     // no stats on this one: it must survive every plan
     SnapshotTable.commitAppend(spark, t, Seq(15L).toDF("id"))
     val snap = SnapshotTable.snapshot(spark, t)
-    val (planned, total) = SnapshotTable.planPruned(spark, t, 12.0, 13.0)
+    def rng(lo: Double, hi: Double) = Seq(("id", lo, hi))
+    val (planned, total) = SnapshotTable.planPruned(spark, t, rng(12.0, 13.0))
     assert(total == snap.files.size && planned.size < total)
     val statless = snap.files.filterNot(snap.stats.contains)
     assert(statless.nonEmpty && statless.forall(planned.contains),
       "files without stats must never be skipped")
     // correctness: pruned read + row filter ≡ full read + row filter
-    val viaPruned = SnapshotTable.readPruned(spark, t, 12.0, 13.0)
+    val viaPruned = SnapshotTable.readPruned(spark, t, rng(12.0, 13.0))
       .filter($"id" >= 12 && $"id" <= 13).as[Long].collect().toSet
     assert(viaPruned == Set(12L, 13L))
     // a range that only the statless file could hold still finds its row
-    val edge = SnapshotTable.readPruned(spark, t, 15.0, 15.0)
+    val edge = SnapshotTable.readPruned(spark, t, rng(15.0, 15.0))
       .filter($"id" === 15).as[Long].collect().toList
     assert(edge.count(_ == 15L) == 2,
       s"both 15s (ranged file + statless file) must surface: $edge")
+  }
+
+  test("z-ordered commit: multi-dim stats prune on EITHER dimension; content preserved") {
+    val t = freshTable()
+    // 32x32 grid: every (x, y) pair once — the adversarial case for a
+    // single-dim sort (y-ranges full-width in every x-sorted file)
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    SnapshotTable.commitZOrdered(spark, t, grid,
+      bounds = Seq(("x", 0L, 31L), ("y", 0L, 31L)), nFiles = 16)
+    val snap = SnapshotTable.snapshot(spark, t)
+    assert(snap.files.size > 4, s"range partitioner must spread files: ${snap.files.size}")
+    // a quarter-band on x alone AND on y alone must each prune files —
+    // the property a lexicographic (x, y) sort fails for y
+    val (px, tot) = SnapshotTable.planPruned(spark, t, Seq(("x", 0.0, 7.0)))
+    val (py, _) = SnapshotTable.planPruned(spark, t, Seq(("y", 0.0, 7.0)))
+    assert(px.size < tot, s"x-band must prune (${px.size}/$tot)")
+    assert(py.size < tot, s"y-band must prune (${py.size}/$tot)")
+    // conjunctive 2-dim band prunes at least as hard as either alone
+    val (pxy, _) = SnapshotTable.planPruned(spark, t,
+      Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0)))
+    assert(pxy.size <= math.min(px.size, py.size))
+    // correctness: pruned band read ≡ direct filter of the grid
+    val got = SnapshotTable.readPruned(spark, t, Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0)))
+      .filter($"x" <= 7 && $"y" <= 7).count()
+    assert(got == 64, s"band must hold exactly 8x8 rows: $got")
+    // clustering must not lose or duplicate rows
+    assert(SnapshotTable.read(spark, t).count() == 1024)
   }
 
   test("change feed: per-version inserts and deletes, bounded ranges, loud on missing log") {
@@ -167,6 +196,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tail == Set((1L, "delete"), (2L, "delete"), (3L, "delete"), (9L, "insert")))
     intercept[IllegalArgumentException](SnapshotTable.changes(spark, t, 3, 3))
     intercept[IllegalArgumentException](SnapshotTable.changes(spark, t, 0, 4))
+  }
+
+  test("cleanupLog retires absorbed entries; reads and tail time travel survive") {
+    val t = freshTable()
+    (1 to 23).foreach(i => SnapshotTable.commitAppend(spark, t, Seq(i.toLong).toDF("id")))
+    val removed = SnapshotTable.cleanupLog(spark, t, retainVersions = 3)
+    assert(removed > 0, "entries below the checkpoint horizon must retire")
+    // latest + tail time travel resolve from checkpoint 20 + retained tail
+    assert(ids(t) == (1 to 23).map(_.toLong).toSet)
+    assert(ids(t, Some(21)) == (1 to 21).map(_.toLong).toSet)
+    // outside the horizon: loud, not wrong
+    intercept[Exception](ids(t, Some(5)))
+    // cleanup never strands the table even at retain=0 (clamped to 1)
+    SnapshotTable.cleanupLog(spark, t, retainVersions = 0)
+    assert(SnapshotTable.currentVersion(spark, t) == 23)
+    assert(ids(t) == (1 to 23).map(_.toLong).toSet)
   }
 
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {

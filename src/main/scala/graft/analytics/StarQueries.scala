@@ -358,6 +358,39 @@ object StarQueries {
         .orderBy("l_partkey")
     }),
 
+    // A20 (EXT): ZERO-COPY shallow clone — dev/test forks of a production
+    // table as one log write (no data bytes move; the clone's first
+    // commit references the source snapshot's files by absolute path).
+    // Two appends land in the source; the clone is taken at v2, then
+    // DIVERGES with an overwrite. The query reads the SOURCE (must be
+    // untouched by the clone's overwrite — isolation) and the CLONE
+    // (must show only its own overwrite); the oracle re-derives both
+    // states from the source table. A hash match proves the cross-root
+    // file referencing, the isolation of divergent writes, and that the
+    // clone carried the exact snapshot content.
+    "a20_snapshot_clone" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_snap_clone").toString
+      val (src, dst) = (s"$base/src", s"$base/clone")
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      SnapshotTable.commitAppend(s, src,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      SnapshotTable.commitAppend(s, src,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+      SnapshotTable.cloneShallow(s, src, dst)
+      SnapshotTable.commitOverwrite(s, dst,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2))
+      SnapshotTable.read(s, src).withColumn("side", lit("source"))
+        .unionByName(SnapshotTable.read(s, dst).withColumn("side", lit("clone")))
+        .groupBy("side", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          moneySum(col("o_totalprice")).as("total"))
+        .orderBy("side", "o_orderpriority")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -925,6 +958,21 @@ object StarQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM u GROUP BY _commit_version, _change_type, o_orderpriority
         |ORDER BY _commit_version, _change_type, o_orderpriority""".stripMargin,
+
+    // both sides re-derived from source rows: the source keeps its two
+    // appends; the diverged clone shows only its overwrite
+    "a20_snapshot_clone" ->
+      """WITH u AS (
+        |  SELECT 'source' AS side, o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'clone', o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT side, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY side, o_orderpriority
+        |ORDER BY side, o_orderpriority""".stripMargin,
 
     // the oracle never sees the curve or the file layout: the same 2-dim
     // band on the source table — a hash match proves no pruned file held

@@ -87,6 +87,36 @@ object TextQueries {
     * `size(split(text)) >= 3` (an n-token doc has n−2 3-shingles; a NULL
     * text nulls both predicates) — outputs are bit-identical.
     */
+  /** TextRank's word co-occurrence graph, memoized per (session, scale
+    * dir): the graph is a pure function of the corpus (distinct adjacent-
+    * token pairs, both directions) and serves every rank iteration and
+    * every bench rep — same warm-artifact contract as the shingle corpus
+    * below. localCheckpoint severs the explode lineage so the 3-iteration
+    * loop re-reads materialized edge blocks, not the token pipeline.
+    */
+  private val textrankMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame, Long)]
+
+  private def textrankGraph(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
+    textrankMemo.getOrElseUpdate(graft.Tables.memoKey(s, d), {
+      val toks = Tables.documents(s, d).select(tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = toks.select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val e0 = bg.select(least(col("a"), col("b")).as("x"),
+        greatest(col("a"), col("b")).as("y")).distinct()
+      val e = e0.select(col("x").as("_src"), col("y").as("_dst"))
+        .unionAll(e0.select(col("y").as("_src"), col("x").as("_dst")))
+        .repartition(col("_src"))
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("_src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      (e, deg, deg.count())
+    })
+
   private val shingleMemo = scala.collection.concurrent.TrieMap
     .empty[String, (DataFrame, DataFrame)]
 
@@ -318,6 +348,38 @@ object TextQueries {
       pmiCollocations(Tables.documents(s, d), minSupport = 5)
         .orderBy(col("pmi").desc, col("a"), col("b"))
         .limit(20)),
+
+    // K4 (EXT): KEYWORD extraction via TextRank (Mihalcea & Tarau 2004) —
+    // PageRank over the word co-occurrence graph (distinct adjacent-token
+    // pairs, undirected): words central to the corpus's phrase structure
+    // outrank merely frequent ones. The recurrence is the g4 family's
+    // INTEGER-mass formulation (BIGINT parts-per-trillion, truncating
+    // DIV, damping 85/100, 3 iterations), so sums are exact and
+    // merge-order-independent and the oracle replays the identical math.
+    // Physical shape: the memoized edge graph (localCheckpoint, src-
+    // partitioned), one scatter join + one gather aggregate per
+    // iteration — the same constant-plan-depth loop as g4_pagerank.
+    "k4_textrank_keywords" -> ((s, d) => {
+      val Total = 1000000000000L
+      val (e, deg, n) = textrankGraph(s, d)
+      val teleport = (15L * (Total / n)) / 100
+      var r = deg.select(col("node"), col("deg"), lit(Total / n).as("rank"))
+      for (_ <- 1 to 3) {
+        val sums = r.select(col("node").as("_src"),
+            expr("rank DIV deg").as("contrib"))
+          .join(e, "_src")
+          .groupBy(col("_dst").as("node"))
+          .agg(sum("contrib").as("s"))
+        r = deg.join(sums, Seq("node"), "left")
+          .na.fill(0L, Seq("s"))
+          .select(col("node"), col("deg"),
+            expr(s"$teleport + (85 * s) DIV 100").as("rank"))
+      }
+      r.select(col("node").as("word"), col("deg").as("degree"),
+          col("rank").as("rank_ppt"))
+        .orderBy(col("rank_ppt").desc, col("word"))
+        .limit(20)
+    }),
 
     // K4 (EXT): BPE tokenizer TRAINING (Sennrich et al. 2016 — see
     // operators/BpeTrain for the algorithm and scale design: corpus
@@ -1251,6 +1313,42 @@ object TextQueries {
       """SELECT word, COUNT(*) AS cnt
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin,
+
+    // the identical integer recurrence over the word co-occurrence graph
+    // (the g4_pagerank oracle's structure with word edges); MATERIALIZED
+    // on the reused edge CTE, BIGINT casts against HUGEINT drift
+    "k4_textrank_keywords" -> {
+      def iter(prev: String, cur: String): String =
+        s"""s$cur AS (
+           |  SELECT e.dst AS node, CAST(SUM(r.rank // r.deg) AS BIGINT) AS s
+           |  FROM r$prev r JOIN e ON e.src = r.node GROUP BY 1),
+           |r$cur AS (
+           |  SELECT d.node, d.deg,
+           |    CAST((15 * (1000000000000 // n.n)) // 100
+           |      + (85 * COALESCE(s$cur.s, 0)) // 100 AS BIGINT) AS rank,
+           |    n.n AS n
+           |  FROM deg d CROSS JOIN n LEFT JOIN s$cur ON s$cur.node = d.node)"""
+          .stripMargin
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (
+         |  SELECT w[i] AS a, w[i + 1] AS b
+         |  FROM w, UNNEST(range(1, len(w))) AS t(i)
+         |  WHERE w[i] <> w[i + 1]),
+         |e0 AS (SELECT DISTINCT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM bg),
+         |e AS MATERIALIZED (SELECT x AS src, y AS dst FROM e0
+         |     UNION ALL SELECT y, x FROM e0),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT node, deg, 1000000000000 // n AS rank, n
+         |       FROM deg CROSS JOIN n),
+         |${iter("0", "1")},
+         |${iter("1", "2")},
+         |${iter("2", "3")}
+         |SELECT node AS word, deg AS degree, rank AS rank_ppt
+         |FROM r3 ORDER BY rank_ppt DESC, word LIMIT 20""".stripMargin
+    },
 
     // exact unigram/bigram counts, totals over the UNFILTERED
     // distributions, the identical double formula (same operation order,

@@ -358,6 +358,41 @@ object SnapshotTable {
     else spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
   }
 
+  /** ZERO-COPY shallow clone: `dst` becomes a new table whose first
+    * commit REFERENCES the source snapshot's data files (absolute paths —
+    * `Path(root, child)` resolution keeps absolute children as-is), with
+    * schema and file stats carried over. No data bytes move: at 100 TB a
+    * clone is one log write, which is what makes dev/test forks and
+    * experiment branches of a production table free. The clone then
+    * evolves independently (its own appends/overwrites/vacuum).
+    *
+    * Contract (same as the public Delta design's shallow clone): the
+    * clone depends on the SOURCE's files — vacuuming the source beyond
+    * the cloned version breaks the clone loudly at read time; deep-copy
+    * with `commitAppend(read(src))` when the source's retention cannot
+    * be trusted. Returns the clone's version (1).
+    */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+      versionAsOf: Option[Int] = None): Int = {
+    val snap = snapshot(spark, src, versionAsOf)
+    val (_, srcRoot) = fsFor(spark, src)
+    val (fs, dstRoot) = fsFor(spark, dst)
+    fs.mkdirs(new Path(dstRoot, LogDir))
+    def absolute(f: String) =
+      new Path(srcRoot, f).toUri.toString
+    val entry = JsonMethods.compact(JsonMethods.render(JObject(
+      List[(String, JValue)](
+        "version" -> JInt(1),
+        "op" -> JString("clone"),
+        "schema" -> JString(snap.schemaJson),
+        "add" -> JArray(snap.files.map(f => JString(absolute(f))).toList),
+        "remove" -> JArray(Nil),
+        "stats" -> statsJson(snap.stats.map { case (f, cols) => absolute(f) -> cols })))))
+    if (!createExclusive(fs, new Path(new Path(dstRoot, LogDir), logName(1)), entry))
+      throw new IllegalArgumentException(s"$dst already has commits; clone needs a fresh table")
+    1
+  }
+
   /** The file-skipping plan for conjunctive `[lo, hi]` range predicates
     * on stat columns: (files to read, total active files). A file is
     * SKIPPED only when some predicate's recorded (min, max) provably

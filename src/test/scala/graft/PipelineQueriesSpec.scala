@@ -192,6 +192,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.head._4 > 0, "top collocation must be positively associated")
   }
 
+  test("TextRank keywords match a driver-side brute force of the integer recurrence") {
+    val total = 1000000000000L
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0).split(" ", -1).toSeq).filter(_.size >= 2)
+    val undirected = texts.flatMap(w => w.zip(w.tail)).filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val edges = undirected.flatMap { case (x, y) => Seq((x, y), (y, x)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size
+    var rank = deg.map { case (v, _) => v -> total / n }
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / deg(src) }.sum).toMap
+      rank = deg.map { case (v, _) =>
+        v -> ((15L * (total / n)) / 100 + 85L * in.getOrElse(v, 0L) / 100)
+      }
+    }
+    val expected = rank.toSeq.map { case (w, r) => (w, deg(w), r) }
+      .sortBy { case (w, _, r) => (-r, w) }.take(20)
+    val got = graft.analytics.TextQueries.queries("k4_textrank_keywords")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"TextRank divergence:\n got $got\n exp $expected")
+  }
+
   test("norm stats: per-label count covers the corpus, min <= avg <= max") {
     val rows = q("k3_norm_stats").collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import scala.util.Random
+
+/** Randomized differential for the transaction-log table format: seeded
+  * random operation sequences (append / overwrite / duplicate-or-fresh
+  * stream batch) replayed against a driver-side model; EVERY version's
+  * content and every change-feed range must match the model exactly.
+  * Checkpoints land inside the sequences (>10 commits), so the replay
+  * and the checkpoint path are both under the differential.
+  */
+class SnapshotPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_snap_prop").toString + "/t"
+
+  test("random op sequences: every version's content and change feed match a model") {
+    val rnd = new Random(20260816L)
+    (1 to 3).foreach { round =>
+      val t = freshTable()
+      // model: per committed version, (content set, inserted set, deleted set)
+      var content = Set.empty[Long]
+      var versions = Vector.empty[(Set[Long], Set[Long], Set[Long])]
+      var nextId = round * 10000L
+      var streamBatch = -1L
+      val nOps = 14 + rnd.nextInt(6) // crosses the checkpoint interval
+      (1 to nOps).foreach { _ =>
+        val batch = (0 to rnd.nextInt(3)).map(_ => { nextId += 1; nextId }).toSet
+        rnd.nextInt(4) match {
+          case 0 => // append
+            SnapshotTable.commitAppend(spark, t, batch.toSeq.toDF("id"))
+            versions :+= ((content ++ batch, batch, Set.empty[Long]))
+            content ++= batch
+          case 1 => // overwrite
+            SnapshotTable.commitOverwrite(spark, t, batch.toSeq.toDF("id"))
+            versions :+= ((batch, batch, content))
+            content = batch
+          case 2 => // fresh stream batch
+            streamBatch += 1
+            SnapshotTable.commitStreamBatch(spark, t, batch.toSeq.toDF("id"),
+              "prop", streamBatch)
+            versions :+= ((content ++ batch, batch, Set.empty[Long]))
+            content ++= batch
+          case 3 if streamBatch >= 0 => // duplicate stream batch: MUST no-op
+            val dupId = rnd.nextInt(streamBatch.toInt + 1).toLong
+            val v = SnapshotTable.commitStreamBatch(spark, t,
+              Seq(-1L).toDF("id"), "prop", dupId)
+            assert(v == versions.size, s"duplicate batch $dupId must not commit")
+          case _ => // no stream batch yet: plain append instead
+            SnapshotTable.commitAppend(spark, t, batch.toSeq.toDF("id"))
+            versions :+= ((content ++ batch, batch, Set.empty[Long]))
+            content ++= batch
+        }
+      }
+      assert(SnapshotTable.currentVersion(spark, t) == versions.size)
+      // every version's content matches the model (checkpointed and not)
+      versions.zipWithIndex.foreach { case ((want, _, _), i) =>
+        val got = SnapshotTable.read(spark, t, Some(i + 1))
+          .as[Long].collect().toSet
+        assert(got == want, s"round $round version ${i + 1}: $got != $want")
+      }
+      // change feed over random ranges matches the model's per-version sets
+      (1 to 5).foreach { _ =>
+        val from = rnd.nextInt(versions.size)
+        val to = from + 1 + rnd.nextInt(versions.size - from)
+        val want = (from until to).flatMap { vi =>
+          val (_, ins, del) = versions(vi)
+          del.map(id => (id, "delete", vi + 1)) ++ ins.map(id => (id, "insert", vi + 1))
+        }.toSet
+        val got = SnapshotTable.changes(spark, t, from, to)
+          .select("id", "_change_type", "_commit_version")
+          .as[(Long, String, Int)].collect().toSet
+        assert(got == want, s"round $round changes ($from, $to]: " +
+          s"missing ${want -- got}, extra ${got -- want}")
+      }
+    }
+  }
+
+  test("shallow clone: content identity at clone time, full divergence isolation") {
+    val rnd = new Random(77L)
+    val base = Files.createTempDirectory("graft_snap_prop_cl").toString
+    val (src, dst) = (s"$base/src", s"$base/cl")
+    var content = Set.empty[Long]
+    (1 to 6).foreach { i =>
+      val batch = (1 to 1 + rnd.nextInt(3)).map(_ => rnd.nextLong(1000000)).toSet
+      SnapshotTable.commitAppend(spark, src, batch.toSeq.toDF("id"))
+      content ++= batch
+    }
+    SnapshotTable.cloneShallow(spark, src, dst)
+    assert(SnapshotTable.read(spark, dst).as[Long].collect().toSet == content)
+    // diverge both sides; neither may see the other's writes
+    SnapshotTable.commitAppend(spark, src, Seq(-10L).toDF("id"))
+    SnapshotTable.commitOverwrite(spark, dst, Seq(-20L).toDF("id"))
+    assert(SnapshotTable.read(spark, src).as[Long].collect().toSet == content + -10L)
+    assert(SnapshotTable.read(spark, dst).as[Long].collect().toSet == Set(-20L))
+    // the clone's v1 time travel still serves the cloned snapshot
+    assert(SnapshotTable.read(spark, dst, Some(1)).as[Long].collect().toSet == content)
+    // a second clone onto a used table must fail loudly
+    intercept[IllegalArgumentException](SnapshotTable.cloneShallow(spark, src, dst))
+  }
+}

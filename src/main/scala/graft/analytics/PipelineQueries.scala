@@ -382,6 +382,42 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // D14 (EXT): CHANGE-FEED-DRIVEN incremental aggregation — D6's
+    // incremental-MV maintenance re-based on A17's change data feed, the
+    // production shape for keeping a downstream aggregate current off a
+    // lakehouse table WITHOUT rescanning it: each sync folds only the
+    // rows that changed since the last consumed version (inserts add,
+    // deletes subtract — count AND decimal sum are abelian, so the fold
+    // is replay-order-free). The source table takes 4 appends plus an
+    // OVERWRITE down to even event_ids; the maintainer consumes the feed
+    // in two increments (0,2] and (2,5] and its folded state must equal
+    // a from-scratch aggregate of the final table — which is exactly the
+    // oracle (the oracle never sees the feed). Deletes are genuinely
+    // exercised: the overwrite retires every prior file's rows.
+    "d14_cdf_incremental_agg" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_cdf_inc").toString + "/events_t"
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      (0 until 4).foreach { i =>
+        SnapshotTable.commitAppend(s, dir,
+          ev.filter(pmod(col("event_id"), lit(4)) === i))
+      }
+      SnapshotTable.commitOverwrite(s, dir,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+      def fold(from: Int, to: Int): DataFrame =
+        SnapshotTable.changes(s, dir, from, to)
+          .groupBy("event_type")
+          .agg(sum(sign).as("dn"),
+            sum(col("value").cast(DecimalType(18, 2)) * sign).as("dv"))
+      fold(0, 2).unionByName(fold(2, 5))
+        .groupBy("event_type")
+        .agg(sum(col("dn")).as("n"),
+          sum(col("dv")).cast("double").as("total"))
+        .orderBy("event_type")
+    }),
+
     // C6: salted fact-dim join — the manual skew mitigation (SURVEY §2
     // "salting for skew"): the fact side's join key gains a deterministic
     // 16-way salt, the dimension replicates once per salt value, and the
@@ -950,6 +986,15 @@ object PipelineQueries {
         |  MIN(value) AS lo, MAX(value) AS hi
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // the oracle aggregates the FINAL table state from scratch — a hash
+    // match proves the change-feed folds (incl. the overwrite's deletes)
+    // maintained the aggregate exactly
+    "d14_cdf_incremental_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The salted plan must equal the PLAIN join — that equality is the
     // entire point, so the oracle deliberately omits the salt.

@@ -29,6 +29,15 @@ import java.nio.file.{Files, Paths}
   *     (BENCH_STEADY.json, the committed clean-window per-query medians at
   *     sf0.1) is listed in "suspect" — an empty list is the artifact's own
   *     proof that no number in it is co-tenant-polluted.
+  *
+  * Kill-safety (round 14 — r13's official artifact was rc=124 with NO
+  * parsed numbers): one JSON progress line streams per completed query
+  * (stdout + target/bench_partial.jsonl), so a killed run leaves a parsable
+  * prefix; `SPARK_GRAFT_BENCH_DEADLINE_SEC` (default 900) degrades reps to
+  * 1 past 60% of the budget and truncates the remaining set (marked
+  * "truncated":true) past it; the default loadavg wait is capped at 60 s;
+  * the Spark log level is forced to ERROR so WindowExec WARN spam cannot
+  * evict the numbers from a tail-captured run log.
   */
 object Bench {
   private def loadavg(): String =
@@ -70,14 +79,23 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - mainT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // wall-clock budget for the WHOLE main: the harness that runs this has
+    // its own kill timer (r13's official artifact was rc=124 with zero
+    // parsed numbers), so the bench must finish INSIDE it — past 60% of the
+    // deadline reps degrade to 1, past the deadline the query set truncates
+    // gracefully with an explicit marker instead of dying mid-write.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
     // window gate: refuse to start timing into a co-tenant-polluted window.
     // Bounded — a permanently-busy host still produces an artifact, but one
-    // whose loadavg_start exposes the pollution.
+    // whose loadavg_start exposes the pollution. Capped at 60 s by default:
+    // r13 showed a long wait here just eats the harness's kill budget.
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADAVG_MAX", "2.0").toDouble
-    val waitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toInt
+    val waitMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "60").toInt
     val waitT0 = System.nanoTime()
     while (loadavg1m() > loadMax &&
         (System.nanoTime() - waitT0) / 1e9 < waitMax) {
@@ -86,6 +104,10 @@ object Bench {
     }
     val waitedSec = (System.nanoTime() - waitT0) / 1e9
     val spark = GraftSession.getOrCreate("graft-bench", cpus.toInt)
+    // ERROR, not WARN: WindowExec's single-partition warning fires per task
+    // and r13's captured run-log tail was ONLY that spam — the harness keeps
+    // the tail, so anything chatty evicts the numbers it came for
+    spark.sparkContext.setLogLevel("ERROR")
     // timing-only: the seeded-signature queries write oracle-aux parquet
     // artifacts at construction for a pending Verify->DuckDB comparison;
     // a bench rep is not such a run, and the write is verification
@@ -103,28 +125,60 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
 
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would render 0,123 — invalid JSON.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val ts = scala.collection.mutable.ArrayBuffer[Double]()
-      var failed = false
-      var r = 0
-      while (r < reps && !failed) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          ts += (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            failed = true
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    var truncated = false
+    var done = 0
+    Files.createDirectories(Paths.get("target"))
+    val partialPath = Paths.get("target/bench_partial.jsonl")
+    Files.deleteIfExists(partialPath)
+    all.foreach { case (name, fn) =>
+      if (elapsedSec > deadlineSec) truncated = true
+      if (!truncated) {
+        // degrade 3→1 reps in the deadline's last 40%: a median of fewer
+        // reps beats a missing artifact
+        val repsEff = if (elapsedSec > 0.6 * deadlineSec) 1 else reps
+        val ts = scala.collection.mutable.ArrayBuffer[Double]()
+        var failed = false
+        var r = 0
+        while (r < repsEff && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            ts += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              failed = true
+          }
+          r += 1
         }
-        r += 1
-      }
-      if (!failed) {
-        timings(name) = median(ts.toSeq)
-        mins(name) = ts.min
+        done += 1
+        // one JSON line per completed query, streamed as it happens: a run
+        // the harness kills mid-set still yields a parsable prefix (stdout
+        // AND target/bench_partial.jsonl) instead of r13's empty artifact
+        val progress = if (failed)
+          s"""{"bench_query":${jstr(name)},"error":${jstr(errors(name))},"done":$done,"of":${all.size},"elapsed_sec":${num(elapsedSec)}}"""
+        else {
+          timings(name) = median(ts.toSeq)
+          mins(name) = ts.min
+          s"""{"bench_query":${jstr(name)},"median":${num(timings(name))},"min":${num(mins(name))},"reps":$repsEff,"done":$done,"of":${all.size},"elapsed_sec":${num(elapsedSec)}}"""
+        }
+        println(progress)
+        System.out.flush()
+        Files.writeString(partialPath, progress + "\n",
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
       }
     }
     val load1 = loadavg()
@@ -136,17 +190,9 @@ object Bench {
       case (name, t) if steady.get(name).exists(s => t > 3.0 * s) => name
     }.toSeq
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     // "queries" first, summary fields LAST: the harness that collects this
     // output keeps only the tail of the run log, so a summary-first layout
     // gets its total truncated away once the per-query map grows long.
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma-decimal locale would render 0,123 — invalid JSON.
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val qmins = mins.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
@@ -154,7 +200,7 @@ object Bench {
     val total = timings.values.sum
     val totalMin = mins.values.sum
     val line =
-      s"""{"queries":$qs,"queries_min":$qmins,"errors":$es,"suspect":$sus,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"stat":"median","waited_sec":${num(waitedSec)},"loadavg_start":${jstr(load0)},"loadavg_end":${jstr(load1)},"total_min":${num(totalMin)},"metric":"total","unit":"sec","value":${num(total)}}"""
+      s"""{"queries":$qs,"queries_min":$qmins,"errors":$es,"suspect":$sus,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"truncated":$truncated,"deadline_sec":${num(deadlineSec)},"stat":"median","waited_sec":${num(waitedSec)},"loadavg_start":${jstr(load0)},"loadavg_end":${jstr(load1)},"total_min":${num(totalMin)},"metric":"total","unit":"sec","value":${num(total)}}"""
     println(line)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_out.json"), line + "\n")

@@ -23,6 +23,42 @@ object Tables {
   def memoKey(s: SparkSession, rest: String): String =
     s"${org.apache.spark.sql.GraftSqlBridge.sessionUUID(s)}|$rest"
 
+  /** Per-JVM scratch root for staged layouts, recursively deleted at JVM
+    * exit — declared queries stage temp tables under here so repeated
+    * Verify/Bench/test runs stop accumulating /tmp litter (one root to
+    * delete instead of hundreds of orphan graft_* dirs).
+    */
+  lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** Fresh scratch directory under [[scratchRoot]]. */
+  def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, prefix).toString
+
+  /** Disk-layout memo: staged table directories that are PURE FUNCTIONS of
+    * the scale dir (the snapshot-table stagings, replay inputs, bucketed
+    * layouts). Unlike the session-scoped plan memos above, a disk layout
+    * outlives its creating session, so the key deliberately carries no
+    * sessionUUID — any later session in the JVM reuses the standing layout.
+    * This is the warm-artifact methodology (BASELINE.md): a 100 TB
+    * deployment derives its layout once per ingest epoch, not per query,
+    * so bench reps price the operator under test (the pruned read, the
+    * change-feed fold) over a standing table, not the staging. A build that
+    * throws stores nothing; a lost race stages twice and keeps one — both
+    * harmless (scratch litter dies with the JVM).
+    */
+  private val layoutMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+  def memoLayout(key: String, prefix: String)(build: String => Unit): String =
+    layoutMemo.getOrElseUpdate(key, { val dir = scratchDir(prefix); build(dir); dir })
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -422,8 +422,7 @@ object EventQueries {
     "d9_hll_incremental" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.events(s, d)
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_hll_state").toString
+      val statePath = Tables.scratchDir("graft_hll_state")
       val lgK = 12
       var merged: Array[Byte] = null
       (0 until 3).foreach { b =>
@@ -467,8 +466,7 @@ object EventQueries {
       import s.implicits._
       import graft.operators.KllMaintenance
       val ev = Tables.events(s, d)
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_kll_state").toString
+      val statePath = Tables.scratchDir("graft_kll_state")
       val k = 200
       var merged: Array[Byte] = null
       (0 until 3).foreach { b =>

@@ -148,7 +148,7 @@ object GraphQueries {
           .location.toString.contains(new java.io.File(dir).getName)
     prLayouts.synchronized {
       val dir = prLayouts.get(d).filter(catalogCurrent).getOrElse {
-        val fresh = java.nio.file.Files.createTempDirectory("graft-pr-b").toString
+        val fresh = Tables.scratchDir("graft-pr-b")
         writePagerankLayout(s, edges(s, d), fresh)
         fresh
       }
@@ -397,7 +397,7 @@ object GraphQueries {
       // are per-run state (the durability product) and stay
       // per-construction — only the PURE init generation (rank0 = layout
       // function) is reused across reps via durableInitFor
-      val dir = java.nio.file.Files.createTempDirectory("graft-pr-d").toString
+      val dir = Tables.scratchDir("graft-pr-d")
       val layoutDir = ensurePagerankLayout(s, d)
       val memoKey = graft.Tables.memoKey(s, d)
       val reuse = durableInitFor.get(memoKey).contains(layoutDir)

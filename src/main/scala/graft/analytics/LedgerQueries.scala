@@ -170,7 +170,7 @@ object LedgerQueries {
     // bronze rows → JSON lines on disk → read back under the explicit
     // bronze schema (production paths never infer).
     "a3_a4_jsonl_roundtrip" -> ((s, _) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/bronze"
+      val dir = Tables.scratchDir("graft_jsonl") + "/bronze"
       // 5 fixture rows: one output file, not one per default parallelism
       fixtureBronze(s).coalesce(1).write.mode("overwrite").json(dir)
       s.read.schema(Schemas.bronze).json(dir)

@@ -84,6 +84,26 @@ object PipelineQueries {
     when(coin("split42:", col("doc_id")) < "29", lit("valid"))
       .otherwise(lit("train"))
 
+  /** d14/j13's standing change-feed table: 4 appends (event_id % 4 slices)
+    * + one OVERWRITE down to even ids, a pure function of the scale dir —
+    * memoized per JVM (warm-artifact methodology, Tables.memoLayout).
+    * Shared by the batch fold (d14) and the streaming source (j13), so the
+    * two declared queries price their own consumption paths over ONE
+    * staging.
+    */
+  private[analytics] def cdfEventsTable(s: SparkSession, d: String): String =
+    Tables.memoLayout(s"d14|$d", "graft_cdf_inc") { base =>
+      import graft.sources.SnapshotTable
+      val t = s"$base/events_t"
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      (0 until 4).foreach { i =>
+        SnapshotTable.commitAppend(s, t,
+          ev.filter(pmod(col("event_id"), lit(4)) === i))
+      }
+      SnapshotTable.commitOverwrite(s, t,
+        ev.filter(pmod(col("event_id"), lit(2)) === 0))
+    } + "/events_t"
+
   val queries: Map[String, Q] = Map(
     // K6: deterministic train/validation split — the foundational pipeline
     // op: assignment is a pure function of doc_id (stable across runs,
@@ -394,17 +414,53 @@ object PipelineQueries {
     // a from-scratch aggregate of the final table — which is exactly the
     // oracle (the oracle never sees the feed). Deletes are genuinely
     // exercised: the overwrite retires every prior file's rows.
+    // D15 (EXT): UPDATE-IMAGE change-feed maintenance — the full public
+    // CDF surface (insert / delete / update_preimage / update_postimage)
+    // folded incrementally. A keyed MERGE commit (C7 upsert on the log
+    // table) doubles the value of every even event_id: present keys emit
+    // pre/post image pairs, absent keys emit inserts, copied-but-identical
+    // neighbors in rewritten files emit NOTHING. The maintainer folds the
+    // feed in two increments with the uniform sign (+1 insert/postimage,
+    // −1 delete/preimage) — updates then net 0 rows and Δvalue exactly —
+    // and its folded state must equal a from-scratch aggregate of the
+    // final table, which is exactly what the oracle computes (it never
+    // sees the feed or the merge mechanics).
+    "d15_merge_cdf_agg" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = Tables.memoLayout(s"d15|$d", "graft_merge_cdf") { base =>
+        val t = s"$base/events_m"
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        SnapshotTable.commitAppend(s, t,
+          ev.filter(pmod(col("event_id"), lit(3)) < 2))
+        // value*2 is exact in IEEE doubles (power-of-two scale), so the
+        // update images stay decimal-exact through the oracle compare
+        SnapshotTable.commitMerge(s, t,
+          ev.filter(pmod(col("event_id"), lit(2)) === 0)
+            .withColumn("value", col("value") * 2),
+          keyCols = Seq("event_id"))
+      } + "/events_m"
+      val sign = when(col("_change_type").isin("insert", "update_postimage"),
+        lit(1)).otherwise(lit(-1))
+      def fold(from: Int, to: Int): DataFrame =
+        SnapshotTable.changes(s, dir, from, to)
+          .groupBy("event_type")
+          .agg(sum(sign).as("dn"),
+            sum(col("value").cast(DecimalType(18, 2)) * sign).as("dv"))
+      fold(0, 1).unionByName(fold(1, 2))
+        .groupBy("event_type")
+        .agg(sum(col("dn")).as("n"),
+          sum(col("dv")).cast("double").as("total"))
+        .filter(col("n") =!= 0)
+        .orderBy("event_type")
+    }),
+
     "d14_cdf_incremental_agg" -> ((s, d) => {
       import graft.sources.SnapshotTable
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_cdf_inc").toString + "/events_t"
-      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
-      (0 until 4).foreach { i =>
-        SnapshotTable.commitAppend(s, dir,
-          ev.filter(pmod(col("event_id"), lit(4)) === i))
-      }
-      SnapshotTable.commitOverwrite(s, dir,
-        ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      // the five commits are staging (pure function of the scale dir,
+      // memoized per JVM — Tables.memoLayout); the CHANGE-FEED FOLD over
+      // the standing log is the operator under test and what the oracle
+      // hash-checks
+      val dir = cdfEventsTable(s, d)
       val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
       def fold(from: Int, to: Int): DataFrame =
         SnapshotTable.changes(s, dir, from, to)
@@ -415,6 +471,11 @@ object PipelineQueries {
         .groupBy("event_type")
         .agg(sum(col("dn")).as("n"),
           sum(col("dv")).cast("double").as("total"))
+        // a group whose rows ALL net away (every event_id odd) folds to an
+        // (n=0, total=0.0) row, but the from-scratch aggregate the oracle
+        // runs omits the group entirely — drop net-zero groups so the
+        // folded state is structurally equal to the oracle's final state
+        .filter(col("n") =!= 0)
         .orderBy("event_type")
     }),
 
@@ -990,6 +1051,19 @@ object PipelineQueries {
     // the oracle aggregates the FINAL table state from scratch — a hash
     // match proves the change-feed folds (incl. the overwrite's deletes)
     // maintained the aggregate exactly
+    // the oracle is the FINAL table state re-derived from the source:
+    // even ids carry the doubled (merged) value, odd ids survive only if
+    // the base append (%3<2) included them
+    "d15_merge_cdf_agg" ->
+      """WITH fin AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 2 = 0 THEN value * 2 ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id % 2 = 0 OR event_id % 3 < 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "d14_cdf_incremental_agg" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

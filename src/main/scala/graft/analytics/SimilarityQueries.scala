@@ -51,21 +51,23 @@ object SimilarityQueries {
 
   def releaseIncrIndexMemo(): Unit = incrIndexMemo.clear()
 
-  /** Built k-NN graph memo per (session, scale dir): a graph index is
-    * BUILT once and SERVED many times (the HNSW production contract) —
-    * `k3_knn_graph` declares the build, `k3_ann_graph_search` queries the
-    * standing graph; bench reps amortize exactly as production does
-    * (warm-artifact methodology, BASELINE.md). localCheckpoint pins the
-    * n×k edge rows; release drops the blocks with the references.
+  /** The PERSISTED k-NN graph layout (round-14): built + WRITTEN once per
+    * (JVM, scale dir) — `KnnGraph.writeGraph`'s `_srcb`-partitioned edge
+    * layout plus the LSH bucket artifact — then SERVED from disk: a graph
+    * index is built once and queried many times (the HNSW production
+    * contract), and the disk layout is what makes the serving walk's
+    * frontier probe a PARTITION-PRUNED scan instead of a full edge read.
+    * Replaces the round-13 in-memory localCheckpoint memo.
     */
-  private val knnGraphMemo =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
-
-  private def memoKnnGraph(s: SparkSession, d: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    knnGraphMemo.getOrElseUpdate(graft.Tables.memoKey(s, s"$d|knngraph"), build)
-
-  def releaseKnnGraphMemo(): Unit = knnGraphMemo.clear()
+  private def knnGraphDir(s: SparkSession, d: String): String =
+    Tables.memoLayout(s"knng|$d", "graft-knn-graph") { base =>
+      val emb = Tables.embeddings(s, d)
+      val g = graft.operators.KnnGraph.build(emb, "vec_id", "embedding",
+        dim = 64, k = 5, nPlanes = 6, nTables = 3)
+      val buckets = graft.operators.KnnGraph.bucketed(emb, "vec_id",
+        "embedding", dim = 64, nPlanes = 6, nTables = 3)
+      graft.operators.KnnGraph.writeGraph(g, buckets, s"$base/g", buckets = 16)
+    } + "/g"
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -338,7 +340,7 @@ object SimilarityQueries {
           cb.zipWithIndex.map { case (c, ci) => (j, ci, c.toSeq) }
         }.toSeq.toDF("sub", "cell", "centroid"), "k3_incr_codebooks", d)
       val idxDir = incrIndexMemo.getOrElseUpdate(graft.Tables.memoKey(s, d), {
-        val p = java.nio.file.Files.createTempDirectory("graft-ivfadc-incr").toString
+        val p = Tables.scratchDir("graft-ivfadc-incr")
         graft.operators.PqAnn.writeIvfAdcIndex(original, "embedding", cents, cbs, p)
         graft.operators.PqAnn.appendToIndex(batch, "embedding", cents, cbs, p)
         p
@@ -370,9 +372,49 @@ object SimilarityQueries {
             dim = 64, nPlanes = 6, nTables = 3)
           .select(col("_id").as("vec_id"), col("_tbl").as("tbl"),
             col("_bucket").as("bucket")), "k3_knn_buckets", d)
-      memoKnnGraph(s, d)(
-        graft.operators.KnnGraph.build(emb, "vec_id", "embedding", dim = 64,
-          k = 5, nPlanes = 6, nTables = 3).localCheckpoint(true))
+      // declared output = the WRITTEN layout read back: a hash match vs
+      // the oracle's rebuild-from-buckets proves the disk round-trip is
+      // content-exact (disk ≡ memory, under the gate instead of a spec)
+      graft.operators.KnnGraph.readGraph(s, knnGraphDir(s, d)).edges
+        .select("vec_id", "nbr_id", "sim", "nbr_rank")
+        .orderBy("vec_id", "nbr_rank")
+    }),
+
+    // K3 (EXT): INCREMENTAL GRAPH MAINTENANCE — the HNSW-insert shape,
+    // sibling of k3_ann_incremental: the standing graph (vec_id % 10 != 7)
+    // is built + written once; the batch (% 10 == 7) is placed via the
+    // FROZEN LSH bucketing (batch side broadcasts; the standing corpus is
+    // never re-bucketed or rewired), exact-cosine top-5 per new node, and
+    // the adjacency + reverse reachability links land as a partitioned
+    // APPEND into the standing layout. Declared output = the new nodes'
+    // RANKED adjacency read back from disk; the oracle re-derives it from
+    // the full-corpus bucket artifact (standing-capped candidate join +
+    // batch-internal pairs + windowed top-k). ScaleCheck measures the
+    // append flat in standing-corpus size; reachability of appended nodes
+    // through the reverse links is pinned in KnnGraphSpec.
+    "k3_knn_graph_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.tools.OracleAux.write(
+        graft.operators.KnnGraph.bucketed(emb, "vec_id", "embedding",
+            dim = 64, nPlanes = 6, nTables = 3)
+          .select(col("_id").as("vec_id"), col("_tbl").as("tbl"),
+            col("_bucket").as("bucket")), "k3_knng_incr_buckets", d)
+      val dir = Tables.memoLayout(s"knng_incr|$d", "graft-knng-incr") { base =>
+        val standing = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+        val batch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+        val g = graft.operators.KnnGraph.build(standing, "vec_id", "embedding",
+          dim = 64, k = 5, nPlanes = 6, nTables = 3)
+        graft.operators.KnnGraph.writeGraph(g,
+          graft.operators.KnnGraph.bucketed(standing, "vec_id", "embedding",
+            dim = 64, nPlanes = 6, nTables = 3),
+          s"$base/g", buckets = 16)
+        graft.operators.KnnGraph.appendToGraph(s, s"$base/g", batch, emb,
+          "vec_id", "embedding", dim = 64, k = 5, nPlanes = 6, nTables = 3)
+        ()
+      } + "/g"
+      graft.operators.KnnGraph.readGraph(s, dir).edges
+        .filter(pmod(col("vec_id"), lit(10)) === 7 && col("nbr_rank") >= 1)
+        .select("vec_id", "nbr_id", "sim", "nbr_rank")
         .orderBy("vec_id", "nbr_rank")
     }),
 
@@ -393,13 +435,14 @@ object SimilarityQueries {
             dim = 64, nPlanes = 6, nTables = 3)
           .select(col("_id").as("vec_id"), col("_tbl").as("tbl"),
             col("_bucket").as("bucket")), "k3_gsearch_buckets", d)
-      val graph = memoKnnGraph(s, d)(
-        graft.operators.KnnGraph.build(emb, "vec_id", "embedding", dim = 64,
-          k = 5, nPlanes = 6, nTables = 3).localCheckpoint(true))
+      // served from the PERSISTED layout: each round's frontier probe is a
+      // partition-pruned directory read (PartitionFilters on _srcb —
+      // asserted in KnnGraphSpec), the 100 TB serving shape
+      val dg = graft.operators.KnnGraph.readGraph(s, knnGraphDir(s, d))
       val entry = emb.agg(max(col("vec_id"))).head().getLong(0)
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_vec"))
-      graft.operators.KnnGraph.searchGraph(graph, emb, "vec_id",
+      graft.operators.KnnGraph.searchGraph(dg, emb, "vec_id",
           "embedding", q, entryId = entry, k = 10, beam = 8, rounds = 3)
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -1352,6 +1395,45 @@ object SimilarityQueries {
         |  CAST(row_number() OVER (PARTITION BY a
         |    ORDER BY sim DESC, b) AS INTEGER) AS nbr_rank
         |FROM s2 QUALIFY nbr_rank <= 5
+        |ORDER BY vec_id, nbr_rank""".stripMargin,
+
+    // The append's candidate generation re-derived from the full-corpus
+    // bucket artifact: standing rows (vec_id % 10 <> 7) in groups capped
+    // at 256 joined to batch rows sharing (tbl, bucket), plus
+    // batch-internal pairs in groups of 2..256; exact rounded cosine;
+    // windowed top-5 per new node — the oracle never sees the standing
+    // graph, the frozen-bucketing placement, or the partitioned append.
+    "k3_knn_graph_incremental" ->
+      """WITH t AS (SELECT vec_id, tbl, bucket
+        |  FROM read_parquet('/tmp/graft_oracle_aux/{SF}/k3_knng_incr_buckets.parquet/*.parquet')),
+        |b AS (SELECT * FROM t WHERE vec_id % 10 = 7),
+        |st AS (SELECT * FROM t WHERE vec_id % 10 <> 7),
+        |ok AS (SELECT tbl, bucket FROM (
+        |    SELECT tbl, bucket, COUNT(*) AS n FROM st GROUP BY tbl, bucket)
+        |  WHERE n <= 256),
+        |co AS (
+        |  SELECT DISTINCT b.vec_id AS a, st.vec_id AS nb
+        |  FROM b JOIN st USING (tbl, bucket) JOIN ok USING (tbl, bucket)),
+        |bs AS (SELECT tbl, bucket FROM (
+        |    SELECT tbl, bucket, COUNT(*) AS n FROM b GROUP BY tbl, bucket)
+        |  WHERE n BETWEEN 2 AND 256),
+        |cn AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS nb
+        |  FROM b x JOIN b y USING (tbl, bucket) JOIN bs USING (tbl, bucket)
+        |  WHERE x.vec_id <> y.vec_id),
+        |cand AS (SELECT a, nb FROM co UNION SELECT a, nb FROM cn),
+        |s1 AS (
+        |  SELECT c.a, c.nb,
+        |    ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim
+        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+        |              JOIN embeddings eb ON eb.vec_id = c.nb)
+        |SELECT a AS vec_id, nb AS nbr_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY a
+        |    ORDER BY sim DESC, nb) AS INTEGER) AS nbr_rank
+        |FROM s1 QUALIFY nbr_rank <= 5
         |ORDER BY vec_id, nbr_rank""".stripMargin,
 
     // Downstream of the written bucket artifact: the SAME graph CTE chain

@@ -650,8 +650,7 @@ object TextQueries {
     "k4_countmin_incremental" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_cm_state").toString
+      val statePath = Tables.scratchDir("graft_cm_state")
       def batchToks(b: Int) =
         Tables.fanOut(docs.filter(pmod(col("doc_id"), lit(3)) === b))
           .select(explode(tokens(col("text"))).as("tok"))

@@ -131,6 +131,125 @@ object KnnGraph {
       col("_sim").as("sim"), col("_rk").as("nbr_rank"))
   }
 
+  /** A persisted k-NN graph: `edges` hive-partitioned by
+    * `_srcb = vec_id % buckets` so a beam-search frontier probe prunes
+    * PARTITIONS ON DISK (the [[graft.operators.PqAnn.writeIvfAdcIndex]]
+    * pattern — the probe filter becomes a PartitionFilter at the scan);
+    * the LSH bucket artifact rides along so incremental appends place new
+    * vectors without re-bucketing the standing corpus.
+    */
+  final case class DiskGraph(edges: DataFrame, buckets: Int, path: String)
+
+  /** Persist a built graph as the serving layout. `buckets` sizes the
+    * partition grid — production picks corpus/buckets ≈ a few hundred MB
+    * so a frontier probe touches `beam` directories, not the graph.
+    */
+  def writeGraph(graph: DataFrame, bucketArtifact: DataFrame, path: String,
+      buckets: Int = 16): Unit = {
+    graph
+      .withColumn("_srcb", pmod(col("vec_id"), lit(buckets)))
+      .repartition(col("_srcb"))
+      .write.partitionBy("_srcb").mode("overwrite").parquet(s"$path/edges")
+    bucketArtifact.write.mode("overwrite").parquet(s"$path/buckets")
+    val meta = s"""{"buckets":$buckets}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/meta.json"),
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readGraph(spark: org.apache.spark.sql.SparkSession, path: String): DiskGraph = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"$path/meta.json lacks buckets"))
+    DiskGraph(spark.read.parquet(s"$path/edges"), buckets, path)
+  }
+
+  /** INCREMENTAL graph maintenance — the HNSW-insert shape, sibling of
+    * [[graft.operators.PqAnn.appendToIndex]]: place each NEW vector via the
+    * FROZEN LSH bucketing (signatures are pure per-vector functions, so
+    * the batch re-buckets without touching the standing corpus), take
+    * candidates from (a) standing rows sharing a (table, bucket) — the
+    * standing artifact is scanned once and the BATCH side broadcasts, so
+    * no standing bytes ever shuffle — capped at `maxBucket` standing
+    * members per group, and (b) batch-internal pairs (groups of 2..cap);
+    * exact-cosine top-k per new node becomes its adjacency.
+    *
+    * Reachability: for every new edge u_new→v, the REVERSE edge
+    * v→u_new is appended with `nbr_rank = 0` (an unranked supplementary
+    * link, the NN-Descent reverse-edge trick) — without it no standing
+    * walk could ever reach a new node. Old nodes' RANKED lists stay
+    * frozen (the FAISS add()-after-train() contract; periodic rebuild
+    * restores global top-k optimality — a retrain-policy concern, not
+    * this operator's).
+    *
+    * Cost ∝ batch × bucket occupancy: the standing corpus is never
+    * re-bucketed, re-scored against itself, or rewritten — new files land
+    * in existing `_srcb=` partitions (partitioned APPEND, like the IVF
+    * append). Returns the new nodes' ranked adjacency (what a rebuild's
+    * top-k over the same candidate set would hold — the declared query's
+    * oracle re-derives it from the written bucket artifact).
+    */
+  def appendToGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batchEmb: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int = 5,
+      nPlanes: Int = 6,
+      nTables: Int = 3,
+      maxBucket: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val dg = readGraph(spark, path)
+    val newBuckets = bucketed(batchEmb, idCol, vecCol, dim, nPlanes, nTables, seed)
+    val standing = spark.read.parquet(s"$path/buckets")
+    // standing groups capped like build: a hot bucket's candidate fan-in
+    // is bounded whatever the corpus size
+    val okGroups = standing.groupBy("_tbl", "_bucket")
+      .agg(count(lit(1)).as("_n")).filter(col("_n") <= maxBucket)
+      .select("_tbl", "_bucket")
+    val candOld = standing.join(broadcast(okGroups), Seq("_tbl", "_bucket"))
+      .join(broadcast(newBuckets.select(col("_id").as("_a"),
+        col("_tbl"), col("_bucket"))), Seq("_tbl", "_bucket"))
+      .select(col("_a"), col("_id").as("_b"))
+    val candNew = newBuckets
+      .groupBy("_tbl", "_bucket")
+      .agg(sort_array(collect_list(col("_id"))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(col("_ids")).as("_a"), col("_ids"))
+      .select(col("_a"), explode(col("_ids")).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+    val cand = candOld.union(candNew).distinct()
+    val bv = batchEmb.select(col(idCol).cast("long").as("_a"),
+      VectorFunctions.asDouble(col(vecCol)).as("_va"))
+    val av = emb.select(col(idCol).cast("long").as("_b"),
+      VectorFunctions.asDouble(col(vecCol)).as("_vb"))
+    val w = Window.partitionBy("_a").orderBy(col("_sim").desc, col("_b").asc)
+    val newAdj = cand
+      .join(broadcast(bv), Seq("_a"))
+      .join(av, Seq("_b"))
+      .select(col("_a"), col("_b"),
+        round(cosineFast(col("_va"), col("_vb")), 6).as("_sim"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col("_a").as("vec_id"), col("_b").as("nbr_id"),
+        col("_sim").as("sim"), col("_rk").as("nbr_rank"))
+      .localCheckpoint(true) // two writes below must see ONE evaluation
+    val reverse = newAdj.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), col("sim"), lit(0).as("nbr_rank"))
+    newAdj.unionByName(reverse)
+      .withColumn("_srcb", pmod(col("vec_id"), lit(dg.buckets)))
+      .repartition(col("_srcb"))
+      .write.partitionBy("_srcb").mode("append").parquet(s"$path/edges")
+    newBuckets.write.mode("append").parquet(s"$path/buckets")
+    newAdj
+  }
+
   /** Greedy BEAM SEARCH over a built k-NN graph — the serving leg of
     * graph-based ANN (HNSW/NSG answer queries exactly this way: walk the
     * neighbor graph toward the query, keep the best `beam` frontier,
@@ -159,11 +278,47 @@ object KnnGraph {
       entryId: Long,
       k: Int = 10,
       beam: Int = 8,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3): DataFrame =
+    searchImpl(frontier => graph
+        .filter(col("vec_id").isin(frontier: _*))
+        .select(col("nbr_id").as("_cand")),
+      emb, idCol, vecCol, queryVec, entryId, k, beam, rounds)
+
+  /** Beam search over the PERSISTED layout: the frontier probe carries the
+    * `_srcb IN (frontier % buckets)` partition predicate, so each round's
+    * edge fetch reads ≤ `beam` DIRECTORIES of the on-disk graph (shows as
+    * PartitionFilters at the scan — asserted in KnnGraphSpec), never the
+    * whole edge set. This is what makes graph serving viable when the
+    * graph itself is 100 TB-adjacent: the walk's I/O is ∝ beam × rounds.
+    */
+  def searchGraph(
+      dg: DiskGraph,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: DataFrame,
+      entryId: Long,
+      k: Int,
+      beam: Int,
+      rounds: Int): DataFrame =
+    searchImpl(frontier => dg.edges
+        .filter(col("_srcb").isin(frontier.map(_ % dg.buckets).distinct: _*) &&
+          col("vec_id").isin(frontier: _*))
+        .select(col("nbr_id").as("_cand")),
+      emb, idCol, vecCol, queryVec, entryId, k, beam, rounds)
+
+  private def searchImpl(
+      expand: Seq[Long] => DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: DataFrame,
+      entryId: Long,
+      k: Int,
+      beam: Int,
+      rounds: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val edges = graph.select(col("vec_id").as("_src"),
-      col("nbr_id").as("_dst"))
     def scored(ids: DataFrame): DataFrame =
       ids.join(emb, ids("_cand") === emb(idCol))
         .crossJoin(broadcast(queryVec))
@@ -174,8 +329,7 @@ object KnnGraph {
     var visited: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val frontierDf = frontier.toDF("_cand")
-      val cand = edges.filter(col("_src").isin(frontier: _*))
-        .select(col("_dst").as("_cand"))
+      val cand = expand(frontier)
         .union(frontierDf)
         .distinct()
       val s = scored(cand)

@@ -72,6 +72,18 @@ object Retrieval {
     * is deterministic whatever produced the scores. Full outer union of
     * the arms: a doc in one arm only scores with that arm's term.
     *
+    * `maxArm` is the operator's own scale bound: each arm is truncated to
+    * its top-`maxArm` BEFORE the global rank window, via orderBy+limit —
+    * planned as TakeOrderedAndProject, so the distributed top-k does the
+    * work and the single-partition window then ranks ≤ `maxArm` rows. The
+    * rank window is global by necessity (a rank is a total order), which
+    * was safe only because every caller happened to pre-truncate; the
+    * internal bound makes it safe BY CONTRACT — a corpus-sized arm can no
+    * longer be ranked on one partition by accident. Truncation changes
+    * nothing when an arm is already ≤ `maxArm`; a doc cut from an arm
+    * scores 0 with that arm's term, exactly as if absent (RRF's standard
+    * truncated-list contract).
+    *
     * @return (idCol, rrf, lex_rank, vec_rank) — ranks null where absent
     */
   def rrfFuse(
@@ -79,11 +91,15 @@ object Retrieval {
       vec: DataFrame,
       idCol: String,
       scoreCol: String = "score",
-      c: Int = 60): DataFrame = {
+      c: Int = 60,
+      maxArm: Int = 1000): DataFrame = {
+    require(maxArm > 0, s"maxArm must be positive, got $maxArm")
     def ranked(df: DataFrame, rankName: String): DataFrame =
-      df.withColumn(rankName,
-        row_number().over(
-          Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+      df.orderBy(col(scoreCol).desc, col(idCol).asc)
+        .limit(maxArm)
+        .withColumn(rankName,
+          row_number().over(
+            Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
         .select(col(idCol), col(rankName))
     val l = ranked(lex, "lex_rank")
     val v = ranked(vec, "vec_rank")

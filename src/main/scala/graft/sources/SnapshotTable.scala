@@ -60,6 +60,92 @@ object SnapshotTable {
   /** Raced another writer for too many consecutive version claims. */
   final class CommitContentionException(msg: String) extends RuntimeException(msg)
 
+  /** An append whose schema is incompatible with the table's (schema
+    * enforcement — the Delta contract: a typo'd producer must fail loudly
+    * at WRITE time, not poison every future read).
+    */
+  final class SchemaMismatchException(msg: String) extends IllegalArgumentException(msg)
+
+  /** Lossless numeric widenings an evolving append may apply to a table
+    * column (the public Delta type-widening set's integer/float core).
+    * Anything else — narrowing, string↔numeric, nested restructuring —
+    * is a rejection even under `mergeSchema`.
+    */
+  private def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case _                                              => false
+    }
+  }
+
+  /** Schema-on-write enforcement + opt-in evolution. Returns the schema to
+    * RECORD for the commit (the table's schema, possibly evolved).
+    *
+    * Default (`mergeSchema = false`) — enforcement:
+    *  - every incoming column must exist in the table with the EXACT type;
+    *  - an incoming nullable column may not land in a non-null table column;
+    *  - incoming may omit table columns only if they are nullable (reads
+    *    fill them with null via the recorded snapshot schema);
+    *  - any extra incoming column is a rejection.
+    *
+    * `mergeSchema = true` — evolution, recorded in the commit entry:
+    *  - new incoming columns append to the schema as nullable;
+    *  - a lossless numeric widening ([[widens]]) widens the table column;
+    *  - incoming nullability widens the table column to nullable;
+    *  - everything else still rejects (narrowing a column or changing its
+    *    type class silently is how lakes rot).
+    *
+    * A non-null table column missing from the batch rejects in BOTH modes —
+    * nothing can backfill it.
+    */
+  private[sources] def evolveSchema(table: StructType, incoming: StructType,
+      mergeSchema: Boolean): StructType = {
+    val tByName = table.fields.map(f => f.name -> f).toMap
+    def fail(msg: String) = throw new SchemaMismatchException(
+      s"$msg (table: ${table.simpleString}, batch: ${incoming.simpleString}" +
+        (if (mergeSchema) ", mergeSchema=true)" else "; pass mergeSchema=true to evolve)"))
+    incoming.fields.foreach { f =>
+      tByName.get(f.name) match {
+        case Some(t) =>
+          if (f.dataType != t.dataType &&
+              !(mergeSchema && widens(t.dataType, f.dataType)) &&
+              // an incoming NARROWER value is always storable in the wider
+              // table column's reads (int file read as long) — accept it
+              // without evolving anything
+              !widens(f.dataType, t.dataType))
+            fail(s"column ${f.name}: batch type ${f.dataType.simpleString} " +
+              s"incompatible with table type ${t.dataType.simpleString}")
+          if (f.nullable && !t.nullable && !mergeSchema)
+            fail(s"column ${f.name}: nullable batch data cannot land in a non-null column")
+        case None =>
+          if (!mergeSchema) fail(s"column ${f.name} does not exist in the table")
+      }
+    }
+    table.fields.foreach { t =>
+      if (!incoming.fieldNames.contains(t.name) && !t.nullable)
+        fail(s"non-null column ${t.name} missing from the batch")
+    }
+    if (!mergeSchema) table
+    else {
+      val iByName = incoming.fields.map(f => f.name -> f).toMap
+      val widened = table.fields.map { t =>
+        iByName.get(t.name) match {
+          case Some(i) if i.dataType != t.dataType && widens(t.dataType, i.dataType) =>
+            t.copy(dataType = i.dataType, nullable = t.nullable || i.nullable)
+          case Some(i) => t.copy(nullable = t.nullable || i.nullable)
+          case None    => t
+        }
+      }
+      val added = incoming.fields.filterNot(f => tByName.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(widened ++ added)
+    }
+  }
+
   /** A resolved snapshot: the table state some reader plans against.
     * `txns` carries the highest committed batch id per streaming writer —
     * the exactly-once mechanism of [[commitStreamBatch]]; `stats` the
@@ -73,6 +159,11 @@ object SnapshotTable {
   private val LogDir = "_graft_log"
   private def logName(v: Int) = f"v$v%010d.json"
   private def checkpointName(v: Int) = f"v$v%010d.checkpoint.json"
+  // STRICT name patterns: a foreign file in _graft_log (editor temp file,
+  // checkpoint .tmp, stray artifact) must be ignored, not crash every read
+  // with a NumberFormatException from a blind stripPrefix().toInt.
+  private val CommitRe = """^v(\d{10})\.json$""".r
+  private val CheckpointRe = """^v(\d{10})\.checkpoint\.json$""".r
 
   private def fsFor(spark: SparkSession, table: String): (FileSystem, Path) = {
     val p = new Path(table)
@@ -84,10 +175,18 @@ object SnapshotTable {
     * commit entry for [[readPruned]]'s file skipping — combine with a
     * Z-ordered layout ([[commitZOrdered]]) to make the ranges narrow in
     * EVERY listed dimension.
+    *
+    * Schema-on-write: the batch schema is checked against the table's
+    * ([[evolveSchema]]) — incompatible appends throw
+    * [[SchemaMismatchException]]; `mergeSchema = true` opts into recorded
+    * evolution (new nullable columns, lossless numeric widening).
+    * An OVERWRITE replaces the schema outright (its content replaces the
+    * table, so there is nothing to be compatible with).
     */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-      statsCols: Seq[String] = Nil): Int =
-    commit(spark, table, df, overwrite = false, statsCols = statsCols)
+      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Int =
+    commit(spark, table, df, overwrite = false, statsCols = statsCols,
+      mergeSchema = mergeSchema)
 
   /** Append `df` clustered along the (c1, c2, …) Z-order curve into
     * `nFiles` range-partitioned files, with per-file stats on every curve
@@ -139,45 +238,230 @@ object SnapshotTable {
     else commit(spark, table, df, overwrite = false, txn = Some(appId -> batchId))
   }
 
-  private def commit(spark: SparkSession, table: String, df: DataFrame,
-      overwrite: Boolean, txn: Option[(String, Long)] = None,
-      statsCols: Seq[String] = Nil): Int = {
+  /** A rewrite (optimize/merge) lost to a concurrent commit that retired
+    * files it was rewriting — retrying would resurrect superseded rows, so
+    * the rewrite aborts instead (its staged files are vacuum-able).
+    */
+  final class ConcurrentRewriteException(msg: String) extends RuntimeException(msg)
+
+  /** Log-native OPTIMIZE: bin-pack the snapshot's small files (<
+    * `targetBytes`) into ~`targetBytes` outputs as ONE remove+add commit —
+    * the maintenance third of the lakehouse triple (streaming ingest
+    * leaves a file per trigger; scan cost grows with file COUNT, not
+    * bytes). Readers are never disturbed: pre-optimize snapshots still
+    * reference the old files (time travel intact until [[vacuum]]), and
+    * the swap is as atomic as any commit. Stats are RECOMPUTED for the
+    * rewritten files over the same stat columns the snapshot tracks, so
+    * data skipping survives compaction. [[changes]] emits NOTHING for an
+    * optimize version — the table content is identical by construction.
+    * Returns the committed version (or the current one when <2 small
+    * files exist — nothing to pack). Concurrent appends are compatible
+    * (their files are untouched); a concurrent overwrite/merge that
+    * retires a file being rewritten aborts this optimize loudly
+    * ([[ConcurrentRewriteException]]).
+    */
+  def optimizeCompact(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20): Int = {
     val (fs, root) = fsFor(spark, table)
-    fs.mkdirs(new Path(root, LogDir))
-    // 1. conflict-free data staging
-    val stage = s"data/${java.util.UUID.randomUUID}"
-    df.write.parquet(new Path(root, stage).toString)
-    val added = fs.listStatus(new Path(root, stage)).toSeq
+    val resolved = resolve(spark, table, None)
+    if (resolved.isEmpty) return 0 // nothing committed: maintenance no-op
+    val snap = resolved.get
+    val sized = snap.files.map(f => f -> fs.getFileStatus(new Path(root, f)).getLen)
+    val small = sized.filter(_._2 < targetBytes)
+    if (small.size < 2) return snap.version
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // coalesce, never repartition: bin-packing is a NARROWING of existing
+    // partitions — no shuffle, rows stream file→file
+    val content = spark.read.schema(schema)
+      .parquet(small.map { case (f, _) => new Path(root, f).toString }: _*)
+      .coalesce(nOut)
+    val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val (_, added, stats) = stageData(spark, fs, root, content, statsCols)
+    commitRewrite(spark, table, small.map(_._1), added, stats,
+      snap.schemaJson, op = "optimize")
+  }
+
+  /** Keyed MERGE (C7 upsert semantics on the log table): `source` rows
+    * UPDATE the table rows sharing their `keyCols` and INSERT where no
+    * match exists, as one remove+add commit that rewrites ONLY the files
+    * containing matched keys (cost ∝ touched files, never ∝ table — the
+    * copy-on-write MERGE of the public Delta design). The commit records
+    * `mergeKey`, which lets [[changes]] emit the full public CDF surface
+    * for the version: `update_preimage`/`update_postimage` for rows whose
+    * content changed, `insert` for new keys — rewritten-but-identical
+    * rows (copied neighbors in a touched file, or a no-op update) emit
+    * nothing.
+    *
+    * Contract: `keyCols` must be unique in BOTH the table and `source`
+    * (the upsert ambiguity rule every MERGE shares); `source` must pass
+    * the table's schema enforcement, with missing nullable columns
+    * filled as null. Returns the committed version.
+    */
+  def commitMerge(spark: SparkSession, table: String, source: DataFrame,
+      keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val cur = resolve(spark, table, None)
+    if (cur.isEmpty) return commit(spark, table, source, overwrite = false)
+    val snap = cur.get
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    evolveSchema(schema, source.schema, mergeSchema = false)
+    // normalize the source to the full table row (missing nullable
+    // columns → null), in schema order, so the rewrite unions cleanly
+    val src = schema.fields.foldLeft(source) { (df, f) =>
+      if (source.schema.fieldNames.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(schema.fieldNames.map(col): _*)
+    val (fs, root) = fsFor(spark, table)
+    def abs(f: String) = new Path(root, f).toString
+    // touched files = those holding ≥1 matched key. input_file_name()
+    // yields absolute URIs; snapshot entries are table-relative (or
+    // absolute for cloned files) — match on the trailing <uuid>/<name>
+    // pair, unique by construction of the staging dirs.
+    def fileKey(p: String) = p.split('/').takeRight(2).mkString("/")
+    val byKey = snap.files.map(f => fileKey(f) -> f).toMap
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    val touched =
+      if (snap.files.isEmpty) Nil
+      else spark.read.schema(schema).parquet(snap.files.map(abs): _*)
+        .withColumn("_graft_file", input_file_name())
+        .join(srcKeys, keyCols, "left_semi")
+        .select("_graft_file").distinct()
+        .collect().toSeq.map(r => fileKey(r.getString(0)))
+        .flatMap(byKey.get)
+    // new content = the touched files' UNMATCHED rows + every source row
+    val untouchedRows =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(touched.map(abs): _*)
+        .join(srcKeys, keyCols, "left_anti")
+    val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val (_, added, stats) =
+      stageData(spark, fs, root, untouchedRows.unionByName(src), statsCols)
+    // CDF precompute (the public Delta design: MERGE writes its change
+    // rows at COMMIT time, so every change-feed read — batch or streaming
+    // — is a pure file scan, never a re-join). Diff the retired files
+    // against the bytes that actually landed.
+    val pre =
+      if (touched.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(touched.map(abs): _*)
+    val post = spark.read.schema(schema).parquet(added.map(abs): _*)
+    val changeDf = mergeDiff(pre, post, keyCols, schema)
+    val cdfStage = s"cdf/${java.util.UUID.randomUUID}"
+    changeDf.write.parquet(new Path(root, cdfStage).toString)
+    val cdfFiles = fs.listStatus(new Path(root, cdfStage)).toSeq
       .map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
-      .sorted
-      .map(n => s"$stage/$n")
-    // per-file column stats for data skipping: ONE grouped aggregate over
-    // the freshly staged bytes covering every stat column (cost ∝ batch,
-    // never ∝ table) — the lakehouse file-skipping index, carried in the
-    // log entry itself
-    val stats: Map[String, Map[String, (Double, Double)]] =
-      if (statsCols.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c).cast("double")).as(s"lo_$c"),
-          max(col(c).cast("double")).as(s"hi_$c")))
-        spark.read.parquet(new Path(root, stage).toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val file = s"$stage/${r.getString(0).split('/').last}"
-            file -> statsCols.map(c =>
-              c -> (r.getAs[Double](s"lo_$c"), r.getAs[Double](s"hi_$c"))).toMap
-          }
-          .toMap
+      .sorted.map(n => s"$cdfStage/$n")
+    commitRewrite(spark, table, touched, added, stats, snap.schemaJson,
+      op = "merge",
+      extra = List(
+        "mergeKey" -> JArray(keyCols.map(JString(_)).toList),
+        "cdf" -> JArray(cdfFiles.map(JString(_)).toList)))
+  }
+
+  /** The keyed diff behind MERGE's change feed: full-outer join of the
+    * retired rows (`pre`) and the landed rows (`post`) on `keyCols`,
+    * classified per key — `insert` (new key), `delete` (removed key),
+    * `update_preimage`+`update_postimage` (payload changed, null-safe
+    * struct compare), NOTHING for identical rows (copied neighbors in a
+    * rewritten file, no-op updates). Output = table columns +
+    * `_change_type`.
+    */
+  private def mergeDiff(pre: DataFrame, post: DataFrame,
+      keyCols: Seq[String], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, not, struct}
+    val dataCols = schema.fieldNames.filterNot(keyCols.contains).toSeq
+    // a key-only table has no payload to diff: the constant payload makes
+    // every matched pair compare equal, so only insert/delete can emit
+    def payload =
+      if (dataCols.isEmpty) lit(0)
+      else struct(dataCols.map(col): _*)
+    def sided(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ payload.as(as): _*)
+    val joined = sided(pre, "_pre").join(sided(post, "_post"), keyCols, "full_outer")
+    def emit(cond: org.apache.spark.sql.Column, side: String, tag: String) =
+      joined.filter(cond).select(
+        (keyCols.map(col) ++ dataCols.map(c => col(s"$side.$c").as(c)) ++
+          Seq(lit(tag).as("_change_type"))): _*)
+        .select(schema.fieldNames.map(col) :+ col("_change_type"): _*)
+    val changed = col("_pre").isNotNull && col("_post").isNotNull &&
+      not(col("_pre") <=> col("_post"))
+    emit(col("_pre").isNull && col("_post").isNotNull, "_post", "insert")
+      .unionByName(emit(col("_post").isNull && col("_pre").isNotNull, "_pre", "delete"))
+      .unionByName(emit(changed, "_pre", "update_preimage"))
+      .unionByName(emit(changed, "_post", "update_postimage"))
+  }
+
+  /** The optimistic claim loop for remove+add REWRITE commits
+    * (optimize/merge). Unlike [[commit]], a lost race does NOT blindly
+    * retry: the rewrite's content was computed from a specific snapshot,
+    * so the precondition re-checks that every file being removed is still
+    * active — a concurrent append is compatible (retry proceeds), a
+    * concurrent overwrite/merge that retired one of them aborts the
+    * rewrite ([[ConcurrentRewriteException]]) rather than resurrecting
+    * superseded rows.
+    */
+  private[sources] def commitRewrite(spark: SparkSession, table: String,
+      removed: Seq[String], added: Seq[String],
+      stats: Map[String, Map[String, (Double, Double)]],
+      schemaJson: String, op: String,
+      extra: List[(String, JValue)] = Nil): Int = {
+    val (fs, root) = fsFor(spark, table)
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = resolve(spark, table, None).getOrElse(
+        throw new IllegalArgumentException(s"$table has no commits to rewrite"))
+      val active = cur.files.toSet
+      val gone = removed.filterNot(active)
+      if (gone.nonEmpty) throw new ConcurrentRewriteException(
+        s"$op on $table lost to a concurrent commit that retired " +
+          s"${gone.size} file(s) being rewritten (e.g. ${gone.head}); " +
+          "staged rewrite files are unreferenced and vacuum-able")
+      val next = cur.version + 1
+      val entry = JsonMethods.compact(JsonMethods.render(JObject(
+        List[(String, JValue)](
+          "version" -> JInt(next),
+          "op" -> JString(op),
+          "schema" -> JString(schemaJson),
+          "add" -> JArray(added.map(JString(_)).toList),
+          "remove" -> JArray(removed.map(JString(_)).toList)) ++
+          (if (stats.isEmpty) Nil else List("stats" -> statsJson(stats))) ++
+          extra)))
+      if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
+        maybeCheckpoint(fs, root, next, schemaJson,
+          files = cur.files.filterNot(removed.toSet) ++ added,
+          txns = cur.txns,
+          stats = cur.stats -- removed ++ stats)
+        return next
       }
-    val schemaJson = df.schema.json
-    // 2. optimistic version claim; remove-set recomputed per attempt so an
-    //    overwrite losing a race retires the files of the snapshot it
-    //    actually supersedes.
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"lost 64 consecutive version-claim races on $table; aborting $op")
+  }
+
+  private def commit(spark: SparkSession, table: String, df: DataFrame,
+      overwrite: Boolean, txn: Option[(String, Long)] = None,
+      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Int = {
+    val (fs, root) = fsFor(spark, table)
+    fs.mkdirs(new Path(root, LogDir))
+    // fast-fail schema enforcement BEFORE staging: a rejected batch should
+    // cost a log listing, not a parquet write whose files then sit as
+    // orphans until vacuum's age floor passes (re-checked per claim attempt
+    // below — this is the cheap first gate, not the authoritative one)
+    if (!overwrite) resolve(spark, table, None).foreach { c =>
+      if (c.schemaJson.nonEmpty)
+        evolveSchema(DataType.fromJson(c.schemaJson).asInstanceOf[StructType],
+          df.schema, mergeSchema)
+    }
+    // 1. conflict-free data staging
+    val (stage, added, stats) = stageData(spark, fs, root, df, statsCols)
+    // 2. optimistic version claim; remove-set AND schema check recomputed
+    //    per attempt so an append losing a race enforces against the schema
+    //    it actually lands on (a racing evolved append may have widened it).
     var attempt = 0
     while (attempt < 64) {
       val cur = resolve(spark, table, None)
@@ -186,6 +470,14 @@ object SnapshotTable {
       txn.foreach { case (app, id) =>
         if (cur.exists(_.txns.get(app).exists(_ >= id)))
           return cur.get.version
+      }
+      // schema-on-write: appends enforce/evolve against the CURRENT
+      // snapshot schema; overwrites and first commits record the batch's
+      val schemaJson = cur match {
+        case Some(c) if !overwrite && c.schemaJson.nonEmpty =>
+          evolveSchema(DataType.fromJson(c.schemaJson).asInstanceOf[StructType],
+            df.schema, mergeSchema).json
+        case _ => df.schema.json
       }
       val next = cur.map(_.version).getOrElse(0) + 1
       val removed = if (overwrite) cur.map(_.files).getOrElse(Nil) else Nil
@@ -202,22 +494,10 @@ object SnapshotTable {
           "add" -> JArray(added.map(JString(_)).toList),
           "remove" -> JArray(removed.map(JString(_)).toList)) ++ txnFields ++ statFields)))
       if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
-        if (next % checkpointInterval == 0) {
-          // best-effort: a lost checkpoint only costs replay length
-          val files = (cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added)
-          val txns = cur.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-          val cpStats =
-            cur.map(_.stats).getOrElse(Map.empty) -- removed ++ stats
-          val cp = JsonMethods.compact(JsonMethods.render(JObject(
-            "version" -> JInt(next),
-            "schema" -> JString(schemaJson),
-            "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
-            "stats" -> statsJson(cpStats),
-            "files" -> JArray(files.map(JString(_)).toList))))
-          val out = fs.create(new Path(new Path(root, LogDir), checkpointName(next)), true)
-          try out.write(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        }
+        maybeCheckpoint(fs, root, next, schemaJson,
+          files = cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added,
+          txns = cur.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
+          stats = cur.map(_.stats).getOrElse(Map.empty) -- removed ++ stats)
         return next
       }
       attempt += 1
@@ -225,6 +505,79 @@ object SnapshotTable {
     throw new CommitContentionException(
       s"lost 64 consecutive version-claim races on $table; aborting commit " +
         s"(staged files under $stage are unreferenced and vacuum-able)")
+  }
+
+  /** Every [[checkpointInterval]] commits, write the full-state checkpoint.
+    * Best-effort: a lost checkpoint only costs replay length.
+    */
+  private def maybeCheckpoint(fs: FileSystem, root: Path, next: Int,
+      schemaJson: String, files: Seq[String], txns: Map[String, Long],
+      stats: Map[String, Map[String, (Double, Double)]]): Unit = {
+    if (next % checkpointInterval != 0) return
+    val cp = JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(next),
+      "schema" -> JString(schemaJson),
+      "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
+      "stats" -> statsJson(stats),
+      "files" -> JArray(files.map(JString(_)).toList))))
+    // temp-name + rename, NOT create(overwrite=true) in place: an in-place
+    // create is visible half-written to a concurrent lister, unlike the
+    // O_EXCL-atomic commit entries. Rename is atomic on local FS and HDFS;
+    // stores where it is not are covered by resolve()'s parse-failure
+    // fallback to the previous checkpoint.
+    val cpFinal = new Path(new Path(root, LogDir), checkpointName(next))
+    val cpTmp = new Path(new Path(root, LogDir),
+      s".${checkpointName(next)}.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(cpTmp, true)
+    try out.write(cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(cpTmp, cpFinal)) fs.delete(cpTmp, false)
+  }
+
+  /** Stage `df` under a fresh conflict-free `data/<uuid>/` dir (the dir
+    * name is unique, so staging never conflicts with any concurrent
+    * writer) and return (stage dir, relative file paths, per-file stats).
+    *
+    * Stats: ONE grouped aggregate over the freshly staged bytes covering
+    * every stat column (cost ∝ batch, never ∝ table) — the lakehouse
+    * file-skipping index, carried in the log entry itself.
+    */
+  private def stageData(spark: SparkSession, fs: FileSystem, root: Path,
+      df: DataFrame, statsCols: Seq[String])
+      : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
+    val stage = s"data/${java.util.UUID.randomUUID}"
+    df.write.parquet(new Path(root, stage).toString)
+    val added = fs.listStatus(new Path(root, stage)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted
+      .map(n => s"$stage/$n")
+    val stats: Map[String, Map[String, (Double, Double)]] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast("double")).as(s"lo_$c"),
+          max(col(c).cast("double")).as(s"hi_$c")))
+        spark.read.parquet(new Path(root, stage).toString)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val file = s"$stage/${r.getString(0).split('/').last}"
+            // widen each bound by 1 ulp: the double cast rounds half-even,
+            // so a BIGINT above 2^53 can round its recorded max BELOW the
+            // true max (min above the true min) and pruning would silently
+            // skip a file holding a matching row. nextDown/nextUp keeps the
+            // recorded range a superset of the true range — pruning stays
+            // conservative at every magnitude.
+            file -> statsCols.map(c =>
+              c -> (Math.nextDown(r.getAs[Double](s"lo_$c")),
+                Math.nextUp(r.getAs[Double](s"hi_$c")))).toMap
+          }
+          .toMap
+      }
+    (stage, added, stats)
   }
 
   /** Atomic create-or-fail — same per-scheme analysis as IdempotentSink:
@@ -270,29 +623,33 @@ object SnapshotTable {
     if (!fs.exists(logDir)) return None
     val names = fs.listStatus(logDir).map(_.getPath.getName)
     val commits = names.collect {
-      case n if n.endsWith(".json") && !n.endsWith(".checkpoint.json") =>
-        n.stripPrefix("v").stripSuffix(".json").toInt -> n
+      case n @ CommitRe(v) => v.toInt -> n
     }.filter { case (v, _) => asOf.forall(v <= _) }.sortBy(_._1)
     if (commits.isEmpty) return None
     val target = commits.last._1
-    val cpVersion = names.collect {
-      case n if n.endsWith(".checkpoint.json") =>
-        n.stripPrefix("v").stripSuffix(".checkpoint.json").toInt
-    }.filter(_ <= target).sorted.lastOption
+    // newest-first checkpoint candidates: a half-written/corrupt checkpoint
+    // (non-atomic store, crashed writer) falls back to the previous one,
+    // then to full log replay — never a read crash.
+    val cpCandidates = names.collect {
+      case CheckpointRe(v) => v.toInt
+    }.filter(_ <= target).sorted.reverse
     var files = Vector.empty[String]
     var schema = ""
     var txns = Map.empty[String, Long]
     var stats = Map.empty[String, Map[String, (Double, Double)]]
-    cpVersion.foreach { v =>
-      val j = readJson(fs, new Path(logDir, checkpointName(v)))
-      files = arr(j, "files").toVector
-      schema = str(j, "schema")
-      txns = j \ "txns" match {
-        case JObject(fields) => fields.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
-        case _ => Map.empty
-      }
-      stats = statsOf(j)
-    }
+    val cpVersion = cpCandidates.iterator.map { v =>
+      try {
+        val j = readJson(fs, new Path(logDir, checkpointName(v)))
+        files = arr(j, "files").toVector
+        schema = str(j, "schema")
+        txns = j \ "txns" match {
+          case JObject(fields) => fields.collect { case (k, JInt(v)) => k -> v.toLong }.toMap
+          case _ => Map.empty
+        }
+        stats = statsOf(j)
+        Some(v)
+      } catch { case _: Exception => None }
+    }.collectFirst { case Some(v) => v }
     commits.collect { case (v, n) if v > cpVersion.getOrElse(0) => (v, n) }.foreach {
       case (_, n) =>
         val j = readJson(fs, new Path(logDir, n))
@@ -348,14 +705,22 @@ object SnapshotTable {
 
   /** Snapshot-isolated read; `versionAsOf` time-travels. An empty active
     * set (overwrite-with-nothing) still returns the committed schema.
+    *
+    * The read ALWAYS applies the snapshot's RECORDED schema (never footer
+    * inference): a multi-schema history — files written before a
+    * `mergeSchema` evolution — reads deterministically as the evolved
+    * schema, with pre-evolution files filling added columns with null and
+    * widened columns upcast by the parquet reader. Footer inference would
+    * make the result depend on which file the reader sampled first.
     */
   def read(spark: SparkSession, table: String, versionAsOf: Option[Int] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf)
     val (_, root) = fsFor(spark, table)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
-    else spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(snap.files.map(f => new Path(root, f).toString): _*)
   }
 
   /** ZERO-COPY shallow clone: `dst` becomes a new table whose first
@@ -425,29 +790,43 @@ object SnapshotTable {
     val (keep, _) = planPruned(spark, table, ranges, versionAsOf)
     val snap = snapshot(spark, table, versionAsOf)
     val (_, root) = fsFor(spark, table)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (keep.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
-    else spark.read.parquet(keep.map(f => new Path(root, f).toString): _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(keep.map(f => new Path(root, f).toString): _*)
   }
 
   /** CHANGE DATA FEED: every row-level change in versions
-    * `(fromVersion, toVersion]`, tagged `_change_type`
-    * ('insert'|'delete') and `_commit_version` — the downstream-sync
-    * surface (incremental ETL, streaming CDC out of the table). Appends
-    * emit inserts; overwrites emit deletes for every retired file's rows
-    * plus inserts for the new content. Requires the per-version log
-    * entries (loud error if vacuumed/checkpoint-trimmed away) and the
-    * retired data files (pre-vacuum).
+    * `(fromVersion, toVersion]`, tagged `_change_type` and
+    * `_commit_version` — the downstream-sync surface (incremental ETL,
+    * streaming CDC out of the table). The full public surface:
+    *  - appends emit `insert`; overwrites emit `delete` for every retired
+    *    file's rows plus `insert` for the new content;
+    *  - MERGE versions ([[commitMerge]]) diff the rewritten files BY THE
+    *    RECORDED KEY: a changed row emits `update_preimage` +
+    *    `update_postimage`, a new key `insert`, a removed key `delete`;
+    *    rewritten-but-identical rows (copied neighbors, no-op updates)
+    *    emit NOTHING — downstream folds see exactly the logical change;
+    *  - OPTIMIZE versions emit nothing (content-identical by
+    *    construction).
+    * Requires the per-version log entries (loud error if vacuumed/
+    * checkpoint-trimmed away) and the retired data files (pre-vacuum).
+    * A valid range whose versions are all no-ops returns an EMPTY frame
+    * with the change schema.
     */
   def changes(spark: SparkSession, table: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit, not, struct}
     require(fromVersion < toVersion,
       s"empty change range ($fromVersion, $toVersion]")
     val (fs, root) = fsFor(spark, table)
     val logDir = new Path(root, LogDir)
     def abs(f: String) = new Path(root, f).toString
+    def readFiles(files: Seq[String], schema: StructType): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(abs): _*)
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val p = new Path(logDir, logName(v))
       if (!fs.exists(p)) throw new IllegalArgumentException(
@@ -455,20 +834,40 @@ object SnapshotTable {
           "change feed is only available for retained versions")
       val j = readJson(fs, p)
       val add = arr(j, "add"); val rm = arr(j, "remove")
-      val del = if (rm.nonEmpty)
-        Seq(spark.read.parquet(rm.map(abs): _*)
-          .withColumn("_change_type", lit("delete"))
-          .withColumn("_commit_version", lit(v)))
-      else Nil
-      val ins = if (add.nonEmpty)
-        Seq(spark.read.parquet(add.map(abs): _*)
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(v)))
-      else Nil
-      del ++ ins
+      val schema = DataType.fromJson(str(j, "schema")).asInstanceOf[StructType]
+      str(j, "op") match {
+        case "optimize" => Nil // physical-only rewrite: no logical change
+        case "merge" =>
+          // MERGE versions carry their change rows as files written at
+          // commit time ([[mergeDiff]]) — the feed read is a pure scan
+          val cdf = arr(j, "cdf")
+          if (cdf.isEmpty) Nil // merge that changed nothing (all no-ops)
+          else Seq(readFiles(cdf,
+              schema.add("_change_type", org.apache.spark.sql.types.StringType))
+            .withColumn("_commit_version", lit(v)))
+        case _ =>
+          val del = if (rm.nonEmpty)
+            Seq(readFiles(rm, schema)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          else Nil
+          val ins = if (add.nonEmpty)
+            Seq(readFiles(add, schema)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v)))
+          else Nil
+          del ++ ins
+      }
     }
-    require(parts.nonEmpty, s"no changes recorded in ($fromVersion, $toVersion]")
-    parts.reduce(_ unionByName _)
+    if (parts.nonEmpty) parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      // valid range, only no-op versions: empty frame with the CDF schema
+      val snap = snapshot(spark, table, Some(toVersion))
+      val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_commit_version", org.apache.spark.sql.types.IntegerType)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Delete log entries the newest checkpoint has already absorbed,
@@ -483,34 +882,43 @@ object SnapshotTable {
     val logDir = new Path(root, LogDir)
     if (!fs.exists(logDir)) return 0
     val names = fs.listStatus(logDir).map(_.getPath.getName)
-    val cpVersions = names.collect {
-      case n if n.endsWith(".checkpoint.json") =>
-        n.stripPrefix("v").stripSuffix(".checkpoint.json").toInt
-    }
+    val cpVersions = names.collect { case CheckpointRe(v) => v.toInt }
     if (cpVersions.isEmpty) return 0 // nothing absorbed yet — keep all
     val cur = currentVersion(spark, table)
     // always retain the newest entry (resolution anchors on commit
     // entries; a checkpoint alone cannot define the current version)
     val horizon = math.min(cpVersions.max, cur - math.max(1, retainVersions))
     var removed = 0
-    names.foreach { n =>
-      if (n.endsWith(".json") && !n.endsWith(".checkpoint.json")) {
-        val v = n.stripPrefix("v").stripSuffix(".json").toInt
+    names.foreach {
+      case n @ CommitRe(vs) =>
+        val v = vs.toInt
         // an entry is deletable only when BOTH absorbed by a checkpoint
         // (some checkpoint version ≥ v exists) and outside the horizon
         if (v <= horizon && cpVersions.exists(_ >= v)) {
           fs.delete(new Path(logDir, n), false); removed += 1
         }
-      }
+      case _ => // foreign/temp/checkpoint files are not ours to delete
     }
     removed
   }
 
+  /** Default vacuum file-age floor (24 h) — see [[vacuum]]'s race analysis. */
+  val DefaultVacuumAgeMillis: Long = 24L * 3600 * 1000
+
   /** Delete data files unreferenced by every snapshot newer than
     * `retainVersions` back from current (older versions stop being
     * time-travel-readable). Returns the number of files deleted.
+    *
+    * `minAgeMillis` is the IN-FLIGHT-COMMIT guard: the commit protocol
+    * stages files under `data/<uuid>/` BEFORE claiming a log version, so a
+    * concurrent vacuum cannot tell a live in-flight stage from an aborted
+    * one by reference-counting alone. Files younger than the floor
+    * (modification time) are never touched — the standard Delta mitigation;
+    * no real commit stages for 24 h. Pass 0 ONLY when no writer can be
+    * running (tests, single-process maintenance windows).
     */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Int = {
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int,
+      minAgeMillis: Long = DefaultVacuumAgeMillis): Int = {
     val (fs, root) = fsFor(spark, table)
     val cur = currentVersion(spark, table)
     val horizon = math.max(1, cur - retainVersions)
@@ -518,12 +926,15 @@ object SnapshotTable {
       .flatMap(v => resolve(spark, table, Some(v)).map(_.files).getOrElse(Nil)).toSet
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMillis)
     var removed = 0
     fs.listStatus(dataDir).foreach { stageDir =>
       fs.listStatus(stageDir.getPath).foreach { f =>
         val rel = s"data/${stageDir.getPath.getName}/${f.getPath.getName}"
         val visible = !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
-        if (visible && !live.contains(rel)) { fs.delete(f.getPath, false); removed += 1 }
+        if (visible && !live.contains(rel) && f.getModificationTime <= cutoff) {
+          fs.delete(f.getPath, false); removed += 1
+        }
       }
       if (fs.listStatus(stageDir.getPath).isEmpty) fs.delete(stageDir.getPath, true)
     }

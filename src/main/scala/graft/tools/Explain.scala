@@ -41,7 +41,20 @@ object Explain {
       "k3_ann_binary", "k4_bpe_encode", "d12_resample_ffill", "k6_dataset_card",
       // round 13: the incremental-index ANN probe (reads the written
       // layout — partition pruning on _list must show at the scan)
-      "k3_ann_incremental")
+      "k3_ann_incremental",
+      // round 14: the lakehouse family — staging is MEMOIZED per JVM now
+      // (Tables.memoLayout), so these dumps audit the operator's own read
+      // plan over the standing table: a18/a19 must show the pruned file
+      // list at the scan, a17/d14/d15 the per-version unions, a21 the
+      // packed layout's scan. (The j-family and k3_knn_graph stay
+      // excluded: streaming replays / checkpoint-backed relations dump as
+      // LocalTableScan and audit nothing.)
+      "a16_snapshot_time_travel", "a17_snapshot_changes",
+      "a18_snapshot_skipping", "a19_snapshot_zorder_skipping",
+      "a20_snapshot_clone", "a21_snapshot_optimize",
+      "d14_cdf_incremental_agg", "d15_merge_cdf_agg",
+      "d13_kmv_overlap", "k3_hybrid_rrf", "k4_bm25_topk",
+      "k4_pmi_collocations")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -683,6 +683,41 @@ object ScaleCheck {
       val kg10 = time("knn graph 10x")(knn(emb10, 9))
       println(f"knn graph ratio: ${kg10 / kg1}%.1f (linear = 10 at " +
         "constant occupancy: planes 6->9 for 10x rows; refine is n*k^2)")
+
+      // Incremental graph APPEND (k3_knn_graph_incremental's maintenance
+      // op): placing the SAME batch against a standing graph at 1x vs 10x
+      // the corpus. Candidates are ∝ batch × occupancy (constant across
+      // the decade at the scaled plane counts); the standing corpus
+      // contributes only two light scans (the 3-column bucket artifact +
+      // the id-pushed vector fetch) and is never re-bucketed, re-scored
+      // against itself, or rewired — the target is far-sublinear vs the
+      // 10x rebuild (kg10 above IS the rebuild cost).
+      val batch = emb1.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .localCheckpoint(true)
+      println(s"graph append batch rows=${batch.count()}")
+      def appendCost(corpus: DataFrame, planes: Int, what: String): Double = {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft-sc-knng").toString + "/g"
+        KnnGraph.writeGraph(
+          KnnGraph.build(corpus, "vec_id", "embedding", 64, 5, planes, 3),
+          KnnGraph.bucketed(corpus, "vec_id", "embedding", 64, planes, 3),
+          p, buckets = 16)
+        val lookup = corpus.unionByName(batch)
+        val t0 = System.nanoTime()
+        KnnGraph.appendToGraph(spark, p, batch, lookup,
+          "vec_id", "embedding", dim = 64, k = 5, nPlanes = planes, nTables = 3)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$what%-24s $sec%7.2f s")
+        sec
+      }
+      appendCost(emb1, 6, "graph append warmup")
+      val ga1 = appendCost(emb1, 6, "graph append @1x")
+      val ga10 = appendCost(emb10, 9, "graph append @10x")
+      println(f"graph append ratio: ${ga10 / ga1}%.1f (same batch, 10x " +
+        "standing graph; rebuild at 10x costs " +
+        f"${kg10 / ga10}%.1fx the append)")
     }
 
     // BM25: the explode is filtered to the query terms pre-shuffle, so

@@ -57,6 +57,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got(3L) == ((round6(1.0 / 62), None, Some(2))))
   }
 
+  test("RRF's maxArm bound truncates an oversized arm before ranking") {
+    // lex arm carries 5 docs; with maxArm=2 only its top-2 may rank — a doc
+    // cut from the arm scores 0 with that term, exactly as if absent
+    val lex = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.6), (5L, 0.5))
+      .toDF("doc_id", "score")
+    val vec = Seq((3L, 0.9)).toDF("doc_id", "score")
+    val got = Retrieval.rrfFuse(lex, vec, "doc_id", maxArm = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"cut docs must vanish: $got")
+    assert(got(1L) == ((round6(1.0 / 61), Some(1), None)))
+    assert(got(2L) == ((round6(1.0 / 62), Some(2), None)))
+    assert(got(3L) == ((round6(1.0 / 61), None, Some(1))))
+    intercept[IllegalArgumentException](
+      Retrieval.rrfFuse(lex, vec, "doc_id", maxArm = 0))
+  }
+
   test("declared hybrid query: 20 fused rows, ordered, ranks coherent") {
     val rows = graft.analytics.SimilarityQueries
       .queries("k3_hybrid_rrf")(spark, sfDir)

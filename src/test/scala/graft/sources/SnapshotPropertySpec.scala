@@ -80,6 +80,88 @@ class SnapshotPropertySpec extends SparkSpec {
     }
   }
 
+  test("random merge/optimize sequences: keyed content, update images, and CDF match a model") {
+    val rnd = new Random(20260817L)
+    (1 to 2).foreach { round =>
+      val t = freshTable()
+      // model: id -> v; per version, the expected change set
+      // (id, v, change_type); optimize versions expect the EMPTY set
+      var content = Map.empty[Long, Long]
+      var changes = Vector.empty[Set[(Long, Long, String)]]
+      var nextId = round * 100000L
+      val nOps = 12 + rnd.nextInt(4)
+      (1 to nOps).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // merge: mix of updates (changed + identical) and inserts
+            val updates = rnd.shuffle(content.keys.toSeq)
+              .take(rnd.nextInt(content.size + 1))
+              .map { id =>
+                // 1-in-3 no-op update: identical row must be SUPPRESSED
+                val v = if (rnd.nextInt(3) == 0) content(id) else rnd.nextLong(1000)
+                id -> v
+              }
+            val inserts = (0 to rnd.nextInt(2)).map(_ => { nextId += 1; nextId -> rnd.nextLong(1000) })
+            val src = (updates ++ inserts).toSeq
+            if (src.isEmpty) {
+              // empty merge source is degenerate; append one row instead
+              nextId += 1
+              SnapshotTable.commitAppend(spark, t, Seq((nextId, 0L)).toDF("id", "v"))
+              changes :+= Set((nextId, 0L, "insert"))
+              content += nextId -> 0L
+            } else {
+              SnapshotTable.commitMerge(spark, t, src.toDF("id", "v"), Seq("id"))
+              val want = src.flatMap { case (id, v) =>
+                content.get(id) match {
+                  case Some(old) if old == v => Nil // suppressed no-op
+                  case Some(old) => Seq((id, old, "update_preimage"), (id, v, "update_postimage"))
+                  case None => Seq((id, v, "insert"))
+                }
+              }.toSet
+              changes :+= want
+              content ++= src
+            }
+          case 2 => // append fresh keys
+            val batch = (0 to rnd.nextInt(2)).map(_ => { nextId += 1; nextId -> rnd.nextLong(1000) })
+            SnapshotTable.commitAppend(spark, t, batch.toDF("id", "v"))
+            changes :+= batch.map { case (id, v) => (id, v, "insert") }.toSet
+            content ++= batch
+          case 3 => // optimize: physically rewrites, logically silent
+            val v = SnapshotTable.optimizeCompact(spark, t)
+            if (v == changes.size + 1) changes :+= Set.empty[(Long, Long, String)]
+            // else: <2 small files, no commit claimed — no model version
+        }
+      }
+      // rebuild per-version contents from the change sets
+      var running = Map.empty[Long, Long]
+      val perVersion = changes.map { cs =>
+        cs.foreach {
+          case (id, v, "insert" | "update_postimage") => running += id -> v
+          case (id, _, "delete") => running -= id
+          case _ => // preimage: no content effect
+        }
+        running
+      }
+      assert(SnapshotTable.currentVersion(spark, t) == changes.size)
+      perVersion.zipWithIndex.foreach { case (want, i) =>
+        val got = SnapshotTable.read(spark, t, Some(i + 1))
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"round $round v${i + 1}: $got != $want")
+      }
+      (1 to 6).foreach { _ =>
+        val from = rnd.nextInt(changes.size)
+        val to = from + 1 + rnd.nextInt(changes.size - from)
+        val want = (from until to).flatMap { vi =>
+          changes(vi).map { case (id, v, ct) => (id, v, ct, vi + 1) }
+        }.toSet
+        val got = SnapshotTable.changes(spark, t, from, to)
+          .select("id", "v", "_change_type", "_commit_version")
+          .as[(Long, Long, String, Int)].collect().toSet
+        assert(got == want, s"round $round changes ($from, $to]: " +
+          s"missing ${want -- got}, extra ${got -- want}")
+      }
+    }
+  }
+
   test("shallow clone: content identity at clone time, full divergence isolation") {
     val rnd = new Random(77L)
     val base = Files.createTempDirectory("graft_snap_prop_cl").toString

@@ -89,13 +89,43 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))
     SnapshotTable.commitOverwrite(spark, t, Seq(2L).toDF("id"))
     SnapshotTable.commitOverwrite(spark, t, Seq(3L).toDF("id"))
-    val removed = SnapshotTable.vacuum(spark, t, retainVersions = 1)
+    // the default 24h age floor protects freshly-staged files (they could
+    // belong to an in-flight commit that has not claimed a version yet)
+    assert(SnapshotTable.vacuum(spark, t, retainVersions = 1) == 0,
+      "files younger than the age floor must survive vacuum")
+    assert(ids(t, Some(1)) == Set(1L))
+    // age floor 0 = caller asserts no writer is running (this test)
+    val removed = SnapshotTable.vacuum(spark, t, retainVersions = 1, minAgeMillis = 0L)
     assert(removed > 0, "version-1 files are unreferenced by v2..v3 and must go")
     assert(ids(t) == Set(3L))
     assert(ids(t, Some(2)) == Set(2L)) // inside horizon: intact
     // v1's log entry still exists, but its files are gone — reading it
     // must fail loudly rather than silently return partial data
     intercept[Exception](ids(t, Some(1)))
+  }
+
+  test("foreign files in _graft_log are ignored by reads and never deleted by cleanup") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))
+    val logDir = new java.io.File(t, "_graft_log")
+    val stray = new java.io.File(logDir, "v0000000001.json.swp")
+    java.nio.file.Files.writeString(stray.toPath, "not json")
+    val tmp = new java.io.File(logDir, ".v0000000010.checkpoint.json.abc.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, "{half written")
+    assert(ids(t) == Set(1L)) // resolution must not NumberFormatException
+    SnapshotTable.cleanupLog(spark, t, retainVersions = 0)
+    assert(stray.exists() && tmp.exists(), "cleanup must not touch foreign files")
+  }
+
+  test("a corrupt newest checkpoint falls back to the previous one / full replay") {
+    val t = freshTable()
+    (1 to 21).foreach(i => SnapshotTable.commitAppend(spark, t, Seq(i.toLong).toDF("id")))
+    val logDir = new java.io.File(t, "_graft_log")
+    val cp20 = new java.io.File(logDir, "v0000000020.checkpoint.json")
+    assert(cp20.exists(), "checkpoint every 10 commits")
+    java.nio.file.Files.writeString(cp20.toPath, "") // simulated half-write
+    assert(ids(t) == (1 to 21).map(_.toLong).toSet,
+      "read must survive a corrupt checkpoint via the v10 checkpoint + tail replay")
   }
 
   test("commitStreamBatch: duplicate and stale batch ids no-op; fresh ids commit") {
@@ -212,6 +242,141 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.cleanupLog(spark, t, retainVersions = 0)
     assert(SnapshotTable.currentVersion(spark, t) == 23)
     assert(ids(t) == (1 to 23).map(_.toLong).toSet)
+  }
+
+  test("schema enforcement: incompatible appends reject loudly at write time") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    // extra column
+    intercept[SnapshotTable.SchemaMismatchException](
+      SnapshotTable.commitAppend(spark, t, Seq((2L, "b", 0.5)).toDF("id", "name", "score")))
+    // type class change
+    intercept[SnapshotTable.SchemaMismatchException](
+      SnapshotTable.commitAppend(spark, t, Seq(("x", "b")).toDF("id", "name")))
+    // missing NON-NULL column (the tuple encoder makes id non-null; a
+    // name-only batch cannot backfill it)
+    intercept[SnapshotTable.SchemaMismatchException](
+      SnapshotTable.commitAppend(spark, t, Seq("b").toDF("name")))
+    // missing NULLABLE column is fine — reads fill it with null
+    SnapshotTable.commitAppend(spark, t, Seq(5L).toDF("id"))
+    assert(SnapshotTable.read(spark, t).filter(col("id") === 5L)
+      .select("name").head.isNullAt(0))
+    SnapshotTable.commitOverwrite(spark, t, Seq((1L, "a")).toDF("id", "name"))
+    // rejections never claimed a version or leaked files into the active
+    // set: v1 append + v2 id-only append + v3 restore = exactly 3 commits
+    assert(SnapshotTable.currentVersion(spark, t) == 3)
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // an overwrite may replace the schema outright
+    SnapshotTable.commitOverwrite(spark, t, Seq((9, 1.5)).toDF("k", "v"))
+    assert(SnapshotTable.read(spark, t).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("mergeSchema evolution: new nullable column + int->long widening; deterministic multi-schema read") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t,
+      Seq(1, 2).toDF("id")) // IntegerType
+    // rejected without opt-in (new column)
+    intercept[SnapshotTable.SchemaMismatchException](
+      SnapshotTable.commitAppend(spark, t, Seq((3L, "c")).toDF("id", "tag")))
+    // evolution: id widens int->long AND tag appends as nullable
+    SnapshotTable.commitAppend(spark, t,
+      Seq((3L, "c")).toDF("id", "tag"), mergeSchema = true)
+    val snap = SnapshotTable.snapshot(spark, t)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema("id").dataType == org.apache.spark.sql.types.LongType,
+      s"id must have widened: $schema")
+    assert(schema.fieldNames.toSeq == Seq("id", "tag"))
+    // the multi-schema history reads as the EVOLVED schema: v1's int file
+    // upcast to long, its missing tag null — deterministic, never
+    // footer-sampled
+    val rows = SnapshotTable.read(spark, t)
+      .select("id", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(rows == Set((1L, null), (2L, null), (3L, "c")))
+    // time travel to v1 still reads v1's own recorded schema
+    assert(SnapshotTable.read(spark, t, Some(1)).schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // a later narrower batch (int into the widened long column) appends
+    // without evolving anything
+    SnapshotTable.commitAppend(spark, t, Seq((4, "d")).toDF("id", "tag"))
+    assert(SnapshotTable.read(spark, t).count() == 4)
+  }
+
+  test("optimize: file count drops, content identical, history + skipping survive, CDF silent") {
+    val t = freshTable()
+    // 6 tiny appends with stats = 6 small files
+    (1 to 6).foreach(i => SnapshotTable.commitAppend(spark, t,
+      Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("id"), statsCols = Seq("id")))
+    val before = SnapshotTable.snapshot(spark, t)
+    val v = SnapshotTable.optimizeCompact(spark, t)
+    assert(v == 7)
+    val after = SnapshotTable.snapshot(spark, t)
+    assert(after.files.size < before.files.size,
+      s"bin-packing must narrow files (${before.files.size} -> ${after.files.size})")
+    assert(ids(t) == (1 to 6).flatMap(i => Seq(i.toLong * 10, i.toLong * 10 + 1)).toSet)
+    // pre-optimize snapshots still read (old files retained until vacuum)
+    assert(ids(t, Some(3)) == Set(10L, 11L, 20L, 21L, 30L, 31L))
+    // stats recomputed: skipping still prunes on the rewritten layout
+    assert(after.stats.nonEmpty, "optimize must recompute stats")
+    // physical-only rewrite: the change feed emits NOTHING for v7
+    assert(SnapshotTable.changes(spark, t, 6, 7).count() == 0)
+    // idempotent-ish: a second optimize with one big file is a no-op
+    assert(SnapshotTable.optimizeCompact(spark, t) == 7)
+  }
+
+  test("merge: upsert content; CDF emits update pre/post images, inserts, and suppresses no-ops") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "tag", "v"))
+    // source: update id 2 (changed), "update" id 3 to an IDENTICAL row
+    // (must be suppressed), insert id 4
+    val v = SnapshotTable.commitMerge(spark, t,
+      Seq((2L, "b", 99L), (3L, "c", 30L), (4L, "d", 40L)).toDF("id", "tag", "v"),
+      keyCols = Seq("id"))
+    assert(v == 2)
+    val cur = SnapshotTable.read(spark, t).as[(Long, String, Long)].collect().toSet
+    assert(cur == Set((1L, "a", 10L), (2L, "b", 99L), (3L, "c", 30L), (4L, "d", 40L)))
+    // time travel: pre-merge state intact
+    assert(SnapshotTable.read(spark, t, Some(1)).as[(Long, String, Long)]
+      .collect().toSet == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    val feed = SnapshotTable.changes(spark, t, 1, 2)
+      .select("id", "v", "_change_type").as[(Long, Long, String)].collect().toSet
+    assert(feed == Set(
+      (2L, 20L, "update_preimage"), (2L, 99L, "update_postimage"),
+      (4L, 40L, "insert")),
+      s"copied row 1 and identical row 3 must emit nothing: $feed")
+  }
+
+  test("merge into an empty/missing table is a plain insert commit") {
+    val t = freshTable()
+    val v = SnapshotTable.commitMerge(spark, t,
+      Seq((1L, 5L)).toDF("id", "v"), keyCols = Seq("id"))
+    assert(v == 1)
+    assert(SnapshotTable.read(spark, t).as[(Long, Long)].collect().toSet == Set((1L, 5L)))
+    // merge with zero matched keys on a non-empty table: pure insert, no
+    // file rewritten, CDF shows only inserts
+    SnapshotTable.commitMerge(spark, t, Seq((2L, 6L)).toDF("id", "v"), Seq("id"))
+    val feed = SnapshotTable.changes(spark, t, 1, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == Set((2L, "insert")))
+  }
+
+  test("a rewrite racing an overwrite that retired its files aborts loudly") {
+    val t = freshTable()
+    (1 to 4).foreach(i => SnapshotTable.commitAppend(spark, t, Seq(i.toLong).toDF("id")))
+    // an optimize/merge computed its rewrite against v4's file list...
+    val stale = SnapshotTable.snapshot(spark, t)
+    // ...then a concurrent overwrite retired those files before the claim
+    SnapshotTable.commitOverwrite(spark, t, Seq(9L).toDF("id"))
+    // the rewrite's claim precondition must abort rather than resurrect
+    // the superseded rows as a new commit
+    intercept[SnapshotTable.ConcurrentRewriteException](
+      SnapshotTable.commitRewrite(spark, t,
+        removed = stale.files, added = Nil, stats = Map.empty,
+        schemaJson = stale.schemaJson, op = "optimize"))
+    assert(ids(t) == Set(9L), "the aborted rewrite must leave no trace")
+    assert(SnapshotTable.currentVersion(spark, t) == 5)
   }
 
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {

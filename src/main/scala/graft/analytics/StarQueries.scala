@@ -445,6 +445,40 @@ object StarQueries {
         .orderBy("doc_id")
     }),
 
+    // C12 (EXT): row-level DELETE + RESTORE on the log table — the
+    // remaining DML pair (append/overwrite/merge exist): DELETE is a
+    // copy-on-write rewrite of ONLY the files holding matched rows (the
+    // matched rows land as commit-time change files, so the feed serves
+    // them as a pure scan), RESTORE is ONE log write re-referencing the
+    // target snapshot's files (no data moves — at 100 TB an undo is a
+    // metadata operation). Staging: base append (4 files), delete
+    // o_orderkey % 7 == 3, restore to v1. The query reads the
+    // post-delete snapshot (time travel) and the post-restore current
+    // state; the oracle re-derives both from the source table — a hash
+    // match proves delete exactness (no survivor lost, no victim kept)
+    // AND restore exactness (bit-identical return to v1).
+    "c12_snapshot_delete_restore" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = Tables.memoLayout(s"c12|$d", "graft_snap_dr") { base =>
+        val t = s"$base/orders_dr"
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commitAppend(s, t, orders.repartition(4))
+        val v2 = SnapshotTable.commitDelete(s, t,
+          pmod(col("o_orderkey"), lit(7)) === 3)
+        val v3 = SnapshotTable.restore(s, t, 1)
+        require((v2, v3) == ((2, 3)), s"delete/restore must commit: $v2 $v3")
+      } + "/orders_dr"
+      SnapshotTable.read(s, dir, versionAsOf = Some(2))
+        .withColumn("snapshot", lit("deleted"))
+        .unionByName(SnapshotTable.read(s, dir).withColumn("snapshot", lit("restored")))
+        .groupBy("snapshot", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          moneySum(col("o_totalprice")).as("total"))
+        .orderBy("snapshot", "o_orderpriority")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -1080,6 +1114,23 @@ object StarQueries {
     "a21_snapshot_optimize" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // delete exactness (v2 = rows surviving the predicate) and restore
+    // exactness (current = the untouched base), both re-derived from the
+    // source table the oracle reads directly
+    "c12_snapshot_delete_restore" ->
+      """WITH del AS (
+        |  SELECT 'deleted' AS snapshot, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n, SUM(o_orderkey) AS key_sum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderpriority),
+        |res AS (
+        |  SELECT 'restored' AS snapshot, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n, SUM(o_orderkey) AS key_sum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT * FROM del UNION ALL SELECT * FROM res
+        |ORDER BY snapshot, o_orderpriority""".stripMargin,
 
     // content identity through the compaction rewrite: the oracle reads
     // the ORIGINAL table, the query returns the compacted copy

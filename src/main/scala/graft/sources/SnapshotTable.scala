@@ -154,7 +154,8 @@ object SnapshotTable {
     */
   final case class Snapshot(version: Int, schemaJson: String, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   private val LogDir = "_graft_log"
   private def logName(v: Int) = f"v$v%010d.json"
@@ -307,6 +308,7 @@ object SnapshotTable {
     val snap = cur.get
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     evolveSchema(schema, source.schema, mergeSchema = false)
+    checkConstraints(source, snap.constraints, table)
     // normalize the source to the full table row (missing nullable
     // columns → null), in schema order, so the rewrite unions cleanly
     val src = schema.fields.foldLeft(source) { (df, f) =>
@@ -395,6 +397,232 @@ object SnapshotTable {
       .unionByName(emit(changed, "_post", "update_postimage"))
   }
 
+  /** A batch violated a table CHECK constraint at write time. */
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Add a CHECK constraint (SQL boolean expression over the table's
+    * columns; NULL passes, the standard CHECK semantics). EXISTING rows
+    * are validated first (one scan — the Delta contract: a constraint
+    * can only be added when the table already satisfies it); every later
+    * append/merge batch is validated before staging and rejected loudly
+    * on violation. Recorded as a metadata commit (no data files), carried
+    * through checkpoints, visible in [[history]]. Returns the commit
+    * version. Note the documented write-write anomaly shared with the
+    * public designs: a batch validated against a snapshot that predates a
+    * RACING addConstraint can land unvalidated — add constraints in quiet
+    * windows.
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      sqlExpr: String): Int = {
+    import org.apache.spark.sql.functions.{expr, not}
+    require(name.nonEmpty && sqlExpr.nonEmpty, "constraint needs a name and an expression")
+    val existing = read(spark, table)
+    if (!existing.isEmpty && existing.filter(not(expr(sqlExpr))).limit(1).count() > 0)
+      throw new ConstraintViolationException(
+        s"cannot add CHECK constraint $name ($sqlExpr) to $table: existing rows violate it")
+    commitMeta(spark, table, "constraint_add",
+      List("cName" -> JString(name), "cExpr" -> JString(sqlExpr)))
+  }
+
+  /** Drop a CHECK constraint by name (no-op error if absent). */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Int = {
+    val snap = snapshot(spark, table, None)
+    require(snap.constraints.contains(name),
+      s"$table has no CHECK constraint named $name (has: ${snap.constraints.keys.mkString(", ")})")
+    commitMeta(spark, table, "constraint_drop", List("cName" -> JString(name)))
+  }
+
+  /** Reject `df` if it violates any of `constraints` — ONE combined job
+    * over the batch for the common all-pass case; violation pays a
+    * per-constraint re-check to name the culprit in the error.
+    */
+  private def checkConstraints(df: DataFrame,
+      constraints: Map[String, String], table: String): Unit = {
+    if (constraints.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, not}
+    val anyViolation = constraints.values.map(e => not(expr(e)))
+      .reduce(_ || _)
+    if (df.filter(anyViolation).limit(1).count() > 0) {
+      val culprit = constraints.find { case (_, e) =>
+        df.filter(not(expr(e))).limit(1).count() > 0
+      }.map { case (n, e) => s"$n ($e)" }.getOrElse("unknown")
+      throw new ConstraintViolationException(
+        s"batch violates CHECK constraint $culprit on $table; nothing was committed")
+    }
+  }
+
+  /** The claim loop for METADATA-only commits (constraints): no data
+    * files move, the entry just folds new table state into the log.
+    */
+  private def commitMeta(spark: SparkSession, table: String, op: String,
+      fields: List[(String, JValue)]): Int = {
+    val (fs, root) = fsFor(spark, table)
+    var attempt = 0
+    while (attempt < 64) {
+      val cur = resolve(spark, table, None).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no commits; constraints attach to existing tables"))
+      val next = cur.version + 1
+      val entry = JsonMethods.compact(JsonMethods.render(JObject(
+        List[(String, JValue)](
+          "version" -> JInt(next),
+          "op" -> JString(op),
+          "schema" -> JString(cur.schemaJson),
+          "add" -> JArray(Nil),
+          "remove" -> JArray(Nil)) ++ fields)))
+      if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
+        val cs = applyConstraintOp(cur.constraints, op, fields)
+        maybeCheckpoint(fs, root, next, cur.schemaJson,
+          files = cur.files, txns = cur.txns, stats = cur.stats, constraints = cs)
+        return next
+      }
+      attempt += 1
+    }
+    throw new CommitContentionException(
+      s"lost 64 consecutive version-claim races on $table; aborting $op")
+  }
+
+  private def applyConstraintOp(cs: Map[String, String], op: String,
+      fields: List[(String, JValue)]): Map[String, String] = {
+    val f = fields.toMap
+    def fstr(k: String) = f.get(k).collect { case JString(s) => s }.getOrElse("")
+    op match {
+      case "constraint_add"  => cs + (fstr("cName") -> fstr("cExpr"))
+      case "constraint_drop" => cs - fstr("cName")
+      case _                 => cs
+    }
+  }
+
+  /** Row-level DELETE (copy-on-write): rewrites ONLY the files holding
+    * rows that match `predicate` — survivors in touched files are copied
+    * forward, untouched files stay referenced as-is (cost ∝ touched
+    * files, never ∝ table). The matched rows are staged as commit-time
+    * change files, so the change feed serves the exact deleted rows as a
+    * pure scan ([[changes]] `_change_type = 'delete'`; survivors emit
+    * nothing). `predicate` must be deterministic (it evaluates twice:
+    * touched-file discovery and the survivor rewrite). Returns the
+    * committed version — unchanged when nothing matches (a no-op delete
+    * claims no version).
+    */
+  def commitDelete(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, not}
+    val resolved = resolve(spark, table, None)
+    if (resolved.isEmpty) return 0 // nothing committed: delete is a no-op
+    val snap = resolved.get
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val (fs, root) = fsFor(spark, table)
+    def abs(f: String) = new Path(root, f).toString
+    if (snap.files.isEmpty) return snap.version
+    def fileKey(p: String) = p.split('/').takeRight(2).mkString("/")
+    val byKey = snap.files.map(f => fileKey(f) -> f).toMap
+    val touched = spark.read.schema(schema).parquet(snap.files.map(abs): _*)
+      .withColumn("_graft_file", input_file_name())
+      .filter(predicate)
+      .select("_graft_file").distinct()
+      .collect().toSeq.map(r => fileKey(r.getString(0)))
+      .flatMap(byKey.get)
+    if (touched.isEmpty) return snap.version
+    val touchedDf = spark.read.schema(schema).parquet(touched.map(abs): _*)
+    val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
+    val (_, added, stats) =
+      stageData(spark, fs, root, touchedDf.filter(not(predicate)), statsCols)
+    // commit-time change files: the exact matched rows, delete-tagged
+    val cdfStage = s"cdf/${java.util.UUID.randomUUID}"
+    touchedDf.filter(predicate)
+      .withColumn("_change_type", lit("delete"))
+      .write.parquet(new Path(root, cdfStage).toString)
+    val cdfFiles = fs.listStatus(new Path(root, cdfStage)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted.map(n => s"$cdfStage/$n")
+    commitRewrite(spark, table, touched, added, stats, snap.schemaJson,
+      op = "delete",
+      extra = List("cdf" -> JArray(cdfFiles.map(JString(_)).toList)))
+  }
+
+  /** RESTORE the table to `version`'s content as ONE log write — no data
+    * bytes move: the commit removes files not in the target snapshot and
+    * re-adds the target's files by their existing paths (they must still
+    * exist, i.e. `version` inside the vacuum horizon — loud at read time
+    * otherwise, the public RESTORE contract). Time travel keeps serving
+    * the pre-restore versions; the change feed emits the content DIFF
+    * (deletes for files leaving the active set, inserts for files
+    * returning — rows in files common to both versions emit nothing).
+    * Returns the restore commit's version.
+    */
+  def restore(spark: SparkSession, table: String, version: Int): Int = {
+    val target = snapshot(spark, table, Some(version))
+    val cur = snapshot(spark, table, None)
+    require(target.version == version,
+      s"$table has no version $version (resolved ${target.version})")
+    val targetSet = target.files.toSet
+    val curSet = cur.files.toSet
+    if (targetSet == curSet) return cur.version // content already current
+    val removed = cur.files.filterNot(targetSet)
+    val added = target.files.filterNot(curSet)
+    val stats = target.stats.filter { case (f, _) => added.contains(f) }
+    commitRewrite(spark, table, removed, added, stats, target.schemaJson,
+      op = "restore")
+  }
+
+  /** TIMESTAMP-based time travel: the highest version committed at or
+    * before `tsMillis` (log-entry modification time — the public
+    * `TIMESTAMP AS OF` resolution rule). Loud when the table has no
+    * commit that old.
+    */
+  def versionAt(spark: SparkSession, table: String, tsMillis: Long): Int = {
+    val (fs, root) = fsFor(spark, table)
+    val logDir = new Path(root, LogDir)
+    if (!fs.exists(logDir))
+      throw new IllegalArgumentException(s"$table has no commits")
+    val vs = fs.listStatus(logDir).toSeq.collect {
+      case st if CommitRe.matches(st.getPath.getName) &&
+          st.getModificationTime <= tsMillis =>
+        st.getPath.getName match { case CommitRe(v) => v.toInt }
+    }
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"$table has no commit at or before timestamp $tsMillis")
+    vs.max
+  }
+
+  /** Snapshot read as of a wall-clock timestamp (millis). */
+  def readAt(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAt(spark, table, tsMillis)))
+
+  /** DESCRIBE HISTORY: one row per RETAINED log entry — (version, op,
+    * commit timestamp, files added/removed, the streaming txn and merge
+    * key when present). Driver-side log reads only (bytes ∝ entries);
+    * entries retired by [[cleanupLog]] are absent (the retained-history
+    * contract).
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val (fs, root) = fsFor(spark, table)
+    val logDir = new Path(root, LogDir)
+    val rows =
+      if (!fs.exists(logDir)) Nil
+      else fs.listStatus(logDir).toSeq.collect {
+        case st if CommitRe.matches(st.getPath.getName) =>
+          val v = st.getPath.getName match { case CommitRe(x) => x.toInt }
+          val j = readJson(fs, st.getPath)
+          val op = str(j, "op") match { case "" => "append"; case o => o }
+          val txn = (j \ "txnApp", j \ "txnId") match {
+            case (JString(app), JInt(id)) => Some(s"$app#$id")
+            case _ => None
+          }
+          val mergeKey = arr(j, "mergeKey") match {
+            case Nil => None
+            case ks  => Some(ks.mkString(","))
+          }
+          (v, op, st.getModificationTime,
+            arr(j, "add").size, arr(j, "remove").size, txn, mergeKey)
+      }.sortBy(_._1)
+    rows.toDF("version", "op", "timestamp_ms",
+      "n_added", "n_removed", "txn", "merge_key")
+  }
+
   /** The optimistic claim loop for remove+add REWRITE commits
     * (optimize/merge). Unlike [[commit]], a lost race does NOT blindly
     * retry: the rewrite's content was computed from a specific snapshot,
@@ -434,7 +662,8 @@ object SnapshotTable {
         maybeCheckpoint(fs, root, next, schemaJson,
           files = cur.files.filterNot(removed.toSet) ++ added,
           txns = cur.txns,
-          stats = cur.stats -- removed ++ stats)
+          stats = cur.stats -- removed ++ stats,
+          constraints = cur.constraints)
         return next
       }
       attempt += 1
@@ -448,14 +677,16 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Int = {
     val (fs, root) = fsFor(spark, table)
     fs.mkdirs(new Path(root, LogDir))
-    // fast-fail schema enforcement BEFORE staging: a rejected batch should
-    // cost a log listing, not a parquet write whose files then sit as
-    // orphans until vacuum's age floor passes (re-checked per claim attempt
-    // below — this is the cheap first gate, not the authoritative one)
-    if (!overwrite) resolve(spark, table, None).foreach { c =>
-      if (c.schemaJson.nonEmpty)
+    // fast-fail schema + CHECK-constraint enforcement BEFORE staging: a
+    // rejected batch should cost a log listing + one batch scan, not a
+    // parquet write whose files then sit as orphans until vacuum's age
+    // floor passes (schema is re-checked per claim attempt below — this is
+    // the cheap first gate, not the authoritative one)
+    resolve(spark, table, None).foreach { c =>
+      if (!overwrite && c.schemaJson.nonEmpty)
         evolveSchema(DataType.fromJson(c.schemaJson).asInstanceOf[StructType],
           df.schema, mergeSchema)
+      checkConstraints(df, c.constraints, table)
     }
     // 1. conflict-free data staging
     val (stage, added, stats) = stageData(spark, fs, root, df, statsCols)
@@ -497,7 +728,8 @@ object SnapshotTable {
         maybeCheckpoint(fs, root, next, schemaJson,
           files = cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added,
           txns = cur.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
-          stats = cur.map(_.stats).getOrElse(Map.empty) -- removed ++ stats)
+          stats = cur.map(_.stats).getOrElse(Map.empty) -- removed ++ stats,
+          constraints = cur.map(_.constraints).getOrElse(Map.empty))
         return next
       }
       attempt += 1
@@ -512,13 +744,15 @@ object SnapshotTable {
     */
   private def maybeCheckpoint(fs: FileSystem, root: Path, next: Int,
       schemaJson: String, files: Seq[String], txns: Map[String, Long],
-      stats: Map[String, Map[String, (Double, Double)]]): Unit = {
+      stats: Map[String, Map[String, (Double, Double)]],
+      constraints: Map[String, String] = Map.empty): Unit = {
     if (next % checkpointInterval != 0) return
     val cp = JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JInt(next),
       "schema" -> JString(schemaJson),
       "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
       "stats" -> statsJson(stats),
+      "constraints" -> JObject(constraints.toList.map { case (k, v) => k -> (JString(v): JValue) }),
       "files" -> JArray(files.map(JString(_)).toList))))
     // temp-name + rename, NOT create(overwrite=true) in place: an in-place
     // create is visible half-written to a concurrent lister, unlike the
@@ -637,6 +871,7 @@ object SnapshotTable {
     var schema = ""
     var txns = Map.empty[String, Long]
     var stats = Map.empty[String, Map[String, (Double, Double)]]
+    var constraints = Map.empty[String, String]
     val cpVersion = cpCandidates.iterator.map { v =>
       try {
         val j = readJson(fs, new Path(logDir, checkpointName(v)))
@@ -647,6 +882,10 @@ object SnapshotTable {
           case _ => Map.empty
         }
         stats = statsOf(j)
+        constraints = j \ "constraints" match {
+          case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
         Some(v)
       } catch { case _: Exception => None }
     }.collectFirst { case Some(v) => v }
@@ -661,8 +900,10 @@ object SnapshotTable {
           case _ =>
         }
         stats = stats -- rm ++ statsOf(j)
+        constraints = applyConstraintOp(constraints, str(j, "op"),
+          List("cName" -> (j \ "cName"), "cExpr" -> (j \ "cExpr")))
     }
-    Some(Snapshot(target, schema, files, txns, stats))
+    Some(Snapshot(target, schema, files, txns, stats, constraints))
   }
 
   private def statsJson(stats: Map[String, Map[String, (Double, Double)]]): JObject =
@@ -837,11 +1078,14 @@ object SnapshotTable {
       val schema = DataType.fromJson(str(j, "schema")).asInstanceOf[StructType]
       str(j, "op") match {
         case "optimize" => Nil // physical-only rewrite: no logical change
-        case "merge" =>
-          // MERGE versions carry their change rows as files written at
-          // commit time ([[mergeDiff]]) — the feed read is a pure scan
+        case "merge" | "delete" =>
+          // MERGE/DELETE versions carry their change rows as files written
+          // at commit time (update pre/post images with their tags baked
+          // in; deletes tagged at staging) — the feed read is a pure scan,
+          // never a re-diff of the rewritten files (which would wrongly
+          // emit the copied survivors)
           val cdf = arr(j, "cdf")
-          if (cdf.isEmpty) Nil // merge that changed nothing (all no-ops)
+          if (cdf.isEmpty) Nil // a rewrite that changed nothing
           else Seq(readFiles(cdf,
               schema.add("_change_type", org.apache.spark.sql.types.StringType))
             .withColumn("_commit_version", lit(v)))
@@ -895,6 +1139,15 @@ object SnapshotTable {
         // an entry is deletable only when BOTH absorbed by a checkpoint
         // (some checkpoint version ≥ v exists) and outside the horizon
         if (v <= horizon && cpVersions.exists(_ >= v)) {
+          // a retired merge/delete entry's change files are unreachable
+          // (the feed requires the entry) — reclaim their stage dirs with
+          // it (recursive: each commit's cdf/<uuid>/ dir is exclusively
+          // its own, and holds writer droppings — _SUCCESS, crc — beyond
+          // the listed part files)
+          val cdf = try arr(readJson(fs, new Path(logDir, n)), "cdf")
+            catch { case _: Exception => Nil }
+          cdf.map(f => new Path(root, f).getParent).distinct
+            .foreach(dir => fs.delete(dir, true))
           fs.delete(new Path(logDir, n), false); removed += 1
         }
       case _ => // foreign/temp/checkpoint files are not ours to delete

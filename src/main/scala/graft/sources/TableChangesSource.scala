@@ -169,9 +169,12 @@ private[sources] class TableChangesMicroBatchStream(path: String,
       }
       (j \ "op": JValue) match {
         case JString("optimize") => Nil // physical-only rewrite
-        case JString("merge") =>
+        case JString("merge") | JString("delete") =>
+          // rewrites serve their commit-time change files (tags baked in);
+          // diffing add/remove here would wrongly emit copied survivors
           files("cdf").map(f => ChangeFilePartition(abs(f), v, injectType = null))
         case _ =>
+          // append / overwrite / restore: the file diff IS the row diff
           files("remove").map(f => ChangeFilePartition(abs(f), v, "delete")) ++
             files("add").map(f => ChangeFilePartition(abs(f), v, "insert"))
       }

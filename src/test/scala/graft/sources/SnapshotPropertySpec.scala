@@ -91,7 +91,7 @@ class SnapshotPropertySpec extends SparkSpec {
       var nextId = round * 100000L
       val nOps = 12 + rnd.nextInt(4)
       (1 to nOps).foreach { _ =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 | 1 => // merge: mix of updates (changed + identical) and inserts
             val updates = rnd.shuffle(content.keys.toSeq)
               .take(rnd.nextInt(content.size + 1))
@@ -129,6 +129,18 @@ class SnapshotPropertySpec extends SparkSpec {
             val v = SnapshotTable.optimizeCompact(spark, t)
             if (v == changes.size + 1) changes :+= Set.empty[(Long, Long, String)]
             // else: <2 small files, no commit claimed — no model version
+          case 4 if content.nonEmpty => // row-level DELETE of sampled keys
+            val victims = rnd.shuffle(content.keys.toSeq)
+              .take(1 + rnd.nextInt(2)).toSet
+            val v = SnapshotTable.commitDelete(spark, t,
+              org.apache.spark.sql.functions.col("id").isin(victims.toSeq: _*))
+            assert(v == changes.size + 1, "a matching delete must commit")
+            changes :+= victims.map(id => (id, content(id), "delete"))
+            content --= victims
+          case _ => // nothing to delete yet: no-op delete must not commit
+            val v = SnapshotTable.commitDelete(spark, t,
+              org.apache.spark.sql.functions.col("id") === -1L)
+            assert(v == changes.size, "a no-match delete must claim no version")
         }
       }
       // rebuild per-version contents from the change sets

@@ -379,6 +379,115 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.currentVersion(spark, t) == 5)
   }
 
+  test("delete: copy-on-write rewrite, survivors intact, CDF serves exactly the deleted rows") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t,
+      spark.range(0, 20).toDF("id").repartition(4))
+    val before = SnapshotTable.snapshot(spark, t)
+    val v = SnapshotTable.commitDelete(spark, t, col("id") % 5 === 0)
+    assert(v == 2)
+    assert(ids(t) == (0L until 20L).filter(_ % 5 != 0).toSet)
+    // untouched files stay referenced: the rewrite only touched files
+    // holding matched rows (every file here holds one, so all rewrite —
+    // assert instead on the time-traveled original)
+    assert(ids(t, Some(1)) == (0L until 20L).toSet)
+    val feed = SnapshotTable.changes(spark, t, 1, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == (0L until 20L).filter(_ % 5 == 0).map((_, "delete")).toSet,
+      s"survivor copies must emit nothing: $feed")
+    // no-op delete claims no version
+    assert(SnapshotTable.commitDelete(spark, t, col("id") === -999L) == 2)
+    assert(SnapshotTable.currentVersion(spark, t) == 2)
+    before.files.foreach(f => assert(
+      new java.io.File(t, f).exists(), "pre-delete files retained for time travel"))
+  }
+
+  test("restore: one log write returns the table to a prior version; CDF emits the diff") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L, 2L).toDF("id"))
+    SnapshotTable.commitAppend(spark, t, Seq(3L).toDF("id"))
+    SnapshotTable.commitDelete(spark, t, col("id") === 1L)
+    assert(ids(t) == Set(2L, 3L))
+    val v = SnapshotTable.restore(spark, t, 2)
+    assert(v == 4)
+    assert(ids(t) == Set(1L, 2L, 3L))
+    // pre-restore versions still time travel
+    assert(ids(t, Some(3)) == Set(2L, 3L))
+    // the restore's feed = the content diff: files returning emit inserts,
+    // files leaving emit deletes; common files emit nothing
+    val feed = SnapshotTable.changes(spark, t, 3, 4)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed.contains((1L, "insert")), s"restored row must insert: $feed")
+    // restoring to the current content is a no-op
+    assert(SnapshotTable.restore(spark, t, 4) == 4)
+  }
+
+  test("timestamp time travel + history surface") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))
+    Thread.sleep(1100) // mtime granularity is 1s on some filesystems
+    val mid = System.currentTimeMillis()
+    Thread.sleep(1100)
+    SnapshotTable.commitMerge(spark, t, Seq((1L)).toDF("id"), Seq("id"))
+    SnapshotTable.commitOverwrite(spark, t, Seq(9L).toDF("id"))
+    assert(SnapshotTable.versionAt(spark, t, mid) == 1)
+    assert(SnapshotTable.readAt(spark, t, mid).as[Long].collect().toSet == Set(1L))
+    intercept[IllegalArgumentException](SnapshotTable.versionAt(spark, t, 1000L))
+    val h = SnapshotTable.history(spark, t)
+      .select("version", "op").as[(Int, String)].collect().toSet
+    assert(h == Set((1, "append"), (2, "merge"), (3, "overwrite")), s"history: $h")
+  }
+
+  test("cleanupLog reclaims retired entries' change files") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq((1L, 1L)).toDF("id", "v"))
+    (2 to 12).foreach(i => SnapshotTable.commitMerge(spark, t,
+      Seq((1L, i.toLong)).toDF("id", "v"), Seq("id")))
+    val cdfDir = new java.io.File(t, "cdf")
+    val before = cdfDir.listFiles().length
+    assert(before >= 11)
+    val removed = SnapshotTable.cleanupLog(spark, t, retainVersions = 1)
+    assert(removed > 0)
+    assert(cdfDir.listFiles().length < before,
+      "retired merge entries' change files must be reclaimed")
+    // retained tail still serves its feed
+    val cur = SnapshotTable.currentVersion(spark, t)
+    assert(SnapshotTable.changes(spark, t, cur - 1, cur).count() > 0)
+  }
+
+  test("CHECK constraints: write-time enforcement, existing-data validation, checkpoint survival") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq((1L, 10L)).toDF("id", "v"))
+    // cannot add a constraint existing rows violate
+    intercept[SnapshotTable.ConstraintViolationException](
+      SnapshotTable.addConstraint(spark, t, "v_big", "v > 100"))
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    // valid batch lands; violating batch rejects with NO version claimed
+    SnapshotTable.commitAppend(spark, t, Seq((2L, 20L)).toDF("id", "v"))
+    val before = SnapshotTable.currentVersion(spark, t)
+    intercept[SnapshotTable.ConstraintViolationException](
+      SnapshotTable.commitAppend(spark, t, Seq((3L, -5L)).toDF("id", "v")))
+    intercept[SnapshotTable.ConstraintViolationException](
+      SnapshotTable.commitMerge(spark, t, Seq((2L, -1L)).toDF("id", "v"), Seq("id")))
+    intercept[SnapshotTable.ConstraintViolationException](
+      SnapshotTable.commitOverwrite(spark, t, Seq((9L, 0L)).toDF("id", "v")))
+    assert(SnapshotTable.currentVersion(spark, t) == before)
+    assert(SnapshotTable.read(spark, t).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // survives checkpoints: push past the interval, then still enforced
+    (1 to 10).foreach(i =>
+      SnapshotTable.commitAppend(spark, t, Seq((100L + i, i.toLong)).toDF("id", "v")))
+    intercept[SnapshotTable.ConstraintViolationException](
+      SnapshotTable.commitAppend(spark, t, Seq((999L, -1L)).toDF("id", "v")))
+    // drop restores writability; history shows the metadata commits
+    SnapshotTable.dropConstraint(spark, t, "v_pos")
+    SnapshotTable.commitAppend(spark, t, Seq((999L, -1L)).toDF("id", "v"))
+    intercept[IllegalArgumentException](
+      SnapshotTable.dropConstraint(spark, t, "v_pos"))
+    val ops = SnapshotTable.history(spark, t).select("op").as[String].collect()
+    assert(ops.contains("constraint_add") && ops.contains("constraint_drop"))
+  }
+
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {
     val t = freshTable()
     val orders = graft.Tables.orders(spark, sfDir)

@@ -479,6 +479,42 @@ object StarQueries {
         .orderBy("snapshot", "o_orderpriority")
     }),
 
+    // C13 (EXT): MERGE-ON-READ delete via DELETION VECTORS — the
+    // write-cheap sibling of c12's copy-on-write: the delete commit is a
+    // sidecar of (file, row_index) positions (cost ∝ matched ROWS, never
+    // touched bytes — at 100 TB, deleting a few rows from a petabyte of
+    // files is a sidecar write), reads hide the rows with one anti-join
+    // on the parquet _metadata.row_index, and OPTIMIZE later repays the
+    // debt by materializing the vectors into a clean rewrite. The query
+    // reads the DV-ACTIVE snapshot (v2, vectors applied at read) and the
+    // PURGED current state (v3, post-optimize, vectors gone) — both must
+    // hash-match the same oracle filter, proving the vector application
+    // and the purge agree bit-for-bit with a plain predicate the oracle
+    // runs on the source table.
+    "c13_snapshot_delete_mor" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val dir = Tables.memoLayout(s"c13|$d", "graft_snap_mor") { base =>
+        val t = s"$base/orders_mor"
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        SnapshotTable.commitAppend(s, t, orders.repartition(4))
+        val v2 = SnapshotTable.commitDeleteMoR(s, t,
+          pmod(col("o_orderkey"), lit(7)) === 3)
+        val v3 = SnapshotTable.optimizeCompact(s, t)
+        require((v2, v3) == ((2, 3)), s"MoR delete + optimize must commit: $v2 $v3")
+        require(SnapshotTable.snapshot(s, t).dvs.isEmpty,
+          "optimize must purge the deletion vectors")
+      } + "/orders_mor"
+      SnapshotTable.read(s, dir, versionAsOf = Some(2))
+        .withColumn("snapshot", lit("mor"))
+        .unionByName(SnapshotTable.read(s, dir).withColumn("snapshot", lit("purged")))
+        .groupBy("snapshot", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          moneySum(col("o_totalprice")).as("total"))
+        .orderBy("snapshot", "o_orderpriority")
+    }),
+
     "a9_zorder_curve" -> ((s, d) => {
       import graft.operators.ZOrder
       val li = Tables.lineitem(s, d)
@@ -1130,6 +1166,18 @@ object StarQueries {
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT * FROM del UNION ALL SELECT * FROM res
+        |ORDER BY snapshot, o_orderpriority""".stripMargin,
+
+    // both halves are the same filter — the DV-applied read (mor) and the
+    // post-optimize materialized rewrite (purged) must agree exactly
+    "c13_snapshot_delete_mor" ->
+      """WITH fil AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(o_orderkey) AS key_sum,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderpriority)
+        |SELECT 'mor' AS snapshot, * FROM fil
+        |UNION ALL SELECT 'purged' AS snapshot, * FROM fil
         |ORDER BY snapshot, o_orderpriority""".stripMargin,
 
     // content identity through the compaction rewrite: the oracle reads

@@ -155,7 +155,8 @@ object SnapshotTable {
   final case class Snapshot(version: Int, schemaJson: String, files: Seq[String],
       txns: Map[String, Long] = Map.empty,
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      dvs: Map[String, Seq[String]] = Map.empty)
 
   private val LogDir = "_graft_log"
   private def logName(v: Int) = f"v$v%010d.json"
@@ -268,14 +269,19 @@ object SnapshotTable {
     if (resolved.isEmpty) return 0 // nothing committed: maintenance no-op
     val snap = resolved.get
     val sized = snap.files.map(f => f -> fs.getFileStatus(new Path(root, f)).getLen)
-    val small = sized.filter(_._2 < targetBytes)
-    if (small.size < 2) return snap.version
+    // DV-carrying files are ALWAYS candidates regardless of size: the
+    // rewrite MATERIALIZES their deletion vectors away (OPTIMIZE purges
+    // DVs — the merge-on-read debt is repaid here)
+    val small = sized.filter { case (f, len) =>
+      len < targetBytes || snap.dvs.contains(f) }
+    if (small.size < 2 && !small.exists(f => snap.dvs.contains(f._1)))
+      return snap.version
     val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     // coalesce, never repartition: bin-packing is a NARROWING of existing
     // partitions — no shuffle, rows stream file→file
-    val content = spark.read.schema(schema)
-      .parquet(small.map { case (f, _) => new Path(root, f).toString }: _*)
+    val content = liveRows(spark, snap, root, small.map(_._1))
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       .coalesce(nOut)
     val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val (_, added, stats) = stageData(spark, fs, root, content, statsCols)
@@ -317,38 +323,39 @@ object SnapshotTable {
     }.select(schema.fieldNames.map(col): _*)
     val (fs, root) = fsFor(spark, table)
     def abs(f: String) = new Path(root, f).toString
-    // touched files = those holding ≥1 matched key. input_file_name()
-    // yields absolute URIs; snapshot entries are table-relative (or
-    // absolute for cloned files) — match on the trailing <uuid>/<name>
-    // pair, unique by construction of the staging dirs.
-    def fileKey(p: String) = p.split('/').takeRight(2).mkString("/")
+    // touched files = those holding ≥1 LIVE matched key (the snapshot's
+    // deletion vectors applied — a DV-hidden row cannot match); snapshot
+    // entries are table-relative (or absolute for clones) and the scan
+    // yields absolute URIs — matched on the trailing <uuid>/<name> pair,
+    // unique by construction of the staging dirs.
     val byKey = snap.files.map(f => fileKey(f) -> f).toMap
     val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val touched =
       if (snap.files.isEmpty) Nil
-      else spark.read.schema(schema).parquet(snap.files.map(abs): _*)
-        .withColumn("_graft_file", input_file_name())
+      else liveRows(spark, snap, root, snap.files)
         .join(srcKeys, keyCols, "left_semi")
         .select("_graft_file").distinct()
-        .collect().toSeq.map(r => fileKey(r.getString(0)))
+        .collect().toSeq.map(_.getString(0))
         .flatMap(byKey.get)
-    // new content = the touched files' UNMATCHED rows + every source row
+    def touchedLive = liveRows(spark, snap, root, touched)
+      .select(schema.fieldNames.map(col): _*)
+    // new content = the touched files' UNMATCHED live rows + every source
+    // row (rewriting a DV'd touched file also materializes its vectors)
     val untouchedRows =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touched.map(abs): _*)
-        .join(srcKeys, keyCols, "left_anti")
+      else touchedLive.join(srcKeys, keyCols, "left_anti")
     val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val (_, added, stats) =
       stageData(spark, fs, root, untouchedRows.unionByName(src), statsCols)
     // CDF precompute (the public Delta design: MERGE writes its change
     // rows at COMMIT time, so every change-feed read — batch or streaming
-    // — is a pure file scan, never a re-join). Diff the retired files
+    // — is a pure file scan, never a re-join). Diff the retired LIVE rows
     // against the bytes that actually landed.
     val pre =
       if (touched.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touched.map(abs): _*)
+      else touchedLive
     val post = spark.read.schema(schema).parquet(added.map(abs): _*)
     val changeDf = mergeDiff(pre, post, keyCols, schema)
     val cdfStage = s"cdf/${java.util.UUID.randomUUID}"
@@ -474,7 +481,8 @@ object SnapshotTable {
       if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
         val cs = applyConstraintOp(cur.constraints, op, fields)
         maybeCheckpoint(fs, root, next, cur.schemaJson,
-          files = cur.files, txns = cur.txns, stats = cur.stats, constraints = cs)
+          files = cur.files, txns = cur.txns, stats = cur.stats,
+          constraints = cs, dvs = cur.dvs)
         return next
       }
       attempt += 1
@@ -492,6 +500,113 @@ object SnapshotTable {
       case "constraint_drop" => cs - fstr("cName")
       case _                 => cs
     }
+  }
+
+  /** The trailing `<uuid-dir>/<name>` pair of any file path — unique by
+    * construction of the staging dirs; the join key between snapshot
+    * entries (table-relative, or absolute for clones) and the absolute
+    * URIs `input_file_name()`/`_metadata.file_path` yield.
+    */
+  private def fileKey(p: String): String = p.split('/').takeRight(2).mkString("/")
+
+  /** The LIVE rows of `files` under `snap`: deletion-vector-hidden rows
+    * removed. Carries `_graft_file` (the [[fileKey]]) for callers that
+    * need per-file attribution; callers drop it. The DV anti-join keys on
+    * (file, parquet `_metadata.row_index`) — row positions are stable
+    * because data files are immutable. Tables without DVs take the plain
+    * scan (no metadata columns, no join).
+    */
+  private def liveRows(spark: SparkSession, snap: Snapshot, root: Path,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_extract}
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("_graft_file", lit(""))
+        .withColumn("_graft_ri", lit(0L))
+    def abs(f: String) = new Path(root, f).toString
+    val base = spark.read.schema(schema).parquet(files.map(abs): _*)
+    val dvFiles = snap.dvs.view.filterKeys(files.contains).values.flatten.toSeq
+    // materialize the metadata columns up front (codegen'd regexp, no
+    // UDF): downstream joins may not propagate _metadata resolution
+    val withMeta = base
+      .withColumn("_graft_file",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("_graft_ri", col("_metadata.row_index"))
+    if (dvFiles.isEmpty)
+      withMeta
+    else {
+      val dv = spark.read.parquet(dvFiles.map(abs): _*)
+        .select(col("file").as("_graft_file"), col("row_index").as("_graft_ri"))
+      withMeta.join(dv, Seq("_graft_file", "_graft_ri"), "left_anti")
+    }
+  }
+
+  /** MERGE-ON-READ delete via DELETION VECTORS — the write-cheap sibling
+    * of [[commitDelete]]: instead of rewriting every touched file (cost ∝
+    * touched BYTES), record a per-file sidecar of the row POSITIONS to
+    * hide (cost ∝ matched ROWS — at 100 TB, deleting a few rows from a
+    * petabyte of files is a sidecar write, not a rewrite). Reads apply
+    * the vectors with one anti-join on (file, `_metadata.row_index`);
+    * every internal reader (merge, CoW delete, optimize) is DV-aware, and
+    * any rewrite that retires a file MATERIALIZES its vectors away (the
+    * OPTIMIZE-purges-DVs contract of the public design). The matched rows
+    * also land as commit-time change files, so the feed serves exact
+    * deletes as a pure scan. DVs on one file ACCUMULATE across MoR
+    * deletes. Returns the committed version (unchanged when nothing
+    * matches). Concurrent MoR deletes with OVERLAPPING predicates can
+    * double-emit feed rows — serialize overlapping DML, the same
+    * write-conflict rule the public designs enforce coarser.
+    */
+  def commitDeleteMoR(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val resolved = resolve(spark, table, None)
+    if (resolved.isEmpty) return 0
+    val snap = resolved.get
+    if (snap.files.isEmpty) return snap.version
+    val (fs, root) = fsFor(spark, table)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // matched LIVE rows (already-hidden rows cannot match again), with
+    // their (file, row_index) addresses
+    val matched = liveRows(spark, snap, root, snap.files)
+      .filter(predicate)
+      .localCheckpoint(true) // DV write + cdf write must see ONE evaluation
+    if (matched.isEmpty) return snap.version
+    val byKey = snap.files.map(f => fileKey(f) -> f).toMap
+    // one DV sidecar for this commit: (file, row_index) of hidden rows
+    val dvStage = s"dv/${java.util.UUID.randomUUID}"
+    // one sidecar file: vectors are row positions (16 bytes/row) — many
+    // tiny part files would make every DV-applied read list+open them all
+    matched.select(col("_graft_file").as("file"),
+        col("_graft_ri").as("row_index"))
+      .coalesce(1)
+      .write.parquet(new Path(root, dvStage).toString)
+    val dvFiles = fs.listStatus(new Path(root, dvStage)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted.map(n => s"$dvStage/$n")
+    // the DV applies to every file that lost rows
+    val touched = matched.select("_graft_file").distinct()
+      .collect().toSeq.flatMap(r => byKey.get(r.getString(0)))
+    // commit-time change files: the exact matched rows, delete-tagged
+    val cdfStage = s"cdf/${java.util.UUID.randomUUID}"
+    matched.select(schema.fieldNames.map(col): _*)
+      .withColumn("_change_type", lit("delete"))
+      .coalesce(1)
+      .write.parquet(new Path(root, cdfStage).toString)
+    val cdfFiles = fs.listStatus(new Path(root, cdfStage)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .sorted.map(n => s"$cdfStage/$n")
+    commitRewrite(spark, table, removed = Nil, added = Nil,
+      stats = Map.empty, schemaJson = snap.schemaJson, op = "delete_mor",
+      extra = List(
+        "dv" -> JObject(touched.toList.map(f =>
+          f -> (JArray(dvFiles.map(JString(_)).toList): JValue))),
+        "cdf" -> JArray(cdfFiles.map(JString(_)).toList)),
+      requireActive = touched)
   }
 
   /** Row-level DELETE (copy-on-write): rewrites ONLY the files holding
@@ -515,16 +630,17 @@ object SnapshotTable {
     val (fs, root) = fsFor(spark, table)
     def abs(f: String) = new Path(root, f).toString
     if (snap.files.isEmpty) return snap.version
-    def fileKey(p: String) = p.split('/').takeRight(2).mkString("/")
     val byKey = snap.files.map(f => fileKey(f) -> f).toMap
-    val touched = spark.read.schema(schema).parquet(snap.files.map(abs): _*)
-      .withColumn("_graft_file", input_file_name())
+    val touched = liveRows(spark, snap, root, snap.files)
       .filter(predicate)
       .select("_graft_file").distinct()
-      .collect().toSeq.map(r => fileKey(r.getString(0)))
+      .collect().toSeq.map(_.getString(0))
       .flatMap(byKey.get)
     if (touched.isEmpty) return snap.version
-    val touchedDf = spark.read.schema(schema).parquet(touched.map(abs): _*)
+    // live rows only: a DV'd touched file rewrites without its hidden
+    // rows (the rewrite materializes the vectors away)
+    val touchedDf = liveRows(spark, snap, root, touched)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
     val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct
     val (_, added, stats) =
       stageData(spark, fs, root, touchedDf.filter(not(predicate)), statsCols)
@@ -636,14 +752,15 @@ object SnapshotTable {
       removed: Seq[String], added: Seq[String],
       stats: Map[String, Map[String, (Double, Double)]],
       schemaJson: String, op: String,
-      extra: List[(String, JValue)] = Nil): Int = {
+      extra: List[(String, JValue)] = Nil,
+      requireActive: Seq[String] = Nil): Int = {
     val (fs, root) = fsFor(spark, table)
     var attempt = 0
     while (attempt < 64) {
       val cur = resolve(spark, table, None).getOrElse(
         throw new IllegalArgumentException(s"$table has no commits to rewrite"))
       val active = cur.files.toSet
-      val gone = removed.filterNot(active)
+      val gone = (removed ++ requireActive).filterNot(active)
       if (gone.nonEmpty) throw new ConcurrentRewriteException(
         s"$op on $table lost to a concurrent commit that retired " +
           s"${gone.size} file(s) being rewritten (e.g. ${gone.head}); " +
@@ -659,11 +776,16 @@ object SnapshotTable {
           (if (stats.isEmpty) Nil else List("stats" -> statsJson(stats))) ++
           extra)))
       if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
+        val newDvs = (cur.dvs -- removed) ++
+          dvsOf(JObject(extra)).map { case (f, paths) =>
+            f -> (cur.dvs.getOrElse(f, Nil) ++ paths)
+          }
         maybeCheckpoint(fs, root, next, schemaJson,
           files = cur.files.filterNot(removed.toSet) ++ added,
           txns = cur.txns,
           stats = cur.stats -- removed ++ stats,
-          constraints = cur.constraints)
+          constraints = cur.constraints,
+          dvs = newDvs)
         return next
       }
       attempt += 1
@@ -729,7 +851,8 @@ object SnapshotTable {
           files = cur.map(_.files).getOrElse(Nil).filterNot(removed.toSet) ++ added,
           txns = cur.map(_.txns).getOrElse(Map.empty) ++ txn.toMap,
           stats = cur.map(_.stats).getOrElse(Map.empty) -- removed ++ stats,
-          constraints = cur.map(_.constraints).getOrElse(Map.empty))
+          constraints = cur.map(_.constraints).getOrElse(Map.empty),
+          dvs = cur.map(_.dvs).getOrElse(Map.empty) -- removed)
         return next
       }
       attempt += 1
@@ -745,7 +868,8 @@ object SnapshotTable {
   private def maybeCheckpoint(fs: FileSystem, root: Path, next: Int,
       schemaJson: String, files: Seq[String], txns: Map[String, Long],
       stats: Map[String, Map[String, (Double, Double)]],
-      constraints: Map[String, String] = Map.empty): Unit = {
+      constraints: Map[String, String] = Map.empty,
+      dvs: Map[String, Seq[String]] = Map.empty): Unit = {
     if (next % checkpointInterval != 0) return
     val cp = JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JInt(next),
@@ -753,6 +877,8 @@ object SnapshotTable {
       "txns" -> JObject(txns.toList.map { case (k, v) => k -> (JInt(v): JValue) }),
       "stats" -> statsJson(stats),
       "constraints" -> JObject(constraints.toList.map { case (k, v) => k -> (JString(v): JValue) }),
+      "dv" -> JObject(dvs.toList.map { case (k, v) =>
+        k -> (JArray(v.map(JString(_)).toList): JValue) }),
       "files" -> JArray(files.map(JString(_)).toList))))
     // temp-name + rename, NOT create(overwrite=true) in place: an in-place
     // create is visible half-written to a concurrent lister, unlike the
@@ -872,6 +998,7 @@ object SnapshotTable {
     var txns = Map.empty[String, Long]
     var stats = Map.empty[String, Map[String, (Double, Double)]]
     var constraints = Map.empty[String, String]
+    var dvs = Map.empty[String, Seq[String]]
     val cpVersion = cpCandidates.iterator.map { v =>
       try {
         val j = readJson(fs, new Path(logDir, checkpointName(v)))
@@ -886,6 +1013,7 @@ object SnapshotTable {
           case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
           case _ => Map.empty
         }
+        dvs = dvsOf(j)
         Some(v)
       } catch { case _: Exception => None }
     }.collectFirst { case Some(v) => v }
@@ -902,8 +1030,14 @@ object SnapshotTable {
         stats = stats -- rm ++ statsOf(j)
         constraints = applyConstraintOp(constraints, str(j, "op"),
           List("cName" -> (j \ "cName"), "cExpr" -> (j \ "cExpr")))
+        // a retired file's deletion vectors die with it; new DVs for a
+        // still-active file ACCUMULATE onto any standing ones
+        dvs = dvs -- rm
+        dvsOf(j).foreach { case (f, paths) =>
+          dvs += f -> (dvs.getOrElse(f, Nil) ++ paths)
+        }
     }
-    Some(Snapshot(target, schema, files, txns, stats, constraints))
+    Some(Snapshot(target, schema, files, txns, stats, constraints, dvs))
   }
 
   private def statsJson(stats: Map[String, Map[String, (Double, Double)]]): JObject =
@@ -912,6 +1046,14 @@ object SnapshotTable {
         c -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
       }): JValue)
     })
+
+  private def dvsOf(j: JValue): Map[String, Seq[String]] =
+    j \ "dv" match {
+      case JObject(fields) => fields.collect {
+        case (f, JArray(xs)) => f -> xs.collect { case JString(x) => x }
+      }.toMap
+      case _ => Map.empty
+    }
 
   private def statsOf(j: JValue): Map[String, Map[String, (Double, Double)]] =
     j \ "stats" match {
@@ -960,8 +1102,12 @@ object SnapshotTable {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(snap.files.map(f => new Path(root, f).toString): _*)
+    else if (snap.dvs.isEmpty)
+      spark.read.schema(schema)
+        .parquet(snap.files.map(f => new Path(root, f).toString): _*)
+    else // deletion vectors active: the read applies them (merge-on-read)
+      liveRows(spark, snap, root, snap.files)
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** ZERO-COPY shallow clone: `dst` becomes a new table whose first
@@ -1034,8 +1180,11 @@ object SnapshotTable {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (keep.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(keep.map(f => new Path(root, f).toString): _*)
+    else if (snap.dvs.isEmpty)
+      spark.read.schema(schema)
+        .parquet(keep.map(f => new Path(root, f).toString): _*)
+    else liveRows(spark, snap, root, keep)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** CHANGE DATA FEED: every row-level change in versions
@@ -1078,7 +1227,7 @@ object SnapshotTable {
       val schema = DataType.fromJson(str(j, "schema")).asInstanceOf[StructType]
       str(j, "op") match {
         case "optimize" => Nil // physical-only rewrite: no logical change
-        case "merge" | "delete" =>
+        case "merge" | "delete" | "delete_mor" =>
           // MERGE/DELETE versions carry their change rows as files written
           // at commit time (update pre/post images with their tags baked
           // in; deletes tagged at staging) — the feed read is a pure scan,
@@ -1177,20 +1326,27 @@ object SnapshotTable {
     val horizon = math.max(1, cur - retainVersions)
     val live = (horizon to cur)
       .flatMap(v => resolve(spark, table, Some(v)).map(_.files).getOrElse(Nil)).toSet
-    val dataDir = new Path(root, "data")
-    if (!fs.exists(dataDir)) return 0
+    val liveDv = (horizon to cur)
+      .flatMap(v => resolve(spark, table, Some(v))
+        .map(_.dvs.values.flatten.toSeq).getOrElse(Nil)).toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMillis)
     var removed = 0
-    fs.listStatus(dataDir).foreach { stageDir =>
-      fs.listStatus(stageDir.getPath).foreach { f =>
-        val rel = s"data/${stageDir.getPath.getName}/${f.getPath.getName}"
-        val visible = !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
-        if (visible && !live.contains(rel) && f.getModificationTime <= cutoff) {
-          fs.delete(f.getPath, false); removed += 1
+    def sweep(dirName: String, liveSet: Set[String]): Unit = {
+      val dir = new Path(root, dirName)
+      if (!fs.exists(dir)) return
+      fs.listStatus(dir).foreach { stageDir =>
+        fs.listStatus(stageDir.getPath).foreach { f =>
+          val rel = s"$dirName/${stageDir.getPath.getName}/${f.getPath.getName}"
+          val visible = !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
+          if (visible && !liveSet.contains(rel) && f.getModificationTime <= cutoff) {
+            fs.delete(f.getPath, false); removed += 1
+          }
         }
+        if (fs.listStatus(stageDir.getPath).isEmpty) fs.delete(stageDir.getPath, true)
       }
-      if (fs.listStatus(stageDir.getPath).isEmpty) fs.delete(stageDir.getPath, true)
     }
+    sweep("data", live)
+    sweep("dv", liveDv) // deletion-vector sidecars follow the same horizon
     removed
   }
 }

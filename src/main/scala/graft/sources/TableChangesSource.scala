@@ -169,7 +169,7 @@ private[sources] class TableChangesMicroBatchStream(path: String,
       }
       (j \ "op": JValue) match {
         case JString("optimize") => Nil // physical-only rewrite
-        case JString("merge") | JString("delete") =>
+        case JString("merge") | JString("delete") | JString("delete_mor") =>
           // rewrites serve their commit-time change files (tags baked in);
           // diffing add/remove here would wrongly emit copied survivors
           files("cdf").map(f => ChangeFilePartition(abs(f), v, injectType = null))

@@ -54,7 +54,10 @@ object Explain {
       "a20_snapshot_clone", "a21_snapshot_optimize",
       "d14_cdf_incremental_agg", "d15_merge_cdf_agg",
       "d13_kmv_overlap", "k3_hybrid_rrf", "k4_bm25_topk",
-      "k4_pmi_collocations", "c12_snapshot_delete_restore")
+      "k4_pmi_collocations", "c12_snapshot_delete_restore",
+      // round 14: the merge-on-read read path — the DV broadcast anti-join
+      // on (file, row_index) must show over the v2 scan
+      "c13_snapshot_delete_mor")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

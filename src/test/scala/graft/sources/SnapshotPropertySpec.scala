@@ -129,11 +129,15 @@ class SnapshotPropertySpec extends SparkSpec {
             val v = SnapshotTable.optimizeCompact(spark, t)
             if (v == changes.size + 1) changes :+= Set.empty[(Long, Long, String)]
             // else: <2 small files, no commit claimed — no model version
-          case 4 if content.nonEmpty => // row-level DELETE of sampled keys
+          case 4 if content.nonEmpty => // row-level DELETE of sampled keys:
+            // copy-on-write and merge-on-read (deletion vectors) must be
+            // indistinguishable to every reader — the model is one
             val victims = rnd.shuffle(content.keys.toSeq)
               .take(1 + rnd.nextInt(2)).toSet
-            val v = SnapshotTable.commitDelete(spark, t,
-              org.apache.spark.sql.functions.col("id").isin(victims.toSeq: _*))
+            val pred = org.apache.spark.sql.functions.col("id").isin(victims.toSeq: _*)
+            val v = if (rnd.nextBoolean())
+              SnapshotTable.commitDelete(spark, t, pred)
+            else SnapshotTable.commitDeleteMoR(spark, t, pred)
             assert(v == changes.size + 1, "a matching delete must commit")
             changes :+= victims.map(id => (id, content(id), "delete"))
             content --= victims

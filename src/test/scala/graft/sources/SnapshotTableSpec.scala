@@ -488,6 +488,69 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ops.contains("constraint_add") && ops.contains("constraint_drop"))
   }
 
+  test("MoR delete: deletion vectors hide rows without rewriting; optimize purges them") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t,
+      spark.range(0, 20).toDF("id").repartition(4), statsCols = Seq("id"))
+    val filesBefore = SnapshotTable.snapshot(spark, t).files
+    val v = SnapshotTable.commitDeleteMoR(spark, t, col("id") % 5 === 0)
+    assert(v == 2)
+    // NO data file was rewritten — the commit is sidecar-only
+    val snap = SnapshotTable.snapshot(spark, t)
+    assert(snap.files == filesBefore, "MoR delete must not rewrite data files")
+    assert(snap.dvs.nonEmpty, "deletion vectors must be recorded")
+    // reads apply the vectors
+    assert(ids(t) == (0L until 20L).filterNot(_ % 5 == 0).toSet)
+    // time travel to v1 ignores them
+    assert(ids(t, Some(1)) == (0L until 20L).toSet)
+    // pruned reads apply them too
+    val pruned = SnapshotTable.readPruned(spark, t,
+      Seq(("id", 0.0, 9.0))).filter(col("id") <= 9).select("id").as[Long].collect().toSet
+    assert(pruned == (0L to 9L).filterNot(_ % 5 == 0).toSet)
+    // the feed serves the exact deleted rows
+    val feed = SnapshotTable.changes(spark, t, 1, 2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(feed == (0L until 20L).filter(_ % 5 == 0).map((_, "delete")).toSet)
+    // a second MoR delete ACCUMULATES vectors
+    SnapshotTable.commitDeleteMoR(spark, t, col("id") === 7L)
+    assert(ids(t) == (0L until 20L).filterNot(i => i % 5 == 0 || i == 7L).toSet)
+    // a MoR delete matching only hidden rows is a no-op
+    assert(SnapshotTable.commitDeleteMoR(spark, t, col("id") === 7L) == 3)
+    // OPTIMIZE materializes the vectors away: content identical, DVs gone
+    val v4 = SnapshotTable.optimizeCompact(spark, t)
+    assert(v4 == 4)
+    val after = SnapshotTable.snapshot(spark, t)
+    assert(after.dvs.isEmpty, "optimize must purge deletion vectors")
+    assert(ids(t) == (0L until 20L).filterNot(i => i % 5 == 0 || i == 7L).toSet)
+    // the optimize emitted nothing on the feed (content-identical rewrite)
+    assert(SnapshotTable.changes(spark, t, 3, 4).count() == 0)
+    // DV survives checkpoints: new table, MoR delete, push past interval
+    val t2 = freshTable()
+    SnapshotTable.commitAppend(spark, t2, spark.range(0, 10).toDF("id"))
+    SnapshotTable.commitDeleteMoR(spark, t2, col("id") === 3L)
+    (1 to 10).foreach(i => SnapshotTable.commitAppend(spark, t2,
+      Seq(100L + i).toDF("id")))
+    assert(!ids(t2).contains(3L), "DV must survive the checkpoint")
+  }
+
+  test("MoR + merge/CoW-delete interplay: rewrites never resurrect hidden rows") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "tag").coalesce(1))
+    SnapshotTable.commitDeleteMoR(spark, t, col("id") === 2L)
+    // a MERGE touching the DV'd file must not bring row 2 back
+    SnapshotTable.commitMerge(spark, t, Seq((3L, "C")).toDF("id", "tag"), Seq("id"))
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "C"), (4L, "d")))
+    // the merge rewrote the file → its DVs are gone (materialized)
+    assert(SnapshotTable.snapshot(spark, t).dvs.isEmpty)
+    // CoW delete over a fresh DV
+    SnapshotTable.commitDeleteMoR(spark, t, col("id") === 4L)
+    SnapshotTable.commitDelete(spark, t, col("id") === 1L)
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((3L, "C")))
+  }
+
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {
     val t = freshTable()
     val orders = graft.Tables.orders(spark, sfDir)

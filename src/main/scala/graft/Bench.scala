@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main: times every declared query at the given scale factor and
   * emits ONE JSON line (stdout + target/bench_out.json for robust machine
@@ -137,18 +138,55 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    // run order: queries the LAST official artifact failed to measure go
+    // FIRST (r14's driver bench truncated at 125/210 — alphabetical order
+    // meant the same tail went unmeasured twice), then the rest; both
+    // groups alphabetical so the order stays deterministic.
+    val declared = SparkEntry.queries.keySet
+    val lastMeasured: Set[String] = try {
+      val rounds = Files.list(Paths.get(".")).iterator().asScala
+        .map(_.getFileName.toString)
+        .flatMap { n => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(n)
+          .map(m => m.group(1).toInt -> n) }
+        .toSeq
+      if (rounds.isEmpty) Set.empty[String]
+      else {
+        // scan the WHOLE text for `"name": <number>` pairs and keep only
+        // declared query names — the driver's artifact is sometimes a
+        // wrapper holding just a truncated `tail` fragment of the run log
+        // (r14's 900 s kill), where no "queries" object survives but the
+        // per-query timings that DID complete are still in the fragment
+        val txt = Files.readString(Paths.get(rounds.maxBy(_._1)._2))
+        // tolerate JSON-escaped quotes (\"name\":1.2) — the wrapper embeds
+        // the fragment as a string value
+        """\\?"([a-z][a-z0-9_]+)\\?"\s*:\s*[0-9.]+""".r.findAllMatchIn(txt)
+          .map(_.group(1)).toSet.intersect(declared)
+      }
+    } catch { case _: Throwable => Set.empty[String] }
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = sorted.filterNot(q => lastMeasured(q._1)) ++
+      sorted.filter(q => lastMeasured(q._1))
     var truncated = false
     var done = 0
+    var degraded = false // sticky: 1-rep history would understate the projection
     Files.createDirectories(Paths.get("target"))
     val partialPath = Paths.get("target/bench_partial.jsonl")
     Files.deleteIfExists(partialPath)
     all.foreach { case (name, fn) =>
       if (elapsedSec > deadlineSec) truncated = true
       if (!truncated) {
-        // degrade 3→1 reps in the deadline's last 40%: a median of fewer
-        // reps beats a missing artifact
-        val repsEff = if (elapsedSec > 0.6 * deadlineSec) 1 else reps
+        // degrade 3→1 reps by PROJECTION, not a fixed elapsed threshold: a
+        // dirty co-tenant window inflates every query from the start, so
+        // waiting for 60% of the deadline before degrading (the r14
+        // behavior) already guarantees truncation. If finishing the
+        // remaining set at the current per-query rate would overrun 85% of
+        // the deadline, drop to 1 rep now.
+        val projected =
+          if (done == 0) 0.0
+          else elapsedSec + (all.size - done) * (elapsedSec / done)
+        if (elapsedSec > 0.6 * deadlineSec || projected > 0.85 * deadlineSec)
+          degraded = true
+        val repsEff = if (degraded) 1 else reps
         val ts = scala.collection.mutable.ArrayBuffer[Double]()
         var failed = false
         var r = 0

@@ -463,7 +463,10 @@ object StarQueries {
         val t = s"$base/orders_dr"
         val orders = Tables.orders(s, d)
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        SnapshotTable.commitAppend(s, t, orders.repartition(4))
+        // HASH partition (content-addressed, retry-deterministic), never
+        // round-robin: the staged file layout must be a pure function of
+        // the data so the sf0.01 oracle hash can't drift across runs
+        SnapshotTable.commitAppend(s, t, orders.repartition(4, col("o_orderkey")))
         val v2 = SnapshotTable.commitDelete(s, t,
           pmod(col("o_orderkey"), lit(7)) === 3)
         val v3 = SnapshotTable.restore(s, t, 1)
@@ -497,7 +500,8 @@ object StarQueries {
         val t = s"$base/orders_mor"
         val orders = Tables.orders(s, d)
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        SnapshotTable.commitAppend(s, t, orders.repartition(4))
+        // hash partition for the same determinism reason as c12
+        SnapshotTable.commitAppend(s, t, orders.repartition(4, col("o_orderkey")))
         val v2 = SnapshotTable.commitDeleteMoR(s, t,
           pmod(col("o_orderkey"), lit(7)) === 3)
         val v3 = SnapshotTable.optimizeCompact(s, t)

@@ -151,16 +151,25 @@ object KnnGraph {
       .repartition(col("_srcb"))
       .write.partitionBy("_srcb").mode("overwrite").parquet(s"$path/edges")
     bucketArtifact.write.mode("overwrite").parquet(s"$path/buckets")
+    // meta.json goes through the Hadoop FileSystem of the layout's scheme
+    // (NOT java.nio): edges/buckets land wherever `path` points (hdfs://,
+    // s3a://); a local-only nio write would fail or strand meta elsewhere
     val meta = s"""{"buckets":$buckets}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/meta.json"),
-      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "meta.json"), true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   def readGraph(spark: org.apache.spark.sql.SparkSession, path: String): DiskGraph = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$path/meta.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(root, "meta.json"))
+    val meta = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
     val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(s"$path/meta.json lacks buckets"))
@@ -302,7 +311,11 @@ object KnnGraph {
       beam: Int,
       rounds: Int): DataFrame =
     searchImpl(frontier => dg.edges
-        .filter(col("_srcb").isin(frontier.map(_ % dg.buckets).distinct: _*) &&
+        // floorMod, not JVM %: writeGraph bucketed with pmod, whose result
+        // is non-negative — a negative vec_id probed with % would miss its
+        // partition silently
+        .filter(col("_srcb").isin(
+            frontier.map(id => Math.floorMod(id, dg.buckets.toLong)).distinct: _*) &&
           col("vec_id").isin(frontier: _*))
         .select(col("nbr_id").as("_cand")),
       emb, idCol, vecCol, queryVec, entryId, k, beam, rounds)

@@ -14,23 +14,29 @@ import Http2Framing._
   * a Yellowstone-style gRPC subscription it stubs to `Ok(vec![])`
   * (`/root/reference/adapters/src/solana_grpc.rs:17-24`, `README.md:3`);
   * this client performs that subscription's full wire exchange against
-  * any HTTP/2 cleartext (h2c) endpoint: preface, SETTINGS negotiation
-  * (incl. advertising a receive window), one POST `application/grpc`
-  * stream, DATA reassembly under RFC 7540 §6.9 flow control with
-  * WINDOW_UPDATE replenishment, and the `grpc-status` trailers.
+  * an HTTP/2 endpoint — cleartext h2c, or TLS with ALPN `h2` (pass an
+  * `SSLContext`; production Yellowstone endpoints are TLS) — preface,
+  * SETTINGS negotiation, one POST `application/grpc` stream, DATA both
+  * ways under RFC 7540 §6.9 flow control, and `grpc-status` trailers.
   *
-  * Flow-control policy (§6.9): the client advertises
-  * `initialWindowSize` as SETTINGS_INITIAL_WINDOW_SIZE (per-stream; the
-  * CONNECTION window always starts at the protocol default 65535 and is
-  * topped up to the same effective budget with an immediate
-  * WINDOW_UPDATE when the advertised stream window is larger). As DATA
-  * arrives, consumed bytes accumulate; when either window's remaining
-  * budget drops below HALF its initial size, the client replenishes the
-  * full consumed amount on both the stream and the connection window in
-  * one write. A server streaming more than `initialWindowSize` unacked
-  * bytes therefore observes a genuine mid-stream stall and resumes on
-  * the client's update — the exchange Http2LoopbackSpec drives and
-  * asserts over a loopback socket pair.
+  * Flow control, BOTH directions (§6.9):
+  *  - RECEIVE: the client advertises `initialWindowSize` as
+  *    SETTINGS_INITIAL_WINDOW_SIZE (per-stream; the connection window
+  *    starts at the protocol default 65535 and is topped up with an
+  *    immediate WINDOW_UPDATE when the advertised stream window is
+  *    larger). When either window's remaining budget drops below HALF,
+  *    the client replenishes the consumed amount on both windows in one
+  *    write — a server streaming more than the budget observes a genuine
+  *    mid-stream stall and resumes on the update.
+  *  - SEND: request DATA honors the SERVER's windows — the connection
+  *    and stream windows start at the protocol defaults, the server's
+  *    SETTINGS_INITIAL_WINDOW_SIZE adjusts the stream window by the
+  *    DELTA (§6.9.2), its WINDOW_UPDATEs add, and frames chunk to its
+  *    SETTINGS_MAX_FRAME_SIZE. A request larger than the send budget
+  *    stalls (recorded in [[sendStalls]]) and drains server frames until
+  *    a WINDOW_UPDATE opens the window — without this bookkeeping a
+  *    >64 KiB subscription request is a protocol violation a real server
+  *    answers with GOAWAY(FLOW_CONTROL_ERROR).
   *
   * Scale note: this is the per-connection INGEST EDGE, not a query
   * operator — one long-lived subscription per executor/partition feeds
@@ -41,20 +47,47 @@ import Http2Framing._
   * state.
   */
 final class Http2GrpcClient(host: String, port: Int,
-    initialWindowSize: Int = DefaultWindowSize) {
+    initialWindowSize: Int = DefaultWindowSize,
+    sslContext: Option[javax.net.ssl.SSLContext] = None) {
   require(initialWindowSize > 0, "window must be positive")
 
   /** Spec observability: WINDOW_UPDATE frames this client sent. */
   @volatile var windowUpdatesSent: Int = 0
+  /** Spec observability: times the SEND side blocked on an exhausted
+    * server window.
+    */
+  @volatile var sendStalls: Int = 0
+  /** Spec observability: the ALPN protocol the TLS handshake negotiated
+    * (null for cleartext connections).
+    */
+  @volatile var negotiatedProtocol: String = null
 
-  /** Perform one RPC: send every request message, read the streamed
-    * response to its trailers, return headers/messages/trailers. Loud on
-    * GOAWAY/RST_STREAM — a subscription's death is the caller's retry
-    * decision, never a silent empty result.
+  private def openSocket(): Socket = sslContext match {
+    case None => new Socket(host, port)
+    case Some(ctx) =>
+      val s = ctx.getSocketFactory.createSocket(host, port)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      // ALPN: HTTP/2 over TLS REQUIRES the h2 token (RFC 7540 §3.3); a
+      // server that negotiates anything else cannot speak these frames
+      val params = s.getSSLParameters
+      params.setApplicationProtocols(Array("h2"))
+      s.setSSLParameters(params)
+      s.startHandshake()
+      negotiatedProtocol = s.getApplicationProtocol
+      require(negotiatedProtocol == "h2",
+        s"ALPN negotiated '$negotiatedProtocol', need h2")
+      s
+  }
+
+  /** Perform one RPC: send every request message under the server's send
+    * windows, read the streamed response to its trailers, return
+    * headers/messages/trailers. Loud on GOAWAY/RST_STREAM — a
+    * subscription's death is the caller's retry decision, never a silent
+    * empty result.
     */
   def call(path: String, authority: String,
       requestMessages: Seq[Array[Byte]]): GrpcH2.ParsedRpc = {
-    val sock = new Socket(host, port)
+    val sock = openSocket()
     try {
       sock.setTcpNoDelay(true)
       val out = new BufferedOutputStream(sock.getOutputStream)
@@ -72,46 +105,47 @@ final class Http2GrpcClient(host: String, port: Int,
         windowUpdatesSent += 1
       }
 
-      // ---- the request: single-frame HPACK header block + DATA frames
-      val enc = new Hpack.Encoder()
-      out.write(encodeFrame(Frame(THeaders, FEndHeaders, 1, enc.encode(Seq(
-        ":method" -> "POST", ":scheme" -> "http", ":path" -> path,
-        ":authority" -> authority, "content-type" -> "application/grpc",
-        "te" -> "trailers")))))
-      if (requestMessages.isEmpty)
-        out.write(encodeFrame(Frame(TData, FEndStream, 1, Array.empty)))
-      else requestMessages.zipWithIndex.foreach { case (m, i) =>
-        val framed = new java.io.ByteArrayOutputStream()
-        ProtoWire.writeFrame(framed, m)
-        val fl = if (i == requestMessages.length - 1) FEndStream else 0
-        out.write(encodeFrame(Frame(TData, fl, 1, framed.toByteArray)))
-      }
-      out.flush()
-
-      // ---- response read loop with §6.9 receive-window accounting
+      // ---- response + flow-control state, shared by the send loop (the
+      // server may interleave SETTINGS/WINDOW_UPDATE/early response frames
+      // with our request writes) and the read loop after it
       val dec = new Hpack.Decoder()
       var headers = Seq.empty[(String, String)]
       var trailers = Seq.empty[(String, String)]
       var sawHeaders = false
       val data = new java.io.ByteArrayOutputStream()
-      // what WE allow the server to send before replenishment
       val connInitial = math.max(initialWindowSize, DefaultWindowSize)
       var connConsumed = 0
       var streamConsumed = 0
       var done = false
-      while (!done) {
-        val f = readFrame(in).getOrElse(
-          throw new java.io.EOFException("connection closed before trailers"))
+      // SEND windows/limits: protocol defaults until the server's
+      // SETTINGS says otherwise
+      var sendConnWindow = DefaultWindowSize
+      var sendStreamWindow = DefaultWindowSize
+      var serverInitialWindow = DefaultWindowSize
+      var serverMaxFrame = 16384 // SETTINGS_MAX_FRAME_SIZE default (§6.5.2)
+
+      def handleFrame(f: Frame): Unit = {
         require(f.tpe != TContinuation,
           "CONTINUATION frames unsupported: single-frame header blocks only")
         f.tpe match {
           case TSettings if !f.has(FAck) =>
-            // acknowledge the server's SETTINGS (§6.5.3)
+            parseSettings(f.payload).foreach {
+              case (SettingsInitialWindowSize, v) =>
+                // §6.9.2: adjust OPEN stream send windows by the delta
+                sendStreamWindow += (v.toInt - serverInitialWindow)
+                serverInitialWindow = v.toInt
+              case (SettingsMaxFrameSize, v) => serverMaxFrame = v.toInt
+              case _ =>
+            }
             out.write(encodeFrame(Frame(TSettings, FAck, 0, Array.empty)))
             out.flush()
           case TPing if !f.has(FAck) =>
             out.write(encodeFrame(Frame(TPing, FAck, 0, f.payload)))
             out.flush()
+          case TWindowUpdate =>
+            val inc = parseWindowUpdate(f.payload)
+            if (f.streamId == 0) sendConnWindow += inc
+            else if (f.streamId == 1) sendStreamWindow += inc
           case THeaders if f.streamId == 1 =>
             require(f.has(FEndHeaders), "fragmented header block (no END_HEADERS)")
             val hs = dec.decode(f.payload)
@@ -145,9 +179,51 @@ final class Http2GrpcClient(host: String, port: Int,
             throw new java.io.IOException("server sent GOAWAY")
           case TRstStream if f.streamId == 1 =>
             throw new java.io.IOException("stream reset by server")
-          case _ => // SETTINGS ack, WINDOW_UPDATE for our sends, PRIORITY...
+          case _ => // SETTINGS ack, PRIORITY...
         }
       }
+      def readAndHandle(): Unit =
+        handleFrame(readFrame(in).getOrElse(
+          throw new java.io.EOFException("connection closed mid-exchange")))
+
+      // ---- the request: single-frame HPACK header block + DATA frames
+      // chunked under the server's send windows and max frame size
+      val enc = new Hpack.Encoder()
+      out.write(encodeFrame(Frame(THeaders, FEndHeaders, 1, enc.encode(Seq(
+        ":method" -> "POST",
+        ":scheme" -> (if (sslContext.isDefined) "https" else "http"),
+        ":path" -> path, ":authority" -> authority,
+        "content-type" -> "application/grpc", "te" -> "trailers")))))
+      val body = {
+        val b = new java.io.ByteArrayOutputStream()
+        requestMessages.foreach(m => ProtoWire.writeFrame(b, m))
+        b.toByteArray
+      }
+      if (body.isEmpty)
+        out.write(encodeFrame(Frame(TData, FEndStream, 1, Array.empty)))
+      else {
+        var p = 0
+        while (p < body.length) {
+          if (math.min(sendConnWindow, sendStreamWindow) <= 0) {
+            sendStalls += 1
+            out.flush()
+            // blocked mid-request: drain server frames until a
+            // WINDOW_UPDATE (or a SETTINGS window delta) opens the budget
+            while (math.min(sendConnWindow, sendStreamWindow) <= 0)
+              readAndHandle()
+          }
+          val n = math.min(math.min(sendConnWindow, sendStreamWindow),
+            math.min(serverMaxFrame, body.length - p))
+          val last = p + n == body.length
+          out.write(encodeFrame(Frame(TData, if (last) FEndStream else 0, 1,
+            java.util.Arrays.copyOfRange(body, p, p + n))))
+          sendConnWindow -= n; sendStreamWindow -= n; p += n
+        }
+      }
+      out.flush()
+
+      // ---- response read loop (same handler; §6.9 receive accounting)
+      while (!done) readAndHandle()
       val msgs = ProtoWire.frames(
         new java.io.ByteArrayInputStream(data.toByteArray)).toSeq
       GrpcH2.ParsedRpc(headers, msgs, trailers)

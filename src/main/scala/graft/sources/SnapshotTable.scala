@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
-import org.json4s.{JArray, JDouble, JInt, JObject, JString, JValue}
+import org.json4s.{JArray, JBool, JDouble, JInt, JObject, JString, JValue}
 import org.json4s.jackson.JsonMethods
 
 /** Transaction-log table format: ACID appends/overwrites, snapshot-isolated
@@ -517,23 +517,41 @@ object SnapshotTable {
     * scan (no metadata columns, no join).
     */
   private def liveRows(spark: SparkSession, snap: Snapshot, root: Path,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String]): DataFrame =
+    liveRowsOf(spark,
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType],
+      snap.dvs, root, files)
+
+  /** `files` read with the (file, row_index) metadata columns
+    * materialized up front (codegen'd regexp, no UDF — downstream joins
+    * may not propagate `_metadata` resolution).
+    */
+  private def readWithMeta(spark: SparkSession, schema: StructType,
+      root: Path, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, regexp_extract}
-    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .withColumn("_graft_file", lit(""))
         .withColumn("_graft_ri", lit(0L))
-    def abs(f: String) = new Path(root, f).toString
-    val base = spark.read.schema(schema).parquet(files.map(abs): _*)
-    val dvFiles = snap.dvs.view.filterKeys(files.contains).values.flatten.toSeq
-    // materialize the metadata columns up front (codegen'd regexp, no
-    // UDF): downstream joins may not propagate _metadata resolution
-    val withMeta = base
+    spark.read.schema(schema).parquet(files.map(f => new Path(root, f).toString): _*)
       .withColumn("_graft_file",
         regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
       .withColumn("_graft_ri", col("_metadata.row_index"))
+  }
+
+  /** [[liveRows]] keyed by explicit (schema, dv map) instead of a resolved
+    * snapshot — the change feed replays HISTORICAL dv states that no
+    * single snapshot object carries.
+    */
+  private def liveRowsOf(spark: SparkSession, schema: StructType,
+      dvs: Map[String, Seq[String]], root: Path,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withMeta = readWithMeta(spark, schema, root, files)
+    if (files.isEmpty) return withMeta
+    val dvFiles = dvs.view.filterKeys(files.contains).values.flatten.toSeq.distinct
+    def abs(f: String) = new Path(root, f).toString
     if (dvFiles.isEmpty)
       withMeta
     else {
@@ -541,6 +559,34 @@ object SnapshotTable {
         .select(col("file").as("_graft_file"), col("row_index").as("_graft_ri"))
       withMeta.join(dv, Seq("_graft_file", "_graft_ri"), "left_anti")
     }
+  }
+
+  /** The DISTINCT hidden (file, row_index) positions `dvs` records for
+    * `files` — one sidecar scan restricted to the requested file keys (a
+    * sidecar written by a multi-file MoR delete carries entries for every
+    * touched file). Used by the change feed's RESTORE diff.
+    */
+  private def hiddenPositions(spark: SparkSession,
+      dvs: Map[String, Seq[String]], root: Path,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val posSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("file", StringType),
+      org.apache.spark.sql.types.StructField("row_index", LongType)))
+    val dvFiles = dvs.view.filterKeys(files.contains).values.flatten.toSeq.distinct
+    if (dvFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], posSchema)
+    def abs(f: String) = new Path(root, f).toString
+    val keys = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        files.map(f => org.apache.spark.sql.Row(fileKey(f))), 1),
+      StructType(Seq(org.apache.spark.sql.types.StructField("file", StringType))))
+    spark.read.parquet(dvFiles.map(abs): _*)
+      .select(col("file"), col("row_index"))
+      .join(broadcast(keys), Seq("file"), "left_semi")
+      .distinct()
   }
 
   /** MERGE-ON-READ delete via DELETION VECTORS — the write-cheap sibling
@@ -573,15 +619,23 @@ object SnapshotTable {
     val matched = liveRows(spark, snap, root, snap.files)
       .filter(predicate)
       .localCheckpoint(true) // DV write + cdf write must see ONE evaluation
-    if (matched.isEmpty) return snap.version
+    val nMatched = matched.count() // checkpointed: a cheap metadata job
+    if (nMatched == 0) return snap.version
     val byKey = snap.files.map(f => fileKey(f) -> f).toMap
-    // one DV sidecar for this commit: (file, row_index) of hidden rows
+    // sidecar/change-file shard counts: ONE file for the common few-row
+    // delete (many tiny parts would make every DV-applied read list+open
+    // them all), sharded by file key above a row threshold so a predicate
+    // matching 1% of a 100 TB table fans out across tasks instead of
+    // funneling ~1 TB through one (the shard key clusters a data file's
+    // positions together; per-file volume is bounded by file row count)
+    def shards(rowsPerFile: Long): Int =
+      math.min(256L, (nMatched + rowsPerFile - 1) / rowsPerFile).toInt
+    def sharded(df: DataFrame, n: Int, key: String): DataFrame =
+      if (n <= 1) df.coalesce(1) else df.repartition(n, col(key))
+    // one DV sidecar set for this commit: (file, row_index) of hidden rows
     val dvStage = s"dv/${java.util.UUID.randomUUID}"
-    // one sidecar file: vectors are row positions (16 bytes/row) — many
-    // tiny part files would make every DV-applied read list+open them all
-    matched.select(col("_graft_file").as("file"),
-        col("_graft_ri").as("row_index"))
-      .coalesce(1)
+    sharded(matched.select(col("_graft_file").as("file"),
+        col("_graft_ri").as("row_index")), shards(4000000L), "file")
       .write.parquet(new Path(root, dvStage).toString)
     val dvFiles = fs.listStatus(new Path(root, dvStage)).toSeq
       .map(_.getPath.getName)
@@ -592,9 +646,9 @@ object SnapshotTable {
       .collect().toSeq.flatMap(r => byKey.get(r.getString(0)))
     // commit-time change files: the exact matched rows, delete-tagged
     val cdfStage = s"cdf/${java.util.UUID.randomUUID}"
-    matched.select(schema.fieldNames.map(col): _*)
-      .withColumn("_change_type", lit("delete"))
-      .coalesce(1)
+    sharded(matched.select(schema.fieldNames.map(col) :+ col("_graft_file"): _*)
+        .withColumn("_change_type", lit("delete")), shards(1000000L), "_graft_file")
+      .drop("_graft_file")
       .write.parquet(new Path(root, cdfStage).toString)
     val cdfFiles = fs.listStatus(new Path(root, cdfStage)).toSeq
       .map(_.getPath.getName)
@@ -665,8 +719,20 @@ object SnapshotTable {
     * otherwise, the public RESTORE contract). Time travel keeps serving
     * the pre-restore versions; the change feed emits the content DIFF
     * (deletes for files leaving the active set, inserts for files
-    * returning — rows in files common to both versions emit nothing).
-    * Returns the restore commit's version.
+    * returning, and — when merge-on-read deletes are in play — the
+    * deletion-vector diff on files common to both versions: rows the
+    * target hides but the current snapshot serves emit `delete`, rows the
+    * current snapshot hides but the target serves emit `insert`; rows
+    * live on both sides emit nothing).
+    *
+    * DELETION-VECTOR state is part of the restored content: the commit
+    * carries the TARGET snapshot's dv map as a `dvReset` entry that
+    * REPLACES (never accumulates onto) the standing vectors on replay —
+    * without it, restoring past a [[commitDeleteMoR]] would resurrect the
+    * hidden rows (the content changed while the file set did not), the
+    * exact failure the public Delta RESTORE avoids by carrying dv state
+    * on its file entries. The no-op check compares file set AND dv state
+    * for the same reason. Returns the restore commit's version.
     */
   def restore(spark: SparkSession, table: String, version: Int): Int = {
     val target = snapshot(spark, table, Some(version))
@@ -675,12 +741,19 @@ object SnapshotTable {
       s"$table has no version $version (resolved ${target.version})")
     val targetSet = target.files.toSet
     val curSet = cur.files.toSet
-    if (targetSet == curSet) return cur.version // content already current
+    // content identity needs file-set AND deletion-vector equality: a MoR
+    // delete changes content without touching the file set
+    if (targetSet == curSet && target.dvs == cur.dvs)
+      return cur.version // content already current
     val removed = cur.files.filterNot(targetSet)
     val added = target.files.filterNot(curSet)
     val stats = target.stats.filter { case (f, _) => added.contains(f) }
     commitRewrite(spark, table, removed, added, stats, target.schemaJson,
-      op = "restore")
+      op = "restore",
+      extra = List(
+        "dvReset" -> JBool(true),
+        "dv" -> JObject(target.dvs.toList.map { case (f, ps) =>
+          f -> (JArray(ps.map(JString(_)).toList): JValue) })))
   }
 
   /** TIMESTAMP-based time travel: the highest version committed at or
@@ -776,10 +849,15 @@ object SnapshotTable {
           (if (stats.isEmpty) Nil else List("stats" -> statsJson(stats))) ++
           extra)))
       if (createExclusive(fs, new Path(new Path(root, LogDir), logName(next)), entry)) {
-        val newDvs = (cur.dvs -- removed) ++
-          dvsOf(JObject(extra)).map { case (f, paths) =>
-            f -> (cur.dvs.getOrElse(f, Nil) ++ paths)
-          }
+        val extraJ = JObject(extra)
+        // dvReset (RESTORE): the entry's dv map REPLACES the standing
+        // vectors; otherwise new vectors accumulate onto surviving files
+        val newDvs =
+          if (extraJ \ "dvReset" == JBool(true)) dvsOf(extraJ)
+          else (cur.dvs -- removed) ++
+            dvsOf(extraJ).map { case (f, paths) =>
+              f -> (cur.dvs.getOrElse(f, Nil) ++ paths)
+            }
         maybeCheckpoint(fs, root, next, schemaJson,
           files = cur.files.filterNot(removed.toSet) ++ added,
           txns = cur.txns,
@@ -976,6 +1054,16 @@ object SnapshotTable {
       throw new IllegalArgumentException(
         asOf.fold(s"$table has no commits")(v => s"$table has no commits at or before version $v")))
 
+  /** The (active file list, deletion-vector map) standing at `version` —
+    * empty for version 0 / an uncommitted table. The change feed (batch
+    * and streaming) seeds its version walk with this.
+    */
+  private[sources] def activeState(spark: SparkSession, table: String,
+      version: Int): (Seq[String], Map[String, Seq[String]]) =
+    if (version <= 0) (Nil, Map.empty)
+    else resolve(spark, table, Some(version))
+      .map(s => (s.files, s.dvs)).getOrElse((Nil, Map.empty))
+
   private def resolve(spark: SparkSession, table: String,
       asOf: Option[Int]): Option[Snapshot] = {
     val (fs, root) = fsFor(spark, table)
@@ -1031,9 +1119,11 @@ object SnapshotTable {
         constraints = applyConstraintOp(constraints, str(j, "op"),
           List("cName" -> (j \ "cName"), "cExpr" -> (j \ "cExpr")))
         // a retired file's deletion vectors die with it; new DVs for a
-        // still-active file ACCUMULATE onto any standing ones
+        // still-active file ACCUMULATE onto any standing ones — except a
+        // dvReset entry (RESTORE), whose dv map REPLACES the state outright
         dvs = dvs -- rm
-        dvsOf(j).foreach { case (f, paths) =>
+        if (j \ "dvReset" == JBool(true)) dvs = dvsOf(j)
+        else dvsOf(j).foreach { case (f, paths) =>
           dvs += f -> (dvs.getOrElse(f, Nil) ++ paths)
         }
     }
@@ -1047,7 +1137,7 @@ object SnapshotTable {
       }): JValue)
     })
 
-  private def dvsOf(j: JValue): Map[String, Seq[String]] =
+  private[sources] def dvsOf(j: JValue): Map[String, Seq[String]] =
     j \ "dv" match {
       case JObject(fields) => fields.collect {
         case (f, JArray(xs)) => f -> xs.collect { case JString(x) => x }
@@ -1207,7 +1297,7 @@ object SnapshotTable {
     */
   def changes(spark: SparkSession, table: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, not, struct}
+    import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion < toVersion,
       s"empty change range ($fromVersion, $toVersion]")
     val (fs, root) = fsFor(spark, table)
@@ -1217,6 +1307,11 @@ object SnapshotTable {
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files.map(abs): _*)
+    // the walk carries the PRE-version (file list, dv map) — removed-file
+    // reads must apply the deletion vectors standing at v-1, or a later
+    // overwrite/restore re-emits already-hidden rows as deletes and a ±1
+    // incremental fold double-counts them
+    var (preFiles, preDvs) = activeState(spark, table, fromVersion)
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val p = new Path(logDir, logName(v))
       if (!fs.exists(p)) throw new IllegalArgumentException(
@@ -1225,7 +1320,12 @@ object SnapshotTable {
       val j = readJson(fs, p)
       val add = arr(j, "add"); val rm = arr(j, "remove")
       val schema = DataType.fromJson(str(j, "schema")).asInstanceOf[StructType]
-      str(j, "op") match {
+      def live(files: Seq[String], dvs: Map[String, Seq[String]], tag: String) =
+        liveRowsOf(spark, schema, dvs, root, files)
+          .select(schema.fieldNames.map(col): _*)
+          .withColumn("_change_type", lit(tag))
+          .withColumn("_commit_version", lit(v))
+      val out: Seq[DataFrame] = str(j, "op") match {
         case "optimize" => Nil // physical-only rewrite: no logical change
         case "merge" | "delete" | "delete_mor" =>
           // MERGE/DELETE versions carry their change rows as files written
@@ -1238,12 +1338,39 @@ object SnapshotTable {
           else Seq(readFiles(cdf,
               schema.add("_change_type", org.apache.spark.sql.types.StringType))
             .withColumn("_commit_version", lit(v)))
+        case "restore" =>
+          // the content diff: deletes for rows leaving (live-at-v-1 rows
+          // of removed files), inserts for rows returning (target-live
+          // rows of re-added files — the entry's dvReset map IS the
+          // target's dv state), PLUS the dv diff on files active on both
+          // sides: a row hidden at v-1 but live at the target resurrects
+          // (insert), a row live at v-1 but hidden at the target leaves
+          // (delete). Rows live on both sides emit nothing.
+          val tgtDvs = dvsOf(j)
+          val del = if (rm.nonEmpty) Seq(live(rm, preDvs, "delete")) else Nil
+          val ins = if (add.nonEmpty) Seq(live(add, tgtDvs, "insert")) else Nil
+          val kept = preFiles.filterNot(rm.toSet)
+          val dvKept = kept.filter(f => preDvs.contains(f) || tgtDvs.contains(f))
+          val diff =
+            if (dvKept.isEmpty) Nil
+            else {
+              val pre = hiddenPositions(spark, preDvs, root, dvKept)
+              val tgt = hiddenPositions(spark, tgtDvs, root, dvKept)
+              val meta = readWithMeta(spark, schema, root, dvKept)
+              def pick(pos: DataFrame, tag: String) =
+                meta.join(
+                    pos.withColumnRenamed("file", "_graft_file")
+                      .withColumnRenamed("row_index", "_graft_ri"),
+                    Seq("_graft_file", "_graft_ri"), "left_semi")
+                  .select(schema.fieldNames.map(col): _*)
+                  .withColumn("_change_type", lit(tag))
+                  .withColumn("_commit_version", lit(v))
+              Seq(pick(pre.except(tgt), "insert"),
+                pick(tgt.except(pre), "delete"))
+            }
+          del ++ ins ++ diff
         case _ =>
-          val del = if (rm.nonEmpty)
-            Seq(readFiles(rm, schema)
-              .withColumn("_change_type", lit("delete"))
-              .withColumn("_commit_version", lit(v)))
-          else Nil
+          val del = if (rm.nonEmpty) Seq(live(rm, preDvs, "delete")) else Nil
           val ins = if (add.nonEmpty)
             Seq(readFiles(add, schema)
               .withColumn("_change_type", lit("insert"))
@@ -1251,6 +1378,14 @@ object SnapshotTable {
           else Nil
           del ++ ins
       }
+      // advance the walk's state exactly as [[resolve]]'s replay does
+      preFiles = preFiles.filterNot(rm.toSet) ++ add
+      preDvs = preDvs -- rm
+      if (j \ "dvReset" == JBool(true)) preDvs = dvsOf(j)
+      else dvsOf(j).foreach { case (f, paths) =>
+        preDvs += f -> (preDvs.getOrElse(f, Nil) ++ paths)
+      }
+      out
     }
     if (parts.nonEmpty) parts.reduce(_.unionByName(_, allowMissingColumns = true))
     else {

@@ -147,6 +147,13 @@ private[sources] class TableChangesMicroBatchStream(path: String,
 
   /** One log-entry read per version on the driver; one partition per data
     * file so a big commit's decode fans out across executors.
+    *
+    * The walk carries the PRE-version deletion-vector map (mirroring
+    * [[SnapshotTable.changes]]): removed-file delete partitions EXCLUDE
+    * the rows v-1's vectors already hid, and a RESTORE version emits the
+    * dv DIFF on files active on both sides — without this, an overwrite
+    * after a MoR delete re-emits the hidden rows as deletes and a ±1
+    * incremental consumer double-counts them.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
@@ -155,6 +162,8 @@ private[sources] class TableChangesMicroBatchStream(path: String,
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def abs(f: String) = new Path(root, f).toString
+    def key(f: String) = f.split('/').takeRight(2).mkString("/")
+    var (preFiles, preDvs) = SnapshotTable.activeState(spark, path, s)
     ((s + 1) to e).flatMap { v =>
       val p = new Path(new Path(root, "_graft_log"), f"v$v%010d.json")
       if (!fs.exists(p)) throw new IllegalArgumentException(
@@ -167,22 +176,70 @@ private[sources] class TableChangesMicroBatchStream(path: String,
         case JArray(xs) => xs.collect { case JString(x) => x }
         case _ => Nil
       }
-      (j \ "op": JValue) match {
+      val rm = files("remove"); val add = files("add")
+      def excl(f: String, dvs: Map[String, Seq[String]], tag: String) =
+        ChangeFilePartition(abs(f), v, tag, fileKey = key(f),
+          dvA = dvs.getOrElse(f, Nil).map(abs))
+      val out: Seq[InputPartition] = (j \ "op": JValue) match {
         case JString("optimize") => Nil // physical-only rewrite
         case JString("merge") | JString("delete") | JString("delete_mor") =>
           // rewrites serve their commit-time change files (tags baked in);
           // diffing add/remove here would wrongly emit copied survivors
           files("cdf").map(f => ChangeFilePartition(abs(f), v, injectType = null))
+        case JString("restore") =>
+          // deletes for rows leaving (v-1-live rows of removed files),
+          // inserts for rows returning (target-live rows of re-added
+          // files; the entry's dvReset map IS the target's dv state), and
+          // the dv diff on kept files: hidden@pre \ hidden@target rows
+          // resurrect (insert), hidden@target \ hidden@pre rows leave
+          // (delete)
+          val tgtDvs = SnapshotTable.dvsOf(j)
+          val kept = preFiles.filterNot(rm.toSet)
+          rm.map(f => excl(f, preDvs, "delete")) ++
+            add.map(f => excl(f, tgtDvs, "insert")) ++
+            kept.filter(f => preDvs.contains(f) || tgtDvs.contains(f))
+              .flatMap { f =>
+                val pre = preDvs.getOrElse(f, Nil).map(abs)
+                val tgt = tgtDvs.getOrElse(f, Nil).map(abs)
+                // an empty minuend can't emit — skip the scan outright
+                (if (pre.isEmpty) Nil
+                 else Seq(ChangeFilePartition(abs(f), v, "insert",
+                   fileKey = key(f), dvA = pre, dvB = tgt, dvMode = "diff"))) ++
+                (if (tgt.isEmpty) Nil
+                 else Seq(ChangeFilePartition(abs(f), v, "delete",
+                   fileKey = key(f), dvA = tgt, dvB = pre, dvMode = "diff")))
+              }
         case _ =>
-          // append / overwrite / restore: the file diff IS the row diff
-          files("remove").map(f => ChangeFilePartition(abs(f), v, "delete")) ++
-            files("add").map(f => ChangeFilePartition(abs(f), v, "insert"))
+          // append / overwrite: the file diff IS the row diff, with v-1's
+          // vectors applied to the retiring files
+          rm.map(f => excl(f, preDvs, "delete")) ++
+            add.map(f => ChangeFilePartition(abs(f), v, "insert"))
       }
+      // advance the walk's state exactly as the log replay does
+      preFiles = preFiles.filterNot(rm.toSet) ++ add
+      preDvs = preDvs -- rm
+      if (j \ "dvReset" == org.json4s.JBool(true)) preDvs = SnapshotTable.dvsOf(j)
+      else SnapshotTable.dvsOf(j).foreach { case (f, paths) =>
+        preDvs += f -> (preDvs.getOrElse(f, Nil) ++ paths)
+      }
+      out
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ChangeFileReaderFactory(TableChangesSource.feedSchema(tableSchema))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // serialize the DRIVER's hadoop configuration entries: executor-side
+    // readers on a table root needing configured FS settings (s3a
+    // credentials, custom schemes) must not fall back to a bare default
+    // Configuration
+    val conf = spark.sessionState.newHadoopConf()
+    val props = {
+      val b = Map.newBuilder[String, String]
+      val it = conf.iterator()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    new ChangeFileReaderFactory(TableChangesSource.feedSchema(tableSchema), props)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -190,12 +247,53 @@ private[sources] class TableChangesMicroBatchStream(path: String,
 /** One change-feed data file: `injectType` carries the constant change
   * type for append/overwrite files; null means the file itself holds a
   * `_change_type` column (a merge's precomputed change file).
+  *
+  * Deletion-vector semantics (`fileKey` addresses this file in sidecars):
+  *  - `dvMode = "exclude"`: emit rows whose position is NOT in the `dvA`
+  *    sidecars — the retiring file's rows minus what v-1 already hid;
+  *  - `dvMode = "diff"`: emit ONLY rows whose position is in `dvA` but
+  *    not `dvB` — a restore's resurrected (pre \ target) or re-hidden
+  *    (target \ pre) rows.
+  * Sidecar position sets load into executor memory — bounded by the rows
+  * of ONE data file (positions are 16 bytes each).
   */
 private[sources] case class ChangeFilePartition(file: String, version: Int,
-    injectType: String) extends InputPartition
+    injectType: String, fileKey: String = "",
+    dvA: Seq[String] = Nil, dvB: Seq[String] = Nil,
+    dvMode: String = "exclude") extends InputPartition
 
-private[sources] class ChangeFileReaderFactory(readSchema: StructType)
-  extends PartitionReaderFactory {
+private[sources] class ChangeFileReaderFactory(readSchema: StructType,
+    confProps: Map[String, String]) extends PartitionReaderFactory {
+
+  private def hadoopConf(): Configuration = {
+    val c = new Configuration(false)
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** The row positions the `paths` sidecars record for `fileKey`. */
+  private def positions(paths: Seq[String], fileKey: String): java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    paths.foreach { sp =>
+      @annotation.nowarn("cat=deprecation")
+      val r: ParquetReader[Group] = ParquetReader
+        .builder(new GroupReadSupport(), new Path(sp))
+        .withConf(hadoopConf())
+        .build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val t = g.getType
+          val fi = t.getFieldIndex("file")
+          if (g.getFieldRepetitionCount(fi) > 0 &&
+              g.getBinary(fi, 0).toStringUsingUTF8 == fileKey)
+            set.add(g.getLong(t.getFieldIndex("row_index"), 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangeFilePartition]
@@ -203,12 +301,22 @@ private[sources] class ChangeFileReaderFactory(readSchema: StructType)
       @annotation.nowarn("cat=deprecation")
       private val reader: ParquetReader[Group] = ParquetReader
         .builder(new GroupReadSupport(), new Path(p.file))
-        .withConf(new Configuration())
+        .withConf(hadoopConf())
         .build()
       private var row: InternalRow = _
+      private var pos: Long = -1L
+      // lazily built: the common no-DV partition never reads sidecars
+      private lazy val setA = positions(p.dvA, p.fileKey)
+      private lazy val setB = positions(p.dvB, p.fileKey)
+      private def emits(i: Long): Boolean = p.dvMode match {
+        case "diff" => setA.contains(i) && !setB.contains(i)
+        case _      => p.dvA.isEmpty || !setA.contains(i)
+      }
 
       override def next(): Boolean = {
-        val g = reader.read()
+        var g = reader.read()
+        pos += 1
+        while (g != null && !emits(pos)) { g = reader.read(); pos += 1 }
         if (g == null) return false
         val values = new Array[Any](readSchema.length)
         var i = 0

@@ -820,6 +820,38 @@ object ScaleCheck {
       println(f"snap commit flat ratio: ${c31 / c4}%.1f (flat = 1; " +
         "cost is the batch write + a bounded log tail, never the table)")
     }
+    // MERGE-ON-READ delete with a LARGE predicate (the round-15 de-funnel):
+    // above a row threshold the DV sidecar and change-file writes shard by
+    // file-key hash instead of coalesce(1), so a predicate matching half a
+    // big table fans its ~matched-rows output across tasks. Evidence: >1
+    // sidecar file at ~5M matched rows, wall time ∝ the matched scan (the
+    // pre-r15 single-task funnel serialized the entire write).
+    {
+      import graft.sources.SnapshotTable
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val big = (0 until 16).map(i => li.select(
+          (col("l_orderkey") * 16 + i).as("l_orderkey"),
+          col("l_partkey"), col("l_quantity")))
+        .reduce(_ unionAll _).localCheckpoint(true)
+      println(s"mor corpus rows=${big.count()}")
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_scale_mor").toString + "/t"
+      SnapshotTable.commitAppend(spark, t, big.repartition(32, col("l_orderkey")))
+      val t0 = System.nanoTime()
+      SnapshotTable.commitDeleteMoR(spark, t,
+        pmod(col("l_orderkey"), lit(2)) === 0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val snap = SnapshotTable.snapshot(spark, t)
+      val sidecars = snap.dvs.values.flatten.toSet
+      println(f"mor large delete     $sec%7.2f s " +
+        s"(${sidecars.size} dv sidecar files over ${snap.dvs.size} touched " +
+        "data files; sidecars >1 proves the sharded path engaged)")
+      val t1 = System.nanoTime()
+      val live = SnapshotTable.read(spark, t).count()
+      println(f"mor post-delete read ${(System.nanoTime() - t1) / 1e9}%7.2f s " +
+        s"($live live rows)")
+    }
     spark.stop()
   }
 }

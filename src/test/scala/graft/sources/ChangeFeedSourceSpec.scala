@@ -84,6 +84,48 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(second == rowsOf(SnapshotTable.changes(spark, t, 2, 4)))
   }
 
+  // round-15 regression: the streamed feed must apply pre-version deletion
+  // vectors exactly as the batch feed does — an overwrite retiring a DV'd
+  // file emits each hidden row's delete ONCE, and a restore emits the dv
+  // diff (resurrections/re-hides), never the raw file contents.
+  test("streamed feed parity under MoR delete + overwrite + restore (dv interplay)") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1))
+    SnapshotTable.commitDeleteMoR(spark, t,
+      org.apache.spark.sql.functions.col("id") === 2L)        // v2: {1,3}
+    SnapshotTable.commitOverwrite(spark, t, Seq((9L, 90L)).toDF("id", "v")) // v3
+    SnapshotTable.restore(spark, t, 2)                        // v4: {1,3}
+    SnapshotTable.restore(spark, t, 1)                        // v5: {1,2,3} (dv reset)
+    val cur = SnapshotTable.currentVersion(spark, t)
+    assert(cur == 5)
+    val want = rowsOf(SnapshotTable.changes(spark, t, 0, cur))
+    val got = rowsOf(drain(
+      spark.readStream.format("graft-table-changes")
+        .option("path", t).option("maxVersionsPerBatch", 1).load(),
+      "graft_cdf_src_dv"))
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    // the overwrite (v3) must NOT re-emit the already-hidden row 2
+    assert(!got.contains((2L, Some(20L), "delete", 3)),
+      "v3 re-emitted a row v2's deletion vector already hid")
+    assert(got.count(x => x._1 == 2L && x._3 == "delete") == 1)
+    // the dv-reset restore (v5) resurrects ONLY row 2
+    assert(got.filter(_._4 == 5) == Set((2L, Some(20L), "insert", 5)))
+    // ±1 fold over the streamed feed matches the table at every version
+    (1 to cur).foreach { v =>
+      val folded = got.toSeq.filter(_._4 <= v)
+        .sortBy(x => (x._4, if (x._3 == "delete" || x._3 == "update_preimage") 0 else 1))
+        .foldLeft(Map.empty[Long, Long]) {
+          case (m, (id, _, "delete" | "update_preimage", _)) => m - id
+          case (m, (id, Some(value), "insert" | "update_postimage", _)) => m + (id -> value)
+          case (m, _) => m
+        }
+      val table = SnapshotTable.read(spark, t, Some(v))
+        .as[(Long, Long)].collect().toMap
+      assert(folded == table, s"streamed fold diverges at v$v: $folded != $table")
+    }
+  }
+
   test("unsupported column types and missing tables fail loudly at construction") {
     val t = freshTable()
     SnapshotTable.commitAppend(spark, t,

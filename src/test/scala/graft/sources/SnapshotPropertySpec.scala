@@ -80,18 +80,28 @@ class SnapshotPropertySpec extends SparkSpec {
     }
   }
 
-  test("random merge/optimize sequences: keyed content, update images, and CDF match a model") {
+  test("random merge/optimize/delete/overwrite/restore sequences: content, CDF, and fold invariants") {
     val rnd = new Random(20260817L)
     (1 to 2).foreach { round =>
       val t = freshTable()
-      // model: id -> v; per version, the expected change set
-      // (id, v, change_type); optimize versions expect the EMPTY set
+      // model: id -> v per version. For ops with key-level CDF semantics
+      // the exact change set is predicted (Some(set)); RESTORE versions
+      // carry file-level diffs (a rewritten-then-restored row may emit a
+      // delete+insert pair for identical content), so they are checked by
+      // the FOLD INVARIANTS below instead (None) — which are exactly what
+      // an incremental ±1 consumer relies on, and what the round-14
+      // dv-interplay bugs broke.
       var content = Map.empty[Long, Long]
-      var changes = Vector.empty[Set[(Long, Long, String)]]
+      var history = Vector.empty[Map[Long, Long]]
+      var exact = Vector.empty[Option[Set[(Long, Long, String)]]]
+      def record(next: Map[Long, Long],
+          want: Option[Set[(Long, Long, String)]]): Unit = {
+        history :+= next; exact :+= want; content = next
+      }
       var nextId = round * 100000L
-      val nOps = 12 + rnd.nextInt(4)
+      val nOps = 14 + rnd.nextInt(4)
       (1 to nOps).foreach { _ =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(7) match {
           case 0 | 1 => // merge: mix of updates (changed + identical) and inserts
             val updates = rnd.shuffle(content.keys.toSeq)
               .take(rnd.nextInt(content.size + 1))
@@ -106,8 +116,7 @@ class SnapshotPropertySpec extends SparkSpec {
               // empty merge source is degenerate; append one row instead
               nextId += 1
               SnapshotTable.commitAppend(spark, t, Seq((nextId, 0L)).toDF("id", "v"))
-              changes :+= Set((nextId, 0L, "insert"))
-              content += nextId -> 0L
+              record(content + (nextId -> 0L), Some(Set((nextId, 0L, "insert"))))
             } else {
               SnapshotTable.commitMerge(spark, t, src.toDF("id", "v"), Seq("id"))
               val want = src.flatMap { case (id, v) =>
@@ -117,17 +126,17 @@ class SnapshotPropertySpec extends SparkSpec {
                   case None => Seq((id, v, "insert"))
                 }
               }.toSet
-              changes :+= want
-              content ++= src
+              record(content ++ src, Some(want))
             }
           case 2 => // append fresh keys
             val batch = (0 to rnd.nextInt(2)).map(_ => { nextId += 1; nextId -> rnd.nextLong(1000) })
             SnapshotTable.commitAppend(spark, t, batch.toDF("id", "v"))
-            changes :+= batch.map { case (id, v) => (id, v, "insert") }.toSet
-            content ++= batch
-          case 3 => // optimize: physically rewrites, logically silent
+            record(content ++ batch,
+              Some(batch.map { case (id, v) => (id, v, "insert") }.toSet))
+          case 3 => // optimize: physically rewrites (and purges DVs), logically silent
             val v = SnapshotTable.optimizeCompact(spark, t)
-            if (v == changes.size + 1) changes :+= Set.empty[(Long, Long, String)]
+            if (v == history.size + 1)
+              record(content, Some(Set.empty[(Long, Long, String)]))
             // else: <2 small files, no commit claimed — no model version
           case 4 if content.nonEmpty => // row-level DELETE of sampled keys:
             // copy-on-write and merge-on-read (deletion vectors) must be
@@ -138,40 +147,79 @@ class SnapshotPropertySpec extends SparkSpec {
             val v = if (rnd.nextBoolean())
               SnapshotTable.commitDelete(spark, t, pred)
             else SnapshotTable.commitDeleteMoR(spark, t, pred)
-            assert(v == changes.size + 1, "a matching delete must commit")
-            changes :+= victims.map(id => (id, content(id), "delete"))
-            content --= victims
+            assert(v == history.size + 1, "a matching delete must commit")
+            record(content -- victims,
+              Some(victims.map(id => (id, content(id), "delete"))))
+          case 5 => // overwrite: full replacement — deletes are the PRE-version
+            // LIVE content (a standing deletion vector must suppress its rows)
+            val batch = (0 to rnd.nextInt(2)).map(_ => { nextId += 1; nextId -> rnd.nextLong(1000) })
+            SnapshotTable.commitOverwrite(spark, t, batch.toDF("id", "v"))
+            record(batch.toMap,
+              Some(content.map { case (id, v) => (id, v, "delete") }.toSet ++
+                batch.map { case (id, v) => (id, v, "insert") }))
+          case 6 if history.nonEmpty => // restore to a random earlier version —
+            // the op class the round-14 differential never composed with MoR
+            val target = 1 + rnd.nextInt(history.size)
+            val v = SnapshotTable.restore(spark, t, target)
+            if (v == history.size + 1) record(history(target - 1), None)
+            else {
+              // content-identical (file set AND dv state): true no-op
+              assert(v == history.size, s"restore claimed unexpected version $v")
+              assert(history(target - 1) == content,
+                "a no-op restore requires identical content")
+            }
           case _ => // nothing to delete yet: no-op delete must not commit
             val v = SnapshotTable.commitDelete(spark, t,
               org.apache.spark.sql.functions.col("id") === -1L)
-            assert(v == changes.size, "a no-match delete must claim no version")
+            assert(v == history.size, "a no-match delete must claim no version")
         }
       }
-      // rebuild per-version contents from the change sets
-      var running = Map.empty[Long, Long]
-      val perVersion = changes.map { cs =>
-        cs.foreach {
-          case (id, v, "insert" | "update_postimage") => running += id -> v
-          case (id, _, "delete") => running -= id
-          case _ => // preimage: no content effect
-        }
-        running
-      }
-      assert(SnapshotTable.currentVersion(spark, t) == changes.size)
-      perVersion.zipWithIndex.foreach { case (want, i) =>
+      assert(SnapshotTable.currentVersion(spark, t) == history.size)
+      // per-version content matches the model
+      history.zipWithIndex.foreach { case (want, i) =>
         val got = SnapshotTable.read(spark, t, Some(i + 1))
           .as[(Long, Long)].collect().toMap
         assert(got == want, s"round $round v${i + 1}: $got != $want")
       }
-      (1 to 6).foreach { _ =>
-        val from = rnd.nextInt(changes.size)
-        val to = from + 1 + rnd.nextInt(changes.size - from)
-        val want = (from until to).flatMap { vi =>
-          changes(vi).map { case (id, v, ct) => (id, v, ct, vi + 1) }
-        }.toSet
-        val got = SnapshotTable.changes(spark, t, from, to)
+      // per-version feed: exact sets where predicted; fold invariants ALWAYS
+      def feedOf(from: Int, to: Int): Seq[(Long, Long, String, Int)] =
+        SnapshotTable.changes(spark, t, from, to)
           .select("id", "v", "_change_type", "_commit_version")
-          .as[(Long, Long, String, Int)].collect().toSet
+          .as[(Long, Long, String, Int)].collect().toSeq
+      val perVersion = (1 to history.size).map(v => feedOf(v - 1, v))
+      perVersion.zipWithIndex.foreach { case (feed, i) =>
+        val v = i + 1
+        val prev = if (v == 1) Map.empty[Long, Long] else history(v - 2)
+        val next = history(v - 1)
+        exact(i).foreach { want =>
+          assert(feed.map(x => (x._1, x._2, x._3)).toSet == want,
+            s"round $round v$v exact feed: got ${feed.toSet}, want $want")
+        }
+        val dels = feed.filter(x => x._3 == "delete" || x._3 == "update_preimage")
+        val ins = feed.filter(x => x._3 == "insert" || x._3 == "update_postimage")
+        // every delete must name a row LIVE at v-1 (the double-emit bug
+        // emitted deletes of already-hidden rows), exactly once
+        dels.foreach { case (id, value, _, _) =>
+          assert(prev.get(id).contains(value),
+            s"round $round v$v: delete of ($id,$value) not live at v-1") }
+        assert(dels.map(_._1).distinct.size == dels.size,
+          s"round $round v$v: duplicate deletes in $dels")
+        // every insert must land in v's content
+        ins.foreach { case (id, value, _, _) =>
+          assert(next.get(id).contains(value),
+            s"round $round v$v: insert of ($id,$value) not in v's content") }
+        // the ±1 fold reproduces the version transition exactly
+        val folded = prev -- dels.map(_._1) ++ ins.map(x => x._1 -> x._2)
+        assert(folded == next, s"round $round v$v fold: $folded != $next")
+      }
+      // ranged reads must equal the union of single-version feeds — this
+      // exercises the range walk's incremental dv-state tracking across
+      // restore/overwrite boundaries against fresh per-version resolves
+      (1 to 6).foreach { _ =>
+        val from = rnd.nextInt(history.size)
+        val to = from + 1 + rnd.nextInt(history.size - from)
+        val want = ((from + 1) to to).flatMap(v => perVersion(v - 1)).toSet
+        val got = feedOf(from, to).toSet
         assert(got == want, s"round $round changes ($from, $to]: " +
           s"missing ${want -- got}, extra ${got -- want}")
       }

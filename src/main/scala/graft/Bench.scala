@@ -169,6 +169,18 @@ object Bench {
     var truncated = false
     var done = 0
     var degraded = false // sticky: 1-rep history would understate the projection
+    // steady-calibrated deadline projection: per-query expected costs come
+    // from the committed clean-window steady states; the window's observed
+    // DIRTINESS is the MEDIAN of recent (observed / steady) ratios — robust
+    // to one-off staging spikes (a query's first construction pays layout
+    // staging the steady medians don't carry), unlike a global average,
+    // which the heavy-first run order inflates even in a clean window.
+    val steadyEst = steadyState(sfDir)
+    val steadyFallback =
+      if (steadyEst.nonEmpty) median(steadyEst.values.toSeq) else 0.0
+    def est(q: String): Double = steadyEst.getOrElse(q, steadyFallback)
+    val ratios = scala.collection.mutable.Queue.empty[Double]
+    val totalEstAll = all.map { case (q, _) => est(q) }.sum
     Files.createDirectories(Paths.get("target"))
     val partialPath = Paths.get("target/bench_partial.jsonl")
     Files.deleteIfExists(partialPath)
@@ -178,11 +190,17 @@ object Bench {
         // degrade 3→1 reps by PROJECTION, not a fixed elapsed threshold: a
         // dirty co-tenant window inflates every query from the start, so
         // waiting for 60% of the deadline before degrading (the r14
-        // behavior) already guarantees truncation. If finishing the
-        // remaining set at the current per-query rate would overrun 85% of
-        // the deadline, drop to 1 rep now.
+        // behavior) already guarantees truncation. Remaining cost =
+        // Σ steady(q)·reps·dirtiness when steady states exist for this sf
+        // (dirtiness = median of the last 20 observed/steady ratios; needs
+        // ≥5 samples before it is trusted), else the naive per-query
+        // average. Overrunning 85% of the deadline drops to 1 rep now.
+        val remainingEst = all.drop(done).map { case (q, _) => est(q) }.sum
         val projected =
-          if (done == 0) 0.0
+          if (steadyEst.nonEmpty && totalEstAll > 0) {
+            val dirt = if (ratios.size >= 5) math.max(1.0, median(ratios.toSeq)) else 1.0
+            elapsedSec + remainingEst * reps * dirt
+          } else if (done == 0) 0.0
           else elapsedSec + (all.size - done) * (elapsedSec / done)
         if (elapsedSec > 0.6 * deadlineSec || projected > 0.85 * deadlineSec)
           degraded = true
@@ -211,6 +229,13 @@ object Bench {
         else {
           timings(name) = median(ts.toSeq)
           mins(name) = ts.min
+          // dirtiness sample: this query's observed per-rep median over its
+          // steady estimate (MIN-of-reps so a one-off cold construction in
+          // rep 1 doesn't read as co-tenant load), bounded window of 20
+          if (est(name) > 0.05) {
+            ratios.enqueue(ts.min / est(name))
+            if (ratios.size > 20) { ratios.dequeue(); () }
+          }
           s"""{"bench_query":${jstr(name)},"median":${num(timings(name))},"min":${num(mins(name))},"reps":$repsEff,"done":$done,"of":${all.size},"elapsed_sec":${num(elapsedSec)}}"""
         }
         println(progress)

@@ -320,6 +320,13 @@ object KnnGraph {
         .select(col("nbr_id").as("_cand")),
       emb, idCol, vecCol, queryVec, entryId, k, beam, rounds)
 
+  /** Beam-walk core: one Spark job per round with a bounded (≤ beam ids)
+    * driver-side frontier collect, partition-pruned at the scan. The right
+    * shape for BATCH serving (scoring a query set against a standing
+    * graph); interactive single-query serving at production latency wants
+    * an external index process holding the graph resident — the layout
+    * [[writeGraph]] persists is exactly what such a server would load.
+    */
   private def searchImpl(
       expand: Seq[Long] => DataFrame,
       emb: DataFrame,

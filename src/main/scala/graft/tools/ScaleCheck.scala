@@ -820,12 +820,20 @@ object ScaleCheck {
       println(f"snap commit flat ratio: ${c31 / c4}%.1f (flat = 1; " +
         "cost is the batch write + a bounded log tail, never the table)")
     }
-    // MERGE-ON-READ delete with a LARGE predicate (the round-15 de-funnel):
-    // above a row threshold the DV sidecar and change-file writes shard by
-    // file-key hash instead of coalesce(1), so a predicate matching half a
-    // big table fans its ~matched-rows output across tasks. Evidence: >1
-    // sidecar file at ~5M matched rows, wall time ∝ the matched scan (the
-    // pre-r15 single-task funnel serialized the entire write).
+    runMorRow(spark, sfDir)
+    spark.stop()
+  }
+
+  /** MERGE-ON-READ delete with a LARGE predicate (the round-15 de-funnel):
+    * above a row threshold the DV sidecar and change-file writes shard by
+    * file-key hash instead of coalesce(1), so a predicate matching half a
+    * big table fans its ~matched-rows output across tasks. Evidence: >1
+    * sidecar file at ~5M matched rows, wall time ∝ the matched scan (the
+    * pre-r15 single-task funnel serialized the entire write). Runnable
+    * standalone: `runMain graft.tools.ScaleCheckMor [sfDir]`.
+    */
+  private[tools] def runMorRow(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
     {
       import graft.sources.SnapshotTable
       val li = Tables.lineitem(spark, sfDir)
@@ -852,6 +860,18 @@ object ScaleCheck {
       println(f"mor post-delete read ${(System.nanoTime() - t1) / 1e9}%7.2f s " +
         s"($live live rows)")
     }
+  }
+}
+
+/** Standalone entry for [[ScaleCheck.runMorRow]] — the large-predicate
+  * merge-on-read delete evidence without re-running the full sweep.
+  */
+object ScaleCheckMor {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.getOrCreate("graft-scalecheck-mor", cpus.toInt)
+    ScaleCheck.runMorRow(spark, sfDir)
     spark.stop()
   }
 }

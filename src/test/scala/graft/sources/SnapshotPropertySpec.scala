@@ -99,8 +99,19 @@ class SnapshotPropertySpec extends SparkSpec {
         history :+= next; exact :+= want; content = next
       }
       var nextId = round * 100000L
+      // clone forks taken mid-sequence: (path, expected content at clone
+      // time) — verified at the end, including against later source DML
+      // (isolation) and with any standing deletion vectors carried
+      var clones = Vector.empty[(String, Map[Long, Long])]
       val nOps = 14 + rnd.nextInt(4)
-      (1 to nOps).foreach { _ =>
+      (1 to nOps).foreach { opIdx =>
+        // ~1-in-5 ops also forks a clone (not a table version — no model
+        // version recorded; the clone is its own table)
+        if (history.nonEmpty && rnd.nextInt(5) == 0) {
+          val dst = freshTable()
+          SnapshotTable.cloneShallow(spark, t, dst)
+          clones :+= ((dst, content))
+        }
         rnd.nextInt(7) match {
           case 0 | 1 => // merge: mix of updates (changed + identical) and inserts
             val updates = rnd.shuffle(content.keys.toSeq)
@@ -222,6 +233,19 @@ class SnapshotPropertySpec extends SparkSpec {
         val got = feedOf(from, to).toSet
         assert(got == want, s"round $round changes ($from, $to]: " +
           s"missing ${want -- got}, extra ${got -- want}")
+      }
+      // every mid-sequence clone serves EXACTLY its fork-time content —
+      // dv state carried (a MoR-hidden row must not resurrect in the
+      // clone), later source DML invisible — and its v1 feed folds to it
+      clones.foreach { case (dst, want) =>
+        val got = SnapshotTable.read(spark, dst)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"round $round clone $dst: $got != $want")
+        val feed = SnapshotTable.changes(spark, dst, 0, 1)
+          .select("id", "v", "_change_type")
+          .as[(Long, Long, String)].collect().toSet
+        assert(feed == want.map { case (id, v) => (id, v, "insert") }.toSet,
+          s"round $round clone feed: $feed != $want")
       }
     }
   }

@@ -1490,7 +1490,18 @@ object SnapshotTable {
             fs.delete(f.getPath, false); removed += 1
           }
         }
-        if (fs.listStatus(stageDir.getPath).isEmpty) fs.delete(stageDir.getPath, true)
+        // a stage dir whose VISIBLE files are all gone holds only writer
+        // droppings (_SUCCESS, .crc) — reclaim it recursively, or orphan
+        // dirs accumulate one dropping each forever. Age-gated like the
+        // files: an in-flight stage younger than the floor is never a
+        // candidate (its visible part files haven't aged out either).
+        val leftovers = fs.listStatus(stageDir.getPath)
+        val anyVisible = leftovers.exists { f =>
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".") }
+        if (!anyVisible &&
+            leftovers.forall(_.getModificationTime <= cutoff) &&
+            stageDir.getModificationTime <= cutoff)
+          fs.delete(stageDir.getPath, true)
       }
     }
     sweep("data", live)

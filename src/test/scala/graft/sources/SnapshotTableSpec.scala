@@ -553,6 +553,34 @@ class SnapshotTableSpec extends SparkSpec {
 
   // ——— round-15 regressions: the judge-confirmed DV-interplay bugs ———
 
+  test("vacuum keeps dv sidecars a restored snapshot references; sweeps orphaned ones") {
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L, 2L, 3L).toDF("id").coalesce(1))
+    SnapshotTable.commitDeleteMoR(spark, t, col("id") === 2L) // v2: sidecar born
+    SnapshotTable.commitOverwrite(spark, t, Seq(9L).toDF("id")) // v3
+    SnapshotTable.restore(spark, t, 2) // v4: dvReset reinstates the sidecar
+    // retain only the current version: the restored snapshot's dv sidecar
+    // is LIVE state — deleting it would silently resurrect row 2
+    SnapshotTable.vacuum(spark, t, retainVersions = 0, minAgeMillis = 0L)
+    assert(ids(t) == Set(1L, 3L),
+      "vacuum must not sweep a sidecar the current snapshot references")
+    // now purge the vectors (optimize) and vacuum again: the sidecar is
+    // orphaned and MUST go
+    SnapshotTable.optimizeCompact(spark, t) // may no-op on 1 file? dv-carrying → rewrites
+    assert(SnapshotTable.snapshot(spark, t).dvs.isEmpty)
+    val removed = SnapshotTable.vacuum(spark, t, retainVersions = 0, minAgeMillis = 0L)
+    assert(removed >= 1, s"orphaned dv sidecar must be swept (removed=$removed)")
+    assert(ids(t) == Set(1L, 3L))
+    val (fs, root) = {
+      val p = new org.apache.hadoop.fs.Path(t)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    val dvLeft = if (!fs.exists(dvDir)) 0
+      else fs.listStatus(dvDir).flatMap(d => fs.listStatus(d.getPath)).length
+    assert(dvLeft == 0, s"dv dir must be empty after purge+vacuum ($dvLeft left)")
+  }
+
   test("change feed: an overwrite retiring a DV'd file emits each row's delete ONCE") {
     val t = freshTable()
     SnapshotTable.commitAppend(spark, t, Seq(1L, 2L, 3L).toDF("id").coalesce(1))

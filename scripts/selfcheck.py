@@ -29,6 +29,20 @@ def norm(v):
     return v
 
 
+def dtype_equiv(spark_t, duck_t):
+    """Equivalence for the dtype-strict gate. Spark parquet output read back
+    by DuckDB vs the oracle relation's declared types. Exact match required,
+    with one physical-encoding allowance: Spark writes session-local
+    timestamps as parquet TIMESTAMP(isAdjustedToUTC=true) which DuckDB reads
+    as TIMESTAMP WITH TIME ZONE, while oracle TIMESTAMP literals/date_trunc
+    are plain TIMESTAMP — both are int64 micros on the wire with identical
+    values (UTC session), so the driver's typed-value hash agrees."""
+    if spark_t == duck_t:
+        return True
+    ts = {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"}
+    return spark_t in ts and duck_t in ts
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -49,18 +63,32 @@ def main(sf_dir, out_dir):
         try:
             spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
             spark_cols = sorted(spark_rel.columns)
+            spark_sel = spark_rel.select(*spark_cols)
+            spark_types = [str(t) for t in spark_sel.types]
             spark_rows = [tuple(norm(v) for v in row) for row in
-                          spark_rel.select(*spark_cols).fetchall()]
+                          spark_sel.fetchall()]
             duck_rel = con.sql(oracle[name])
             duck_cols = sorted(duck_rel.columns)
+            duck_sel = duck_rel.select(*duck_cols)
+            duck_types = [str(t) for t in duck_sel.types]
             duck_rows = [tuple(norm(v) for v in row) for row in
-                         duck_rel.select(*duck_cols).fetchall()]
+                         duck_sel.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # dtype-strict: the DRIVER's value hash serializes typed values, so a
+        # numerically-equal result with a different dtype (the r14/r15 c12/c13
+        # red: DuckDB SUM(BIGINT) -> HUGEINT vs Spark int64) is a FAIL here
+        # too, even though Python-level value compare would pass.
+        dtype_diff = [(c, a, b) for c, a, b in
+                      zip(spark_cols, spark_types, duck_types)
+                      if not dtype_equiv(a, b)]
         if spark_cols != duck_cols:
             print(f"FAIL {name}: schema {spark_cols} vs {duck_cols}")
+        elif dtype_diff:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle): " +
+                  ", ".join(f"{c}: {a} vs {b}" for c, a, b in dtype_diff))
         elif spark_rows != duck_rows:
             diff = next((i for i, (a, b) in enumerate(zip(spark_rows, duck_rows))
                          if a != b), None)

@@ -1161,12 +1161,12 @@ object StarQueries {
     "c12_snapshot_delete_restore" ->
       """WITH del AS (
         |  SELECT 'deleted' AS snapshot, o_orderpriority,
-        |    CAST(COUNT(*) AS BIGINT) AS n, SUM(o_orderkey) AS key_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderpriority),
         |res AS (
         |  SELECT 'restored' AS snapshot, o_orderpriority,
-        |    CAST(COUNT(*) AS BIGINT) AS n, SUM(o_orderkey) AS key_sum,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders GROUP BY o_orderpriority)
         |SELECT * FROM del UNION ALL SELECT * FROM res
@@ -1177,7 +1177,7 @@ object StarQueries {
     "c13_snapshot_delete_mor" ->
       """WITH fil AS (
         |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        |    SUM(o_orderkey) AS key_sum,
+        |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |  FROM orders WHERE o_orderkey % 7 <> 3 GROUP BY o_orderpriority)
         |SELECT 'mor' AS snapshot, * FROM fil

@@ -48,7 +48,8 @@ import Http2Framing._
   */
 final class Http2GrpcClient(host: String, port: Int,
     initialWindowSize: Int = DefaultWindowSize,
-    sslContext: Option[javax.net.ssl.SSLContext] = None) {
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    readTimeoutMs: Int = 30000) {
   require(initialWindowSize > 0, "window must be positive")
 
   /** Spec observability: WINDOW_UPDATE frames this client sent. */
@@ -90,6 +91,12 @@ final class Http2GrpcClient(host: String, port: Int,
     val sock = openSocket()
     try {
       sock.setTcpNoDelay(true)
+      // loud-failure contract: a silent peer (half-open connection, a
+      // server that stops acking mid-exchange) must surface as a
+      // SocketTimeoutException, never an indefinite blocking-read hang —
+      // this is the ingest edge, and a hung subscription looks exactly
+      // like an empty feed (r15 ADVICE)
+      if (readTimeoutMs > 0) sock.setSoTimeout(readTimeoutMs)
       val out = new BufferedOutputStream(sock.getOutputStream)
       val in = new BufferedInputStream(sock.getInputStream)
 
@@ -203,21 +210,28 @@ final class Http2GrpcClient(host: String, port: Int,
         out.write(encodeFrame(Frame(TData, FEndStream, 1, Array.empty)))
       else {
         var p = 0
-        while (p < body.length) {
+        while (p < body.length && !done) {
           if (math.min(sendConnWindow, sendStreamWindow) <= 0) {
             sendStalls += 1
             out.flush()
             // blocked mid-request: drain server frames until a
-            // WINDOW_UPDATE (or a SETTINGS window delta) opens the budget
-            while (math.min(sendConnWindow, sendStreamWindow) <= 0)
+            // WINDOW_UPDATE (or a SETTINGS window delta) opens the budget.
+            // A server may instead COMPLETE the RPC here — immediate error
+            // trailers + END_STREAM without reading the full request (a
+            // legal gRPC fast-reject) — in which case the WINDOW_UPDATE
+            // this drain waits for never arrives: break out on `done` and
+            // abandon the remaining request body (r15 ADVICE medium)
+            while (math.min(sendConnWindow, sendStreamWindow) <= 0 && !done)
               readAndHandle()
           }
-          val n = math.min(math.min(sendConnWindow, sendStreamWindow),
-            math.min(serverMaxFrame, body.length - p))
-          val last = p + n == body.length
-          out.write(encodeFrame(Frame(TData, if (last) FEndStream else 0, 1,
-            java.util.Arrays.copyOfRange(body, p, p + n))))
-          sendConnWindow -= n; sendStreamWindow -= n; p += n
+          if (!done) {
+            val n = math.min(math.min(sendConnWindow, sendStreamWindow),
+              math.min(serverMaxFrame, body.length - p))
+            val last = p + n == body.length
+            out.write(encodeFrame(Frame(TData, if (last) FEndStream else 0, 1,
+              java.util.Arrays.copyOfRange(body, p, p + n))))
+            sendConnWindow -= n; sendStreamWindow -= n; p += n
+          }
         }
       }
       out.flush()

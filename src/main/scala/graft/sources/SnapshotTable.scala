@@ -1498,9 +1498,22 @@ object SnapshotTable {
         val leftovers = fs.listStatus(stageDir.getPath)
         val anyVisible = leftovers.exists { f =>
           !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".") }
+        // the age gate must hold RECURSIVELY: an in-flight FileOutputCommitter
+        // write stages task files under `_temporary/0/...`, so an old stage
+        // dir with old direct children can still hold FRESH deep task files —
+        // checking only two levels would delete the stage mid-write
+        // (r15 ADVICE). fs.listFiles(recursive) walks leaf files only, which
+        // is exactly the set whose mtimes matter.
+        def maxDeepMtime(p: Path): Long = {
+          var m = 0L
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+          m
+        }
         if (!anyVisible &&
             leftovers.forall(_.getModificationTime <= cutoff) &&
-            stageDir.getModificationTime <= cutoff)
+            stageDir.getModificationTime <= cutoff &&
+            maxDeepMtime(stageDir.getPath) <= cutoff)
           fs.delete(stageDir.getPath, true)
       }
     }

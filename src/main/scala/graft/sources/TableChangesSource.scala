@@ -274,26 +274,43 @@ private[sources] class ChangeFileReaderFactory(readSchema: StructType,
     c
   }
 
-  /** The row positions the `paths` sidecars record for `fileKey`. */
+  /** The row positions the `paths` sidecars record for `fileKey`.
+    * Parsed sidecars are cached JVM-wide by path
+    * ([[ChangeFileReaderFactory.sidecarCache]]): a restore diff over N kept
+    * files touched by one multi-file MoR delete otherwise re-scans the same
+    * shared sidecar up to 2N times on an executor (the insert and delete
+    * partitions each reload it) — sidecar IO quadratic in kept-file count
+    * (r15 ADVICE). Sidecar files are write-once (content lives under the
+    * commit that created it and is never rewritten), so path-keyed caching
+    * is sound.
+    */
   private def positions(paths: Seq[String], fileKey: String): java.util.HashSet[Long] = {
     val set = new java.util.HashSet[Long]()
     paths.foreach { sp =>
-      @annotation.nowarn("cat=deprecation")
-      val r: ParquetReader[Group] = ParquetReader
-        .builder(new GroupReadSupport(), new Path(sp))
-        .withConf(hadoopConf())
-        .build()
-      try {
-        var g = r.read()
-        while (g != null) {
-          val t = g.getType
-          val fi = t.getFieldIndex("file")
-          if (g.getFieldRepetitionCount(fi) > 0 &&
-              g.getBinary(fi, 0).toStringUsingUTF8 == fileKey)
-            set.add(g.getLong(t.getFieldIndex("row_index"), 0))
-          g = r.read()
-        }
-      } finally r.close()
+      val byFile = ChangeFileReaderFactory.sidecarCache.computeIfAbsent(sp, { _ =>
+        val m = new java.util.HashMap[String, java.util.HashSet[Long]]()
+        @annotation.nowarn("cat=deprecation")
+        val r: ParquetReader[Group] = ParquetReader
+          .builder(new GroupReadSupport(), new Path(sp))
+          .withConf(hadoopConf())
+          .build()
+        try {
+          var g = r.read()
+          while (g != null) {
+            val t = g.getType
+            val fi = t.getFieldIndex("file")
+            if (g.getFieldRepetitionCount(fi) > 0) {
+              val key = g.getBinary(fi, 0).toStringUsingUTF8
+              m.computeIfAbsent(key, _ => new java.util.HashSet[Long]())
+                .add(g.getLong(t.getFieldIndex("row_index"), 0))
+            }
+            g = r.read()
+          }
+        } finally r.close()
+        m
+      })
+      val s = byFile.get(fileKey)
+      if (s != null) set.addAll(s)
     }
     set
   }
@@ -368,6 +385,27 @@ private[sources] class ChangeFileReaderFactory(readSchema: StructType,
 
       override def get(): InternalRow = row
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+private[sources] object ChangeFileReaderFactory {
+  /** JVM-wide parsed-sidecar cache: sidecar path -> (fileKey -> hidden row
+    * positions). Sidecars are write-once, so entries never invalidate;
+    * bounded by eviction-on-cap (a scan touches a bounded sidecar set, and
+    * one entry costs ~16 bytes per originally-deleted row). Shared across
+    * partitions AND scans on the executor — the cross-partition reuse is
+    * the point (see [[ChangeFileReaderFactory.positions]]).
+    */
+  private val MaxEntries = 64
+  val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, java.util.HashSet[Long]]]() {
+    override def computeIfAbsent(key: String,
+        f: java.util.function.Function[
+          ? >: String, ? <: java.util.HashMap[String, java.util.HashSet[Long]]])
+        : java.util.HashMap[String, java.util.HashSet[Long]] = {
+      if (size() >= MaxEntries && !containsKey(key)) clear()
+      super.computeIfAbsent(key, f)
     }
   }
 }

@@ -282,9 +282,16 @@ object FakePgDriver {
           "SELECT table_name FROM information_schema.tables WHERE " +
             s"lower(table_name) = '${name.toLowerCase}'"))
       case ("getIndexInfo", Array(_, _, name: String, _, _)) =>
+        // the REAL pg_catalog unique-index probe (what pgjdbc's
+        // getIndexInfo boils down to), so this driver works unchanged
+        // against a genuine Postgres server (RealPostgresSpec); the fake
+        // server recognizes the same shape
         resultSet(client.simpleQuery(
-          "SELECT index_name, column_name FROM graft_fake_unique_indexes " +
-            s"WHERE lower(table_name) = '${name.toLowerCase}'"))
+          "SELECT i.relname AS index_name, a.attname AS column_name " +
+            "FROM pg_class t JOIN pg_index ix ON t.oid = ix.indrelid " +
+            "JOIN pg_class i ON i.oid = ix.indexrelid " +
+            "JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey) " +
+            s"WHERE ix.indisunique AND lower(t.relname) = '${name.toLowerCase}'"))
       case ("getDatabaseMajorVersion", _) => Int.box(16)
       case ("getDatabaseMinorVersion", _) => Int.box(0)
       case ("getDatabaseProductName", _) => "PostgreSQL"

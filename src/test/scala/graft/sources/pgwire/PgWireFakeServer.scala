@@ -178,7 +178,7 @@ final class PgWireFakeServer {
   private val MetaTablesRe =
     """(?is)\s*SELECT\s+table_name\s+FROM\s+information_schema\.tables\s+WHERE\s+lower\(table_name\)\s*=\s*'(\w+)'\s*""".r
   private val MetaIndexRe =
-    """(?is)\s*SELECT\s+index_name\s*,\s*column_name\s+FROM\s+graft_fake_unique_indexes\s+WHERE\s+lower\(table_name\)\s*=\s*'(\w+)'\s*""".r
+    """(?is)\s*SELECT\s+i\.relname\s+AS\s+index_name\s*,\s*a\.attname\s+AS\s+column_name\s+FROM\s+pg_class\s.*lower\(t\.relname\)\s*=\s*'(\w+)'\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+"?([\w.]+)"?\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)\s*(ON\s+CONFLICT\s*\(\s*"?(\w+)"?\s*\)\s*DO\s+NOTHING)?\s*""".r
   private val SelectAllRe =

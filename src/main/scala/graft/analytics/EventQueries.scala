@@ -671,7 +671,7 @@ object EventQueries {
 
     "h1_to_json" ->
       """SELECT event_id,
-        |  to_json(struct_pack(event_id := event_id, event_type := event_type)) AS js
+        |  CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS js
         |FROM events ORDER BY event_id""".stripMargin,
 
     "h9_prefix_route" ->

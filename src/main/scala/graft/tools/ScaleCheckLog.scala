@@ -44,7 +44,11 @@ object ScaleCheckLog {
 
     def appendOne(v: Int): Unit = {
       val df = Seq((v.toLong, s"payload_$v")).toDF("k", "s").coalesce(1)
-      SnapshotTable.commitAppend(spark, table, df, statsCols = Seq("k"))
+      // every 100th commit OVERWRITES (retiring the standing files): an
+      // append-only log never unrefences anything, so vacuum would have
+      // zero reclaimable work and the measurement would prove nothing
+      if (v % 100 == 0) SnapshotTable.commitOverwrite(spark, table, df)
+      else SnapshotTable.commitAppend(spark, table, df, statsCols = Seq("k"))
     }
 
     val marks = Seq(100, 500, nCommits)

@@ -318,6 +318,81 @@ class Http2LoopbackSpec extends graft.SparkSpec {
     }, "request messages corrupted across the stall boundary")
   }
 
+  test("send-stall unstalls on early RPC completion: a fast-reject server that never opens the window cannot hang the client") {
+    // r15 ADVICE (medium): a server that completes the RPC while the
+    // client is window-blocked (immediate error trailers + END_STREAM
+    // without reading the request — a legal gRPC fast-reject, e.g.
+    // auth denial) leaves the WINDOW_UPDATE the stall drain waits for
+    // permanently unsent. The fixed client breaks out on `done`,
+    // abandons the remaining body, and surfaces the trailers.
+    val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    @volatile var srvFailure: Throwable = null
+    val t = new Thread(() => {
+      try {
+        val sock = server.accept()
+        try {
+          val in = new BufferedInputStream(sock.getInputStream)
+          val out = new BufferedOutputStream(sock.getOutputStream)
+          val pre = new Array[Byte](Preface.length)
+          var got = 0
+          while (got < pre.length) {
+            val n = in.read(pre, got, pre.length - got)
+            require(n > 0, "EOF inside preface"); got += n
+          }
+          var rejected = false
+          var open = true
+          while (open) {
+            readFrame(in) match {
+              case None => open = false // client closed after completion
+              case Some(f) => f.tpe match {
+                case TSettings if !f.has(FAck) =>
+                  out.write(encodeFrame(Frame(TSettings, 0, 0, Array.empty)))
+                  out.write(encodeFrame(Frame(TSettings, FAck, 0, Array.empty)))
+                  out.flush()
+                case THeaders if !rejected =>
+                  // trailers-only fast reject, BEFORE reading any DATA and
+                  // WITHOUT ever sending a WINDOW_UPDATE
+                  rejected = true
+                  val enc = new Hpack.Encoder()
+                  out.write(encodeFrame(Frame(THeaders,
+                    FEndHeaders | FEndStream, 1, enc.encode(Seq(
+                      ":status" -> "200",
+                      "content-type" -> "application/grpc",
+                      "grpc-status" -> "7")))))
+                  out.flush()
+                case _ => // drain DATA etc. so TCP never backpressures
+              }
+            }
+          }
+        } finally sock.close()
+      } catch { case e: Throwable => srvFailure = e }
+    }, "h2-fast-reject")
+    t.setDaemon(true); t.start()
+
+    // ~120 KB request body — ~2x the default window, so the client MUST
+    // hit the send stall; pre-fix it then hangs in the drain forever
+    val pad = "x" * 4096
+    val reqs = (1 to 30).map { i =>
+      val m = new ByteArrayOutputStream()
+      ProtoWire.writeVarintField(m, 1, i.toLong)
+      ProtoWire.writeStringField(m, 2, pad)
+      m.toByteArray
+    }
+    val client = new Http2GrpcClient("127.0.0.1", server.getLocalPort)
+    val t0 = System.nanoTime()
+    val rpc = client.call("/geyser.Geyser/Subscribe", "localhost", reqs)
+    val sec = (System.nanoTime() - t0) / 1e9
+    server.close()
+    t.join(5000)
+    if (srvFailure != null) throw srvFailure
+    assert(client.sendStalls >= 1,
+      s"test must drive the client INTO the stall (sendStalls=${client.sendStalls})")
+    assert(rpc.grpcStatus.contains(7), s"reject status lost: ${rpc.headers}")
+    assert(rpc.messages.isEmpty)
+    // the unstall must be the done-break, not the socket read timeout
+    assert(sec < 10.0, f"client took $sec%.1f s — timed out instead of unstalling")
+  }
+
   test("loopback gRPC exchange: non-zero grpc-status surfaces loudly") {
     val srv = new Http2StubServer(Seq.empty, grpcStatus = 13)
     srv.start()

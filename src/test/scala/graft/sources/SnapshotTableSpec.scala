@@ -104,6 +104,34 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[Exception](ids(t, Some(1)))
   }
 
+  test("vacuum stage-dir reclaim age-gates DEEP task files: an in-flight write with fresh _temporary files survives an old stage dir") {
+    // r15 ADVICE: FileOutputCommitter stages task files under
+    // `_temporary/0/...` — an in-flight write's stage dir and its direct
+    // children can be OLDER than the age floor while the deep task files
+    // are fresh; reclaiming on the shallow mtimes deletes the write
+    // mid-flight. The reclaim must compute the deep max mtime.
+    val t = freshTable()
+    SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))
+    val old = System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+    val stage = new java.io.File(t, "data/0000-inflight-stage")
+    val deep = new java.io.File(stage, "_temporary/0")
+    assert(deep.mkdirs())
+    val task = new java.io.File(deep, "part-00000-attempt0.parquet")
+    java.nio.file.Files.writeString(task.toPath, "in-flight bytes") // mtime = NOW
+    assert(deep.setLastModified(old) && deep.getParentFile.setLastModified(old)
+      && stage.setLastModified(old))
+    SnapshotTable.vacuum(spark, t, retainVersions = 10) // default 24h floor
+    assert(stage.exists() && task.exists(),
+      "stage dir with FRESH deep task files must survive (shallow mtimes lie)")
+    // once the deep file ages past the floor too, the orphan is reclaimable
+    assert(task.setLastModified(old))
+    assert(deep.setLastModified(old) && deep.getParentFile.setLastModified(old)
+      && stage.setLastModified(old)) // writing the task file refreshed parents
+    SnapshotTable.vacuum(spark, t, retainVersions = 10)
+    assert(!stage.exists(), "fully-aged orphan stage dir must be reclaimed")
+    assert(ids(t) == Set(1L)) // committed content untouched throughout
+  }
+
   test("foreign files in _graft_log are ignored by reads and never deleted by cleanup") {
     val t = freshTable()
     SnapshotTable.commitAppend(spark, t, Seq(1L).toDF("id"))

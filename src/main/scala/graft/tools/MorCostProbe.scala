@@ -61,7 +61,22 @@ object MorCostProbe {
     val plain = timeQ("plain") {
       spark.read.schema(schema).parquet(v2.files.map(abs): _*)
     }
-    val meta = timeQ("meta") {
+    val metaRaw = timeQ("meta_raw") {
+      spark.read.schema(schema).parquet(v2.files.map(abs): _*)
+        .withColumn("_graft_path", col("_metadata.file_path"))
+        .withColumn("_graft_ri", col("_metadata.row_index"))
+    }
+    val metaRiOnly = timeQ("meta_ri_only") {
+      spark.read.schema(schema).parquet(v2.files.map(abs): _*)
+        .withColumn("_graft_ri", col("_metadata.row_index"))
+    }
+    val metaSsi = timeQ("meta_ssi") {
+      spark.read.schema(schema).parquet(v2.files.map(abs): _*)
+        .withColumn("_graft_file",
+          substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("_graft_ri", col("_metadata.row_index"))
+    }
+    val meta = timeQ("meta_regexp") {
       spark.read.schema(schema).parquet(v2.files.map(abs): _*)
         .withColumn("_graft_file",
           regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
@@ -85,7 +100,9 @@ object MorCostProbe {
       f"purged-scan: $purged%.3f s; full $full%.3f vs c12 $c12%.3f")
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", v)
     println(s"""{"tool":"MorCostProbe","sf":"$sfDir","plain":${num(plain)},""" +
-      s""""meta":${num(meta)},"dv_read":${num(dvRead)},"purged":${num(purged)},""" +
+      s""""meta_raw":${num(metaRaw)},"meta_ri_only":${num(metaRiOnly)},""" +
+      s""""meta_ssi":${num(metaSsi)},"meta_regexp":${num(meta)},""" +
+      s""""dv_read":${num(dvRead)},"purged":${num(purged)},""" +
       s""""full_query":${num(full)},"c12_query":${num(c12)}}""")
     spark.stop()
   }

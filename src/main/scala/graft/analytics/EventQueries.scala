@@ -294,7 +294,10 @@ object EventQueries {
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType)),
         map(lit("type"), col("event_type")))
-      Tables.events(s, d)
+      // fanOut: the map parse below the sort otherwise runs on the scan's
+      // single partition (one-file local corpus); no-op on many-file tables
+      Tables.fanOut(Tables.events(s, d)
+          .select(col("event_id"), col("props"), col("event_type")))
         .select(col("event_id"), m.as("m"))
         .orderBy("event_id")
         .select(col("event_id"),

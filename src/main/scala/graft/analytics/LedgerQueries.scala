@@ -234,11 +234,17 @@ object LedgerQueries {
           (bronze.select(col("id"), col("timestamp")).localCheckpoint(true),
             SolanaNormalizer.normalize(bronze).localCheckpoint(true))
         })
+      // pinned: the bucketed as-of references its price side THREE times
+      // (union arm + bucket universe + per-bucket maxima broadcast), so an
+      // unpinned subtree re-scans and re-aggregates events per reference
+      // (the AsOfJoin.bucketed multi-reference gotcha; plan evidence in
+      // plans/r16/c5_ledger_fiat_enrich_before.txt nodes 3-9/12-17/22-32)
       val prices = Tables.events(s, d)
         .filter(col("event_type") === "click")
         .groupBy(unix_timestamp(col("ts")).as("price_ts"))
         .agg(max("value").as("price"))
         .select(lit("SOL").as("asset_symbol"), col("price_ts"), col("price"))
+        .localCheckpoint(true)
       graft.LedgerPipeline.enrichFiat(silver, bronzeTs, prices)
         .select("transaction_id", "wallet_address", "asset_symbol",
           "amount", "fiat_value")

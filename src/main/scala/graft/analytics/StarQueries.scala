@@ -564,10 +564,19 @@ object StarQueries {
         .toDF("n_rows", "nulls_text", "min_chars", "max_chars")
     }),
 
+    // fanOut (here and on the d4/d5/c6 siblings below): the local corpus
+    // is one single-row-group parquet file per table, so the scan plans as
+    // ONE partition and the whole pre-exchange stage (the 4× Expand + the
+    // decimal partial aggregates here) serializes on a single core while
+    // 31 idle. Production many-file tables arrive well-partitioned and the
+    // guard makes this a no-op (Tables.fanOut scaladoc). Results are
+    // unchanged: every aggregate in these queries is exact-typed (decimal/
+    // integer/min/max) or rounded, so partition count cannot leak into the
+    // output — the invariant the c12 CPUS∈{4,32} determinism loop pins.
     "d7_unpivot" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_discount", "l_tax")
+          "l_extendedprice", "l_discount", "l_tax"))
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
@@ -611,7 +620,7 @@ object StarQueries {
 
     // D4: TPC-H Q1-shaped grouped aggregate suite.
     "d4_agg_suite" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           moneySum(col("l_quantity")).as("sum_qty"),
@@ -631,12 +640,17 @@ object StarQueries {
     }),
 
     "d4_cube" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.fanOut(Tables.lineitem(s, d))
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), moneySum(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     }),
 
+    // NO fanOut here or on d5_cost_basis (measured 0.7→2.4 s / 1.0→2.1 s
+    // WORSE): high-cardinality partials (distinct partkeys) barely collapse
+    // per map partition, so fanning out multiplies partial-agg output 32×
+    // and adds a full-width exchange — the single-partition partial agg
+    // already reduces to |groups| rows before the one required shuffle.
     "d4_count_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -730,7 +744,7 @@ object StarQueries {
     // D5/I3: typed custom Aggregator (exact decimal buffer, partial+final).
     "d5_cost_basis" -> ((s, d) => {
       val cb = udaf(CostBasisAggregator)
-      Tables.lineitem(s, d)
+      Tables.lineitem(s, d) // no fanOut: see d4_count_distinct note
         .groupBy("l_partkey")
         .agg(cb(col("l_quantity"), col("l_extendedprice")).as("cost_basis"))
         .orderBy("l_partkey")
@@ -742,7 +756,7 @@ object StarQueries {
     "c6_join_inner" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
-      val l = Tables.lineitem(s, d)
+      val l = Tables.fanOut(Tables.lineitem(s, d)) // probe side of 3 BHJs
       val n = Tables.nation(s, d)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
@@ -813,7 +827,9 @@ object StarQueries {
     // C6 theta: equi-key plus range residual — planned as a hash join on
     // the equi part with the inequality as post-filter (not BNLJ).
     "c6_join_theta" -> ((s, d) => {
-      Tables.supplier(s, d)
+      // probe side fans out: 25 nation keys emit ~|S|·|C|/25 pairs per key,
+      // and a 1-partition supplier scan would emit them all on one core
+      Tables.fanOut(Tables.supplier(s, d))
         .join(Tables.customer(s, d),
           col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
         .groupBy(col("s_nationkey"))

@@ -815,15 +815,25 @@ object Dedup {
       // The convergence flag is computed IN the same pass as the label
       // update (old vs new compared before the old column is dropped) — a
       // separate next⋈labels diff join would add a full extra join per
-      // round just to answer "did anything move".
+      // round just to answer "did anything move". r16: the moved-count
+      // rides the checkpoint job as an observe() metric — ONE job per
+      // round instead of two (ClusterProbe measured the loop at 1.3 s for
+      // a 256-edge graph: pure per-round job overhead). The explicit
+      // count stays as the fallback if metric delivery misses the poll
+      // window (see [[Observed]]).
+      val obs = org.apache.spark.sql.Observation()
       val step = labels
         .join(neighbourMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"),
           (col("nbr_cluster") < col("cluster")).as("_moved"))
+        .observe(obs, coalesce(sum(when(col("_moved"), 1L).otherwise(0L)),
+          lit(0L)).as("_n_moved"))
         .localCheckpoint(true)
-      changed = step.filter(col("_moved")).limit(1).count() > 0
+      changed = Observed.long(obs, "_n_moved")
+        .map(_ > 0L)
+        .getOrElse(step.filter(col("_moved")).limit(1).count() > 0)
       labels = step.drop("_moved")
       i += 1
     }

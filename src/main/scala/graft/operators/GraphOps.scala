@@ -139,10 +139,23 @@ object GraphOps {
         coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)).as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
-    var e = canon(edges0, "src", "dst").localCheckpoint(true)
-    var fp = fingerprint(e)
+    // r16: the (count, checksum) fingerprint rides each round's checkpoint
+    // job as observe() metrics — one job per round instead of two (the
+    // same job-overhead term ClusterProbe measured on the min-label loop);
+    // the explicit aggregate stays as the delivery-miss fallback.
+    def observedCheckpoint(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)).as("h"))
+        .localCheckpoint(true)
+      val fp = Observed.metrics(obs)
+        .map(m => (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
+        .getOrElse(fingerprint(cp))
+      (cp, fp)
+    }
+    var (e, fp) = observedCheckpoint(canon(edges0, "src", "dst"))
     var rounds = 0
-    var stable = e.isEmpty
+    var stable = fp._1 == 0L
     while (!stable) {
       if (rounds >= maxIter) throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
@@ -159,11 +172,10 @@ object GraphOps {
       val sm = ls.select(col("hi").as("u"), col("lo").as("v"))
       val smins = sm.groupBy("u").agg(min(col("v")).as("m"))
       val joined = sm.join(smins, "u")
-      val ss = canon(
+      val (ss, fp2) = observedCheckpoint(canon(
         joined.select(col("v").as("a"), col("m").as("b"))
           .unionAll(joined.select(col("u").as("a"), col("m").as("b"))),
-        "a", "b").localCheckpoint(true)
-      val fp2 = fingerprint(ss)
+        "a", "b"))
       stable = fp2 == fp
       fp = fp2
       e = ss

@@ -18,6 +18,14 @@ object GraftSqlBridge {
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
 
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`): empty map until the SQL-execution-end listener
+    * delivers. graft.operators.Observed polls this so iterative operators
+    * can ride their convergence probe on the materializing action.
+    */
+  def observationGetOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** Register a temp SQL function in an already-running session (the
     * extensions path only applies at session construction).
     */

@@ -358,13 +358,22 @@ object GraphQueries {
       // both sides to fresh columns — a raw r("node") === e("src") would
       // resolve against shared lineage.
       val eRen = e.select(col("src").as("_src"), col("dst").as("_dst"))
+      // shuffle_hash hints (r16): the cached relations carry partitioning
+      // but NOT sort order, so the planner's default sort-merge re-sorts
+      // both sides of both joins EVERY iteration (12 sorts over 3
+      // iterations in the r15 plan). Shuffled-hash builds on the rank/sum
+      // side — always |V|-sized, the side that fits per partition at any
+      // scale (PageRank state ≪ edges) — and keeps the joins
+      // exchange-free against the cached layout. The BUCKETED twin keeps
+      // SMJ: its buckets are pre-SORTED, so its merges are sort-free.
       for (_ <- 1 to 3) {
         val sums = r.select(col("node").as("_src"),
             expr("rank DIV deg").as("contrib"))
+          .hint("shuffle_hash")
           .join(eRen, "_src")
           .groupBy(col("_dst").as("node"))
           .agg(sum("contrib").as("s"))
-        r = deg.join(sums, Seq("node"), "left")
+        r = deg.join(sums.hint("shuffle_hash"), Seq("node"), "left")
           .na.fill(0L, Seq("s"))
           .select(col("node"), col("deg"),
             expr(s"$teleport + (85 * s) DIV 100").as("rank"))

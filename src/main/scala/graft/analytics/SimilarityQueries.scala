@@ -822,18 +822,21 @@ object SimilarityQueries {
       import graft.operators.PerceptualHash
       val vids = Tables.documents(s, d)
         .where(col("doc_id") % 3 === 2 && length(col("text")) >= 288)
-      val perFrame = (0 until 4).map { f =>
-        val frameText = expr(
-          s"substring(text, 1 + $f * (length(text) div 4), length(text) div 4)")
-        val framed = vids
-          .withColumn("_g", PerceptualHash.surrogateGrid(frameText))
-          .select(col("doc_id"),
-            PerceptualHash.dHashHalf(col("_g"), 32).as("h_hi"),
-            PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
-        PerceptualHash.nearDupPairs(framed, "doc_id", maxHamming = 10)
-          .withColumn("_f", lit(f))
-      }
-      perFrame.reduce(_ unionAll _)
+      // ONE frame-keyed banding pass (r16): the previous per-frame loop
+      // ran 4 separate scan+hash+banding-join subtrees and unioned them;
+      // exploding the frame index and pairing within (_f, band, bkey)
+      // produces the identical per-frame pair set — same rows, same
+      // hamming — from a single scan and a single join (nearDupPairs
+      // groupKeys; guide §2.4 "share one exchange").
+      val framed = vids
+        .withColumn("_f", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("_g", PerceptualHash.surrogateGrid(expr(
+          "substring(text, 1 + _f * (length(text) div 4), length(text) div 4)")))
+        .select(col("doc_id"), col("_f"),
+          PerceptualHash.dHashHalf(col("_g"), 32).as("h_hi"),
+          PerceptualHash.dHashHalf(col("_g"), 0).as("h_lo"))
+      PerceptualHash.nearDupPairs(framed, "doc_id", maxHamming = 10,
+          groupKeys = Seq("_f"))
         .groupBy("id_a", "id_b")
         .agg(countDistinct(col("_f")).cast("long").as("n_frames_close"),
           min(col("hamming")).cast("int").as("min_hamming"))

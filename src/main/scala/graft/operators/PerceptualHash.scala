@@ -135,30 +135,43 @@ object PerceptualHash {
   /** Banded Hamming near-dup pairs over a hashed corpus: `df` must carry
     * (`idCol`, `h_hi`, `h_lo`). Each row emits 4 16-bit band keys; pairs
     * sharing any (band, key) bucket are candidates; exact XOR-popcount
-    * keeps those within `maxHamming`. Output: (id_a, id_b, hamming),
-    * id_a < id_b, one row per pair however many bands matched.
+    * keeps those within `maxHamming`. Output: (id_a, id_b, hamming[,
+    * groupKeys...]), id_a < id_b, one row per pair however many bands
+    * matched.
+    *
+    * `groupKeys` (r16): extra columns that PARTITION the pairing — rows
+    * pair only within equal group-key values (e.g. a video's frame index),
+    * and the keys ride through to the output. One multi-group corpus
+    * pairs in ONE banding join instead of one join per group (the
+    * k5_video_neardup shape: 4 per-frame joins → 1 frame-keyed join);
+    * with the default Nil the relation and results are exactly the
+    * pre-r16 ones.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def nearDupPairs(df: DataFrame, idCol: String, maxHamming: Int,
+      groupKeys: Seq[String] = Nil): DataFrame = {
     val banded = df
-      .select(col(idCol).as("pid"), col("h_hi"), col("h_lo"))
+      .select(col(idCol).as("pid") +: col("h_hi") +: col("h_lo") +:
+        groupKeys.map(col): _*)
       .withColumn("band", explode(array(lit(0), lit(1), lit(2), lit(3))))
       .withColumn("bkey",
         when(col("band") === 0, col("h_lo").bitwiseAND(lit(65535L)))
           .when(col("band") === 1, shiftright(col("h_lo"), 16).bitwiseAND(lit(65535L)))
           .when(col("band") === 2, col("h_hi").bitwiseAND(lit(65535L)))
           .otherwise(shiftright(col("h_hi"), 16).bitwiseAND(lit(65535L))))
-    val a = banded.select(col("pid").as("id_a"), col("band"), col("bkey"),
-      col("h_hi").as("hi_a"), col("h_lo").as("lo_a"))
-    val b = banded.select(col("pid").as("id_b"), col("band"), col("bkey"),
-      col("h_hi").as("hi_b"), col("h_lo").as("lo_b"))
-    a.join(b, Seq("band", "bkey"))
+    val joinKeys = Seq("band", "bkey") ++ groupKeys
+    val a = banded.select(col("pid").as("id_a") +: col("h_hi").as("hi_a") +:
+      col("h_lo").as("lo_a") +: joinKeys.map(col): _*)
+    val b = banded.select(col("pid").as("id_b") +: col("h_hi").as("hi_b") +:
+      col("h_lo").as("lo_b") +: joinKeys.map(col): _*)
+    a.join(b, joinKeys)
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+      .select(("id_a" +: "id_b" +: "hi_a" +: "lo_a" +: "hi_b" +: "lo_b" +:
+        groupKeys).map(col): _*)
       .distinct()
       .withColumn("hamming",
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(("id_a" +: "id_b" +: "hamming" +: groupKeys).map(col): _*)
   }
 }

@@ -18,7 +18,7 @@ object Explain {
       "k4_repetition_ratio", "k4_filter_cascade", "k4_doc_lm_score",
       "k6_corpus_pipeline", "c5_asof_bucketed",
       "g4_pagerank", "g4_pagerank_bucketed", "g4_pagerank_durable",
-      "g4_triangles",
+      "g4_triangles", "g4_label_propagation",
       "a9_zorder_curve", "e4_anomaly_zscore", "k2_semantic_dedup",
       "k3_ann_ivf", "k6_chunk_overlap",
       "k3_ann_pq", "k5_phash_neardup", "k3_random_projection",

@@ -40,9 +40,12 @@ object ClusterProbe {
         Dedup.minHashLshFromShingles(sh, threshold = 0.5)
           .localCheckpoint(true))
       println(s"[cluster-probe] rep$i pairs rows: ${pairs.count()}")
-      val labels = time(s"rep$i clusters")(
-        Dedup.clusters(docs.select(col("doc_id")), "doc_id", pairs)
-          .localCheckpoint(true))
+      val labels = time(s"rep$i clusters") {
+        val (l, rounds) =
+          Dedup.clustersCounted(docs.select(col("doc_id")), "doc_id", pairs)
+        println(s"[cluster-probe] rep$i clusters rounds: $rounds")
+        l.localCheckpoint(true)
+      }
       time(s"rep$i survivors") {
         docs.join(labels.filter(col("id") === col("cluster"))
             .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")

@@ -40,7 +40,7 @@ object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Total rank mass, parts-per-trillion. */
-  private val Total = 1000000000000L
+  private[graft] val Total = 1000000000000L
 
   /** Distinct customer↔supplier relationships as a directed edge list
     * (both directions). One row per (src, dst).
@@ -70,7 +70,7 @@ object GraphQueries {
   private val adhocCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Long)]
 
-  private def adhocEdges(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
+  private[graft] def adhocEdges(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
     adhocCache.getOrElseUpdate(graft.Tables.memoKey(s, d), {
       val e = edges(s, d).repartition(col("src")).persist()
       val deg = e.groupBy(col("src").as("node"))

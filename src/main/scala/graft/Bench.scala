@@ -298,8 +298,19 @@ object Bench {
     val line =
       s"""{"queries":$qs,"queries_min":$qmins,"errors":$es,"suspect":$sus,"sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"prestaged":$prestaged,"truncated":$truncated,"deadline_sec":${num(deadlineSec)},"stat":"median","waited_sec":${num(waitedSec)},"loadavg_start":${jstr(load0)},"loadavg_end":${jstr(load1)},"total_min":${num(totalMin)},"metric":"total","unit":"sec","value":${num(total)}}"""
     println(line)
+    // r17 (verdict-mandated): the full line above is ~6 KB at 210 queries
+    // and the driver keeps only a 2000-byte tail of the run log, so in all
+    // 16 prior rounds the artifact parsed as null. Emit a compact
+    // totals-only summary (no per-query maps) as the FINAL stdout line —
+    // well under the tail window — so a truncated capture still yields
+    // machine-readable totals. Additions-only: the full per-query line
+    // (the declared contract) still prints, first.
+    val summary =
+      s"""{"bench_summary":true,"queries_omitted":true,"metric":"total","unit":"sec","sf":${jstr(sfDir)},"n_ok":${timings.size},"n_err":${errors.size},"n_suspect":${suspect.size},"reps":$reps,"prestaged":$prestaged,"truncated":$truncated,"deadline_sec":${num(deadlineSec)},"stat":"median","waited_sec":${num(waitedSec)},"loadavg_start":${jstr(load0)},"loadavg_end":${jstr(load1)},"total_min":${num(totalMin)},"value":${num(total)}}"""
+    println(summary)
+    System.out.flush()
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench_out.json"), line + "\n")
+    Files.writeString(Paths.get("target/bench_out.json"), line + "\n" + summary + "\n")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.normalize
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.model.{EntryType, Schemas}
+import graft.model.EntryType
 
 /** Bronze → Silver transaction normalizer — the reference's core computation
   * (`/root/reference/adapters/src/solana_parser.rs:7-93`), re-expressed
@@ -40,6 +40,40 @@ object SolanaNormalizer {
   private val Dust = 1e-6
   private val LamportsPerSol = 1e9
 
+  /** [[graft.model.Schemas.solanaTx]] pruned to the fields this normalizer
+    * actually reads (r17, guide §6 — ReadSchema narrowing applies to JSON
+    * parse schemas too: Jackson still tokenizes the whole envelope but
+    * skips CONVERTING the unread subtrees — slot, blockTime, signatures,
+    * recentBlockhash, fee, accountKey.signer/writable, and every
+    * uiTokenAmount field but uiAmount). Catalyst's own from_json pruning
+    * (OptimizeCsvJsonExprs) cannot do this here because `m.meta` is
+    * referenced AS A STRUCT by the no-meta guard, which pins all of meta's
+    * fields. Semantics are unchanged: from_json yields a null struct for
+    * an absent/null key regardless of which subfields the schema keeps, so
+    * the meta.isNotNull guard and both token-array presence checks see
+    * exactly what they saw under the full schema, and every emitted column
+    * derives from a retained field.
+    */
+  private[graft] val parseSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val uiAmountOnly = StructType(Seq(StructField("uiAmount", DoubleType)))
+    val tokenBalance = StructType(Seq(
+      StructField("accountIndex", IntegerType),
+      StructField("mint", StringType),
+      StructField("owner", StringType),
+      StructField("uiTokenAmount", uiAmountOnly)))
+    StructType(Seq(
+      StructField("transaction", StructType(Seq(
+        StructField("message", StructType(Seq(
+          StructField("accountKeys", ArrayType(StructType(Seq(
+            StructField("pubkey", StringType))))))))))),
+      StructField("meta", StructType(Seq(
+        StructField("preBalances", ArrayType(LongType)),
+        StructField("postBalances", ArrayType(LongType)),
+        StructField("preTokenBalances", ArrayType(tokenBalance)),
+        StructField("postTokenBalances", ArrayType(tokenBalance)))))))
+  }
+
   /** Deterministic surrogate id (engine policy for H8). */
   private def detId(parts: Column*): Column =
     sha2(concat_ws(":", parts: _*), 256)
@@ -67,7 +101,7 @@ object SolanaNormalizer {
     // explode to zero entries inside the single parse pass.
     val parsed = bronze
       .filter(col("chain") === lit(graft.model.Chain.Solana))
-      .withColumn("m", from_json(col("raw_metadata"), Schemas.solanaTx))
+      .withColumn("m", from_json(col("raw_metadata"), parseSchema))
       // array_position is 1-based; 0 means "wallet not in accountKeys" and
       // the reference then emits nothing for the native path (parser.rs:26).
       .withColumn("wallet_idx",

@@ -787,18 +787,34 @@ object Dedup {
     // row per id and clustering-over-ids-only — a pair endpoint outside the
     // id set must neither appear in the output nor bridge two ids into one
     // cluster (the caller excluded it on purpose).
+    //
+    // r17: repartition(dst) + persist, NOT localCheckpoint — an
+    // InMemoryRelation PRESERVES outputPartitioning through planning (the
+    // g4_pagerank adhocEdges lesson), so the per-round gather join reads
+    // the edge side exchange-free every round; a checkpointed (RDD-backed)
+    // edge list re-Exchanged the FULL edge set by dst once per round.
+    // Materialized stats also let the planner broadcast a small edge set
+    // on later rounds — scale-adaptive by statistics, not by a constant.
+    // Unpersisted before return (the result references only checkpointed
+    // label rounds, never this relation).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .join(idSet.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(idSet.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .localCheckpoint(true)
+      .repartition(col("dst"))
+      .persist()
     // Propagate only over ids that appear in an edge: an isolated id can
     // never change its label, and near-dup graphs are sparse — |edge nodes|
     // ≪ |corpus| — so every round's join and aggregate run on the small
     // set. The untouched ids rejoin as their own singleton clusters at the
     // end. Per-round cost is O(|edges|), not O(|corpus|).
-    val edgeNodes = edges.select(col("src").as("id")).distinct().localCheckpoint(true)
-    var labels = edgeNodes.select(col("id"), col("id").as("cluster"))
+    //
+    // r17: the initial label relation is LAZY (no checkpoint of its own) —
+    // the distinct folds into round 0's job, one whole job cheaper per
+    // call; the singleton anti-join at the end keys on the FINAL labels
+    // (same id set: every round preserves the id column).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
     var changed = true
     var i = 0
     while (changed) {
@@ -837,8 +853,9 @@ object Dedup {
       labels = step.drop("_moved")
       i += 1
     }
+    edges.unpersist(blocking = false)
     val singletons = ids.select(col(idCol).as("id"))
-      .join(edgeNodes, Seq("id"), "left_anti")
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster"))
     (labels.unionByName(singletons), i)
   }

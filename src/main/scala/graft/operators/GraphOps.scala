@@ -164,9 +164,17 @@ object GraphOps {
         .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
       val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val ls = canon(
-        both.join(mins, "u").where(col("v") > col("u"))
-          .select(col("v"), col("m")), "v", "m")
+      // r17: canonicalize WITHOUT the mid-round distinct — one row out per
+      // row in bounds |ls| ≤ |E| (duplicates only when two neighbours of v
+      // share a minimum), small-star's aggregate collapses them map-side,
+      // and the round-end canon() still dedups, so the ≤|E| cross-round
+      // invariant is intact while the round drops one full Exchange of the
+      // edge set (guide §2.4).
+      val lsj = both.join(mins, "u").where(col("v") > col("u"))
+      val ls = lsj
+        .select(least(col("v"), col("m")).as("lo"),
+          greatest(col("v"), col("m")).as("hi"))
+        .where(col("lo") =!= col("hi"))
       // SMALL-STAR on the large-star output: orient toward the larger
       // endpoint; (v, m(u)) for the smaller neighbours v, plus (u, m(u))
       val sm = ls.select(col("hi").as("u"), col("lo").as("v"))

@@ -15,7 +15,11 @@ import org.apache.spark.sql.Observation
   * probe job — correctness never depends on listener timing.
   */
 private[graft] object Observed {
-  def metrics(obs: Observation, waitMs: Long = 2000): Option[Map[String, Any]] = {
+  // 500 ms default (r17, r16 ADVICE): Observation.getOrEmpty already waits
+  // ~100 ms internally, delivery lands within one poll in every measured
+  // run, and the caller's explicit fallback job is the correctness path —
+  // a long poll only ADDS stall on top of the fallback in the miss case.
+  def metrics(obs: Observation, waitMs: Long = 500): Option[Map[String, Any]] = {
     val deadline = System.nanoTime() + waitMs * 1000000L
     var m = org.apache.spark.sql.GraftSqlBridge.observationGetOrEmpty(obs)
     while (m.isEmpty && System.nanoTime() < deadline) {
@@ -29,6 +33,6 @@ private[graft] object Observed {
     } else Some(m)
   }
 
-  def long(obs: Observation, key: String, waitMs: Long = 2000): Option[Long] =
+  def long(obs: Observation, key: String, waitMs: Long = 500): Option[Long] =
     metrics(obs, waitMs).map(_(key).asInstanceOf[Long])
 }

@@ -27,13 +27,6 @@ object QueryBench {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-      planDir.foreach { dir =>
-        val p = java.nio.file.Paths.get(dir)
-        java.nio.file.Files.createDirectories(p)
-        java.nio.file.Files.writeString(p.resolve(s"$name.txt"),
-          fn(spark, d).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode))
-      }
       val ts = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         fn(spark, d).write.format("noop").mode("overwrite").save()
@@ -44,6 +37,17 @@ object QueryBench {
       val steady = ts.drop(1)
       val med = steady.sorted.apply(steady.length / 2)
       println(f"$name steady-median: $med%.3f s (min ${ts.min}%.3f)")
+      // r17 (r16 ADVICE): dump the plan AFTER the timed reps — a pre-rep
+      // dump invoked fn() once untimed, warming construction side effects
+      // (adhocEdges persist, eager localCheckpoints), so "run 1 = codegen
+      // warmup" meant something different with planDir set.
+      planDir.foreach { dir =>
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.writeString(p.resolve(s"$name.txt"),
+          fn(spark, d).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }

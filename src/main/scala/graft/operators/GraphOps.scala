@@ -160,29 +160,55 @@ object GraphOps {
       if (rounds >= maxIter) throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
       // LARGE-STAR: m(u) = min(Γ(u) ∪ {u}); (v, m(u)) for v ∈ Γ(u), v > u
-      val both = e.select(col("lo").as("u"), col("hi").as("v"))
-        .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      //
+      // r17 plan-shape note (measured via plans/r17/cc_round_before.txt):
+      // every self-union here was TWO references to its subtree — Spark
+      // has no subplan reuse above exchange boundaries, so the final
+      // union's two arms re-ran the whole small-star join, and `both`'s
+      // arms re-scanned e — the round body planned 6 SortMergeJoins where
+      // the algorithm has 2. Each a.unionAll(b)-over-one-source is now an
+      // explode(array(...)) — ONE pass emitting both rows (identical
+      // multiset), so each join plans exactly once per round.
+      val both = e.select(explode(array(
+          struct(col("lo").as("u"), col("hi").as("v")),
+          struct(col("hi").as("u"), col("lo").as("v")))).as("_e"))
+        .select(col("_e.u").as("u"), col("_e.v").as("v"))
+      // shuffle_hash: mins is per-node minima (|V|-bounded, the side that
+      // fits per partition at any scale); the default sort-merge re-sorted
+      // BOTH sides of both per-round joins (the g4_pagerank r16 lesson).
       val mins = both.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      // r17: canonicalize WITHOUT the mid-round distinct — one row out per
-      // row in bounds |ls| ≤ |E| (duplicates only when two neighbours of v
-      // share a minimum), small-star's aggregate collapses them map-side,
-      // and the round-end canon() still dedups, so the ≤|E| cross-round
-      // invariant is intact while the round drops one full Exchange of the
-      // edge set (guide §2.4).
-      val lsj = both.join(mins, "u").where(col("v") > col("u"))
-      val ls = lsj
+        .hint("shuffle_hash")
+      // r17 NULL RESULT first: removing this dedup outright (to save its
+      // Exchange) measured WORSE — the mid-round Exchange is also the
+      // plan's sharing point, and without it the large-star join recomputed
+      // for BOTH small-star consumers (smins and joined): 55 → 60 jobs/rep
+      // at sf0.1. What DOES pay: keep the dedup but key its exchange on
+      // `hi` ALONE — HashPartitioning(hi) satisfies the distinct's
+      // ClusteredDistribution(lo, hi) (equal (lo,hi) rows co-locate), and
+      // hi IS small-star's key u, so the groupBy and join downstream are
+      // BOTH exchange-free: one exchange between the phases instead of two
+      // (guide §2.4 "two operations keyed the same way share one
+      // exchange"). Trade-off, documented: the old (lo,hi)-keyed distinct
+      // dedup'd map-side before its exchange; this moves raw large-star
+      // rows (still ≤ |E|) — fewer exchanges wins while dup rates are
+      // modest, which k-bounded co-occurrence graphs are.
+      val ls = both.join(mins, "u").where(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("lo"),
           greatest(col("v"), col("m")).as("hi"))
         .where(col("lo") =!= col("hi"))
+        .repartition(col("hi"))
+        .dropDuplicates("lo", "hi")
       // SMALL-STAR on the large-star output: orient toward the larger
       // endpoint; (v, m(u)) for the smaller neighbours v, plus (u, m(u))
       val sm = ls.select(col("hi").as("u"), col("lo").as("v"))
-      val smins = sm.groupBy("u").agg(min(col("v")).as("m"))
+      val smins = sm.groupBy("u").agg(min(col("v")).as("m")).hint("shuffle_hash")
       val joined = sm.join(smins, "u")
       val (ss, fp2) = observedCheckpoint(canon(
-        joined.select(col("v").as("a"), col("m").as("b"))
-          .unionAll(joined.select(col("u").as("a"), col("m").as("b"))),
+        joined.select(explode(array(
+            struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("_e"))
+          .select(col("_e.a").as("a"), col("_e.b").as("b")),
         "a", "b"))
       stable = fp2 == fp
       fp = fp2
@@ -190,8 +216,10 @@ object GraphOps {
       rounds += 1
     }
     // fixpoint = star forest: hi → root lo; roots label themselves
-    val labels = e.select(col("hi").as("node"), col("lo").as("component"))
-      .unionAll(e.select(col("lo").as("node"), col("lo").as("component")))
+    val labels = e.select(explode(array(
+        struct(col("hi").as("node"), col("lo").as("component")),
+        struct(col("lo").as("node"), col("lo").as("component")))).as("_e"))
+      .select(col("_e.node").as("node"), col("_e.component").as("component"))
       .distinct()
     (labels, rounds)
   }
